@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  * Queries with `oracle = None` are validated by ScalaTest specs instead
+  * (the driver records a weaker rows-only check for them).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** Included in the Bench headline set when true. */
+    bench: Boolean = false
+)
+
+/** Testdata star-schema loaders. All operators read these tables; at
+  * production scale the same code runs over partitioned cloud storage —
+  * `spark.read.parquet` keeps partition pruning + column pruning intact.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries nanosecond parquet timestamps, which Spark's
+    * vectorized reader rejects by default. We read them as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench sessions)
+    * and convert to microsecond TimestampType here — the same truncation
+    * DuckDB applies, keeping the oracle comparable. When a session reads
+    * them as timestamps natively, this is a no-op.
+    */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = eventsRaw(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}

@@ -1,0 +1,333 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Metadata-record normalization library.
+  *
+  * Spark-native re-expression of the normalization semantics of
+  * RecordManager's `Utils/MetadataUtils.php` (reference:
+  * src/RecordManager/Base/Utils/MetadataUtils.php). Every function here is a
+  * pure `Column` expression built from `org.apache.spark.sql.functions` —
+  * whole-stage-codegen friendly, no UDFs — so Catalyst can push, prune and
+  * fold around them. All are deterministic and distributable (no driver
+  * state), which is what lets the same expressions run over 100 TB.
+  */
+object MetadataFunctions {
+
+  /** Characters removed by key normalization: ASCII control chars, space and
+    * all ASCII punctuation (reference: MetadataUtils.php:416 `normalizeKey`,
+    * regex `[\x00-\x20\x21-\x2F\x3A-\x40,\x5B-\x60,\x7B-\x7F]`; the ranges
+    * 00-20 and 21-2F are contiguous).
+    */
+  private val KeyStripRe = "[\\x00-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7f]"
+
+  /** Lowercased comparison key: strip ASCII punctuation/space/control chars,
+    * trim, lowercase. Reference: MetadataUtils.php:416.
+    */
+  def normalizeKey(c: Column): Column =
+    lower(trim(regexp_replace(c, KeyStripRe, "")))
+
+  /** Dedup title key: concatenate leading words until more than 3 "long"
+    * (>3 char) words or more than 35 significant chars have been taken, cap
+    * at 200 chars, then normalize. Reference: MetadataUtils.php:369
+    * `createTitleKey`. A word is included iff the running totals over the
+    * words before it are still within bounds (the PHP loop breaks after the
+    * word that exceeds them, so that word is still included).
+    */
+  def createTitleKey(c: Column): Column = {
+    val ws = split(c, " ")
+    // `i` is 0-based = number of words before the current one.
+    val kept = filter(
+      ws,
+      (_, i) => {
+        val prefix = slice(ws, lit(1), i)
+        (length(array_join(prefix, "")) <= 35) &&
+        (size(filter(prefix, w => length(w) > 3)) <= 3)
+      }
+    )
+    normalizeKey(substring(array_join(kept, ""), 1, 200))
+  }
+
+  private def dig(d: Column, pos: Int): Column =
+    substring(d, pos, 1).cast("int")
+
+  /** ISBN-10 check character (reference: MetadataUtils.php:1291). */
+  private def isbn10CheckChar(d: Column): Column = {
+    val s = (1 to 9).map(p => dig(d, p) * lit(11 - p)).reduce(_ + _)
+    val rem = (lit(11) - (s % 11)) % 11
+    when(rem === 10, lit("X")).otherwise(rem.cast("string"))
+  }
+
+  /** ISBN-13 check digit computed from the first 9 digits of an ISBN-10
+    * (reference: MetadataUtils.php:1311).
+    */
+  private def isbn13CheckDigit(d: Column): Column = {
+    val s = lit(38) +
+      lit(3) * (dig(d, 1) + dig(d, 3) + dig(d, 5) + dig(d, 7) + dig(d, 9)) +
+      (dig(d, 2) + dig(d, 4) + dig(d, 6) + dig(d, 8))
+    ((lit(10) - (s % 10)) % 10).cast("string")
+  }
+
+  /** ISBN-10 → ISBN-13 with checksum validation; empty string when the
+    * 10-digit checksum is invalid. Reference: MetadataUtils.php:270.
+    */
+  def isbn10to13(d: Column): Column =
+    when(
+      d.rlike("^[0-9]{9}[0-9xX]$") &&
+        upper(substring(d, 10, 1)) === isbn10CheckChar(d),
+      concat(lit("978"), substring(d, 1, 9), isbn13CheckDigit(d))
+    ).otherwise(lit(""))
+
+  /** Normalize an ISBN to dashless ISBN-13 (or "" when unrecognizable).
+    * Reference: MetadataUtils.php:442 `normalizeISBN`.
+    */
+  def normalizeIsbn(c: Column): Column = {
+    val cleaned = regexp_replace(c, "-", "")
+    val m = regexp_extract(cleaned, "([0-9]{9,12}[0-9xX])", 1)
+    when(m === "", lit(""))
+      .when(length(m) === 10, isbn10to13(m))
+      .otherwise(m)
+  }
+
+  /** First 4-digit (optionally negative) year in a string, else "".
+    * Reference: MetadataUtils.php:865 `extractYear`.
+    */
+  def extractYear(c: Column): Column = regexp_extract(c, "(-?\\d{4})", 1)
+
+  /** Default leading-article list (reference ships these in
+    * conf/articles.lst; the list is configuration, so this library takes a
+    * parameter with the same defaults).
+    */
+  val DefaultArticles: Seq[String] =
+    Seq("the ", "an ", "a ", "el ", "le ", "l'", "d'")
+
+  /** Lowercase and strip the first matching leading article.
+    * Reference: MetadataUtils.php:678 `stripLeadingArticle`.
+    */
+  def stripLeadingArticle(
+      c: Column,
+      articles: Seq[String] = DefaultArticles
+  ): Column = {
+    val lowered = lower(c)
+    val chain = articles.foldLeft(when(lit(false), lowered)) { (acc, art) =>
+      acc.when(
+        substring(lowered, 1, art.length) === art,
+        lowered.substr(lit(art.length + 1), length(lowered))
+      )
+    }
+    chain.otherwise(lowered)
+  }
+
+  /** Strip trailing spaces/punctuation with the reference's special cases:
+    * keep a period after an initial/abbreviation-like token, drop a trailing
+    * ". -", drop an unbalanced trailing paren/bracket.
+    * Reference: MetadataUtils.php:572 `stripTrailingPunctuation` (with
+    * `additional=""` and an empty abbreviation list; the numeric check is a
+    * digits-only test rather than PHP's `is_numeric`).
+    */
+  def stripTrailingPunctuation(c: Column): Column = {
+    val s1 = rtrim(c, " /:;,=([")
+    // PHP substr($str,-3,1) clamps the start to 0 for short strings.
+    val thirdFromEnd =
+      when(length(s1) >= 3, substring(s1, -3, 1))
+        .otherwise(substring(s1, 1, 1))
+    val lastWord = regexp_extract(s1, "([^ ]*)\\.$", 1)
+    val dropPeriod = s1.endsWith(".") && thirdFromEnd =!= " " &&
+      !lastWord.rlike("^[0-9]+$")
+    val s2 = when(dropPeriod, s1.substr(lit(1), length(s1) - 1)).otherwise(s1)
+    val s3 = when(s2.endsWith(". -"), s2.substr(lit(1), length(s2) - 3))
+      .otherwise(s2)
+    val s4 = when(
+      s3.endsWith(")") && !s3.contains("("),
+      s3.substr(lit(1), length(s3) - 1)
+    ).when(
+      s3.endsWith("]") && !s3.contains("["),
+      s3.substr(lit(1), length(s3) - 1)
+    ).otherwise(s3)
+    s4
+  }
+
+  /** Replace punctuation runs with a single space; if the result is empty,
+    * return the original. Reference: MetadataUtils.php:535 `stripPunctuation`
+    * (default pattern `[\t\p{P}=´`” ̈]+`, which includes the space).
+    */
+  def stripPunctuation(c: Column): Column = {
+    val r = trim(regexp_replace(c, "[\\t\\p{P}=´`” ̈]+", " "))
+    when(r === "", c).otherwise(r)
+  }
+
+  /** Sort title: strip article, strip punctuation, re-strip article if the
+    * first character changed, lowercase. Reference: MetadataUtils.php:698.
+    */
+  def createSortTitle(c: Column): Column = {
+    val t1 = stripLeadingArticle(c)
+    val start = substring(t1, 1, 1)
+    val t2 = stripPunctuation(t1)
+    val t3 = when(substring(t2, 1, 1) =!= start, stripLeadingArticle(t2))
+      .otherwise(t2)
+    lower(t3)
+  }
+
+  /** Fuzzy author comparison: exact match; both >= 6 chars; full prefix
+    * match; or word-by-word where the first word must match exactly and
+    * later words at least on the initial. Reference: MetadataUtils.php:464.
+    */
+  def authorMatch(a1: Column, a2: Column): Column = {
+    val l1 = length(a1)
+    val l2 = length(a2)
+    val minLen = least(l1, l2)
+    val prefixEq = a1.substr(lit(1), minLen) === a2.substr(lit(1), minLen)
+    val w1 = split(a1, " ")
+    val w2 = split(a2, " ")
+    val n = least(size(w1), size(w2))
+    val wordsOk = forall(
+      transform(
+        sequence(lit(0), n - 1),
+        i => {
+          val x = element_at(w1, i + 1)
+          val y = element_at(w2, i + 1)
+          (x === y) ||
+          (i > 0 && substring(x, 1, 1) === substring(y, 1, 1))
+        }
+      ),
+      b => b
+    )
+    when(a1 === a2, lit(true))
+      .when(l1 < 6 || l2 < 6, lit(false))
+      .when(prefixEq, lit(true))
+      .otherwise(wordsOk)
+  }
+
+  /** Coordinate string → decimal degrees. Supports the reference's DMS and
+    * decimal formats. Reference: MetadataUtils.php:299 `coordinateToDecimal`.
+    */
+  def coordinateToDecimal(c: Column): Column = {
+    val v = regexp_replace(c, " ", "")
+    val neg = (h: Column) => h.isin("w", "W", "s", "S", "-")
+    def sgn(h: Column, x: Column): Column = when(neg(h), -x).otherwise(x)
+    val p1 = "^([eEwWnNsS])(\\d{3})(\\d{2})((\\d{2})(\\.(\\d{3}))?)"
+    val p2 = "^([eEwWnNsS+-])?(\\d{3}\\.\\d+)"
+    val p3 = "^([eEwWnNsS])?(\\d{3})(\\d{2}\\.\\d+)"
+    val p4 = "^([eEwWnNsS+-])?(\\d+\\.\\d+)"
+    val p5 = "^([eEwWnNsS])(\\d+)(\\d{2})((\\d{2})(\\.(\\d{3}))?)$"
+    def g(p: String, i: Int): Column = regexp_extract(v, p, i)
+    def dms(p: String): Column =
+      g(p, 2).cast("double") + g(p, 3).cast("double") / 60 +
+        g(p, 4).cast("double") / 3600
+    when(v === "", lit(Double.NaN))
+      .when(v.rlike(p1), sgn(g(p1, 1), dms(p1)))
+      .when(v.rlike(p2), sgn(g(p2, 1), g(p2, 2).cast("double")))
+      .when(
+        v.rlike(p3),
+        sgn(g(p3, 1), g(p3, 2).cast("double") + g(p3, 3).cast("double") / 60)
+      )
+      .when(v.rlike(p4), sgn(g(p4, 1), g(p4, 2).cast("double")))
+      .when(v.rlike(p5), sgn(g(p5, 1), dms(p5)))
+      // PHP (float)$value: numeric prefix or 0.0.
+      .otherwise(
+        coalesce(
+          regexp_extract(v, "^[-+]?\\d+(\\.\\d+)?", 0).cast("double"),
+          lit(0.0)
+        )
+      )
+  }
+
+  private val EnvelopeRe =
+    "(?i)ENVELOPE\\s*\\((-?[\\d.]+),\\s*(-?[\\d.]+),\\s*(-?[\\d.]+),\\s*(-?[\\d.]+)\\)"
+
+  /** Center longitude of an `ENVELOPE(w, e, n, s)` WKT string (reference:
+    * MetadataUtils.php:987 `getCenterCoordinates`; non-envelope shapes are
+    * out of scope — the reference delegates those to geoPHP).
+    */
+  def envelopeCenterLon(c: Column): Column =
+    (regexp_extract(c, EnvelopeRe, 1).cast("double") +
+      regexp_extract(c, EnvelopeRe, 2).cast("double")) / 2
+
+  /** Center latitude of an `ENVELOPE(...)` WKT string. */
+  def envelopeCenterLat(c: Column): Column =
+    (regexp_extract(c, EnvelopeRe, 3).cast("double") +
+      regexp_extract(c, EnvelopeRe, 4).cast("double")) / 2
+
+  /** Display form of an `ENVELOPE(...)` WKT: the four bounds space-joined.
+    * Reference: MetadataUtils.php:1021 `getGeoDisplayField`.
+    */
+  def geoDisplayField(c: Column): Column =
+    concat_ws(
+      " ",
+      regexp_extract(c, EnvelopeRe, 1),
+      regexp_extract(c, EnvelopeRe, 2),
+      regexp_extract(c, EnvelopeRe, 3),
+      regexp_extract(c, EnvelopeRe, 4)
+    )
+
+  /** Relator/role normalization: trim, drop punctuation, lowercase.
+    * Reference: MetadataUtils.php:1078 `normalizeRelator`.
+    */
+  def normalizeRelator(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\p{P}+", ""))
+
+  /** Trim + optionally lowercase a language string (the reference lowercases
+    * when `lowercaseLanguageStrings` is set, the default).
+    * Reference: MetadataUtils.php:1056.
+    */
+  def normalizeLanguageString(c: Column): Column = lower(trim(c))
+
+  /** "First Last" → "Last, First" (split on the last space).
+    * Reference: MetadataUtils.php:1165 `convertAuthorLastFirst`.
+    */
+  def convertAuthorLastFirst(c: Column): Column =
+    regexp_replace(c, "^(.*) ([^ ]+)$", "$2, $1")
+
+  /** Sort key for a record id: the trailing digit run when the id is purely
+    * word characters ending in digits, else the id itself.
+    * Reference: MetadataUtils.php:742 `createIdSortKey`. (Note the PHP
+    * pattern's greedy `\w*` makes the captured run a single digit in
+    * practice; Java and RE2 agree on this leftmost-first behavior.)
+    */
+  def createIdSortKey(c: Column): Column =
+    when(c.rlike("^\\w*\\d+$"), regexp_extract(c, "^\\w*(\\d+)$", 1))
+      .otherwise(c)
+
+  /** Record-id prefix before the first '.' (reference:
+    * MetadataUtils.php:1093 `getSourceFromId`).
+    */
+  def sourceFromId(c: Column): Column = element_at(split(c, "\\."), 1)
+
+  /** Validated `yyyy-MM-dd` date or null (reference:
+    * MetadataUtils.php:757 `validateDate` — regex gate plus a strict parse
+    * that rejects impossible dates like 2021-02-30).
+    */
+  def validateDate(c: Column): Column = {
+    // try_to_timestamp (not to_date) so invalid dates yield null under ANSI.
+    val parsed = try_to_timestamp(c, lit("yyyy-MM-dd")).cast("date")
+    when(
+      c.rlike("^\\d{4}-\\d{2}-\\d{2}$") && parsed.isNotNull &&
+        date_format(parsed, "yyyy-MM-dd") === c,
+      parsed
+    ).otherwise(lit(null).cast("date"))
+  }
+
+  /** ISO-8601 `...T...Z` rendering of a timestamp (reference:
+    * MetadataUtils.php:851 `formatTimestamp`).
+    */
+  def formatTimestamp(c: Column): Column =
+    date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  /** Uppercase the first character only (reference: MetadataUtils.php:881). */
+  def ucFirst(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+
+  /** Remove CR/LF/TAB (reference: MetadataUtils.php:975
+    * `stripControlCharacters`).
+    */
+  def stripControlCharacters(c: Column): Column =
+    regexp_replace(c, "[\\r\\n\\t]", "")
+
+  /** Trim whitespace between XML tags but not inside text nodes (reference:
+    * MetadataUtils.php:818 `trimXMLWhitespace`). Uses a backreference, which
+    * Java regex supports; not ANSI-SQL-expressible, so validated in tests.
+    */
+  def trimXmlWhitespace(c: Column): Column =
+    regexp_replace(c, "\\s*(<([^>]*)>[^<]*</\\2>|<[^>]*>)\\s*", "$1")
+}

@@ -1,0 +1,447 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.MetadataFunctions._
+import org.apache.spark.sql.functions._
+
+/** SparkEntry query registrations for the metadata normalization library.
+  *
+  * Each query applies one library function to deterministic inputs derived
+  * from the testdata tables, and carries a DuckDB oracle that re-expresses
+  * the same semantics in ANSI-ish SQL. The DuckDB SQL snippets are generated
+  * from the templates below so the Spark and oracle sides cannot drift
+  * independently.
+  */
+object MetadataQueries {
+
+  // ---- DuckDB SQL templates mirroring MetadataFunctions ----
+
+  private val KeyStripRe = "[\\x00-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7f]"
+
+  def nkSql(x: String): String =
+    s"lower(trim(regexp_replace($x, '$KeyStripRe', '', 'g')))"
+
+  def titleKeySql(t: String): String = {
+    val ws = s"string_split($t, ' ')"
+    nkSql(
+      s"substr(coalesce(array_to_string(list_filter($ws, (w,i) -> " +
+        s"coalesce(length(array_to_string($ws[1:i-1], '')), 0) <= 35 and " +
+        s"coalesce(len(list_filter($ws[1:i-1], x -> length(x) > 3)), 0) <= 3" +
+        s"), ''), ''), 1, 200)"
+    )
+  }
+
+  /** ISBN-10 checksum remainder: (11 - sum(weight*digit) % 11) % 11. */
+  private def isbn10RemSql(b: String): String = {
+    val s = (1 to 9).map(p => s"${11 - p}*cast(substr($b,$p,1) as int)").mkString(" + ")
+    s"((11 - (($s) % 11)) % 11)"
+  }
+
+  def isbn10CheckCharSql(b: String): String =
+    s"(case when ${isbn10RemSql(b)} = 10 then 'X' else cast(${isbn10RemSql(b)} as varchar) end)"
+
+  def isbn13CheckDigitSql(b: String): String = {
+    val odd = Seq(1, 3, 5, 7, 9).map(p => s"cast(substr($b,$p,1) as int)").mkString(" + ")
+    val even = Seq(2, 4, 6, 8).map(p => s"cast(substr($b,$p,1) as int)").mkString(" + ")
+    s"cast((10 - ((38 + 3*($odd) + ($even)) % 10)) % 10 as varchar)"
+  }
+
+  def isbn10to13Sql(b: String): String =
+    s"(case when regexp_matches($b, '^[0-9]{9}[0-9xX]$$') " +
+      s"and upper(substr($b,10,1)) = ${isbn10CheckCharSql(b)} " +
+      s"then '978' || substr($b,1,9) || ${isbn13CheckDigitSql(b)} else '' end)"
+
+  /** normalizeISBN over a pre-extracted candidate `m`. */
+  def normIsbnSql(m: String): String =
+    s"(case when $m = '' then '' when length($m) = 10 then ${isbn10to13Sql(m)} else $m end)"
+
+  private val Articles = DefaultArticles
+
+  def stripArticleSql(x: String): String = {
+    val cases = Articles
+      .map { a =>
+        val q = a.replace("'", "''")
+        s"when substr(lw,1,${a.length}) = '$q' then substr(lw,${a.length + 1})"
+      }
+      .mkString(" ")
+    s"(select case $cases else lw end from (select lower($x) as lw) _a)"
+  }
+
+  private val PunctRe = "[\\t\\p{P}=´`” ̈]+"
+
+  def stripPunctSql(x: String): String =
+    s"(select case when r = '' then $x else r end from " +
+      s"(select trim(regexp_replace($x, '$PunctRe', ' ', 'g')) as r) _p)"
+
+  def authorMatchSql(a1: String, a2: String): String = {
+    val w1 = s"string_split($a1, ' ')"
+    val w2 = s"string_split($a2, ' ')"
+    s"(case when $a1 = $a2 then true " +
+      s"when length($a1) < 6 or length($a2) < 6 then false " +
+      s"when substr($a1,1,least(length($a1),length($a2))) = substr($a2,1,least(length($a1),length($a2))) then true " +
+      s"else list_aggregate(list_transform(range(1, least(len($w1), len($w2)) + 1), " +
+      s"i -> $w1[i] = $w2[i] or (i > 1 and substr($w1[i],1,1) = substr($w2[i],1,1))), 'bool_and') end)"
+  }
+
+  // ---- query registrations ----
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "norm_key",
+      (s, d) =>
+        Tables
+          .part(s, d)
+          .select(col("p_partkey"), normalizeKey(col("p_name")).as("norm_key")),
+      Some(s"SELECT p_partkey, ${nkSql("p_name")} AS norm_key FROM part")
+    ),
+    Q(
+      "title_key",
+      (s, d) =>
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            createTitleKey(col("p_name")).as("title_key")
+          ),
+      Some(s"SELECT p_partkey, ${titleKeySql("p_name")} AS title_key FROM part")
+    ),
+    Q(
+      "isbn_normalize",
+      (s, d) => {
+        val base = lpad((col("p_partkey") * 7919 % 1000000000).cast("string"), 9, "0")
+        val checkChar = {
+          // reuse library semantics by probing all 11 candidates is overkill;
+          // synthesize a valid ISBN-10 by appending the true check char.
+          val sum = (1 to 9)
+            .map(p => substring(base, p, 1).cast("int") * lit(11 - p))
+            .reduce(_ + _)
+          val rem = (lit(11) - (sum % 11)) % 11
+          when(rem === 10, lit("X")).otherwise(rem.cast("string"))
+        }
+        val input = when(col("p_partkey") % 3 === 0, concat(base, checkChar))
+          .when(col("p_partkey") % 3 === 1, concat(base, lit("0")))
+          .otherwise(concat(lit("978-"), base, lit("4")))
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            input.as("isbn_input"),
+            normalizeIsbn(input).as("isbn13")
+          )
+      },
+      Some {
+        val base = "lpad(cast(p_partkey*7919 % 1000000000 as varchar), 9, '0')"
+        val input =
+          s"(case when p_partkey % 3 = 0 then b || ${isbn10CheckCharSql("b")} " +
+            s"when p_partkey % 3 = 1 then b || '0' " +
+            s"else '978-' || b || '4' end)"
+        s"""WITH t AS (SELECT p_partkey, $base AS b FROM part),
+           |u AS (SELECT p_partkey, $input AS isbn_input FROM t),
+           |v AS (SELECT p_partkey, isbn_input,
+           |  regexp_extract(replace(isbn_input, '-', ''), '([0-9]{9,12}[0-9xX])', 1) AS m FROM u)
+           |SELECT p_partkey, isbn_input, ${normIsbnSql("m")} AS isbn13 FROM v""".stripMargin
+      }
+    ),
+    Q(
+      "extract_year",
+      (s, d) => {
+        val ds = date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        val input = concat(lit("published "), ds)
+        Tables
+          .orders(s, d)
+          .select(
+            col("o_orderkey"),
+            input.as("date_str"),
+            extractYear(input).as("year")
+          )
+      },
+      Some(
+        """SELECT o_orderkey,
+          |  'published ' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_str,
+          |  regexp_extract('published ' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '(-?\d{4})', 1) AS year
+          |FROM orders""".stripMargin
+      )
+    ),
+    Q(
+      "strip_lead_article",
+      (s, d) => {
+        val input = substring(col("text"), 1, 40)
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            input.as("prefix"),
+            stripLeadingArticle(input).as("stripped")
+          )
+      },
+      Some(
+        s"""SELECT doc_id, substr(text, 1, 40) AS prefix,
+           |  ${stripArticleSql("substr(text, 1, 40)")} AS stripped
+           |FROM documents""".stripMargin
+      )
+    ),
+    Q(
+      "strip_trail_punct",
+      (s, d) => {
+        val suffix = element_at(
+          array(lit("/"), lit(" ;"), lit("."), lit(". -"), lit(")"), lit(" =")),
+          (col("p_partkey") % 6 + 1).cast("int")
+        )
+        val input = concat(col("p_name"), suffix)
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            input.as("raw"),
+            stripTrailingPunctuation(input).as("stripped")
+          )
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT p_partkey,
+          |    p_name || (['/', ' ;', '.', '. -', ')', ' ='])[cast(p_partkey % 6 + 1 as int)] AS raw
+          |  FROM part),
+          |s1t AS (SELECT p_partkey, raw, rtrim(raw, ' /:;,=([') AS s1 FROM t),
+          |s2t AS (SELECT p_partkey, raw,
+          |  CASE WHEN ends_with(s1, '.')
+          |        AND (CASE WHEN length(s1) >= 3 THEN substr(s1, length(s1)-2, 1) ELSE substr(s1,1,1) END) != ' '
+          |        AND NOT regexp_matches(regexp_extract(s1, '([^ ]*)\.$', 1), '^[0-9]+$')
+          |       THEN substr(s1, 1, length(s1)-1) ELSE s1 END AS s2 FROM s1t),
+          |s3t AS (SELECT p_partkey, raw,
+          |  CASE WHEN ends_with(s2, '. -') THEN substr(s2, 1, length(s2)-3) ELSE s2 END AS s3 FROM s2t)
+          |SELECT p_partkey, raw,
+          |  CASE WHEN ends_with(s3, ')') AND strpos(s3, '(') = 0 THEN substr(s3, 1, length(s3)-1)
+          |       WHEN ends_with(s3, ']') AND strpos(s3, '[') = 0 THEN substr(s3, 1, length(s3)-1)
+          |       ELSE s3 END AS stripped
+          |FROM s3t""".stripMargin
+      )
+    ),
+    Q(
+      "sort_title",
+      (s, d) => {
+        val input = when(col("p_partkey") % 3 === 0, concat(lit("The "), col("p_name")))
+          .when(col("p_partkey") % 3 === 1, concat(lit("A "), col("p_name")))
+          .otherwise(col("p_name"))
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            input.as("title"),
+            createSortTitle(input).as("sort_title")
+          )
+      },
+      Some {
+        val input =
+          "(case when p_partkey % 3 = 0 then 'The ' || p_name " +
+            "when p_partkey % 3 = 1 then 'A ' || p_name else p_name end)"
+        s"""WITH t AS (SELECT p_partkey, $input AS title FROM part),
+           |a AS (SELECT p_partkey, title, ${stripArticleSql("title")} AS t1 FROM t),
+           |b AS (SELECT p_partkey, title, t1, ${stripPunctSql("t1")} AS t2 FROM a)
+           |SELECT p_partkey, title,
+           |  lower(CASE WHEN substr(t2,1,1) != substr(t1,1,1) THEN ${stripArticleSql("t2")} ELSE t2 END) AS sort_title
+           |FROM b""".stripMargin
+      }
+    ),
+    Q(
+      "author_ops",
+      (s, d) => {
+        val a1 = array_join(slice(split(col("p_name"), " "), 1, 2), " ")
+        val w2 = element_at(split(col("p_name"), " "), 2)
+        val a2 = concat(
+          element_at(split(col("p_name"), " "), 1),
+          lit(" "),
+          substring(w2, 1, 1),
+          lit("zz")
+        )
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            a1.as("author"),
+            convertAuthorLastFirst(a1).as("last_first"),
+            authorMatch(a1, a2).as("matched")
+          )
+      },
+      Some {
+        val a1 = "array_to_string(string_split(p_name, ' ')[1:2], ' ')"
+        val a2 =
+          "(string_split(p_name, ' ')[1] || ' ' || substr(string_split(p_name, ' ')[2], 1, 1) || 'zz')"
+        s"""WITH t AS (SELECT p_partkey, $a1 AS a1, $a2 AS a2 FROM part)
+           |SELECT p_partkey, a1 AS author,
+           |  regexp_replace(a1, '^(.*) ([^ ]+)$$', '\\2, \\1') AS last_first,
+           |  ${authorMatchSql("a1", "a2")} AS matched
+           |FROM t""".stripMargin
+      }
+    ),
+    Q(
+      "coord_decimal",
+      (s, d) => {
+        val k = col("p_partkey")
+        val d3 = lpad((k % 179).cast("string"), 3, "0")
+        val mm = lpad((k % 60).cast("string"), 2, "0")
+        val ss = lpad((k % 59).cast("string"), 2, "0")
+        val input = when(k % 4 === 0, concat(lit("N"), d3, mm, ss))
+          .when(k % 4 === 1, concat(lit("W"), d3, lit("."), lpad((k % 1000).cast("string"), 3, "0")))
+          .when(k % 4 === 2, concat(lit("E"), d3, mm, lit(".5")))
+          .otherwise(concat(lit("-"), (k % 89).cast("string"), lit(".25")))
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            input.as("coord"),
+            coordinateToDecimal(input).as("decimal_deg")
+          )
+      },
+      Some {
+        val p1 = "^([eEwWnNsS])(\\d{3})(\\d{2})((\\d{2})(\\.(\\d{3}))?)"
+        val p2 = "^([eEwWnNsS+-])?(\\d{3}\\.\\d+)"
+        val p3 = "^([eEwWnNsS])?(\\d{3})(\\d{2}\\.\\d+)"
+        val p4 = "^([eEwWnNsS+-])?(\\d+\\.\\d+)"
+        val p5 = "^([eEwWnNsS])(\\d+)(\\d{2})((\\d{2})(\\.(\\d{3}))?)$"
+        def neg(h: String) = s"$h in ('w','W','s','S','-')"
+        s"""WITH t AS (SELECT p_partkey,
+           |  (CASE WHEN p_partkey % 4 = 0 THEN 'N' || lpad(cast(p_partkey % 179 as varchar),3,'0') || lpad(cast(p_partkey % 60 as varchar),2,'0') || lpad(cast(p_partkey % 59 as varchar),2,'0')
+           |        WHEN p_partkey % 4 = 1 THEN 'W' || lpad(cast(p_partkey % 179 as varchar),3,'0') || '.' || lpad(cast(p_partkey % 1000 as varchar),3,'0')
+           |        WHEN p_partkey % 4 = 2 THEN 'E' || lpad(cast(p_partkey % 179 as varchar),3,'0') || lpad(cast(p_partkey % 60 as varchar),2,'0') || '.5'
+           |        ELSE '-' || cast(p_partkey % 89 as varchar) || '.25' END) AS coord FROM part)
+           |SELECT p_partkey, coord,
+           |  (CASE WHEN coord = '' THEN 'NaN'::double
+           |   WHEN regexp_matches(coord, '$p1') THEN (CASE WHEN ${neg(s"regexp_extract(coord, '$p1', 1)")} THEN -1 ELSE 1 END) * (cast(regexp_extract(coord, '$p1', 2) as double) + cast(regexp_extract(coord, '$p1', 3) as double)/60 + cast(regexp_extract(coord, '$p1', 4) as double)/3600)
+           |   WHEN regexp_matches(coord, '$p2') THEN (CASE WHEN ${neg(s"regexp_extract(coord, '$p2', 1)")} THEN -1 ELSE 1 END) * cast(regexp_extract(coord, '$p2', 2) as double)
+           |   WHEN regexp_matches(coord, '$p3') THEN (CASE WHEN ${neg(s"regexp_extract(coord, '$p3', 1)")} THEN -1 ELSE 1 END) * (cast(regexp_extract(coord, '$p3', 2) as double) + cast(regexp_extract(coord, '$p3', 3) as double)/60)
+           |   WHEN regexp_matches(coord, '$p4') THEN (CASE WHEN ${neg(s"regexp_extract(coord, '$p4', 1)")} THEN -1 ELSE 1 END) * cast(regexp_extract(coord, '$p4', 2) as double)
+           |   WHEN regexp_matches(coord, '$p5') THEN (CASE WHEN ${neg(s"regexp_extract(coord, '$p5', 1)")} THEN -1 ELSE 1 END) * (cast(regexp_extract(coord, '$p5', 2) as double) + cast(regexp_extract(coord, '$p5', 3) as double)/60 + cast(regexp_extract(coord, '$p5', 4) as double)/3600)
+           |   ELSE coalesce(cast(nullif(regexp_extract(coord, '^[-+]?\\d+(\\.\\d+)?', 0), '') as double), 0.0) END) AS decimal_deg
+           |FROM t""".stripMargin
+      }
+    ),
+    Q(
+      "geo_envelope",
+      (s, d) => {
+        val k = col("p_partkey")
+        val w = (k % 360 - 180).cast("string")
+        val e = (k % 360 - 179).cast("string")
+        val n = (k % 180 - 90).cast("string")
+        val sc = (k % 180 - 89).cast("string")
+        val input =
+          concat(lit("ENVELOPE("), w, lit(".5, "), e, lit(".5, "), n, lit(".5, "), sc, lit(".5)"))
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            input.as("wkt"),
+            envelopeCenterLon(input).as("center_lon"),
+            envelopeCenterLat(input).as("center_lat"),
+            geoDisplayField(input).as("geo_display")
+          )
+      },
+      Some {
+        val re =
+          "ENVELOPE\\s*\\((-?[\\d.]+),\\s*(-?[\\d.]+),\\s*(-?[\\d.]+),\\s*(-?[\\d.]+)\\)"
+        def g(i: Int) = s"regexp_extract(wkt, '(?i)$re', $i)"
+        s"""WITH t AS (SELECT p_partkey,
+           |  'ENVELOPE(' || cast(p_partkey % 360 - 180 as varchar) || '.5, ' || cast(p_partkey % 360 - 179 as varchar) || '.5, ' || cast(p_partkey % 180 - 90 as varchar) || '.5, ' || cast(p_partkey % 180 - 89 as varchar) || '.5)' AS wkt
+           |  FROM part)
+           |SELECT p_partkey, wkt,
+           |  (cast(${g(1)} as double) + cast(${g(2)} as double)) / 2 AS center_lon,
+           |  (cast(${g(3)} as double) + cast(${g(4)} as double)) / 2 AS center_lat,
+           |  ${g(1)} || ' ' || ${g(2)} || ' ' || ${g(3)} || ' ' || ${g(4)} AS geo_display
+           |FROM t""".stripMargin
+      }
+    ),
+    Q(
+      "relator_norm",
+      (s, d) => {
+        val input = concat(lit(" "), col("event_type"), lit(",!"))
+        Tables
+          .events(s, d)
+          .select(
+            col("event_id"),
+            input.as("raw_relator"),
+            normalizeRelator(input).as("relator")
+          )
+      },
+      Some(
+        """SELECT event_id, ' ' || event_type || ',!' AS raw_relator,
+          |  lower(regexp_replace(trim(' ' || event_type || ',!'), '\p{P}+', '', 'g')) AS relator
+          |FROM events""".stripMargin
+      )
+    ),
+    Q(
+      "id_sort_key",
+      (s, d) => {
+        val id1 = concat(lit("cust"), col("c_custkey").cast("string"))
+        Tables
+          .customer(s, d)
+          .select(
+            col("c_custkey"),
+            createIdSortKey(id1).as("sort_key_plain"),
+            createIdSortKey(col("c_name")).as("sort_key_name"),
+            sourceFromId(concat(col("c_mktsegment"), lit("."), col("c_custkey").cast("string")))
+              .as("source_id")
+          )
+      },
+      Some {
+        def idSort(x: String) =
+          s"(case when regexp_matches($x, '^\\w*\\d+$$') then regexp_extract($x, '^\\w*(\\d+)$$', 1) else $x end)"
+        s"""SELECT c_custkey,
+           |  ${idSort("('cust' || cast(c_custkey as varchar))")} AS sort_key_plain,
+           |  ${idSort("c_name")} AS sort_key_name,
+           |  string_split(c_mktsegment || '.' || cast(c_custkey as varchar), '.')[1] AS source_id
+           |FROM customer""".stripMargin
+      }
+    ),
+    Q(
+      "validate_date",
+      (s, d) => {
+        val ds = date_format(col("o_orderdate"), "yyyy-MM-dd")
+        val input = when(col("o_orderkey") % 3 === 0, ds)
+          .when(
+            col("o_orderkey") % 3 === 1,
+            concat(substring(ds, 1, 5), lit("13"), substring(ds, 8, 3))
+          )
+          .otherwise(concat(substring(ds, 1, 8), lit("31")))
+        Tables
+          .orders(s, d)
+          .select(
+            col("o_orderkey"),
+            input.as("date_str"),
+            validateDate(input).as("valid_date")
+          )
+      },
+      Some(
+        """WITH t AS (SELECT o_orderkey,
+          |  (CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+          |        WHEN o_orderkey % 3 = 1 THEN substr(strftime(o_orderdate, '%Y-%m-%d'),1,5) || '13' || substr(strftime(o_orderdate, '%Y-%m-%d'),8,3)
+          |        ELSE substr(strftime(o_orderdate, '%Y-%m-%d'),1,8) || '31' END) AS date_str
+          |  FROM orders)
+          |SELECT o_orderkey, date_str,
+          |  (CASE WHEN regexp_matches(date_str, '^\d{4}-\d{2}-\d{2}$')
+          |         AND try_cast(date_str AS date) IS NOT NULL
+          |         AND strftime(try_cast(date_str AS date), '%Y-%m-%d') = date_str
+          |        THEN try_cast(date_str AS date) END) AS valid_date
+          |FROM t""".stripMargin
+      )
+    ),
+    Q(
+      "format_ts",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .select(
+            col("event_id"),
+            formatTimestamp(col("ts")).as("iso_ts"),
+            ucFirst(col("event_type")).as("type_uc"),
+            normalizeLanguageString(concat(lit("  "), upper(col("event_type")), lit(" ")))
+              .as("lang_norm")
+          ),
+      Some(
+        """SELECT event_id,
+          |  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+          |  upper(substr(event_type,1,1)) || substr(event_type,2) AS type_uc,
+          |  lower(trim('  ' || upper(event_type) || ' ')) AS lang_norm
+          |FROM events""".stripMargin
+      )
+    )
+  )
+}
