@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Analytics + component-merge query registrations.
+  *
+  * Money aggregates cast to decimal BEFORE summing: decimal addition is
+  * exact and associative, so the result is independent of Spark's partition
+  * merge order (double sums are not, and would be nondeterministic under
+  * the driver's hash compare as well as across cluster sizes).
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q1_agg",
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+              .cast("decimal(18,4)").as("sum_disc_price"),
+            count(lit(1)).as("count_order")
+          ),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty,
+          |  cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(18,2)) AS sum_base_price,
+          |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as decimal(18,4)) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
+      "q3_join",
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        // customer is the small side at any scale factor: broadcast it so
+        // the orders/lineitem join is the only shuffle.
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey", "o_orderpriority")
+          .agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+              .cast("decimal(18,4)").as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+      },
+      Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as decimal(18,4)) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderpriority""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
+      // Host/component-part merge (reference: Record/AbstractRecord.php:238
+      // and the componentParts merge in Solr/SolrUpdater.php): children are
+      // folded into their host with deterministic ordering. orders=hosts,
+      // lineitem=component parts; one hash shuffle on the host key.
+      "merge_components",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(col("l_orderkey").as("host_id"))
+          .agg(
+            count(lit(1)).as("n_components"),
+            array_join(
+              array_sort(
+                collect_list(
+                  concat(
+                    lpad(col("l_linenumber").cast("string"), 2, "0"),
+                    lit(":"),
+                    col("l_partkey").cast("string")
+                  )
+                )
+              ),
+              ","
+            ).as("merged_parts"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_qty")
+          )
+      },
+      Some(
+        """SELECT l_orderkey AS host_id, count(*) AS n_components,
+          |  string_agg(lpad(cast(l_linenumber as varchar), 2, '0') || ':' || cast(l_partkey as varchar), ','
+          |             ORDER BY lpad(cast(l_linenumber as varchar), 2, '0') || ':' || cast(l_partkey as varchar)) AS merged_parts,
+          |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS total_qty
+          |FROM lineitem GROUP BY l_orderkey""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
+      // Batch twin of the Structured Streaming tumbling-window aggregation
+      // in graft.streaming.EventStreams (same expressions run under
+      // readStream + watermark there).
+      "events_windowed",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .groupBy(
+            date_trunc("hour", col("ts")).as("window_start"),
+            col("event_type")
+          )
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value")
+          ),
+      Some(
+        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+          |  count(*) AS n_events,
+          |  cast(sum(cast(value as decimal(18,2))) as decimal(18,2)) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin
+      )
+    ),
+    Q(
+      // Sessionization: a new session starts after a >30 min gap per user.
+      // Batch twin of EventStreams.sessionize (flatMapGroupsWithState).
+      "events_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val withGap = Tables
+          .events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn(
+            "is_new",
+            when(
+              col("prev_us").isNull ||
+                unix_micros(col("ts")) - col("prev_us") > 1800000000L,
+              1
+            ).otherwise(0)
+          )
+          .withColumn("session_idx", sum(col("is_new")).over(w))
+        withGap
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            cast_decimal_sum(col("value")).as("sum_value")
+          )
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+          |         THEN 1 ELSE 0 END AS is_new
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |),
+          |sess AS (
+          |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                              ROWS UNBOUNDED PRECEDING) AS session_idx
+          |  FROM g
+          |)
+          |SELECT user_id, session_idx, count(*) AS n_events,
+          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |  cast(sum(cast(value as decimal(18,2))) as decimal(18,2)) AS sum_value
+          |FROM sess GROUP BY user_id, session_idx""".stripMargin
+      ),
+      bench = true
+    )
+  )
+
+  private def cast_decimal_sum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("decimal(18,2)")
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.MetadataFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record deduplication pipeline.
+  *
+  * Spark-native re-expression of RecordManager's dedup semantics
+  * (reference: src/RecordManager/Base/Deduplication/DedupHandler.php:380
+  * `dedupRecord`, :742 `matchRecords`). The reference walks records one at a
+  * time against a MongoDB index of dedup keys; at 100 TB that per-record
+  * loop becomes a set-oriented plan instead:
+  *
+  *  1. key generation (title key / ISBN / ids) — pure column expressions;
+  *  2. candidate generation — equi-joins on blocking keys (hash-partitioned
+  *     shuffles, never a cross join; bucket sizes are bounded by the key
+  *     cardinality, mirroring the reference's 101-candidate cap);
+  *  3. pairwise `matchRecords` predicate — a column expression;
+  *  4. cluster assignment — iterative min-label propagation (connected
+  *     components), each iteration one shuffle on the edge key.
+  *
+  * Expected input columns: id, source_id, title, author, year, isbn.
+  */
+object Dedup {
+
+  /** Add dedup key columns (reference: DedupHandler.php getTitleKeys /
+    * getIsbnKeys via MetadataUtils createTitleKey / normalizeISBN).
+    */
+  def withKeys(records: DataFrame): DataFrame =
+    records
+      .withColumn("title_key", createTitleKey(col("title")))
+      .withColumn("norm_title", normalizeKey(col("title")))
+      .withColumn("norm_author", normalizeKey(col("author")))
+      .withColumn("isbn_key", normalizeIsbn(col("isbn")))
+
+  /** The reference's matchRecords predicate over a joined candidate pair
+    * (columns suffixed _1 / _2): shared ISBN is an immediate match;
+    * otherwise publication years must not conflict, titles must be within
+    * 10% Levenshtein distance of the first record's title, and authors must
+    * agree (authorMatch or within 20% distance). Reference:
+    * DedupHandler.php:742.
+    */
+  def matchPredicate: Column = {
+    val isbnMatch = col("isbn_key_1") =!= "" && col("isbn_key_1") === col("isbn_key_2")
+    val yearOk = col("year_1") === col("year_2") ||
+      col("year_1").isNull || col("year_2").isNull
+    val titleOk = col("norm_title_1") =!= "" && col("norm_title_2") =!= "" &&
+      levenshtein(
+        substring(col("norm_title_1"), 1, 255),
+        substring(col("norm_title_2"), 1, 255)
+      ) * 100.0 / length(col("norm_title_1")) < 10
+    val a1 = col("norm_author_1")
+    val a2 = col("norm_author_2")
+    val authorOk = (a1 === "" && a2 === "") ||
+      (a1 =!= "" && a2 =!= "" &&
+        (authorMatch(a1, a2) ||
+          levenshtein(substring(a1, 1, 255), substring(a2, 1, 255)) * 100.0 /
+          length(a1) <= 20))
+    isbnMatch || (yearOk && titleOk && authorOk)
+  }
+
+  /** Candidate pairs via a blocking key: records sharing the key, from
+    * different sources (the reference never dedups within a source),
+    * directed id_1 < id_2. One hash-shuffle on the key.
+    */
+  def candidatePairs(keyed: DataFrame, blockCol: String): DataFrame = {
+    val left = keyed.columns.foldLeft(keyed)((d, c) => d.withColumnRenamed(c, c + "_1"))
+    val right = keyed.columns.foldLeft(keyed)((d, c) => d.withColumnRenamed(c, c + "_2"))
+    left
+      .join(
+        right,
+        col(blockCol + "_1") === col(blockCol + "_2") &&
+          col("source_id_1") =!= col("source_id_2") &&
+          col("id_1") < col("id_2")
+      )
+  }
+
+  /** Matched edges from title-key and ISBN blocking, unioned + distinct. */
+  def matchedEdges(keyed: DataFrame): DataFrame = {
+    val byTitle = candidatePairs(keyed.filter(col("title_key") =!= ""), "title_key")
+    val byIsbn = candidatePairs(keyed.filter(col("isbn_key") =!= ""), "isbn_key")
+    byTitle
+      .union(byIsbn)
+      .filter(matchPredicate)
+      .select(col("id_1"), col("id_2"))
+      .distinct()
+  }
+
+  /** Connected-component labels by iterative min-label propagation: every
+    * node takes the min label among itself and its neighbors, repeated
+    * `iters` times (converges once `iters` >= component diameter). Each
+    * iteration is one aggregation shuffle — no driver-side graph.
+    * Returns (id, dedup_id) for nodes that appear in an edge.
+    */
+  def assignClusters(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = edges
+      .select(col("id_1").as("id"), col("id_2").as("peer"))
+      .union(edges.select(col("id_2").as("id"), col("id_1").as("peer")))
+    var labels = sym
+      .groupBy("id")
+      .agg(min(col("peer")).as("min_peer"))
+      .select(col("id"), least(col("min_peer"), col("id")).as("dedup_id"))
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.withColumnRenamed("id", "peer"), Seq("peer"))
+        .groupBy("id")
+        .agg(min(col("dedup_id")).as("peer_min"))
+        .join(labels, Seq("id"))
+        .select(
+          col("id"),
+          least(col("peer_min"), col("dedup_id")).as("dedup_id")
+        )
+    }
+    labels
+  }
+
+  /** Full pipeline: records → (id, dedup_id nullable). */
+  def dedupRecords(records: DataFrame, iters: Int = 3): DataFrame = {
+    val keyed = withKeys(records)
+    val clusters = assignClusters(matchedEdges(keyed), iters)
+    keyed
+      .select("id")
+      .join(clusters, Seq("id"), "left")
+  }
+}

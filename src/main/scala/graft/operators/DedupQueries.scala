@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import MetadataQueries._
+
+/** Dedup pipeline registrations.
+  *
+  * The records are synthesized deterministically from `part`: each part
+  * appears once in source `a` (clean) and once in source `b` (case/
+  * punctuation-perturbed title — same normalized keys), with controlled
+  * conflicts: every 7th record disagrees on year, every 11th on author,
+  * every 5th carries a shared ISBN (which, per the reference, matches
+  * regardless of the year conflict). Components are therefore exactly
+  * cross-source pairs, so the DuckDB oracle can assign cluster ids with a
+  * single min-label step; the Spark pipeline runs the general iterative
+  * propagation and converges to the same labels. Multi-hop components are
+  * covered by the ScalaTest fixture specs instead.
+  */
+object DedupQueries {
+
+  /** Synthesized dedup corpus: two sources derived from `part`. */
+  def records(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val k = col("p_partkey")
+    val title = concat(lit("rec"), k.cast("string"), lit(" "), col("p_name"))
+    val author = array_join(slice(split(col("p_name"), " "), 1, 2), " ")
+    val year = (lit(1900) + k % 100).cast("int")
+    val base = lpad((k * 7919 % 1000000000).cast("string"), 9, "0")
+    val checkChar = {
+      val sum = (1 to 9)
+        .map(i => substring(base, i, 1).cast("int") * lit(11 - i))
+        .reduce(_ + _)
+      val rem = (lit(11) - (sum % 11)) % 11
+      when(rem === 10, lit("X")).otherwise(rem.cast("string"))
+    }
+    val isbn = when(k % 5 === 0, concat(base, checkChar)).otherwise(lit(""))
+    val a = p.select(
+      concat(lit("a."), k.cast("string")).as("id"),
+      lit("a").as("source_id"),
+      title.as("title"),
+      author.as("author"),
+      year.as("year"),
+      isbn.as("isbn")
+    )
+    val b = p.select(
+      concat(lit("b."), k.cast("string")).as("id"),
+      lit("b").as("source_id"),
+      concat(upper(title), lit(" /")).as("title"),
+      when(k % 11 === 0, lit("zz nobody")).otherwise(author).as("author"),
+      when(k % 7 === 0, year + 1).otherwise(year).cast("int").as("year"),
+      isbn.as("isbn")
+    )
+    a.union(b)
+  }
+
+  /** DuckDB CTE mirroring [[records]] plus the dedup keys. */
+  private def recordsSql: String = {
+    val base = "lpad(cast(p_partkey*7919 % 1000000000 as varchar), 9, '0')"
+    val title = "'rec' || cast(p_partkey as varchar) || ' ' || p_name"
+    val author = "array_to_string(string_split(p_name, ' ')[1:2], ' ')"
+    s"""recs0 AS (
+       |  SELECT 'a.' || cast(p_partkey as varchar) AS id, 'a' AS source_id,
+       |    $title AS title, $author AS author,
+       |    cast(1900 + p_partkey % 100 as int) AS year,
+       |    (CASE WHEN p_partkey % 5 = 0 THEN b || ${isbn10CheckCharSql("b")} ELSE '' END) AS isbn
+       |  FROM (SELECT *, $base AS b FROM part) _pa
+       |  UNION ALL
+       |  SELECT 'b.' || cast(p_partkey as varchar) AS id, 'b' AS source_id,
+       |    upper($title) || ' /' AS title,
+       |    (CASE WHEN p_partkey % 11 = 0 THEN 'zz nobody' ELSE $author END) AS author,
+       |    cast(CASE WHEN p_partkey % 7 = 0 THEN 1901 + p_partkey % 100 ELSE 1900 + p_partkey % 100 END as int) AS year,
+       |    (CASE WHEN p_partkey % 5 = 0 THEN b || ${isbn10CheckCharSql("b")} ELSE '' END) AS isbn
+       |  FROM (SELECT *, $base AS b FROM part) _pb
+       |),
+       |recs1 AS (
+       |  SELECT *, regexp_extract(replace(isbn, '-', ''), '([0-9]{9,12}[0-9xX])', 1) AS m
+       |  FROM recs0
+       |),
+       |recs AS (
+       |  SELECT id, source_id, title, author, year, isbn,
+       |    ${titleKeySql("title")} AS title_key,
+       |    ${nkSql("title")} AS norm_title,
+       |    ${nkSql("author")} AS norm_author,
+       |    ${normIsbnSql("m")} AS isbn_key
+       |  FROM recs1
+       |)""".stripMargin
+  }
+
+  /** matchRecords predicate over aliased pair columns (mirrors
+    * Dedup.matchPredicate; reference DedupHandler.php:742).
+    */
+  private def matchSql: String = {
+    val titleOk =
+      "r1.norm_title != '' AND r2.norm_title != '' AND " +
+        "levenshtein(substr(r1.norm_title,1,255), substr(r2.norm_title,1,255)) * 100.0 / length(r1.norm_title) < 10"
+    val authorOk =
+      "((r1.norm_author = '' AND r2.norm_author = '') OR (r1.norm_author != '' AND r2.norm_author != '' AND (" +
+        authorMatchSql("r1.norm_author", "r2.norm_author") +
+        " OR levenshtein(substr(r1.norm_author,1,255), substr(r2.norm_author,1,255)) * 100.0 / length(r1.norm_author) <= 20)))"
+    s"((r1.isbn_key != '' AND r1.isbn_key = r2.isbn_key) OR " +
+      s"((r1.year = r2.year OR r1.year IS NULL OR r2.year IS NULL) AND $titleOk AND $authorOk))"
+  }
+
+  private def edgesSql: String =
+    s"""edges AS (
+       |  SELECT r1.id AS id_1, r2.id AS id_2 FROM recs r1 JOIN recs r2
+       |  ON ((r1.title_key != '' AND r1.title_key = r2.title_key)
+       |      OR (r1.isbn_key != '' AND r1.isbn_key = r2.isbn_key))
+       |    AND r1.source_id != r2.source_id AND r1.id < r2.id
+       |  WHERE $matchSql
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "dedup_records",
+      (s, d) => Dedup.dedupRecords(records(s, d)).select("id", "dedup_id"),
+      Some(
+        s"""WITH $recordsSql, $edgesSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id)
+           |SELECT r.id, l.dedup_id FROM recs r LEFT JOIN labels l ON r.id = l.id""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
+      "dedup_merged",
+      (s, d) => {
+        val recs = records(s, d)
+        val clustered = Dedup
+          .dedupRecords(recs)
+          .filter(col("dedup_id").isNotNull)
+          .join(recs, Seq("id"))
+        clustered
+          .groupBy("dedup_id")
+          .agg(
+            count(lit(1)).as("n_members"),
+            array_join(array_sort(collect_list(col("id"))), ",").as("member_ids"),
+            array_join(array_sort(collect_set(col("source_id"))), ",").as("sources"),
+            min(col("year")).as("min_year")
+          )
+      },
+      Some(
+        s"""WITH $recordsSql, $edgesSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id)
+           |SELECT l.dedup_id, count(*) AS n_members,
+           |  string_agg(r.id, ',' ORDER BY r.id) AS member_ids,
+           |  string_agg(DISTINCT r.source_id, ',' ORDER BY r.source_id) AS sources,
+           |  min(r.year) AS min_year
+           |FROM recs r JOIN labels l ON r.id = l.id
+           |GROUP BY l.dedup_id""".stripMargin
+      )
+    )
+  )
+}

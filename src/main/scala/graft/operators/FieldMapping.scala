@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Value/field mapping (reference: src/RecordManager/Base/Utils/
+  * FieldMapper.php — `mapValue`:224, `mapValues`:172 and the `mappings/
+  * *.map` file format with `##default` / `##empty` pseudo-entries).
+  *
+  * In Spark a mapping file is a tiny dimension table applied with a
+  * broadcast hash join — no shuffle of the fact side, which is what makes
+  * the construct free at 100 TB. Regexp mappings (`type=regexp`) are a
+  * first-match `CASE` chain of `rlike`/`regexp_replace`, fully codegen'd.
+  */
+object FieldMapping {
+
+  /** A parsed mapping: ordinary `key = value` entries plus the reference's
+    * `##default` (used when a non-empty value has no entry) and `##empty`
+    * (used when the input value is empty).
+    */
+  final case class Mapping(
+      entries: Seq[(String, String)],
+      default: Option[String] = None,
+      empty: Option[String] = None
+  )
+
+  /** Apply a normal mapping to `df`'s column `valueCol` via broadcast join,
+    * writing `outCol`. Mirrors FieldMapper.php:291-297: entry value if
+    * present, else `##default` if present, else the original value; empty
+    * input maps to `##empty` when configured.
+    */
+  def applyMapping(
+      spark: SparkSession,
+      df: DataFrame,
+      valueCol: String,
+      outCol: String,
+      mapping: Mapping
+  ): DataFrame = {
+    import spark.implicits._
+    val dim = mapping.entries.toDF("__map_key", "__map_val")
+    val joined = df.join(
+      broadcast(dim),
+      col(valueCol) === col("__map_key"),
+      "left"
+    )
+    val defaulted = mapping.default
+      .map(dv => coalesce(col("__map_val"), lit(dv)))
+      .getOrElse(coalesce(col("__map_val"), col(valueCol)))
+    val mapped = mapping.empty match {
+      case Some(ev) =>
+        when(col(valueCol).isNull || col(valueCol) === "", lit(ev))
+          .otherwise(defaulted)
+      case None => defaulted
+    }
+    joined.withColumn(outCol, mapped).drop("__map_key", "__map_val")
+  }
+
+  /** First-match regexp mapping (FieldMapper.php `type=regexp`): the first
+    * pattern that matches rewrites the value; otherwise `##default` or the
+    * original value.
+    */
+  def regexpMapping(
+      valueCol: Column,
+      patterns: Seq[(String, String)],
+      default: Option[String]
+  ): Column = {
+    val fallback = default.map(lit).getOrElse(valueCol)
+    patterns.foldRight(fallback) { case ((pat, repl), acc) =>
+      when(valueCol.rlike(pat), regexp_replace(valueCol, pat, repl))
+        .otherwise(acc)
+    }
+  }
+}

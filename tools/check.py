@@ -30,7 +30,7 @@ def canon(v):
         return v.hex()
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
-    return str(v) if v is not None else None
+    return str(v) if v is not None else "\x00NULL"
 
 
 def main():
