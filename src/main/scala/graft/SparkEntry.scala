@@ -10,7 +10,8 @@ object SparkEntry {
     operators.MetadataQueries.all ++
       operators.DedupQueries.all ++
       operators.MappingQueries.all ++
-      operators.AnalyticsQueries.all
+      operators.AnalyticsQueries.all ++
+      operators.LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * normalization, shingling, MinHash signatures, SimHash, token statistics
+  * and fingerprinting. All pure column expressions (codegen-friendly, no
+  * UDFs) so they distribute trivially — per-document cost is independent of
+  * corpus size, and every downstream grouping is a hash shuffle on a
+  * bounded key.
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed, trimmed, lowercased text. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  def words(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Word `n`-gram shingles; the whole text when shorter than `n` words. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val ws = words(c)
+    when(
+      size(ws) >= n,
+      transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))
+      )
+    ).otherwise(array(normalizeText(c)))
+  }
+
+  /** One MinHash value: the lexicographic minimum of `md5(seed:shingle)`
+    * over the document's shingles. A fixed-length hex string preserves
+    * numeric order, so `array_min` over hex == min over the hash integers.
+    */
+  def minhash(shing: Column, seed: Int): Column =
+    array_min(transform(shing, s => md5(concat(lit(seed.toString), lit(":"), s))))
+
+  /** MinHash signature of `k` hashes. */
+  def minhashSignature(c: Column, k: Int = 12, shingleN: Int = 3): Column = {
+    val sh = shingles(c, shingleN)
+    array((0 until k).map(j => minhash(sh, j)): _*)
+  }
+
+  /** LSH band hashes: `bands` groups of `rows` signature entries, each
+    * hashed to one bucket key. Two documents share a band hash iff their
+    * signatures agree on every row of that band — the standard banding
+    * estimator. Downstream joins group by (band index, band hash): a
+    * bounded-fanout hash shuffle, never an all-pairs product.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+    }: _*)
+
+  /** Hex-char numeric value (0-15) of position `pos` (1-based) in an md5
+    * hex string.
+    */
+  private def hexVal(h: Column, pos: Column): Column =
+    conv(h.substr(pos, lit(1)), 16, 10).cast("int")
+
+  /** Bit `b` (0 = most significant) of the md5-derived integer for a word:
+    * extracted arithmetically (floor-div + mod) so the same expression is
+    * writable in ANSI SQL.
+    */
+  private def md5Bit(w: Column, b: Column): Column = {
+    val hv = hexVal(md5(w), ((b - (b % 4)) / 4).cast("int") + 1)
+    val p = element_at(array(lit(8), lit(4), lit(2), lit(1)), (b % 4) + 1)
+    floor(hv / p).cast("int") % 2
+  }
+
+  /** `bits`-bit SimHash over the document's words (with repetition as
+    * weight): bit b is 1 iff the sum of (2*bit_b(word)-1) over words is
+    * >= 0. Returned as a bit string for engine-portable comparison.
+    */
+  def simhash(c: Column, bits: Int = 32): Column = {
+    val ws = words(c)
+    array_join(
+      transform(
+        sequence(lit(0), lit(bits - 1)),
+        b => {
+          val s = aggregate(
+            ws,
+            lit(0),
+            (acc, w) => acc + (md5Bit(w, b) * 2 - 1)
+          )
+          when(s >= 0, lit("1")).otherwise(lit("0"))
+        }
+      ),
+      ""
+    )
+  }
+
+  /** Winnowing-style document fingerprint: md5 over every `width`-char
+    * window of the normalized text; exposes the global minimum and the
+    * `k` smallest hashes (a k-min sketch) for cheap containment checks.
+    */
+  def fingerprintHashes(c: Column, width: Int = 8): Column = {
+    val norm = normalizeText(c)
+    transform(
+      sequence(lit(1), length(norm) - (width - 1)),
+      i => md5(norm.substr(i, lit(width)))
+    )
+  }
+
+  /** Approximate BPE-ish token count: word chars runs + single
+    * non-word-non-space chars (the common pre-tokenizer split).
+    */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Stopword sets for the language-ID heuristic (top function words). */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du"),
+    "de" -> Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "sich", "auf")
+  )
+
+  /** Distinct-overlap score of the document's words with a stopword set. */
+  def stopwordHits(ws: Column, set: Seq[String]): Column =
+    size(array_intersect(ws, array(set.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of stopword-set overlap, fixed priority
+    * order on ties, "und" (undetermined) when no set matches.
+    */
+  def languageId(c: Column): Column = {
+    val ws = words(c)
+    val hits = StopwordSets.map { case (lang, set) => lang -> stopwordHits(ws, set) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    val chain = hits.foldLeft(when(lit(false), lit("und"))) {
+      case (acc, (lang, h)) => acc.when(h === maxHits && maxHits > 0, lit(lang))
+    }
+    chain.otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,368 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators: deduplication (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard), similarity search (brute-force + sign-LSH
+  * ANN), and text analysis (language ID, quality scoring, token stats,
+  * fingerprinting) over the `documents` / `embeddings` tables.
+  *
+  * Scale notes: every dedup variant is blocking/banding based — candidates
+  * come from equi-joins on hash-bounded bucket keys, never an all-pairs
+  * product; the ANN scale path buckets by sign-LSH before scoring. The
+  * corpus used by the dedup queries injects exact and near duplicates
+  * deterministically so the operators have non-trivial work to find.
+  */
+object LlmQueries {
+
+  private val MinhashK = 12
+  private val Bands = 4
+  private val Rows = 3
+
+  /** documents + injected duplicates: every 10th doc repeated verbatim
+    * (id+100000) and every (10th+5) doc with a tail perturbation
+    * (id+200000).
+    */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val exact = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val near = docs
+      .filter(col("doc_id") % 10 === 5)
+      .select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" extra tail words appended here")).as("text")
+      )
+    docs.union(exact).union(near)
+  }
+
+  private val CorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 5
+      |)""".stripMargin
+
+  private def normSql(x: String) =
+    s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
+
+  /** Shingles + MinHash signature + band hashes in DuckDB. */
+  private val SigSql: String = {
+    val shing =
+      s"CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) ELSE [norm] END"
+    val sig = (0 until MinhashK)
+      .map(j => s"list_aggregate(list_transform(shingles, s -> md5('$j' || ':' || s)), 'min')")
+      .mkString("[", ", ", "]")
+    val bands = (0 until Bands)
+      .map { b =>
+        val parts = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]").mkString(" || '|' || ")
+        s"md5($parts)"
+      }
+      .mkString("[", ", ", "]")
+    s"""n AS (SELECT doc_id, ${normSql("text")} AS norm FROM corpus),
+       |w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM n),
+       |sh AS (SELECT doc_id, $shing AS shingles FROM w),
+       |sg AS (SELECT doc_id, $sig AS sig FROM sh),
+       |bd AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_id, $bands AS bands FROM sg),
+       |bh AS (SELECT doc_id, band_id, bands[band_id + 1] AS band_hash FROM bd),
+       |pairs AS (
+       |  SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bh b1 JOIN bh b2
+       |    ON b1.band_id = b2.band_id AND b1.band_hash = b2.band_hash AND b1.doc_id < b2.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** MinHash-LSH candidate pairs as a DataFrame (shared by two queries). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = corpus(s, d)
+      .select(col("doc_id"), minhashSignature(col("text"), MinhashK).as("sig"))
+      .select(col("doc_id"), posexplode(lshBands(col("sig"), Bands, Rows)))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+    val b1 = sig.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+    val b2 = sig.select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash"))
+    b1.join(b2, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "docs_exact_dedup",
+      (s, d) => {
+        val hashed = corpus(s, d)
+          .select(col("doc_id"), md5(normalizeText(col("text"))).as("text_hash"))
+        import org.apache.spark.sql.expressions.Window
+        hashed.select(
+          col("doc_id"),
+          min(col("doc_id")).over(Window.partitionBy("text_hash")).as("keep_id"),
+          col("text_hash")
+        )
+      },
+      Some(
+        s"""WITH $CorpusSql
+           |SELECT doc_id,
+           |  min(doc_id) OVER (PARTITION BY md5(${normSql("text")})) AS keep_id,
+           |  md5(${normSql("text")}) AS text_hash
+           |FROM corpus""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
+      "docs_minhash_pairs",
+      (s, d) => minhashPairs(s, d),
+      Some(s"WITH $CorpusSql, $SigSql SELECT doc_a, doc_b FROM pairs"),
+      bench = true
+    ),
+    Q(
+      "docs_jaccard_pairs",
+      (s, d) => {
+        val wordSets = corpus(s, d)
+          .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
+        minhashPairs(s, d)
+          .join(wordSets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("wset", "wa"), Seq("doc_a"))
+          .join(wordSets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("wset", "wb"), Seq("doc_b"))
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            round(
+              size(array_intersect(col("wa"), col("wb"))).cast("double") /
+                size(array_distinct(concat(col("wa"), col("wb")))),
+              4
+            ).as("jaccard")
+          )
+      },
+      Some(
+        s"""WITH $CorpusSql, $SigSql,
+           |wsets AS (SELECT doc_id, list_distinct(string_split(${normSql("text")}, ' ')) AS wset FROM corpus)
+           |SELECT p.doc_a, p.doc_b,
+           |  round(cast(len(list_intersect(a.wset, b.wset)) as double) /
+           |        len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+           |FROM pairs p
+           |JOIN wsets a ON p.doc_a = a.doc_id
+           |JOIN wsets b ON p.doc_b = b.doc_id""".stripMargin
+      )
+    ),
+    Q(
+      "docs_simhash",
+      (s, d) =>
+        Tables
+          .documents(s, d)
+          .select(col("doc_id"), simhash(col("text"), 32).as("simhash_bits")),
+      Some {
+        val bit =
+          "cast(floor((strpos('0123456789abcdef', substr(md5(w), cast((b - (b % 4)) / 4 as int) + 1, 1)) - 1) / ([8,4,2,1])[(b % 4) + 1]) as int) % 2"
+        s"""WITH n AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents)
+           |SELECT doc_id,
+           |  array_to_string(list_transform(range(0, 32), b ->
+           |    CASE WHEN list_sum(list_transform(ws, w -> ($bit) * 2 - 1)) >= 0
+           |         THEN '1' ELSE '0' END), '') AS simhash_bits
+           |FROM n""".stripMargin
+      }
+    ),
+    Q(
+      "docs_langid",
+      (s, d) =>
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            languageId(col("text")).as("pred_lang")
+          ),
+      Some {
+        val hits = StopwordSets.map { case (lang, set) =>
+          val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
+          lang -> s"len(list_intersect(string_split(${normSql("text")}, ' '), $arr))"
+        }
+        val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
+        val chain = hits
+          .map { case (lang, h) => s"WHEN $h = mx AND mx > 0 THEN '$lang'" }
+          .mkString(" ")
+        s"""WITH t AS (SELECT doc_id, lang, text, $maxExpr AS mx FROM documents)
+           |SELECT doc_id, lang, (CASE $chain ELSE 'und' END) AS pred_lang FROM t""".stripMargin
+      }
+    ),
+    Q(
+      "docs_quality",
+      (s, d) => {
+        val t = col("text")
+        val ws = words(t)
+        val nWords = size(ws)
+        val punct = length(regexp_replace(t, "[^\\p{P}]", ""))
+        val digits = length(regexp_replace(t, "[^0-9]", ""))
+        val stops = stopwordHits(ws, StopwordSets.head._2)
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            length(t).as("n_chars"),
+            nWords.as("n_words"),
+            round(punct.cast("double") / length(t), 4).as("punct_ratio"),
+            round(digits.cast("double") / length(t), 4).as("digit_ratio"),
+            round(stops.cast("double") / nWords, 4).as("stop_ratio"),
+            round(
+              least(nWords.cast("double") / 100, lit(1.0)) *
+                (lit(1.0) - punct.cast("double") / length(t)),
+              4
+            ).as("quality")
+          )
+      },
+      Some {
+        val en = StopwordSets.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+        val ws = s"string_split(${normSql("text")}, ' ')"
+        s"""SELECT doc_id, length(text) AS n_chars, len($ws) AS n_words,
+           |  round(cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as double) / length(text), 4) AS punct_ratio,
+           |  round(cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double) / length(text), 4) AS digit_ratio,
+           |  round(cast(len(list_intersect($ws, $en)) as double) / len($ws), 4) AS stop_ratio,
+           |  round(least(cast(len($ws) as double) / 100, 1.0) *
+           |        (1.0 - cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as double) / length(text)), 4) AS quality
+           |FROM documents""".stripMargin
+      }
+    ),
+    Q(
+      "docs_token_stats",
+      (s, d) => {
+        val t = col("text")
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            size(split(trim(t), "\\s+")).as("ws_tokens"),
+            tokenCount(t).as("bpe_tokens"),
+            round(length(t).cast("double") / tokenCount(t), 4).as("chars_per_token")
+          )
+      },
+      Some(
+        """SELECT doc_id,
+          |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens,
+          |  round(cast(length(text) as double) / len(regexp_extract_all(text, '\w+|[^\w\s]')), 4) AS chars_per_token
+          |FROM documents""".stripMargin
+      )
+    ),
+    Q(
+      "docs_fingerprint",
+      (s, d) => {
+        val fp = fingerprintHashes(col("text"), 8)
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            array_min(fp).as("fp_min"),
+            array_join(slice(array_sort(fp), 1, 3), ",").as("fp_sketch")
+          )
+      },
+      Some {
+        val fp =
+          s"list_transform(range(1, length(${normSql("text")}) - 6), i -> md5(substr(${normSql("text")}, i, 8)))"
+        s"""SELECT doc_id,
+           |  list_aggregate($fp, 'min') AS fp_min,
+           |  array_to_string(list_sort($fp)[1:3], ',') AS fp_sketch
+           |FROM documents""".stripMargin
+      }
+    ),
+    Q(
+      "knn_cosine",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val queries = emb
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val scored = emb
+          .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            round(cosine(col("qvec"), col("embedding")), 6).as("score")
+          )
+        val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qvec
+          |           FROM embeddings WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    round(list_dot_product(q.qvec, cast(e.embedding as double[])) /
+          |          (sqrt(list_dot_product(q.qvec, q.qvec)) *
+          |           sqrt(list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[])))), 6) AS score
+          |  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+          |),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
+      "ann_lsh",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"),
+            col("embedding"),
+            signLshBucket(col("embedding"), 8).as("bucket")
+          )
+        val queries = emb
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket"))
+        val cand = emb
+          .join(queries, Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            round(cosine(col("qvec"), col("embedding")), 6).as("score")
+          )
+        val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+        cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      },
+      Some {
+        val weight =
+          "(strpos('0123456789abcdef', substr(md5(cast(p as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
+        val bucket =
+          s"array_to_string(list_transform(range(0, 8), p -> CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), dd -> (cast(embedding as double[]))[dd] * $weight)) >= 0 THEN '1' ELSE '0' END), '')"
+        s"""WITH b AS (SELECT vec_id, cast(embedding as double[]) AS vec, $bucket AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT q.query_id, e.vec_id AS neighbor_id,
+           |    round(list_dot_product(q.qvec, e.vec) /
+           |          (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) AS score
+           |  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id != q.query_id
+           |),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM cand)
+           |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin
+      }
+    ),
+    Q(
+      "parse_json_records",
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_value")
+          ),
+      Some(
+        """SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k_value
+          |FROM events""".stripMargin
+      )
+    )
+  )
+}
