@@ -11,7 +11,9 @@ object SparkEntry {
       operators.DedupQueries.all ++
       operators.MappingQueries.all ++
       operators.AnalyticsQueries.all ++
-      operators.LlmQueries.all
+      operators.LlmQueries.all ++
+      operators.RecordQueries.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Dedup pipeline semantics on hand-built fixtures, including multi-hop
+  * components that the oracle query (pair components only) cannot cover.
+  */
+class DedupSpec extends SparkSuite {
+
+  private val schema = StructType(
+    Seq(
+      StructField("id", StringType),
+      StructField("source_id", StringType),
+      StructField("title", StringType),
+      StructField("author", StringType),
+      StructField("year", IntegerType),
+      StructField("isbn", StringType)
+    )
+  )
+
+  private def df(rows: (String, String, String, String, Integer, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3, r._4, r._5, r._6))),
+      schema
+    )
+
+  test("transitive chain clusters to one component (min label wins)") {
+    // a1-b1 share a title; b1-c1 share an ISBN; a1 and c1 share nothing
+    // directly -> all three must still land in one cluster via propagation.
+    val records = df(
+      ("a.1", "a", "Common Title Here", "smith john", 1999, ""),
+      ("b.1", "b", "COMMON TITLE HERE /", "smith john", 1999, "0306406152"),
+      ("c.1", "c", "Entirely Different Name", "jones bob", 1980, "0-306-40615-2")
+    )
+    val out = Dedup.dedupRecords(records, iters = 3).collect()
+    val labels = out.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("a.1") == "a.1")
+    assert(labels("b.1") == "a.1")
+    assert(labels("c.1") == "a.1")
+  }
+
+  test("year conflict blocks title match but not isbn match") {
+    val records = df(
+      ("a.1", "a", "Same Title Words", "smith john", 1999, ""),
+      ("b.1", "b", "Same Title Words", "smith john", 2001, ""),
+      ("a.2", "a", "Other Title Words", "smith john", 1999, "0306406152"),
+      ("b.2", "b", "Unrelated Name Totally", "doe jane", 2001, "0306406152")
+    )
+    val out = Dedup.dedupRecords(records).collect()
+    val labels = out.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(labels("a.1").isEmpty && labels("b.1").isEmpty)
+    assert(labels("a.2").contains("a.2") && labels("b.2").contains("a.2"))
+  }
+
+  test("same-source records never match") {
+    val records = df(
+      ("a.1", "a", "Twin Title", "smith john", 1999, ""),
+      ("a.2", "a", "Twin Title", "smith john", 1999, "")
+    )
+    val out = Dedup.dedupRecords(records).collect()
+    assert(out.forall(_.isNullAt(1)))
+  }
+
+  test("dedup plan contains no cartesian product") {
+    val records = df(
+      ("a.1", "a", "Some Title", "smith john", 1999, ""),
+      ("b.1", "b", "Some Title", "smith john", 1999, "")
+    )
+    val plan = Dedup
+      .dedupRecords(records)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
+}

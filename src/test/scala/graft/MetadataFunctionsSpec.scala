@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.MetadataFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Fixture + property tests for the normalization library. Fixtures encode
+  * the reference semantics (MetadataUtils.php) on hand-computed cases.
+  */
+class MetadataFunctionsSpec extends SparkSuite {
+
+  private def eval1(c: org.apache.spark.sql.Column, input: String): Any = {
+    import spark.implicits._
+    Seq(input).toDF("x").select(c.as("r")).collect()(0).get(0)
+  }
+
+  test("normalizeKey strips ascii punctuation/space/control and lowercases") {
+    assert(eval1(normalizeKey(col("x")), "The Quick, Brown-Fox! (1999)") == "thequickbrownfox1999")
+    assert(eval1(normalizeKey(col("x")), "  A.B:C;d  ") == "abcd")
+  }
+
+  test("normalizeKey is idempotent (property over generated strings)") {
+    import spark.implicits._
+    val gen = Gen.asciiPrintableStr
+    val samples = (1L to 60L).flatMap(i =>
+      gen.apply(Gen.Parameters.default.withSize(24), Seed(i))
+    )
+    val out = samples
+      .toDF("x")
+      .select(
+        normalizeKey(col("x")).as("once"),
+        normalizeKey(normalizeKey(col("x"))).as("twice")
+      )
+      .collect()
+    out.foreach(r => assert(r.get(0) == r.get(1), s"not idempotent: $r"))
+  }
+
+  test("createTitleKey matches the reference word-budget semantics") {
+    // Stops after >3 long words or >35 chars, including the word that
+    // crosses the limit (MetadataUtils.php:369).
+    assert(
+      eval1(
+        createTitleKey(col("x")),
+        "the quick brown fox jumps over a lazy dog and keeps running"
+      ) == "thequickbrownfoxjumpsover"
+    )
+    assert(eval1(createTitleKey(col("x")), "short one") == "shortone")
+    assert(eval1(createTitleKey(col("x")), "aaaa bbbb cccc dddd eeee ffff") == "aaaabbbbccccdddd")
+  }
+
+  test("isbn10to13 computes and validates checksums") {
+    // 0306406152 is the canonical valid ISBN-10 (-> 9780306406157)
+    assert(eval1(isbn10to13(col("x")), "0306406152") == "9780306406157")
+    assert(eval1(isbn10to13(col("x")), "0306406153") == "") // bad checksum
+    assert(eval1(isbn10to13(col("x")), "097522980X") == "9780975229804") // X check char
+  }
+
+  test("normalizeIsbn handles dashes, 10->13 and passthrough") {
+    assert(eval1(normalizeIsbn(col("x")), "0-306-40615-2") == "9780306406157")
+    assert(eval1(normalizeIsbn(col("x")), "9780306406157") == "9780306406157")
+    assert(eval1(normalizeIsbn(col("x")), "no isbn here") == "")
+  }
+
+  test("extractYear finds the first 4-digit run") {
+    assert(eval1(extractYear(col("x")), "published c1987.") == "1987")
+    assert(eval1(extractYear(col("x")), "no year") == "")
+  }
+
+  test("stripLeadingArticle removes the first matching article only") {
+    assert(eval1(stripLeadingArticle(col("x")), "The Title") == "title")
+    assert(eval1(stripLeadingArticle(col("x")), "An Apple") == "apple")
+    assert(eval1(stripLeadingArticle(col("x")), "Theory") == "theory") // no 'the ' prefix
+  }
+
+  test("stripTrailingPunctuation keeps initials' periods") {
+    assert(eval1(stripTrailingPunctuation(col("x")), "Smith, A.") == "Smith, A.")
+    assert(eval1(stripTrailingPunctuation(col("x")), "A title.") == "A title")
+    assert(eval1(stripTrailingPunctuation(col("x")), "ends. -") == "ends")
+    assert(eval1(stripTrailingPunctuation(col("x")), "unbalanced)") == "unbalanced")
+    assert(eval1(stripTrailingPunctuation(col("x")), "balanced (x)") == "balanced (x)")
+  }
+
+  test("authorMatch: exact, prefix, initial rules") {
+    def am(a: String, b: String): Boolean =
+      eval1(authorMatch(lit(a), lit(b)), "ignored").asInstanceOf[Boolean]
+    assert(am("smith john", "smith john"))
+    assert(!am("shor", "shot")) // both under 6 chars and not equal
+    assert(am("smith john", "smith j"))   // prefix
+    assert(am("smith john", "smith jane")) // initial match on 2nd word
+    assert(!am("smith john", "jones john")) // first word must match
+    assert(!am("ab", "ab cd efg")) // too short
+  }
+
+  test("coordinateToDecimal DMS and decimal formats") {
+    val dms = eval1(coordinateToDecimal(col("x")), "N0793030").asInstanceOf[Double]
+    assert(math.abs(dms - (79 + 30.0 / 60 + 30.0 / 3600)) < 1e-9)
+    val dec = eval1(coordinateToDecimal(col("x")), "W123.456").asInstanceOf[Double]
+    assert(math.abs(dec + 123.456) < 1e-9)
+  }
+
+  test("createIdSortKey follows the reference regex (greedy \\w*)") {
+    assert(eval1(createIdSortKey(col("x")), "abc123") == "3")
+    assert(eval1(createIdSortKey(col("x")), "with#hash9") == "with#hash9")
+  }
+
+  test("trimXmlWhitespace trims between tags, keeps text-node spaces") {
+    assert(
+      eval1(trimXmlWhitespace(col("x")), "<a> <b>keep me</b> </a>") ==
+        "<a><b>keep me</b></a>"
+    )
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions over the registered queries at sf0.001: filters
+  * reach the parquet scan, small dimensions broadcast, and no operator
+  * degenerates into a cartesian product. These guard the 100 TB properties
+  * that row-count correctness cannot see.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registered query plans a cartesian product") {
+    SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product"
+      )
+    }
+  }
+
+  test("brute-force knn is the only nested-loop join (by design)") {
+    val offenders = SparkEntry.registry.filter { q =>
+      q.fn(spark, sf)
+        .queryExecution
+        .executedPlan
+        .toString
+        .contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.map(_.name).toSet.subsetOf(Set("knn_cosine")), offenders.map(_.name).mkString(","))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables
+      .lineitem(spark, sf)
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), plan)
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("q3_join broadcasts the customer dimension") {
+    val plan = planOf("q3_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("whole-stage codegen covers the normalization queries") {
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage.
+    val plan = planOf("norm_key")
+    assert(plan.contains("*(1)"), plan)
+  }
+}
