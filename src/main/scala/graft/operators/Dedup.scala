@@ -76,7 +76,9 @@ object Dedup {
       )
   }
 
-  /** Matched edges from title-key and ISBN blocking, unioned + distinct. */
+  /** Matched edges from title-key and ISBN blocking, unioned + distinct.
+    * `keyed` should be persisted by the caller — it feeds four join sides.
+    */
   def matchedEdges(keyed: DataFrame): DataFrame = {
     val byTitle = candidatePairs(keyed.filter(col("title_key") =!= ""), "title_key")
     val byIsbn = candidatePairs(keyed.filter(col("isbn_key") =!= ""), "isbn_key")
@@ -93,16 +95,31 @@ object Dedup {
     * iteration is one aggregation shuffle — no driver-side graph.
     * Returns (id, dedup_id) for nodes that appear in an edge.
     */
-  def assignClusters(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def assignClusters(edges: DataFrame, iters: Int = 10): DataFrame = {
+    // Edge sets are tiny relative to the corpus (only blocked+matched
+    // pairs) — persist so each propagation iteration re-reads materialized
+    // edges instead of re-deriving the whole key/join lineage.
     val sym = edges
       .select(col("id_1").as("id"), col("id_2").as("peer"))
       .union(edges.select(col("id_2").as("id"), col("id_1").as("peer")))
+      .persist()
     var labels = sym
       .groupBy("id")
       .agg(min(col("peer")).as("min_peer"))
       .select(col("id"), least(col("min_peer"), col("id")).as("dedup_id"))
-    for (_ <- 1 to iters) {
-      labels = sym
+      .persist()
+    // Labels only ever decrease, so an unchanged checksum means a fixpoint:
+    // most corpora are pair/star-heavy and converge after one round, and
+    // the checksum is one cheap aggregation instead of a diff join.
+    def checksum(df: DataFrame): Long =
+      df.select(xxhash64(col("id"), col("dedup_id")).as("h"))
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
+        .first()
+        .getLong(0)
+    var prev = checksum(labels)
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val next = sym
         .join(labels.withColumnRenamed("id", "peer"), Seq("peer"))
         .groupBy("id")
         .agg(min(col("dedup_id")).as("peer_min"))
@@ -111,13 +128,21 @@ object Dedup {
           col("id"),
           least(col("peer_min"), col("dedup_id")).as("dedup_id")
         )
+        .persist()
+      val cur = checksum(next)
+      labels.unpersist()
+      labels = next
+      converged = cur == prev
+      prev = cur
     }
     labels
   }
 
   /** Full pipeline: records → (id, dedup_id nullable). */
-  def dedupRecords(records: DataFrame, iters: Int = 3): DataFrame = {
-    val keyed = withKeys(records)
+  def dedupRecords(records: DataFrame, iters: Int = 10): DataFrame = {
+    // keyed feeds four join sides + the final left join: persist it so the
+    // normalization expressions run once per record, not five times.
+    val keyed = withKeys(records).persist()
     val clusters = assignClusters(matchedEdges(keyed), iters)
     keyed
       .select("id")

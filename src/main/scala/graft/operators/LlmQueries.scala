@@ -80,14 +80,25 @@ object LlmQueries {
        |)""".stripMargin
   }
 
-  /** MinHash-LSH candidate pairs as a DataFrame (shared by two queries). */
+  /** MinHash-LSH candidate pairs as a DataFrame (shared by two queries).
+    * The shingle array is materialized once per document (a projection
+    * boundary — without it each of the k minhash expressions re-shingles
+    * the text), and the exploded band table is persisted so the self-join
+    * reads it once instead of recomputing k md5 passes per side.
+    */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = corpus(s, d)
-      .select(col("doc_id"), minhashSignature(col("text"), MinhashK).as("sig"))
+    val sh = corpus(s, d)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val sig = sh.select(
+      col("doc_id"),
+      array((0 until MinhashK).map(j => minhash(col("sh"), j)): _*).as("sig")
+    )
+    val bandTable = sig
       .select(col("doc_id"), posexplode(lshBands(col("sig"), Bands, Rows)))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
-    val b1 = sig.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
-    val b2 = sig.select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash"))
+      .persist()
+    val b1 = bandTable.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+    val b2 = bandTable.select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash"))
     b1.join(b2, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
