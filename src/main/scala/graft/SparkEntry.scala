@@ -8,12 +8,14 @@ object SparkEntry {
   /** All registered operator queries, one per SURVEY.md §2 row. */
   def registry: Seq[Q] =
     operators.MetadataQueries.all ++
+      operators.MetadataQueries2.all ++
       operators.DedupQueries.all ++
       operators.MappingQueries.all ++
       operators.AnalyticsQueries.all ++
       operators.LlmQueries.all ++
       operators.RecordQueries.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.MetadataFunctions
+import graft.plans.NormalizeKeyExpr
+import graft.sources.{Iso2709, MarcXml}
+import graft.sources.Iso2709.Subfield
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class SourcesSpec extends SparkSuite {
+
+  private val gen = Gen.listOfN(
+    3,
+    for {
+      tag <- Gen.oneOf("001", "100", "245", "260", "650")
+      code <- Gen.oneOf("a", "b", "c")
+      v <- Gen.alphaNumStr.map(_.take(30))
+    } yield Subfield(tag, if (tag < "010") "" else code, v)
+  )
+
+  private def samples: Seq[List[Subfield]] =
+    (1L to 40L).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i)))
+
+  test("ISO2709 round trip is identity") {
+    samples.foreach { fields =>
+      val parsed = Iso2709.parse(Iso2709.build(fields))
+      assert(parsed == fields, fields.toString)
+    }
+  }
+
+  test("MARCXML round trip preserves control and data fields in order") {
+    samples.foreach { fields =>
+      val parsed = MarcXml.parse(MarcXml.build(fields))
+      // MarcXml.parse returns control fields first, then data fields.
+      val expected = fields.filter(_.tag < "010") ++ fields.filter(_.tag >= "010")
+      assert(parsed == expected, fields.toString)
+    }
+  }
+
+  test("ISO2709 parse of garbage is empty, not an exception") {
+    assert(Iso2709.parse("") == Seq.empty)
+    assert(Iso2709.parse("short") == Seq.empty)
+    assert(Iso2709.parse("x" * 100) == Seq.empty)
+  }
+
+  test("native graft_normalize_key equals the composed-builtins version") {
+    import spark.implicits._
+    val strGen = Gen.asciiPrintableStr
+    val inputs = (1L to 80L)
+      .flatMap(i => strGen.apply(Gen.Parameters.default.withSize(24), Seed(i)))
+    val df = inputs.toDF("x")
+    val both = df.select(
+      MetadataFunctions.normalizeKey(col("x")).as("composed"),
+      expr("graft_normalize_key(x)").as("native")
+    )
+    both.collect().foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+
+  test("native expression stays inside whole-stage codegen") {
+    // needs a real scan: LocalTableScan of literals never codegens
+    val plan = Tables
+      .part(spark, "/root/testdata/sf0.001")
+      .select(expr("graft_normalize_key(p_name)"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("*(1)"), plan)
+  }
+}
