@@ -60,13 +60,38 @@ object Dedup {
     isbnMatch || (yearOk && titleOk && authorOk)
   }
 
+  /** Reference bail-out threshold: DedupHandler.php stops processing a key
+    * once it has seen 1000 candidates ("Too many candidates ... give up").
+    */
+  val MaxBlockSize = 1000
+
   /** Candidate pairs via a blocking key: records sharing the key, from
     * different sources (the reference never dedups within a source),
     * directed id_1 < id_2. One hash-shuffle on the key.
+    *
+    * Pathologically popular keys (empty-ish titles, placeholder ISBNs) are
+    * dropped before the join — the skew guard that keeps the worst-case
+    * fanout quadratic-in-`maxBlockSize` instead of quadratic-in-corpus,
+    * mirroring the reference's candidate cap. The count aggregation
+    * shuffles on the same key as the join, so AQE reuses the exchange.
     */
-  def candidatePairs(keyed: DataFrame, blockCol: String): DataFrame = {
-    val left = keyed.columns.foldLeft(keyed)((d, c) => d.withColumnRenamed(c, c + "_1"))
-    val right = keyed.columns.foldLeft(keyed)((d, c) => d.withColumnRenamed(c, c + "_2"))
+  def candidatePairs(
+      keyed: DataFrame,
+      blockCol: String,
+      maxBlockSize: Int = MaxBlockSize
+  ): DataFrame = {
+    val smallBlocks = keyed
+      .groupBy(blockCol)
+      .agg(count(lit(1)).as("__block_n"))
+      .filter(col("__block_n") <= maxBlockSize)
+      .select(blockCol)
+    // using-column joins move the key to the front; restore the input
+    // column order so downstream unions align by position.
+    val capped = keyed
+      .join(smallBlocks, Seq(blockCol))
+      .select(keyed.columns.map(col): _*)
+    val left = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_1"))
+    val right = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
     left
       .join(
         right,
@@ -83,7 +108,7 @@ object Dedup {
     val byTitle = candidatePairs(keyed.filter(col("title_key") =!= ""), "title_key")
     val byIsbn = candidatePairs(keyed.filter(col("isbn_key") =!= ""), "isbn_key")
     byTitle
-      .union(byIsbn)
+      .unionByName(byIsbn)
       .filter(matchPredicate)
       .select(col("id_1"), col("id_2"))
       .distinct()

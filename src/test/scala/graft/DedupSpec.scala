@@ -64,6 +64,20 @@ class DedupSpec extends SparkSuite {
     assert(out.forall(_.isNullAt(1)))
   }
 
+  test("oversized blocks are skipped (reference's candidate cap)") {
+    // 30 records share one title across two sources: with the cap lowered
+    // to 10 the block must produce no pairs at all.
+    val rows = (1 to 30).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (s"$src.$i", src, "Hot Placeholder Title", "smith john", Integer.valueOf(1999), "")
+    }
+    val keyed = Dedup.withKeys(df(rows: _*))
+    val pairs = Dedup.candidatePairs(keyed, "title_key", maxBlockSize = 10)
+    assert(pairs.count() == 0)
+    // and with a generous cap the same block pairs up across sources
+    assert(Dedup.candidatePairs(keyed, "title_key", maxBlockSize = 100).count() > 0)
+  }
+
   test("dedup plan contains no cartesian product") {
     val records = df(
       ("a.1", "a", "Some Title", "smith john", 1999, ""),
