@@ -80,16 +80,18 @@ object Dedup {
       blockCol: String,
       maxBlockSize: Int = MaxBlockSize
   ): DataFrame = {
-    val smallBlocks = keyed
-      .groupBy(blockCol)
-      .agg(count(lit(1)).as("__block_n"))
-      .filter(col("__block_n") <= maxBlockSize)
-      .select(blockCol)
-    // using-column joins move the key to the front; restore the input
-    // column order so downstream unions align by position.
-    val capped = keyed
-      .join(smallBlocks, Seq(blockCol))
-      .select(keyed.columns.map(col): _*)
+    import org.apache.spark.sql.expressions.Window
+    // Block sizes arrive precomputed (withBlockSizes) on the persisted
+    // input, so the cap is a plain filter; compute them here only when a
+    // caller passes raw keys.
+    val nCol = s"__n_$blockCol"
+    val sized =
+      if (keyed.columns.contains(nCol)) keyed
+      else
+        keyed.withColumn(nCol, count(lit(1)).over(Window.partitionBy(blockCol)))
+    val capped = sized
+      .filter(col(nCol) <= maxBlockSize)
+      .drop(sized.columns.filter(_.startsWith("__n_")): _*)
     val left = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_1"))
     val right = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
     left
@@ -99,6 +101,27 @@ object Dedup {
           col("source_id_1") =!= col("source_id_2") &&
           col("id_1") < col("id_2")
       )
+  }
+
+  /** Attach per-key block sizes (used by the candidate cap) in one pass so
+    * the downstream self-joins filter cached columns instead of re-counting.
+    */
+  def withBlockSizes(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Empty keys (no isbn / no title) are never blocking keys — candidate
+    // generation filters them out — but they would form one giant window
+    // partition pinned to a single task. Salt them to per-record singleton
+    // partitions so the count pass stays balanced.
+    def sizeOver(key: String) =
+      count(lit(1)).over(
+        Window.partitionBy(
+          col(key),
+          when(col(key) === "", col("id")).otherwise(lit(""))
+        )
+      )
+    keyed
+      .withColumn("__n_title_key", sizeOver("title_key"))
+      .withColumn("__n_isbn_key", sizeOver("isbn_key"))
   }
 
   /** Matched edges from title-key and ISBN blocking, unioned + distinct.
@@ -167,7 +190,7 @@ object Dedup {
   def dedupRecords(records: DataFrame, iters: Int = 10): DataFrame = {
     // keyed feeds four join sides + the final left join: persist it so the
     // normalization expressions run once per record, not five times.
-    val keyed = withKeys(records).persist()
+    val keyed = withBlockSizes(withKeys(records)).persist()
     val clusters = assignClusters(matchedEdges(keyed), iters)
     keyed
       .select("id")
