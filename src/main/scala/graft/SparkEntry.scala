@@ -15,11 +15,15 @@ object SparkEntry {
       operators.LlmQueries.all ++
       operators.RecordQueries.all ++
       operators.Multimodal.all ++
-      operators.SourceQueries.all
+      operators.SourceQueries.all ++
+      operators.CallNumberQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
+    * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry.head.fn(spark, "/root/testdata/sf0.001")
+    queries("dedup_records")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
