@@ -16,7 +16,8 @@ object SparkEntry {
       operators.RecordQueries.all ++
       operators.Multimodal.all ++
       operators.SourceQueries.all ++
-      operators.CallNumberQueries.all
+      operators.CallNumberQueries.all ++
+      operators.PipelineQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
