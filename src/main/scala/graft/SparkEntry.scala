@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.SourceQueries.all ++
       operators.CallNumberQueries.all ++
-      operators.PipelineQueries.all
+      operators.PipelineQueries.all ++
+      operators.LlmQueries2.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

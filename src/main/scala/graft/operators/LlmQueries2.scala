@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import graft.sources.LineMarc
+import graft.sources.Iso2709.Subfield
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Second LLM-pipeline batch: text cleaning, embedding quantization, an
+  * IVF-style ANN variant, and the line-based MARC codec round trip.
+  */
+object LlmQueries2 {
+
+  /** Deterministic pseudo-centroid weight for (cell, dim), mirroring the
+    * sign-LSH plane construction: one md5 hex char → [-7.5, 7.5].
+    */
+  private def centroidWeight(cell: Column, dim: Column): Column =
+    conv(
+      substring(md5(concat(lit("ivf"), cell.cast("string"), lit(":"), dim.cast("string"))), 1, 1),
+      16,
+      10
+    ).cast("double") - 7.5
+
+  /** Dot product of a vector with the generated centroid `cell`. */
+  private def centroidDot(vec: Column, cell: Column): Column =
+    aggregate(
+      zip_with(
+        vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, d) => x.cast("double") * centroidWeight(cell, d)
+      ),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** IVF coarse assignment: index (1-based) of the highest-scoring of
+    * `cells` deterministic centroids. The scale path for ANN: vectors
+    * shuffle by cell, probes search one cell.
+    */
+  def ivfCell(vec: Column, cells: Int): Column = {
+    val scores = transform(sequence(lit(0), lit(cells - 1)), c => centroidDot(vec, c))
+    array_position(scores, array_max(scores))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "docs_clean",
+      (s, d) => {
+        val dirty = concat(
+          col("text"),
+          lit(" visit https://example.com/p/"),
+          col("doc_id").cast("string"),
+          lit(" or mail user"),
+          col("doc_id").cast("string"),
+          lit("@example.com now")
+        )
+        val noUrl = regexp_replace(dirty, "https?://[^ ]+", " ")
+        val noMail = regexp_replace(noUrl, "[^ ]+@[^ ]+", " ")
+        val cleaned = trim(regexp_replace(noMail, " {2,}", " "))
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            cleaned.as("cleaned"),
+            (length(dirty) - length(cleaned)).as("removed_chars")
+          )
+      },
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |  text || ' visit https://example.com/p/' || cast(doc_id as varchar) || ' or mail user' || cast(doc_id as varchar) || '@example.com now' AS dirty
+          |  FROM documents),
+          |c AS (SELECT doc_id, dirty,
+          |  trim(regexp_replace(regexp_replace(regexp_replace(dirty, 'https?://[^ ]+', ' ', 'g'), '[^ ]+@[^ ]+', ' ', 'g'), ' {2,}', ' ', 'g')) AS cleaned
+          |  FROM t)
+          |SELECT doc_id, cleaned, length(dirty) - length(cleaned) AS removed_chars FROM c""".stripMargin
+      )
+    ),
+    Q(
+      "embed_quantize",
+      (s, d) => {
+        val e = col("embedding")
+        val scale = array_max(transform(e, x => abs(x.cast("double")))) / 127
+        val q = transform(
+          e,
+          x =>
+            when(scale === 0, lit(0))
+              .otherwise(round(x.cast("double") / scale).cast("int"))
+        )
+        Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"),
+            round(scale, 6).as("scale"),
+            array_join(slice(q, 1, 8), ",").as("q8_head")
+          )
+      },
+      Some(
+        """WITH t AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+          |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM t)
+          |SELECT vec_id, round(scale, 6) AS scale,
+          |  array_to_string(list_transform(e, x -> CASE WHEN scale = 0 THEN 0 ELSE cast(round(x / scale) as int) END)[1:8], ',') AS q8_head
+          |FROM s""".stripMargin
+      )
+    ),
+    Q(
+      "ann_ivf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables
+          .embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), ivfCell(col("embedding"), 8).as("cell"))
+        val queries = emb
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("cell"))
+        val cand = emb
+          .join(queries, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            round(cosine(col("qvec"), col("embedding")), 6).as("score")
+          )
+        val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+        cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      },
+      Some {
+        val weight =
+          "(strpos('0123456789abcdef', substr(md5('ivf' || cast(c as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
+        val scores =
+          s"list_transform(range(0, 8), c -> list_sum(list_transform(range(1, len(e) + 1), dd -> e[dd] * $weight)))"
+        s"""WITH t AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+           |b AS (SELECT vec_id, e, list_position(sc, list_max(sc)) AS cell
+           |      FROM (SELECT vec_id, e, $scores AS sc FROM t) _s),
+           |q AS (SELECT vec_id AS query_id, e AS qvec, cell FROM b WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT q.query_id, x.vec_id AS neighbor_id,
+           |    round(list_dot_product(q.qvec, x.e) /
+           |          (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(x.e, x.e))), 6) AS score
+           |  FROM b x JOIN q ON x.cell = q.cell AND x.vec_id != q.query_id
+           |),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM cand)
+           |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin
+      }
+    ),
+    Q(
+      "linemarc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        Tables
+          .part(s, d)
+          .select("p_partkey", "p_name", "p_type")
+          .as[(Long, String, String)]
+          .map { case (k, name, typ) =>
+            val fields = Seq(
+              Subfield("001", "", s"rec$k"),
+              Subfield("245", "a", name),
+              Subfield("245", "b", typ),
+              Subfield("650", "a", typ)
+            )
+            val parsed = LineMarc.parse(LineMarc.build(fields))
+            (
+              k,
+              parsed.find(f => f.tag == "245" && f.code == "a").map(_.value).getOrElse(""),
+              parsed.size
+            )
+          }
+          .toDF("record_id", "title", "n_fields")
+      },
+      Some(
+        """SELECT p_partkey AS record_id, p_name AS title, 4 AS n_fields
+          |FROM part""".stripMargin
+      )
+    )
+  )
+}

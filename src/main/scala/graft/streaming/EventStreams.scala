@@ -92,6 +92,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events repeating the same (user, type,
+    * value) key within the watermark horizon — the streaming twin of the
+    * hash-key exact dedup operator. State is bounded by the watermark,
+    * which is what makes it runnable forever at production volume.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Wire a parquet-directory source through the streaming operators — the
     * production entry point (`readStream` → transform → `writeStream`).
     */

@@ -49,6 +49,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeats within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 1.0), // duplicate key within watermark
+      Event(3, ts(10), 1, "click", 2.0), // different value -> kept
+      Event(4, ts(15), 2, "click", 1.0) // different user -> kept
+    )
+    val q = EventStreams
+      .dedupStream(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L), ids.toString)
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
