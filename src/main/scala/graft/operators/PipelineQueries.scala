@@ -115,6 +115,41 @@ object PipelineQueries {
       )
     ),
     Q(
+      // Authority/vocabulary enrichment (reference: Enrichment/
+      // SkosmosEnrichment.php, AuthEnrichment.php — external vocabulary
+      // lookups, which the reference caches locally). Re-expressed as a
+      // broadcast join against the authority dataset: the nation/region
+      // tables stand in for a SKOS vocabulary (preferred + broader labels).
+      "enrich_authority",
+      (s, d) => {
+        val auth = Tables
+          .nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select(
+            col("n_nationkey").as("auth_id"),
+            col("n_name").as("pref_label"),
+            col("r_name").as("broader_label")
+          )
+        Tables
+          .supplier(s, d)
+          .join(broadcast(auth), col("s_nationkey") === col("auth_id"), "left")
+          .select(
+            col("s_suppkey"),
+            col("s_name"),
+            coalesce(col("pref_label"), lit("[Unresolved]")).as("pref_label"),
+            coalesce(col("broader_label"), lit("[Unresolved]")).as("broader_label")
+          )
+      },
+      Some(
+        """SELECT s_suppkey, s_name,
+          |  coalesce(n_name, '[Unresolved]') AS pref_label,
+          |  coalesce(r_name, '[Unresolved]') AS broader_label
+          |FROM supplier
+          |LEFT JOIN nation ON s_nationkey = n_nationkey
+          |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
+      )
+    ),
+    Q(
       // Incremental-update selection (the reference's updatedSince path in
       // SolrUpdater). On a date-partitioned production layout this predicate
       // prunes partitions; here it filters right above the scan (the ns->us

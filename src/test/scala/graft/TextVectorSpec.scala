@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Property-style specs for the text/vector primitives. */
+class TextVectorSpec extends SparkSuite {
+
+  private def eval1(c: org.apache.spark.sql.Column, input: String): Any = {
+    import spark.implicits._
+    Seq(input).toDF("x").select(c.as("r")).collect()(0).get(0)
+  }
+
+  test("shingles: n-grams for long texts, whole text when short") {
+    val sh = eval1(shingles(col("x"), 3), "a b c d").asInstanceOf[scala.collection.Seq[String]]
+    assert(sh == Seq("a b c", "b c d"))
+    val short = eval1(shingles(col("x"), 3), "a b").asInstanceOf[scala.collection.Seq[String]]
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash signature is invariant to duplicated shingle content") {
+    // appending a copy of an existing shingle never changes any minimum
+    val s1 = eval1(minhashSignature(col("x"), 8), "a b c d e f").asInstanceOf[scala.collection.Seq[String]]
+    val s2 = eval1(minhashSignature(col("x"), 8), "a b c d e f a b c").asInstanceOf[scala.collection.Seq[String]]
+    // s2's shingle set is a superset; each min can only stay or decrease
+    s1.zip(s2).foreach { case (m1, m2) => assert(m2 <= m1) }
+  }
+
+  test("identical texts collide on every LSH band") {
+    import spark.implicits._
+    val df = Seq(("a", "same words here in doc"), ("b", "same words here in doc"))
+      .toDF("id", "text")
+    val bands = df.select(
+      col("id"),
+      lshBands(minhashSignature(col("text"), 12), 4, 3).as("bands")
+    )
+    val rows = bands.collect().map(r => r.getSeq[String](1))
+    assert(rows(0) == rows(1))
+  }
+
+  test("simhash of identical texts equal; bit length correct") {
+    val h1 = eval1(simhash(col("x"), 32), "spark engine rows").toString
+    val h2 = eval1(simhash(col("x"), 32), "spark engine rows").toString
+    assert(h1 == h2 && h1.length == 32 && h1.forall(c => c == '0' || c == '1'))
+  }
+
+  test("cosine similarity: identical vectors score 1, orthogonal 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df
+      .select(
+        round(cosine(col("a"), col("b")), 9).as("same"),
+        round(cosine(col("a"), col("c")), 9).as("orth")
+      )
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("languageId picks the stopword-richest language") {
+    assert(eval1(languageId(col("x")), "the cat and the dog of it") == "en")
+    assert(eval1(languageId(col("x")), "el que de la y en los") == "es")
+    assert(eval1(languageId(col("x")), "zzz qqq www") == "und")
+  }
+}
