@@ -26,13 +26,21 @@ object Dedup {
 
   /** Add dedup key columns (reference: DedupHandler.php getTitleKeys /
     * getIsbnKeys via MetadataUtils createTitleKey / normalizeISBN).
+    * Uses the fused native normalization (NormalizeKeyExpr — same
+    * semantics as MetadataFunctions.normalizeKey, single char pass) for
+    * the two full-string keys on the hot path.
     */
-  def withKeys(records: DataFrame): DataFrame =
+  def withKeys(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    import graft.plans.NormalizeKeyExpr
+    def fusedNorm(c: org.apache.spark.sql.Column) =
+      GraftColumn.of(NormalizeKeyExpr(GraftColumn.exprOf(c)))
     records
       .withColumn("title_key", createTitleKey(col("title")))
-      .withColumn("norm_title", normalizeKey(col("title")))
-      .withColumn("norm_author", normalizeKey(col("author")))
+      .withColumn("norm_title", fusedNorm(col("title")))
+      .withColumn("norm_author", fusedNorm(col("author")))
       .withColumn("isbn_key", normalizeIsbn(col("isbn")))
+  }
 
   /** The reference's matchRecords predicate over a joined candidate pair
     * (columns suffixed _1 / _2): shared ISBN is an immediate match;
