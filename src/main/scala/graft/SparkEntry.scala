@@ -18,7 +18,8 @@ object SparkEntry {
       operators.SourceQueries.all ++
       operators.CallNumberQueries.all ++
       operators.PipelineQueries.all ++
-      operators.LlmQueries2.all
+      operators.LlmQueries2.all ++
+      operators.ExportQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.MetadataFunctions._
+import graft.functions.Wkt
+import org.apache.spark.sql.functions._
+
+/** Export shaping + WKT centroid registrations. */
+object ExportQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // Search-index document building (reference: Solr/SolrUpdater.php —
+      // the JSON update documents sent to Solr). Built with deterministic
+      // string concatenation (inputs are clean ASCII), identical in both
+      // engines, so the oracle validates the export byte-for-byte.
+      "solr_export",
+      (s, d) => {
+        val title = col("p_name")
+        val author = array_join(slice(split(col("p_name"), " "), 1, 2), " ")
+        val year = (lit(1900) + col("p_partkey") % 100).cast("string")
+        val doc = concat(
+          lit("{\"id\":\"part."),
+          col("p_partkey").cast("string"),
+          lit("\",\"title\":\""),
+          title,
+          lit("\",\"title_sort\":\""),
+          createSortTitle(title),
+          lit("\",\"author\":\""),
+          convertAuthorLastFirst(author),
+          lit("\",\"publish_year\":"),
+          year,
+          lit("}")
+        )
+        Tables
+          .part(s, d)
+          .select(col("p_partkey"), doc.as("solr_doc"))
+      },
+      Some {
+        import MetadataQueries._
+        val author = "array_to_string(string_split(p_name, ' ')[1:2], ' ')"
+        s"""WITH a AS (SELECT p_partkey, p_name, ${stripArticleSql("p_name")} AS t1 FROM part),
+           |b AS (SELECT p_partkey, p_name, t1, ${stripPunctSql("t1")} AS t2 FROM a),
+           |c AS (SELECT p_partkey, p_name,
+           |  lower(CASE WHEN substr(t2,1,1) != substr(t1,1,1) THEN ${stripArticleSql("t2")} ELSE t2 END) AS title_sort
+           |  FROM b)
+           |SELECT p_partkey,
+           |  '{"id":"part.' || cast(p_partkey as varchar) ||
+           |  '","title":"' || p_name ||
+           |  '","title_sort":"' || title_sort ||
+           |  '","author":"' || regexp_replace($author, '^(.*) ([^ ]+)$$', '\\2, \\1') ||
+           |  '","publish_year":' || cast(1900 + p_partkey % 100 as varchar) || '}' AS solr_doc
+           |FROM c""".stripMargin
+      }
+    ),
+    Q(
+      "wkt_centroid",
+      (s, d) => {
+        val k = col("p_partkey")
+        def n(m: Int, off: Int) = (k % m - off).cast("string")
+        val input = when(
+          k % 3 === 0,
+          concat(lit("POINT("), n(360, 180), lit(".5 "), n(180, 90), lit(".5)"))
+        ).when(
+          k % 3 === 1,
+          concat(
+            lit("LINESTRING("),
+            n(100, 50), lit(" "), n(80, 40), lit(", "),
+            n(100, 48), lit(" "), n(80, 38), lit(")")
+          )
+        ).otherwise(
+          concat(
+            lit("POLYGON(("),
+            n(100, 50), lit(" "), n(80, 40), lit(", "),
+            (k % 100 - 46).cast("string"), lit(" "), n(80, 40), lit(", "),
+            (k % 100 - 46).cast("string"), lit(" "), (k % 80 - 36).cast("string"), lit(", "),
+            n(100, 50), lit(" "), (k % 80 - 36).cast("string"), lit(", "),
+            n(100, 50), lit(" "), n(80, 40), lit("))")
+          )
+        )
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            input.as("wkt"),
+            Wkt.wktType(input).as("wkt_type"),
+            round(Wkt.centroidX(input), 6).as("centroid_x"),
+            round(Wkt.centroidY(input), 6).as("centroid_y")
+          )
+      },
+      Some {
+        val coords =
+          "list_transform(string_split(regexp_extract(wkt, '\\(+([^()]+)\\)+', 1), ', '), p -> struct_pack(x := cast(string_split(trim(p), ' ')[1] as double), y := cast(string_split(trim(p), ' ')[2] as double)))"
+        def cross(i: String) = s"(c[$i].x * c[$i+1].y - c[$i+1].x * c[$i].y)"
+        def polyC(f: String) =
+          s"(list_sum(list_transform(range(1, len(c)), i -> (c[i].$f + c[i+1].$f) * ${cross("i")})) / (3.0 * list_sum(list_transform(range(1, len(c)), i -> ${cross("i")}))))"
+        s"""WITH t AS (SELECT p_partkey,
+           |  (CASE WHEN p_partkey % 3 = 0 THEN 'POINT(' || cast(p_partkey % 360 - 180 as varchar) || '.5 ' || cast(p_partkey % 180 - 90 as varchar) || '.5)'
+           |        WHEN p_partkey % 3 = 1 THEN 'LINESTRING(' || cast(p_partkey % 100 - 50 as varchar) || ' ' || cast(p_partkey % 80 - 40 as varchar) || ', ' || cast(p_partkey % 100 - 48 as varchar) || ' ' || cast(p_partkey % 80 - 38 as varchar) || ')'
+           |        ELSE 'POLYGON((' || cast(p_partkey % 100 - 50 as varchar) || ' ' || cast(p_partkey % 80 - 40 as varchar) || ', ' || cast(p_partkey % 100 - 46 as varchar) || ' ' || cast(p_partkey % 80 - 40 as varchar) || ', ' || cast(p_partkey % 100 - 46 as varchar) || ' ' || cast(p_partkey % 80 - 36 as varchar) || ', ' || cast(p_partkey % 100 - 50 as varchar) || ' ' || cast(p_partkey % 80 - 36 as varchar) || ', ' || cast(p_partkey % 100 - 50 as varchar) || ' ' || cast(p_partkey % 80 - 40 as varchar) || '))' END) AS wkt
+           |  FROM part),
+           |p AS (SELECT p_partkey, wkt, upper(regexp_extract(wkt, '^\\s*([A-Za-z]+)', 1)) AS wkt_type, $coords AS c FROM t)
+           |SELECT p_partkey, wkt, wkt_type,
+           |  round(CASE WHEN wkt_type = 'POINT' THEN c[1].x
+           |             WHEN wkt_type = 'LINESTRING' THEN list_sum(list_transform(c, q -> q.x)) / len(c)
+           |             WHEN wkt_type = 'POLYGON' THEN ${polyC("x")} END, 6) AS centroid_x,
+           |  round(CASE WHEN wkt_type = 'POINT' THEN c[1].y
+           |             WHEN wkt_type = 'LINESTRING' THEN list_sum(list_transform(c, q -> q.y)) / len(c)
+           |             WHEN wkt_type = 'POLYGON' THEN ${polyC("y")} END, 6) AS centroid_y
+           |FROM p""".stripMargin
+      }
+    )
+  )
+}
