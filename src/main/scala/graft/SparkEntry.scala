@@ -19,7 +19,8 @@ object SparkEntry {
       operators.CallNumberQueries.all ++
       operators.PipelineQueries.all ++
       operators.LlmQueries2.all ++
-      operators.ExportQueries.all
+      operators.ExportQueries.all ++
+      operators.LlmQueries3.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -103,6 +103,11 @@ object DedupQueries {
       s"((r1.year = r2.year OR r1.year IS NULL OR r2.year IS NULL) AND $titleOk AND $authorOk))"
   }
 
+  /** records + edges CTE block, shared with other oracle queries that
+    * build on the dedup pipeline (e.g. merge_best).
+    */
+  def recordsAndEdgesSql: String = s"$recordsSql, $edgesSql"
+
   private def edgesSql: String =
     s"""edges AS (
        |  SELECT r1.id AS id_1, r2.id AS id_2 FROM recs r1 JOIN recs r2

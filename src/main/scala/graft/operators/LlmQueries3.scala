@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** SimHash near-dup pairing and best-record selection. */
+object LlmQueries3 {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // SimHash near-duplicates by pigeonhole banding: 32 bits split into 4
+      // segments of 8; any pair within Hamming distance 3 must agree on at
+      // least one full segment, so candidates come from a segment-equality
+      // join (bounded fanout) and are then verified exactly.
+      "docs_simhash_neardup",
+      (s, d) => {
+        val sh = LlmQueries
+          .corpus(s, d)
+          .select(col("doc_id"), simhash(col("text"), 32).as("bits"))
+        val segs = sh
+          .select(
+            col("doc_id"),
+            col("bits"),
+            posexplode(
+              array((0 until 4).map(i => substring(col("bits"), i * 8 + 1, 8)): _*)
+            )
+          )
+          .select(col("doc_id"), col("bits"), col("pos").as("seg_idx"), col("col").as("seg"))
+        val a = segs.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"), col("seg_idx"), col("seg"))
+        val b = segs.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"), col("seg_idx"), col("seg"))
+        val hamming = size(
+          filter(
+            sequence(lit(1), lit(32)),
+            i => col("bits_a").substr(i, lit(1)) =!= col("bits_b").substr(i, lit(1))
+          )
+        )
+        a.join(b, Seq("seg_idx", "seg"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
+          .distinct()
+          .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+          .filter(col("hamming") <= 3)
+      },
+      Some {
+        val corpus = """corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 200000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 5
+          |)""".stripMargin
+        val bit =
+          "cast(floor((strpos('0123456789abcdef', substr(md5(w), cast((b - (b % 4)) / 4 as int) + 1, 1)) - 1) / ([8,4,2,1])[(b % 4) + 1]) as int) % 2"
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        s"""WITH $corpus,
+           |n AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM corpus),
+           |sh AS (SELECT doc_id,
+           |  array_to_string(list_transform(range(0, 32), b ->
+           |    CASE WHEN list_sum(list_transform(ws, w -> ($bit) * 2 - 1)) >= 0
+           |         THEN '1' ELSE '0' END), '') AS bits
+           |  FROM n),
+           |segs AS (SELECT doc_id, bits, unnest(generate_series(0, 3)) AS seg_idx,
+           |  [substr(bits,1,8), substr(bits,9,8), substr(bits,17,8), substr(bits,25,8)] AS seglist
+           |  FROM sh),
+           |sx AS (SELECT doc_id, bits, seg_idx, seglist[seg_idx + 1] AS seg FROM segs),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bits AS bits_a, b.bits AS bits_b
+           |  FROM sx a JOIN sx b ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT doc_a, doc_b,
+           |  len(list_filter(range(1, 33), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) AS hamming
+           |FROM pairs
+           |WHERE len(list_filter(range(1, 33), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) <= 3""".stripMargin
+      }
+    ),
+    Q(
+      // Best-record selection for merged dedup groups (reference:
+      // Solr/SolrUpdater.php merged-record building prefers records by
+      // source priority): pick the representative per cluster and carry
+      // its fields onto the merged document.
+      "merge_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val recs = DedupQueries.records(s, d)
+        val clustered = Dedup
+          .dedupRecords(recs)
+          .filter(col("dedup_id").isNotNull)
+          .join(recs, Seq("id"))
+        val w = Window.partitionBy("dedup_id").orderBy(col("source_id"), col("id"))
+        clustered
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("dedup_id"),
+            col("id").as("best_id"),
+            col("title").as("best_title"),
+            col("year").as("best_year")
+          )
+      },
+      Some {
+        s"""WITH ${DedupQueries.recordsAndEdgesSql},
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id),
+           |joined AS (SELECT l.dedup_id, r.* FROM recs r JOIN labels l ON r.id = l.id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY dedup_id ORDER BY source_id, id) AS rn FROM joined)
+           |SELECT dedup_id, id AS best_id, title AS best_title, year AS best_year
+           |FROM ranked WHERE rn = 1""".stripMargin
+      }
+    )
+  )
+
+}
