@@ -31,11 +31,14 @@ object Tables {
     * them as timestamps natively, this is a no-op.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // `div` (integral division) — a double division would round epoch
+        // nanos (values >> 2^53) by up to ±128 ns and land on the wrong
+        // microsecond near boundaries.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

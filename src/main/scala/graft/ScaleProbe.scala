@@ -16,8 +16,20 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = DedupQueries.records(spark, "/root/testdata/sf0.1")
+    // Replicas must be disjoint in ALL dedup keys (title + isbn), not just
+    // ids — otherwise blocks merge across replicas and candidate pairs
+    // grow quadratically in `mult`, measuring block growth rather than
+    // corpus growth. Prefixing the title perturbs its title_key; clearing
+    // the isbn on replicas keeps isbn blocks constant-size.
     val big = (0 until mult)
-      .map(i => base.withColumn("id", concat(lit(s"x$i."), col("id"))))
+      .map { i =>
+        if (i == 0) base
+        else
+          base
+            .withColumn("id", concat(lit(s"x$i."), col("id")))
+            .withColumn("title", concat(lit(s"x$i"), col("title")))
+            .withColumn("isbn", lit(""))
+      }
       .reduce(_ union _)
     val total = big.count()
     val t0 = System.nanoTime()

@@ -71,8 +71,10 @@ object MetadataFunctions {
   private def dig(d: Column, pos: Int): Column =
     substring(d, pos, 1).cast("int")
 
-  /** ISBN-10 check character (reference: MetadataUtils.php:1291). */
-  private def isbn10CheckChar(d: Column): Column = {
+  /** ISBN-10 check character (reference: MetadataUtils.php:1291). Public
+    * so test corpora can synthesize valid ISBNs from the same formula.
+    */
+  def isbn10CheckChar(d: Column): Column = {
     val s = (1 to 9).map(p => dig(d, p) * lit(11 - p)).reduce(_ + _)
     val rem = (lit(11) - (s % 11)) % 11
     when(rem === 10, lit("X")).otherwise(rem.cast("string"))

@@ -98,10 +98,15 @@ object TextFunctions {
     */
   def fingerprintHashes(c: Column, width: Int = 8): Column = {
     val norm = normalizeText(c)
-    transform(
-      sequence(lit(1), length(norm) - (width - 1)),
-      i => md5(norm.substr(i, lit(width)))
-    )
+    // Guard short texts: sequence(1, n) with n < 1 would produce a
+    // descending range and junk windows; hash the whole text instead.
+    when(
+      length(norm) >= width,
+      transform(
+        sequence(lit(1), length(norm) - (width - 1)),
+        i => md5(norm.substr(i, lit(width)))
+      )
+    ).otherwise(array(md5(norm)))
   }
 
   /** Approximate BPE-ish token count: word chars runs + single

@@ -53,18 +53,25 @@ object Dedup {
     val isbnMatch = col("isbn_key_1") =!= "" && col("isbn_key_1") === col("isbn_key_2")
     val yearOk = col("year_1") === col("year_2") ||
       col("year_1").isNull || col("year_2").isNull
+    // The reference normalizes the distance by the *current* record's
+    // length and over a full corpus pass each record takes a turn as the
+    // current one — the set-oriented equivalent accepts the pair if either
+    // direction is within the threshold.
+    val titleLev = levenshtein(
+      substring(col("norm_title_1"), 1, 255),
+      substring(col("norm_title_2"), 1, 255)
+    ) * 100.0
     val titleOk = col("norm_title_1") =!= "" && col("norm_title_2") =!= "" &&
-      levenshtein(
-        substring(col("norm_title_1"), 1, 255),
-        substring(col("norm_title_2"), 1, 255)
-      ) * 100.0 / length(col("norm_title_1")) < 10
+      (titleLev / length(col("norm_title_1")) < 10 ||
+        titleLev / length(col("norm_title_2")) < 10)
     val a1 = col("norm_author_1")
     val a2 = col("norm_author_2")
+    val authorLev =
+      levenshtein(substring(a1, 1, 255), substring(a2, 1, 255)) * 100.0
     val authorOk = (a1 === "" && a2 === "") ||
       (a1 =!= "" && a2 =!= "" &&
         (authorMatch(a1, a2) ||
-          levenshtein(substring(a1, 1, 255), substring(a2, 1, 255)) * 100.0 /
-          length(a1) <= 20))
+          authorLev / length(a1) <= 20 || authorLev / length(a2) <= 20))
     isbnMatch || (yearOk && titleOk && authorOk)
   }
 

@@ -28,13 +28,7 @@ object DedupQueries {
     val author = array_join(slice(split(col("p_name"), " "), 1, 2), " ")
     val year = (lit(1900) + k % 100).cast("int")
     val base = lpad((k * 7919 % 1000000000).cast("string"), 9, "0")
-    val checkChar = {
-      val sum = (1 to 9)
-        .map(i => substring(base, i, 1).cast("int") * lit(11 - i))
-        .reduce(_ + _)
-      val rem = (lit(11) - (sum % 11)) % 11
-      when(rem === 10, lit("X")).otherwise(rem.cast("string"))
-    }
+    val checkChar = graft.functions.MetadataFunctions.isbn10CheckChar(base)
     val isbn = when(k % 5 === 0, concat(base, checkChar)).otherwise(lit(""))
     val a = p.select(
       concat(lit("a."), k.cast("string")).as("id"),
@@ -92,13 +86,17 @@ object DedupQueries {
     * Dedup.matchPredicate; reference DedupHandler.php:742).
     */
   private def matchSql: String = {
+    val tLev =
+      "levenshtein(substr(r1.norm_title,1,255), substr(r2.norm_title,1,255)) * 100.0"
     val titleOk =
-      "r1.norm_title != '' AND r2.norm_title != '' AND " +
-        "levenshtein(substr(r1.norm_title,1,255), substr(r2.norm_title,1,255)) * 100.0 / length(r1.norm_title) < 10"
+      s"r1.norm_title != '' AND r2.norm_title != '' AND " +
+        s"($tLev / length(r1.norm_title) < 10 OR $tLev / length(r2.norm_title) < 10)"
+    val aLev =
+      "levenshtein(substr(r1.norm_author,1,255), substr(r2.norm_author,1,255)) * 100.0"
     val authorOk =
       "((r1.norm_author = '' AND r2.norm_author = '') OR (r1.norm_author != '' AND r2.norm_author != '' AND (" +
         authorMatchSql("r1.norm_author", "r2.norm_author") +
-        " OR levenshtein(substr(r1.norm_author,1,255), substr(r2.norm_author,1,255)) * 100.0 / length(r1.norm_author) <= 20)))"
+        s" OR $aLev / length(r1.norm_author) <= 20 OR $aLev / length(r2.norm_author) <= 20)))"
     s"((r1.isbn_key != '' AND r1.isbn_key = r2.isbn_key) OR " +
       s"((r1.year = r2.year OR r1.year IS NULL OR r2.year IS NULL) AND $titleOk AND $authorOk))"
   }

@@ -274,7 +274,9 @@ object LlmQueries {
       },
       Some {
         val fp =
-          s"list_transform(range(1, length(${normSql("text")}) - 6), i -> md5(substr(${normSql("text")}, i, 8)))"
+          s"(CASE WHEN length(${normSql("text")}) >= 8 " +
+            s"THEN list_transform(range(1, length(${normSql("text")}) - 6), i -> md5(substr(${normSql("text")}, i, 8))) " +
+            s"ELSE [md5(${normSql("text")})] END)"
         s"""SELECT doc_id,
            |  list_aggregate($fp, 'min') AS fp_min,
            |  array_to_string(list_sort($fp)[1:3], ',') AS fp_sketch

@@ -109,15 +109,7 @@ object MetadataQueries {
       "isbn_normalize",
       (s, d) => {
         val base = lpad((col("p_partkey") * 7919 % 1000000000).cast("string"), 9, "0")
-        val checkChar = {
-          // reuse library semantics by probing all 11 candidates is overkill;
-          // synthesize a valid ISBN-10 by appending the true check char.
-          val sum = (1 to 9)
-            .map(p => substring(base, p, 1).cast("int") * lit(11 - p))
-            .reduce(_ + _)
-          val rem = (lit(11) - (sum % 11)) % 11
-          when(rem === 10, lit("X")).otherwise(rem.cast("string"))
-        }
+        val checkChar = graft.functions.MetadataFunctions.isbn10CheckChar(base)
         val input = when(col("p_partkey") % 3 === 0, concat(base, checkChar))
           .when(col("p_partkey") % 3 === 1, concat(base, lit("0")))
           .otherwise(concat(lit("978-"), base, lit("4")))

@@ -26,13 +26,7 @@ object RecordQueries {
         val titleMain = col("p_name")
         val titleSub = col("p_type")
         val base = lpad((k * 7919 % 1000000000).cast("string"), 9, "0")
-        val checkChar = {
-          val sum = (1 to 9)
-            .map(i => substring(base, i, 1).cast("int") * lit(11 - i))
-            .reduce(_ + _)
-          val rem = (lit(11) - (sum % 11)) % 11
-          when(rem === 10, lit("X")).otherwise(rem.cast("string"))
-        }
+        val checkChar = graft.functions.MetadataFunctions.isbn10CheckChar(base)
         val isbn = concat(base, checkChar)
         val yearStr = concat(lit("c"), (lit(1900) + k % 100).cast("string"), lit("."))
         def f(tag: String, code: String, v: org.apache.spark.sql.Column) =

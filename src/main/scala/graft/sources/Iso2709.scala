@@ -36,6 +36,10 @@ object Iso2709 {
     val dir = new StringBuilder
     var start = 0
     data.foreach { case (tag, body) =>
+      // Directory fields are fixed-width: oversized values would widen the
+      // entry and silently corrupt every subsequent offset on parse.
+      require(body.length <= 9999, s"ISO2709 field $tag exceeds 9999 chars")
+      require(start <= 99999, "ISO2709 record exceeds 99999 data chars")
       dir.append(tag)
       dir.append(f"${body.length}%04d")
       dir.append(f"$start%05d")

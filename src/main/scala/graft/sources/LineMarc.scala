@@ -7,6 +7,12 @@ import graft.sources.Iso2709.Subfield
   * subfield delimiter variant). One record = one line per field:
   * `TAG II $aValue$bValue` for data fields, `TAG value` for control
   * fields. Same distributed-parse contract as [[Iso2709]].
+  *
+  * Caveat (inherent to the tagged format, not this codec): the format has
+  * no escaping, so a literal '$' or newline inside a subfield value is
+  * ambiguous on re-parse — exactly as in the reference's
+  * LineBasedMarcFormatter, which keys on the same delimiters. Use ISO 2709
+  * or MARCXML for values that may contain delimiter characters.
   */
 object LineMarc {
 
