@@ -20,7 +20,8 @@ object SparkEntry {
       operators.PipelineQueries.all ++
       operators.LlmQueries2.all ++
       operators.ExportQueries.all ++
-      operators.LlmQueries3.all
+      operators.LlmQueries3.all ++
+      operators.MarcFormatQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

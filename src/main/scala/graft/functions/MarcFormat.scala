@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MARC format detection from leader / 007 / 008.
+  *
+  * Spark-native re-expression of the core decision tree in the reference's
+  * format calculator (reference: src/RecordManager/Base/Record/Marc/
+  * FormatCalculator.php:62 getFormats / :560 getFormatsAsList): the 007
+  * carrier switch, the leader/06 record-type switch, the leader/07
+  * bibliographic-level switch (with the could-be-book gate), and the
+  * last-resort fallbacks, evaluated in the reference's precedence order
+  * (007 → record type → bib level → fallback; the primary format is the
+  * first hit). Scope: single (non-repeating) 007; the additive labels
+  * (GovernmentDocument/Thesis/Electronic/ConferenceProceeding) and the
+  * 33x path are out of scope — they append extra labels rather than
+  * change the primary decision.
+  */
+object MarcFormat {
+
+  /** Primary format for a record given its leader, first 007 field, 008
+    * field and whether a 773$g serial host exists.
+    */
+  def marcPrimaryFormat(
+      leader: Column,
+      f007: Column,
+      f008: Column,
+      hasSerialHost: Column
+  ): Column = {
+    val rt = lower(substring(leader, 7, 1))
+    val bl = lower(substring(leader, 8, 1))
+    val c1 = lower(substring(f007, 1, 1))
+    val c2 = lower(substring(f007, 2, 1))
+    val c5 = lower(substring(f007, 5, 1))
+    // PHP get008Value($marc008, p) is 0-based substr -> position p+1 here.
+    def v008(p: Int) = lower(substring(f008, p + 1, 1))
+
+    // FormatCalculator.php:146 getFormatFrom007 (common branches).
+    val fmt007 = when(c1 === "a", when(c2 === "d", "Atlas").otherwise("Map"))
+      .when(
+        c1 === "c",
+        when(c2 === "a", "TapeCartridge")
+          .when(c2 === "b", "ChipCartridge")
+          .when(c2 === "c", "DiscCartridge")
+          .when(c2 === "f", "TapeCassette")
+          .when(c2 === "h", "TapeReel")
+          .when(c2 === "j", "FloppyDisk")
+          .when(c2.isin("m", "o"), "CDROM")
+          .when(c2 === "r", "")
+          .otherwise("ElectronicResource")
+      )
+      .when(c1 === "d", lit("Globe"))
+      .when(c1 === "f", lit("Braille"))
+      .when(c1 === "h", lit("Microfilm"))
+      .when(
+        c1 === "m",
+        when(c2 === "f", "VideoCassette")
+          .when(c2 === "r", "Filmstrip")
+          .otherwise("MotionPicture")
+      )
+      .when(c1 === "o", lit("Kit"))
+      .when(c1 === "q", lit("MusicalScore"))
+      .when(
+        c1 === "s",
+        when(c2 === "d", "SoundDisc")
+          .when(c2 === "s", "SoundCassette")
+          .otherwise("SoundRecording")
+      )
+      .when(
+        c1 === "v",
+        when(c2 === "c", "VideoCartridge")
+          .when(c2 === "d", when(c5 === "s", "BRDisc").otherwise("VideoDisc"))
+          .when(c2 === "f", "VideoCassette")
+          .when(c2 === "r", "VideoReel")
+          .otherwise("VideoOnline")
+      )
+      .otherwise(lit(""))
+
+    // :105 definitelyNotBookBasedOn007 + :117 ...BasedOnRecordType.
+    val notBook007 = c1.isin("g", "k", "m", "v")
+    val notBookRt = rt.isin("e", "f", "g", "i", "j", "k", "r") ||
+      (rt === "m" && !v008(26).isin("d", "i", "m", "u", "z"))
+    val couldBeBook = !(notBook007 || notBookRt)
+
+    // :374 getFormatFromRecordType (common branches).
+    val fmtRt = when(rt.isin("c", "d"), lit("MusicalScore"))
+      .when(
+        rt.isin("e", "f"),
+        when(v008(25) === "d", "Globe")
+          .when(v008(25) === "e", "Atlas")
+          .otherwise("Map")
+      )
+      .when(
+        rt === "g",
+        when(v008(33) === "f", "Filmstrip")
+          .when(v008(33) === "t", "Transparency")
+          .when(v008(33) === "m", "MotionPicture")
+          .when(v008(33) === "v", "Video")
+          .when(v008(34).isin("a", "c", "l", "u"), "")
+          .otherwise(when(c1.isin("g", "m", "v"), "").otherwise("ProjectedMedium"))
+      )
+      .when(rt === "i", lit("SoundRecording"))
+      .when(rt === "j", lit("MusicRecording"))
+      .when(
+        rt === "k",
+        when(v008(33) === "l", "Drawing")
+          .when(v008(33) === "n", "Chart")
+          .when(v008(33) === "o", "FlashCard")
+          .otherwise(when(c1 === "k", "").otherwise("Image"))
+      )
+      .when(
+        rt === "m",
+        when(v008(26) === "a", "DataSet")
+          .when(v008(26) === "b", "Software")
+          .when(v008(26) === "c", "Image")
+          .when(v008(26) === "e", "DataSet")
+          .when(v008(26) === "f", "Font")
+          .when(v008(26) === "g", "VideoGame")
+          .when(v008(26) === "h", "SoundRecording")
+          .when(v008(26) === "i", "InteractiveMultimedia")
+          .otherwise("")
+      )
+      .when(rt.isin("o", "p"), lit("Kit"))
+      .when(rt === "r", lit("PhysicalObject"))
+      .when(rt === "t", lit("Manuscript"))
+      .otherwise(lit(""))
+
+    // :272 getFormatFromBibLevel.
+    val fmtBl = when(bl === "a", when(hasSerialHost, "Article").otherwise("BookComponentPart"))
+      .when(bl === "b", lit("SerialComponentPart"))
+      .when(
+        bl === "i",
+        when(rt === "a" && v008(21).isin("h", "w"), "Website")
+          .when(rt === "a" && v008(22).isin("o", "q", "s"), "OnlineIntegratingResource")
+          .otherwise("PhysicalIntegratingResource")
+      )
+      .when(
+        bl === "m" && couldBeBook,
+        when(rt.isin("a", "t") && v008(23).isin("o", "q", "s"), "eBook")
+          .when(rt === "m", "eBook")
+          .otherwise("Book")
+      )
+      .when(
+        bl === "s",
+        when(rt === "a" && v008(21) === "n", "Newspaper")
+          .when(rt === "a" && v008(21) === "p", "Journal")
+          .otherwise("Serial")
+      )
+      .otherwise(lit(""))
+
+    // Last resort (:612): Collection/Sub-unit -> Kit, Language material ->
+    // Text, else Unknown.
+    val fallback = when(bl.isin("c", "d"), "Kit")
+      .when(rt === "a", "Text")
+      .otherwise("Unknown")
+
+    when(fmt007 =!= "", fmt007)
+      .when(fmtRt =!= "", fmtRt)
+      .when(fmtBl =!= "", fmtBl)
+      .otherwise(fallback)
+  }
+}
