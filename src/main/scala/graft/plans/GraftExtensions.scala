@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => NormalizeKeyExpr(children.head)
       )
     )
+    // Rewrite composed normalizeKey patterns to the fused kernel.
+    ext.injectOptimizerRule(_ => FuseNormalizeKey)
   }
 }

@@ -57,6 +57,18 @@ class SourcesSpec extends SparkSuite {
     both.collect().foreach(r => assert(r.get(0) == r.get(1), r.toString))
   }
 
+  test("optimizer rule fuses composed normalizeKey into the native kernel") {
+    val df = Tables
+      .part(spark, "/root/testdata/sf0.001")
+      .select(MetadataFunctions.normalizeKey(col("p_name")).as("k"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_normalize_key"), optimized)
+    // and the fused result matches the unoptimized semantics (checked
+    // against the DuckDB oracle by norm_key as well)
+    val sample = df.orderBy("k").limit(3).collect().map(_.getString(0)).toSeq
+    assert(sample.forall(s => s == s.toLowerCase && !s.contains(" ")), sample)
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // needs a real scan: LocalTableScan of literals never codegens
     val plan = Tables
