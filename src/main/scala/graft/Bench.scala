@@ -24,6 +24,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val headline = SparkEntry.registry.filter(_.bench)
     val chosen = if (headline.nonEmpty) headline else SparkEntry.registry
+    // Untimed warmup so the first measured query doesn't absorb JVM/
+    // codegen/session initialization.
+    try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     val results = chosen.map { q =>
       val t0 = System.nanoTime()
       val ok =
