@@ -35,7 +35,16 @@ object Dedup {
     import graft.plans.NormalizeKeyExpr
     def fusedNorm(c: org.apache.spark.sql.Column) =
       GraftColumn.of(NormalizeKeyExpr(GraftColumn.exprOf(c)))
-    records
+    // Optional matchRecords inputs default to "unknown" when the record
+    // model doesn't carry them (pages null, series fields empty).
+    val withOptional = Seq(
+      "pages" -> lit(null).cast("int"),
+      "series_issn" -> lit(""),
+      "series_numbering" -> lit("")
+    ).foldLeft(records) { case (df, (c, default)) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, default)
+    }
+    withOptional
       .withColumn("title_key", createTitleKey(col("title")))
       .withColumn("norm_title", fusedNorm(col("title")))
       .withColumn("norm_author", fusedNorm(col("author")))
@@ -72,7 +81,13 @@ object Dedup {
       (a1 =!= "" && a2 =!= "" &&
         (authorMatch(a1, a2) ||
           authorLev / length(a1) <= 20 || authorLev / length(a2) <= 20))
-    isbnMatch || (yearOk && titleOk && authorOk)
+    // Page counts within 10 when both known; series ISSN/numbering must
+    // agree exactly (DedupHandler.php:888-900).
+    val pagesOk = col("pages_1").isNull || col("pages_2").isNull ||
+      abs(col("pages_1") - col("pages_2")) <= 10
+    val seriesOk = col("series_issn_1") === col("series_issn_2") &&
+      col("series_numbering_1") === col("series_numbering_2")
+    isbnMatch || (yearOk && pagesOk && seriesOk && titleOk && authorOk)
   }
 
   /** Reference bail-out threshold: DedupHandler.php stops processing a key

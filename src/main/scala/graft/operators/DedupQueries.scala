@@ -30,13 +30,17 @@ object DedupQueries {
     val base = lpad((k * 7919 % 1000000000).cast("string"), 9, "0")
     val checkChar = graft.functions.MetadataFunctions.isbn10CheckChar(base)
     val isbn = when(k % 5 === 0, concat(base, checkChar)).otherwise(lit(""))
+    val pages = (lit(100) + k % 400).cast("int")
     val a = p.select(
       concat(lit("a."), k.cast("string")).as("id"),
       lit("a").as("source_id"),
       title.as("title"),
       author.as("author"),
       year.as("year"),
-      isbn.as("isbn")
+      isbn.as("isbn"),
+      pages.as("pages"),
+      when(k % 17 === 0, lit("0001-1111")).otherwise(lit("")).as("series_issn"),
+      lit("").as("series_numbering")
     )
     val b = p.select(
       concat(lit("b."), k.cast("string")).as("id"),
@@ -44,7 +48,10 @@ object DedupQueries {
       concat(upper(title), lit(" /")).as("title"),
       when(k % 11 === 0, lit("zz nobody")).otherwise(author).as("author"),
       when(k % 7 === 0, year + 1).otherwise(year).cast("int").as("year"),
-      isbn.as("isbn")
+      isbn.as("isbn"),
+      when(k % 13 === 0, pages + 15).otherwise(pages).cast("int").as("pages"),
+      when(k % 17 === 0, lit("0002-2222")).otherwise(lit("")).as("series_issn"),
+      lit("").as("series_numbering")
     )
     a.union(b)
   }
@@ -58,14 +65,20 @@ object DedupQueries {
        |  SELECT 'a.' || cast(p_partkey as varchar) AS id, 'a' AS source_id,
        |    $title AS title, $author AS author,
        |    cast(1900 + p_partkey % 100 as int) AS year,
-       |    (CASE WHEN p_partkey % 5 = 0 THEN b || ${isbn10CheckCharSql("b")} ELSE '' END) AS isbn
+       |    (CASE WHEN p_partkey % 5 = 0 THEN b || ${isbn10CheckCharSql("b")} ELSE '' END) AS isbn,
+       |    cast(100 + p_partkey % 400 as int) AS pages,
+       |    (CASE WHEN p_partkey % 17 = 0 THEN '0001-1111' ELSE '' END) AS series_issn,
+       |    '' AS series_numbering
        |  FROM (SELECT *, $base AS b FROM part) _pa
        |  UNION ALL
        |  SELECT 'b.' || cast(p_partkey as varchar) AS id, 'b' AS source_id,
        |    upper($title) || ' /' AS title,
        |    (CASE WHEN p_partkey % 11 = 0 THEN 'zz nobody' ELSE $author END) AS author,
        |    cast(CASE WHEN p_partkey % 7 = 0 THEN 1901 + p_partkey % 100 ELSE 1900 + p_partkey % 100 END as int) AS year,
-       |    (CASE WHEN p_partkey % 5 = 0 THEN b || ${isbn10CheckCharSql("b")} ELSE '' END) AS isbn
+       |    (CASE WHEN p_partkey % 5 = 0 THEN b || ${isbn10CheckCharSql("b")} ELSE '' END) AS isbn,
+       |    cast(CASE WHEN p_partkey % 13 = 0 THEN 115 + p_partkey % 400 ELSE 100 + p_partkey % 400 END as int) AS pages,
+       |    (CASE WHEN p_partkey % 17 = 0 THEN '0002-2222' ELSE '' END) AS series_issn,
+       |    '' AS series_numbering
        |  FROM (SELECT *, $base AS b FROM part) _pb
        |),
        |recs1 AS (
@@ -74,6 +87,7 @@ object DedupQueries {
        |),
        |recs AS (
        |  SELECT id, source_id, title, author, year, isbn,
+       |    pages, series_issn, series_numbering,
        |    ${titleKeySql("title")} AS title_key,
        |    ${nkSql("title")} AS norm_title,
        |    ${nkSql("author")} AS norm_author,
@@ -97,8 +111,12 @@ object DedupQueries {
       "((r1.norm_author = '' AND r2.norm_author = '') OR (r1.norm_author != '' AND r2.norm_author != '' AND (" +
         authorMatchSql("r1.norm_author", "r2.norm_author") +
         s" OR $aLev / length(r1.norm_author) <= 20 OR $aLev / length(r2.norm_author) <= 20)))"
+    val pagesOk =
+      "(r1.pages IS NULL OR r2.pages IS NULL OR abs(r1.pages - r2.pages) <= 10)"
+    val seriesOk =
+      "(r1.series_issn = r2.series_issn AND r1.series_numbering = r2.series_numbering)"
     s"((r1.isbn_key != '' AND r1.isbn_key = r2.isbn_key) OR " +
-      s"((r1.year = r2.year OR r1.year IS NULL OR r2.year IS NULL) AND $titleOk AND $authorOk))"
+      s"((r1.year = r2.year OR r1.year IS NULL OR r2.year IS NULL) AND $pagesOk AND $seriesOk AND $titleOk AND $authorOk))"
   }
 
   /** records + edges CTE block, shared with other oracle queries that
