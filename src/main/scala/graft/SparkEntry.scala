@@ -21,7 +21,8 @@ object SparkEntry {
       operators.LlmQueries2.all ++
       operators.ExportQueries.all ++
       operators.LlmQueries3.all ++
-      operators.MarcFormatQueries.all
+      operators.MarcFormatQueries.all ++
+      operators.MarcRecordQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.MetadataFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deeper MARC extraction: title assembly with subfield punctuation and
+  * non-filing indicators, the publication-year fallback chain, and page
+  * counts (reference: Record/Marc.php:799 getTitle, :1067
+  * getPublicationYear, :1101 getPageCount). The record model here carries
+  * indicators and an 008 control field alongside the subfields.
+  */
+object MarcRecordQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "marc_title_year_pages",
+      (s, d) => {
+        val k = col("p_partkey")
+        // Record model per row: 245 $a (with ind2 non-filing count),
+        // optional $b; 260 $c for some; 264 ind2=1 $c for others; 008 with
+        // dates; 300 $a extent.
+        val titleA = when(k % 4 === 0, concat(lit("The "), col("p_name")))
+          .otherwise(col("p_name"))
+        val nonfiling = when(k % 4 === 0, lit(4)).otherwise(lit(0)).cast("int")
+        val titleB = col("p_type")
+        val c260 = when(k % 3 === 0, concat(lit("c"), (lit(1900) + k % 100).cast("string"), lit(".")))
+          .otherwise(lit(""))
+        val c264 = when(k % 3 === 1, concat(lit("["), (lit(1800) + k % 100).cast("string"), lit("]")))
+          .otherwise(lit(""))
+        val f008 = concat(lit("       "), (lit(1700) + k % 100).cast("string"))
+        val extent = concat((k % 900 + 20).cast("string"), lit(" pages : illustrations"))
+
+        // getTitle (subset: 245 $a + $b with ': ' separator when $a has no
+        // trailing punctuation, else ' '; reference Marc.php:799).
+        val sep = when(MetadataQueries2.hasTrailingPunctuation(titleA), lit(" "))
+          .otherwise(lit(" : "))
+        val fullTitle = stripTrailingPunctuation(concat(titleA, sep, titleB))
+        // getTitle(forFiling=true): drop ind2 non-filing chars, strip
+        // punctuation, lowercase.
+        val filingBase = when(
+          nonfiling > 0,
+          titleA.substr(nonfiling + 1, length(titleA))
+        ).otherwise(titleA)
+        val filingTitle =
+          stripTrailingPunctuation(lower(stripPunctuation(concat(filingBase, sep, titleB))))
+
+        // getPublicationYear: 260$c year, else 264(ind2=1)$c year, else
+        // 008 positions 7-10 when not 0000/9999.
+        val y260 = extractYear(c260)
+        val y264 = extractYear(c264)
+        val y008raw = substring(f008, 8, 4)
+        val y008 = when(y008raw === "0000" || y008raw === "9999", lit(""))
+          .otherwise(extractYear(y008raw))
+        val pubYear = when(y260 =!= "", y260)
+          .when(y264 =!= "", y264)
+          .otherwise(y008)
+
+        // getPageCount: first digit run of 300$a.
+        val pages = regexp_extract(extent, "(\\d+)", 1)
+
+        Tables
+          .part(s, d)
+          .select(
+            k.as("record_id"),
+            fullTitle.as("title"),
+            filingTitle.as("title_filing"),
+            pubYear.as("pub_year"),
+            pages.as("page_count")
+          )
+      },
+      Some {
+        import MetadataQueries._
+        val titleA =
+          "(CASE WHEN p_partkey % 4 = 0 THEN 'The ' || p_name ELSE p_name END)"
+        s"""WITH t AS (SELECT p_partkey, $titleA AS ta,
+           |  (CASE WHEN p_partkey % 4 = 0 THEN 4 ELSE 0 END) AS nonfiling,
+           |  p_type AS tb,
+           |  (CASE WHEN p_partkey % 3 = 0 THEN 'c' || cast(1900 + p_partkey % 100 as varchar) || '.' ELSE '' END) AS c260,
+           |  (CASE WHEN p_partkey % 3 = 1 THEN '[' || cast(1800 + p_partkey % 100 as varchar) || ']' ELSE '' END) AS c264,
+           |  '       ' || cast(1700 + p_partkey % 100 as varchar) AS f008,
+           |  cast(p_partkey % 900 + 20 as varchar) || ' pages : illustrations' AS extent
+           |  FROM part),
+           |sep AS (SELECT *,
+           |  (CASE WHEN length(ta) > 0 AND (
+           |     substr(rtrim(ta, ' '), -1, 1) IN ('/', ':', ';', ',', '=', '(', '[')
+           |     OR (ends_with(ta, '.') AND (CASE WHEN length(ta) >= 3 THEN substr(ta, length(ta)-2, 1) ELSE substr(ta,1,1) END) != ' ')
+           |   ) THEN ' ' ELSE ' : ' END) AS s FROM t),
+           |full_t AS (SELECT *, ta || s || tb AS full_title,
+           |  (CASE WHEN nonfiling > 0 THEN substr(ta, nonfiling + 1) ELSE ta END) || s || tb AS filing_raw
+           |  FROM sep),
+           |fil AS (SELECT *, lower(${stripPunctSql("filing_raw")}) AS filing_p FROM full_t),
+           |st1 AS (SELECT *, rtrim(full_title, ' /:;,=([') AS w1, rtrim(filing_p, ' /:;,=([') AS v1 FROM fil),
+           |st2 AS (SELECT *,
+           |  CASE WHEN ends_with(w1, '.') AND (CASE WHEN length(w1) >= 3 THEN substr(w1, length(w1)-2, 1) ELSE substr(w1,1,1) END) != ' '
+           |        AND NOT regexp_matches(regexp_extract(w1, '([^ ]*)\\.$$', 1), '^[0-9]+$$')
+           |       THEN substr(w1, 1, length(w1)-1) ELSE w1 END AS w2,
+           |  CASE WHEN ends_with(v1, '.') AND (CASE WHEN length(v1) >= 3 THEN substr(v1, length(v1)-2, 1) ELSE substr(v1,1,1) END) != ' '
+           |        AND NOT regexp_matches(regexp_extract(v1, '([^ ]*)\\.$$', 1), '^[0-9]+$$')
+           |       THEN substr(v1, 1, length(v1)-1) ELSE v1 END AS v2
+           |  FROM st1),
+           |st3 AS (SELECT *,
+           |  CASE WHEN ends_with(w2, '. -') THEN substr(w2, 1, length(w2)-3) ELSE w2 END AS w3,
+           |  CASE WHEN ends_with(v2, '. -') THEN substr(v2, 1, length(v2)-3) ELSE v2 END AS v3
+           |  FROM st2),
+           |st4 AS (SELECT *,
+           |  CASE WHEN ends_with(w3, ')') AND strpos(w3, '(') = 0 THEN substr(w3, 1, length(w3)-1)
+           |       WHEN ends_with(w3, ']') AND strpos(w3, '[') = 0 THEN substr(w3, 1, length(w3)-1)
+           |       ELSE w3 END AS title,
+           |  CASE WHEN ends_with(v3, ')') AND strpos(v3, '(') = 0 THEN substr(v3, 1, length(v3)-1)
+           |       WHEN ends_with(v3, ']') AND strpos(v3, '[') = 0 THEN substr(v3, 1, length(v3)-1)
+           |       ELSE v3 END AS title_filing
+           |  FROM st3)
+           |SELECT p_partkey AS record_id, title, title_filing,
+           |  (CASE WHEN regexp_extract(c260, '(-?\\d{4})', 1) != '' THEN regexp_extract(c260, '(-?\\d{4})', 1)
+           |        WHEN regexp_extract(c264, '(-?\\d{4})', 1) != '' THEN regexp_extract(c264, '(-?\\d{4})', 1)
+           |        WHEN substr(f008, 8, 4) IN ('0000', '9999') THEN ''
+           |        ELSE regexp_extract(substr(f008, 8, 4), '(-?\\d{4})', 1) END) AS pub_year,
+           |  regexp_extract(extent, '(\\d+)', 1) AS page_count
+           |FROM st4""".stripMargin
+      }
+    )
+  )
+}
