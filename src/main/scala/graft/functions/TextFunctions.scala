@@ -30,18 +30,46 @@ object TextFunctions {
     ).otherwise(array(normalizeText(c)))
   }
 
-  /** One MinHash value: the lexicographic minimum of `md5(seed:shingle)`
-    * over the document's shingles. A fixed-length hex string preserves
-    * numeric order, so `array_min` over hex == min over the hash integers.
+  /** Modulus for the derived hash family: 2^48-1 keeps j*h2 sums well
+    * inside long range and the hex prefix parse exact in any engine.
     */
-  def minhash(shing: Column, seed: Int): Column =
-    array_min(transform(shing, s => md5(concat(lit(seed.toString), lit(":"), s))))
+  val MinhashMod = 281474976710655L
 
-  /** MinHash signature of `k` hashes. */
-  def minhashSignature(c: Column, k: Int = 12, shingleN: Int = 3): Column = {
-    val sh = shingles(c, shingleN)
-    array((0 until k).map(j => minhash(sh, j)): _*)
-  }
+  /** Per-shingle base hashes for the two-hash MinHash family: one md5 per
+    * shingle, split into two 48-bit integers. The k-th hash is then
+    * (h1 + k*h2) mod M — the standard construction, so the whole
+    * signature costs one digest per shingle instead of k.
+    */
+  def shingleHashes(shing: Column): Column =
+    transform(
+      shing,
+      s => {
+        val h = md5(s)
+        struct(
+          conv(substring(h, 1, 12), 16, 10).cast("long").as("h1"),
+          conv(substring(h, 13, 12), 16, 10).cast("long").as("h2")
+        )
+      }
+    )
+
+  /** MinHash signature (array of k longs) from precomputed shingle hashes.
+    * Callers on a hot path should materialize [[shingleHashes]] behind a
+    * projection first — referencing this expression k times otherwise
+    * recomputes the digests.
+    */
+  def signatureFromHashes(hashed: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(
+        transform(
+          hashed,
+          p => (p.getField("h1") + lit(j.toLong) * p.getField("h2")) % MinhashMod
+        )
+      )
+    }: _*)
+
+  /** MinHash signature of `k` hashes over word `shingleN`-grams. */
+  def minhashSignature(c: Column, k: Int = 12, shingleN: Int = 3): Column =
+    signatureFromHashes(shingleHashes(shingles(c, shingleN)), k)
 
   /** LSH band hashes: `bands` groups of `rows` signature entries, each
     * hashed to one bucket key. Two documents share a band hash iff their
@@ -51,7 +79,12 @@ object TextFunctions {
     */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+      md5(
+        concat_ws(
+          "|",
+          (0 until rows).map(r => element_at(sig, b * rows + r + 1).cast("string")): _*
+        )
+      )
     }: _*)
 
   /** Hex-char numeric value (0-15) of position `pos` (1-based) in an md5

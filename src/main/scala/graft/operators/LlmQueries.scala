@@ -53,23 +53,32 @@ object LlmQueries {
   private def normSql(x: String) =
     s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
 
-  /** Shingles + MinHash signature + band hashes in DuckDB. */
+  /** Shingles + two-hash MinHash signature + band hashes in DuckDB. */
   private val SigSql: String = {
     val shing =
       s"CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) ELSE [norm] END"
+    val hashed =
+      "list_transform(shingles, s -> struct_pack(" +
+        "h1 := ('0x' || substr(md5(s), 1, 12))::bigint, " +
+        "h2 := ('0x' || substr(md5(s), 13, 12))::bigint))"
     val sig = (0 until MinhashK)
-      .map(j => s"list_aggregate(list_transform(shingles, s -> md5('$j' || ':' || s)), 'min')")
+      .map(j =>
+        s"list_aggregate(list_transform(hashed, p -> (p.h1 + $j * p.h2) % 281474976710655), 'min')"
+      )
       .mkString("[", ", ", "]")
     val bands = (0 until Bands)
       .map { b =>
-        val parts = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]").mkString(" || '|' || ")
+        val parts = (0 until Rows)
+          .map(r => s"cast(sig[${b * Rows + r + 1}] as varchar)")
+          .mkString(" || '|' || ")
         s"md5($parts)"
       }
       .mkString("[", ", ", "]")
     s"""n AS (SELECT doc_id, ${normSql("text")} AS norm FROM corpus),
        |w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM n),
        |sh AS (SELECT doc_id, $shing AS shingles FROM w),
-       |sg AS (SELECT doc_id, $sig AS sig FROM sh),
+       |hx AS (SELECT doc_id, $hashed AS hashed FROM sh),
+       |sg AS (SELECT doc_id, $sig AS sig FROM hx),
        |bd AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_id, $bands AS bands FROM sg),
        |bh AS (SELECT doc_id, band_id, bands[band_id + 1] AS band_hash FROM bd),
        |pairs AS (
@@ -87,11 +96,11 @@ object LlmQueries {
     * reads it once instead of recomputing k md5 passes per side.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = corpus(s, d)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-    val sig = sh.select(
+    val hashed = corpus(s, d)
+      .select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hx"))
+    val sig = hashed.select(
       col("doc_id"),
-      array((0 until MinhashK).map(j => minhash(col("sh"), j)): _*).as("sig")
+      signatureFromHashes(col("hx"), MinhashK).as("sig")
     )
     val bandTable = sig
       .select(col("doc_id"), posexplode(lshBands(col("sig"), Bands, Rows)))

@@ -21,8 +21,8 @@ class TextVectorSpec extends SparkSuite {
 
   test("minhash signature is invariant to duplicated shingle content") {
     // appending a copy of an existing shingle never changes any minimum
-    val s1 = eval1(minhashSignature(col("x"), 8), "a b c d e f").asInstanceOf[scala.collection.Seq[String]]
-    val s2 = eval1(minhashSignature(col("x"), 8), "a b c d e f a b c").asInstanceOf[scala.collection.Seq[String]]
+    val s1 = eval1(minhashSignature(col("x"), 8), "a b c d e f").asInstanceOf[scala.collection.Seq[Long]]
+    val s2 = eval1(minhashSignature(col("x"), 8), "a b c d e f a b c").asInstanceOf[scala.collection.Seq[Long]]
     // s2's shingle set is a superset; each min can only stay or decrease
     s1.zip(s2).foreach { case (m1, m2) => assert(m2 <= m1) }
   }
