@@ -216,6 +216,35 @@ object Dedup {
     labels
   }
 
+  /** Incremental mode (the reference's per-record dedupRecord loop over
+    * newly updated records, DedupHandler.php:380): match a new batch
+    * against an already-clustered corpus and adopt the existing cluster id
+    * on match (earliest-id cluster wins on multiple matches, mirroring the
+    * reference's created-order candidate sort); unmatched records stay
+    * unassigned. The corpus side joins on the same blocking keys — an
+    * incremental run shuffles only corpus+batch, no recluster of history.
+    *
+    * `clustered` columns: the record columns plus `dedup_id`.
+    */
+  def dedupIncremental(batch: DataFrame, clustered: DataFrame): DataFrame = {
+    val batchKeyed = withKeys(batch)
+    val corpusKeyed = withKeys(clustered.drop("dedup_id"))
+      .join(clustered.select("id", "dedup_id"), Seq("id"))
+    val left = batchKeyed.columns.foldLeft(batchKeyed)((d, c) => d.withColumnRenamed(c, c + "_1"))
+    val right = corpusKeyed.columns.foldLeft(corpusKeyed)((d, c) => d.withColumnRenamed(c, c + "_2"))
+    val cand = left.join(
+      right,
+      ((col("title_key_1") =!= "" && col("title_key_1") === col("title_key_2")) ||
+        (col("isbn_key_1") =!= "" && col("isbn_key_1") === col("isbn_key_2"))) &&
+        col("source_id_1") =!= col("source_id_2")
+    )
+    val matched = cand
+      .filter(matchPredicate)
+      .groupBy(col("id_1").as("id"))
+      .agg(min(col("dedup_id_2")).as("dedup_id"))
+    batchKeyed.select("id").join(matched, Seq("id"), "left")
+  }
+
   /** Full pipeline: records → (id, dedup_id nullable). */
   def dedupRecords(records: DataFrame, iters: Int = 10): DataFrame = {
     // keyed feeds four join sides + the final left join: persist it so the

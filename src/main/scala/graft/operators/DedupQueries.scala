@@ -134,6 +134,54 @@ object DedupQueries {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** New-batch records for the incremental query: source `c`, every even
+    * key a case-perturbed duplicate of the corpus title, odd keys unique.
+    */
+  def batchRecords(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val k = col("p_partkey")
+    val title = concat(lit("rec"), k.cast("string"), lit(" "), col("p_name"))
+    val author = array_join(slice(split(col("p_name"), " "), 1, 2), " ")
+    p.select(
+      concat(lit("c."), k.cast("string")).as("id"),
+      lit("c").as("source_id"),
+      when(k % 2 === 0, concat(lower(title), lit(" ;")))
+        .otherwise(concat(lit("zzz unique "), k.cast("string"))).as("title"),
+      author.as("author"),
+      (lit(1900) + k % 100).cast("int").as("year"),
+      lit("").as("isbn"),
+      (lit(100) + k % 400).cast("int").as("pages"),
+      lit("").as("series_issn"),
+      lit("").as("series_numbering")
+    )
+  }
+
+  private def batchSql: String = {
+    val title = "'rec' || cast(p_partkey as varchar) || ' ' || p_name"
+    val author = "array_to_string(string_split(p_name, ' ')[1:2], ' ')"
+    s"""batch0 AS (
+       |  SELECT 'c.' || cast(p_partkey as varchar) AS id, 'c' AS source_id,
+       |    (CASE WHEN p_partkey % 2 = 0 THEN lower($title) || ' ;'
+       |          ELSE 'zzz unique ' || cast(p_partkey as varchar) END) AS title,
+       |    $author AS author,
+       |    cast(1900 + p_partkey % 100 as int) AS year, '' AS isbn,
+       |    cast(100 + p_partkey % 400 as int) AS pages,
+       |    '' AS series_issn, '' AS series_numbering
+       |  FROM part),
+       |batchk AS (
+       |  SELECT id, source_id, title, author, year, isbn,
+       |    pages, series_issn, series_numbering,
+       |    ${titleKeySql("title")} AS title_key,
+       |    ${nkSql("title")} AS norm_title,
+       |    ${nkSql("author")} AS norm_author,
+       |    '' AS isbn_key
+       |  FROM batch0
+       |)""".stripMargin
+  }
+
+  /** The pairwise matchRecords predicate SQL (r1/r2 aliases), shared. */
+  def matchPredicateSql: String = matchSql
+
   val all: Seq[Q] = Seq(
     Q(
       "dedup_records",
@@ -146,6 +194,34 @@ object DedupQueries {
            |SELECT r.id, l.dedup_id FROM recs r LEFT JOIN labels l ON r.id = l.id""".stripMargin
       ),
       bench = true
+    ),
+    Q(
+      "dedup_incremental",
+      (s, d) => {
+        val recs = records(s, d)
+        val clustered = Dedup
+          .dedupRecords(recs)
+          .filter(col("dedup_id").isNotNull)
+          .join(recs, Seq("id"))
+        Dedup.dedupIncremental(batchRecords(s, d), clustered)
+      },
+      Some(
+        s"""WITH $recordsSql, $edgesSql, $batchSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id),
+           |corpusk AS (SELECT r.*, l.dedup_id FROM recs r JOIN labels l ON r.id = l.id),
+           |matched AS (
+           |  SELECT r1.id AS id, min(r2.dedup_id) AS dedup_id
+           |  FROM batchk r1 JOIN corpusk r2
+           |    ON ((r1.title_key != '' AND r1.title_key = r2.title_key)
+           |        OR (r1.isbn_key != '' AND r1.isbn_key = r2.isbn_key))
+           |      AND r1.source_id != r2.source_id
+           |  WHERE $matchSql
+           |  GROUP BY r1.id
+           |)
+           |SELECT b.id, m.dedup_id FROM batchk b LEFT JOIN matched m ON b.id = m.id""".stripMargin
+      )
     ),
     Q(
       "dedup_merged",
