@@ -27,7 +27,10 @@ object Bench {
     // Untimed warmup so the first measured query doesn't absorb JVM/
     // codegen/session initialization.
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     spark.catalog.clearCache()
     val results = chosen.map { q =>
       val t0 = System.nanoTime()

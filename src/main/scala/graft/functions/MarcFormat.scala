@@ -28,13 +28,17 @@ object MarcFormat {
       f008: Column,
       hasSerialHost: Column
   ): Column = {
-    val rt = lower(substring(leader, 7, 1))
-    val bl = lower(substring(leader, 8, 1))
-    val c1 = lower(substring(f007, 1, 1))
-    val c2 = lower(substring(f007, 2, 1))
-    val c5 = lower(substring(f007, 5, 1))
+    // Null-safe: a record without 007/008 is the common case, and a null
+    // would otherwise poison couldBeBook through three-valued logic.
+    val ldr = coalesce(leader, lit(""))
+    val f7 = coalesce(f007, lit(""))
+    val f8 = coalesce(f008, lit(""))
+    val rt = lower(substring(ldr, 7, 1))
+    val bl = lower(substring(ldr, 8, 1))
+    val c1 = lower(substring(f7, 1, 1))
+    val c2 = lower(substring(f7, 2, 1))
     // PHP get008Value($marc008, p) is 0-based substr -> position p+1 here.
-    def v008(p: Int) = lower(substring(f008, p + 1, 1))
+    def v008(p: Int) = lower(substring(f8, p + 1, 1))
 
     // FormatCalculator.php:146 getFormatFrom007 (common branches).
     val fmt007 = when(c1 === "a", when(c2 === "d", "Atlas").otherwise("Map"))
@@ -52,7 +56,26 @@ object MarcFormat {
       )
       .when(c1 === "d", lit("Globe"))
       .when(c1 === "f", lit("Braille"))
+      .when(
+        c1 === "g",
+        when(c2.isin("c", "d", "f", "o"), "Filmstrip")
+          .when(c2 === "t", "Transparency")
+          .otherwise("Slide")
+      )
       .when(c1 === "h", lit("Microfilm"))
+      .when(
+        c1 === "k",
+        when(c2 === "c", "Collage")
+          .when(c2.isin("d", "l"), "Drawing")
+          .when(c2 === "e", "Painting")
+          .when(c2.isin("f", "j", "s"), "Print")
+          .when(c2 === "g", "Photonegative")
+          .when(c2 === "k", "Poster")
+          .when(c2 === "n", "Chart")
+          .when(c2 === "o", "FlashCard")
+          .when(c2 === "p", "Postcard")
+          .otherwise("Photo")
+      )
       .when(
         c1 === "m",
         when(c2 === "f", "VideoCassette")
@@ -61,20 +84,17 @@ object MarcFormat {
       )
       .when(c1 === "o", lit("Kit"))
       .when(c1 === "q", lit("MusicalScore"))
+      .when(c1 === "r", lit("SensorImage"))
       .when(
         c1 === "s",
         when(c2 === "d", "SoundDisc")
           .when(c2 === "s", "SoundCassette")
           .otherwise("SoundRecording")
       )
-      .when(
-        c1 === "v",
-        when(c2 === "c", "VideoCartridge")
-          .when(c2 === "d", when(c5 === "s", "BRDisc").otherwise("VideoDisc"))
-          .when(c2 === "f", "VideoCassette")
-          .when(c2 === "r", "VideoReel")
-          .otherwise("VideoOnline")
-      )
+      // All 007/v content surfaces as Video first (getFormatsAsList
+      // appends 'Video' before the detailed type, so the PRIMARY format
+      // for any video record is 'Video').
+      .when(c1 === "v", lit("Video"))
       .otherwise(lit(""))
 
     // :105 definitelyNotBookBasedOn007 + :117 ...BasedOnRecordType.
@@ -97,7 +117,8 @@ object MarcFormat {
           .when(v008(33) === "t", "Transparency")
           .when(v008(33) === "m", "MotionPicture")
           .when(v008(33) === "v", "Video")
-          .when(v008(34).isin("a", "c", "l", "u"), "")
+          // 008/34 technique set -> video rather than slide
+          .when(v008(34).isin("a", "c", "l", "u", "z"), "Video")
           .otherwise(when(c1.isin("g", "m", "v"), "").otherwise("ProjectedMedium"))
       )
       .when(rt === "i", lit("SoundRecording"))

@@ -85,8 +85,11 @@ object Dedup {
     // agree exactly (DedupHandler.php:888-900).
     val pagesOk = col("pages_1").isNull || col("pages_2").isNull ||
       abs(col("pages_1") - col("pages_2")) <= 10
-    val seriesOk = col("series_issn_1") === col("series_issn_2") &&
-      col("series_numbering_1") === col("series_numbering_2")
+    // null series means "none" — same as the reference's '' (null-hostile
+    // equality would veto every pair with a null series value).
+    val seriesOk =
+      coalesce(col("series_issn_1"), lit("")) === coalesce(col("series_issn_2"), lit("")) &&
+        coalesce(col("series_numbering_1"), lit("")) === coalesce(col("series_numbering_2"), lit(""))
     isbnMatch || (yearOk && pagesOk && seriesOk && titleOk && authorOk)
   }
 
@@ -228,8 +231,9 @@ object Dedup {
     */
   def dedupIncremental(batch: DataFrame, clustered: DataFrame): DataFrame = {
     val batchKeyed = withKeys(batch)
-    val corpusKeyed = withKeys(clustered.drop("dedup_id"))
-      .join(clustered.select("id", "dedup_id"), Seq("id"))
+    // withKeys only appends columns, so dedup_id passes straight through —
+    // no drop/re-join (which would traverse the clustered plan twice).
+    val corpusKeyed = withKeys(clustered)
     val left = batchKeyed.columns.foldLeft(batchKeyed)((d, c) => d.withColumnRenamed(c, c + "_1"))
     val right = corpusKeyed.columns.foldLeft(corpusKeyed)((d, c) => d.withColumnRenamed(c, c + "_2"))
     val cand = left.join(

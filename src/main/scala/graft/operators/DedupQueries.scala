@@ -179,9 +179,6 @@ object DedupQueries {
        |)""".stripMargin
   }
 
-  /** The pairwise matchRecords predicate SQL (r1/r2 aliases), shared. */
-  def matchPredicateSql: String = matchSql
-
   val all: Seq[Q] = Seq(
     Q(
       "dedup_records",
@@ -203,6 +200,7 @@ object DedupQueries {
           .dedupRecords(recs)
           .filter(col("dedup_id").isNotNull)
           .join(recs, Seq("id"))
+          .persist() // feeds the candidate join; avoid re-running dedup
         Dedup.dedupIncremental(batchRecords(s, d), clustered)
       },
       Some(

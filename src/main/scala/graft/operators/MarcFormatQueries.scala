@@ -21,7 +21,7 @@ object MarcFormatQueries {
     ("aa", "", "", "Article"), // with serial host (flag below)
     ("aa", "", "", "BookComponentPart"),
     ("ab", "", "", "SerialComponentPart"),
-    ("am", "vd  s", "", "BRDisc"), // 007 video disc, Blu-ray
+    ("am", "vd  s", "", "Video"), // 007 video: primary format is Video
     ("am", "sd", "", "SoundDisc"),
     ("em", "", " " * 25 + "e", "Atlas"), // cartographic, 008/25 atlas
     ("jm", "", "", "MusicRecording"),

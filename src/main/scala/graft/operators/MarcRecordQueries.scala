@@ -91,34 +91,15 @@ object MarcRecordQueries {
            |  (CASE WHEN nonfiling > 0 THEN substr(ta, nonfiling + 1) ELSE ta END) || s || tb AS filing_raw
            |  FROM sep),
            |fil AS (SELECT *, lower(${stripPunctSql("filing_raw")}) AS filing_p FROM full_t),
-           |st1 AS (SELECT *, rtrim(full_title, ' /:;,=([') AS w1, rtrim(filing_p, ' /:;,=([') AS v1 FROM fil),
-           |st2 AS (SELECT *,
-           |  CASE WHEN ends_with(w1, '.') AND (CASE WHEN length(w1) >= 3 THEN substr(w1, length(w1)-2, 1) ELSE substr(w1,1,1) END) != ' '
-           |        AND NOT regexp_matches(regexp_extract(w1, '([^ ]*)\\.$$', 1), '^[0-9]+$$')
-           |       THEN substr(w1, 1, length(w1)-1) ELSE w1 END AS w2,
-           |  CASE WHEN ends_with(v1, '.') AND (CASE WHEN length(v1) >= 3 THEN substr(v1, length(v1)-2, 1) ELSE substr(v1,1,1) END) != ' '
-           |        AND NOT regexp_matches(regexp_extract(v1, '([^ ]*)\\.$$', 1), '^[0-9]+$$')
-           |       THEN substr(v1, 1, length(v1)-1) ELSE v1 END AS v2
-           |  FROM st1),
-           |st3 AS (SELECT *,
-           |  CASE WHEN ends_with(w2, '. -') THEN substr(w2, 1, length(w2)-3) ELSE w2 END AS w3,
-           |  CASE WHEN ends_with(v2, '. -') THEN substr(v2, 1, length(v2)-3) ELSE v2 END AS v3
-           |  FROM st2),
-           |st4 AS (SELECT *,
-           |  CASE WHEN ends_with(w3, ')') AND strpos(w3, '(') = 0 THEN substr(w3, 1, length(w3)-1)
-           |       WHEN ends_with(w3, ']') AND strpos(w3, '[') = 0 THEN substr(w3, 1, length(w3)-1)
-           |       ELSE w3 END AS title,
-           |  CASE WHEN ends_with(v3, ')') AND strpos(v3, '(') = 0 THEN substr(v3, 1, length(v3)-1)
-           |       WHEN ends_with(v3, ']') AND strpos(v3, '[') = 0 THEN substr(v3, 1, length(v3)-1)
-           |       ELSE v3 END AS title_filing
-           |  FROM st3)
+           |${stripTrailStagesSql("fil", "full_title", "title", "wt")},
+           |${stripTrailStagesSql("wt4", "filing_p", "title_filing", "vt")}
            |SELECT p_partkey AS record_id, title, title_filing,
            |  (CASE WHEN regexp_extract(c260, '(-?\\d{4})', 1) != '' THEN regexp_extract(c260, '(-?\\d{4})', 1)
            |        WHEN regexp_extract(c264, '(-?\\d{4})', 1) != '' THEN regexp_extract(c264, '(-?\\d{4})', 1)
            |        WHEN substr(f008, 8, 4) IN ('0000', '9999') THEN ''
            |        ELSE regexp_extract(substr(f008, 8, 4), '(-?\\d{4})', 1) END) AS pub_year,
            |  regexp_extract(extent, '(\\d+)', 1) AS page_count
-           |FROM st4""".stripMargin
+           |FROM vt4""".stripMargin
       }
     )
   )

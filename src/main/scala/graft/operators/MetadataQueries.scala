@@ -73,6 +73,25 @@ object MetadataQueries {
     s"(select case when r = '' then $x else r end from " +
       s"(select trim(regexp_replace($x, '$PunctRe', ' ', 'g')) as r) _p)"
 
+  /** CTE stages implementing stripTrailingPunctuation over column `in` of
+    * CTE `prev`, ending in a CTE named `${p}4` that carries all prior
+    * columns plus `out`. Shared by every oracle needing the four-stage
+    * chain so the semantics live in one place.
+    */
+  def stripTrailStagesSql(prev: String, in: String, out: String, p: String): String =
+    s"""${p}1 AS (SELECT *, rtrim($in, ' /:;,=([') AS ${p}_s1 FROM $prev),
+       |${p}2 AS (SELECT *,
+       |  CASE WHEN ends_with(${p}_s1, '.')
+       |        AND (CASE WHEN length(${p}_s1) >= 3 THEN substr(${p}_s1, length(${p}_s1)-2, 1) ELSE substr(${p}_s1,1,1) END) != ' '
+       |        AND NOT regexp_matches(regexp_extract(${p}_s1, '([^ ]*)\\.$$', 1), '^[0-9]+$$')
+       |       THEN substr(${p}_s1, 1, length(${p}_s1)-1) ELSE ${p}_s1 END AS ${p}_s2 FROM ${p}1),
+       |${p}3 AS (SELECT *,
+       |  CASE WHEN ends_with(${p}_s2, '. -') THEN substr(${p}_s2, 1, length(${p}_s2)-3) ELSE ${p}_s2 END AS ${p}_s3 FROM ${p}2),
+       |${p}4 AS (SELECT *,
+       |  CASE WHEN ends_with(${p}_s3, ')') AND strpos(${p}_s3, '(') = 0 THEN substr(${p}_s3, 1, length(${p}_s3)-1)
+       |       WHEN ends_with(${p}_s3, ']') AND strpos(${p}_s3, '[') = 0 THEN substr(${p}_s3, 1, length(${p}_s3)-1)
+       |       ELSE ${p}_s3 END AS $out FROM ${p}3)""".stripMargin
+
   def authorMatchSql(a1: String, a2: String): String = {
     val w1 = s"string_split($a1, ' ')"
     val w2 = s"string_split($a2, ' ')"
@@ -189,23 +208,12 @@ object MetadataQueries {
           )
       },
       Some(
-        """WITH t AS (
-          |  SELECT p_partkey,
-          |    p_name || (['/', ' ;', '.', '. -', ')', ' ='])[cast(p_partkey % 6 + 1 as int)] AS raw
-          |  FROM part),
-          |s1t AS (SELECT p_partkey, raw, rtrim(raw, ' /:;,=([') AS s1 FROM t),
-          |s2t AS (SELECT p_partkey, raw,
-          |  CASE WHEN ends_with(s1, '.')
-          |        AND (CASE WHEN length(s1) >= 3 THEN substr(s1, length(s1)-2, 1) ELSE substr(s1,1,1) END) != ' '
-          |        AND NOT regexp_matches(regexp_extract(s1, '([^ ]*)\.$', 1), '^[0-9]+$')
-          |       THEN substr(s1, 1, length(s1)-1) ELSE s1 END AS s2 FROM s1t),
-          |s3t AS (SELECT p_partkey, raw,
-          |  CASE WHEN ends_with(s2, '. -') THEN substr(s2, 1, length(s2)-3) ELSE s2 END AS s3 FROM s2t)
-          |SELECT p_partkey, raw,
-          |  CASE WHEN ends_with(s3, ')') AND strpos(s3, '(') = 0 THEN substr(s3, 1, length(s3)-1)
-          |       WHEN ends_with(s3, ']') AND strpos(s3, '[') = 0 THEN substr(s3, 1, length(s3)-1)
-          |       ELSE s3 END AS stripped
-          |FROM s3t""".stripMargin
+        s"""WITH t AS (
+           |  SELECT p_partkey,
+           |    p_name || (['/', ' ;', '.', '. -', ')', ' ='])[cast(p_partkey % 6 + 1 as int)] AS raw
+           |  FROM part),
+           |${stripTrailStagesSql("t", "raw", "stripped", "sp")}
+           |SELECT p_partkey, raw, stripped FROM sp4""".stripMargin
       )
     ),
     Q(

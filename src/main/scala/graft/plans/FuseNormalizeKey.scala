@@ -23,10 +23,18 @@ object FuseNormalizeKey extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case Lower(
             StringTrim(
-              RegExpReplace(child, Literal(re: UTF8String, StringType), Literal(rep: UTF8String, StringType), _),
+              RegExpReplace(
+                child,
+                Literal(re: UTF8String, StringType),
+                Literal(rep: UTF8String, StringType),
+                pos
+              ),
               None
             )
-          ) if re == KeyStripRe && rep == Empty =>
+          )
+          if re == KeyStripRe && rep == Empty &&
+            // only the whole-string form (replace from position 1)
+            pos == Literal(1) =>
         NormalizeKeyExpr(child)
     }
 }
