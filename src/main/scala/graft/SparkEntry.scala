@@ -22,7 +22,8 @@ object SparkEntry {
       operators.ExportQueries.all ++
       operators.LlmQueries3.all ++
       operators.MarcFormatQueries.all ++
-      operators.MarcRecordQueries.all
+      operators.MarcRecordQueries.all ++
+      operators.LlmQueries4.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
