@@ -32,9 +32,11 @@ object Dedup {
     */
   def withKeys(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumn
-    import graft.plans.NormalizeKeyExpr
+    import graft.plans.{NormalizeKeyExpr, TitleKeyExpr}
     def fusedNorm(c: org.apache.spark.sql.Column) =
       GraftColumn.of(NormalizeKeyExpr(GraftColumn.exprOf(c)))
+    def fusedTitleKey(c: org.apache.spark.sql.Column) =
+      GraftColumn.of(TitleKeyExpr(GraftColumn.exprOf(c)))
     // Optional matchRecords inputs default to "unknown" when the record
     // model doesn't carry them (pages null, series fields empty).
     val withOptional = Seq(
@@ -45,7 +47,7 @@ object Dedup {
       if (df.columns.contains(c)) df else df.withColumn(c, default)
     }
     withOptional
-      .withColumn("title_key", createTitleKey(col("title")))
+      .withColumn("title_key", fusedTitleKey(col("title")))
       .withColumn("norm_title", fusedNorm(col("title")))
       .withColumn("norm_author", fusedNorm(col("author")))
       .withColumn("isbn_key", normalizeIsbn(col("isbn")))

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-native dedup title key: one imperative pass implementing the
+  * reference's word-budget semantics (MetadataUtils.php:369
+  * createTitleKey — accumulate words until more than 3 long words or more
+  * than 35 chars, including the crossing word, cap 200, then normalize).
+  * Same result as `MetadataFunctions.createTitleKey` (the aggregate-fold
+  * form, asserted by spec); this avoids per-word struct allocation in the
+  * fold and stays inside whole-stage codegen.
+  */
+case class TitleKeyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_title_key"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType}"
+      )
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      TitleKeyExpr.titleKey(input.asInstanceOf[UTF8String].toString)
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c =>
+        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.plans.TitleKeyExpr.titleKey($c.toString()))"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): TitleKeyExpr =
+    copy(child = newChild)
+}
+
+object TitleKeyExpr {
+
+  def titleKey(title: String): String = {
+    val sb = new java.lang.StringBuilder(math.min(title.length, 64))
+    var keyLen = 0
+    var longWords = 0
+    var i = 0
+    var stopped = false
+    while (i < title.length && !stopped) {
+      val next = title.indexOf(' ', i)
+      val end = if (next < 0) title.length else next
+      val wordLen = end - i
+      sb.append(title, i, end)
+      keyLen += wordLen
+      if (wordLen > 3) longWords += 1
+      if (longWords > 3 || keyLen > 35) stopped = true
+      i = end + 1
+    }
+    val capped = if (sb.length > 200) sb.substring(0, 200) else sb.toString
+    NormalizeKeyExpr.normalize(capped)
+  }
+}

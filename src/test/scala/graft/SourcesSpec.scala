@@ -69,6 +69,23 @@ class SourcesSpec extends SparkSuite {
     assert(sample.forall(s => s == s.toLowerCase && !s.contains(" ")), sample)
   }
 
+  test("native TitleKeyExpr equals the aggregate-fold createTitleKey") {
+    import spark.implicits._
+    // word-ish strings exercise the budget boundaries
+    val wordGen = Gen.listOfN(12, Gen.alphaStr.map(_.take(6))).map(_.mkString(" "))
+    val inputs = (1L to 60L)
+      .flatMap(i => wordGen.apply(Gen.Parameters.default, Seed(i))) ++
+      Seq("", "single", "the quick brown fox jumps over a lazy dog and keeps running")
+    val df = inputs.toDF("x")
+    val both = df.select(
+      MetadataFunctions.createTitleKey(col("x")).as("fold"),
+      org.apache.spark.sql.GraftColumn
+        .of(graft.plans.TitleKeyExpr(org.apache.spark.sql.GraftColumn.exprOf(col("x"))))
+        .as("native")
+    )
+    both.collect().foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // needs a real scan: LocalTableScan of literals never codegens
     val plan = Tables
