@@ -116,6 +116,24 @@ object MetadataFunctions {
     */
   def extractYear(c: Column): Column = regexp_extract(c, "(-?\\d{4})", 1)
 
+  /** Normalize an ISSN to `NNNN-NNNC` with checksum validation ("" when
+    * invalid). The reference collects ISSNs for the matchRecords identifier
+    * checks (Record/Marc.php getISSNs); the mod-11 weighted checksum is the
+    * ISSN standard's.
+    */
+  def normalizeIssn(c: Column): Column = {
+    val cleaned = upper(regexp_replace(c, "[- ]", ""))
+    val sum = (1 to 7)
+      .map(p => substring(cleaned, p, 1).cast("int") * lit(9 - p))
+      .reduce(_ + _)
+    val rem = (lit(11) - (sum % 11)) % 11
+    val check = when(rem === 10, lit("X")).otherwise(rem.cast("string"))
+    when(
+      cleaned.rlike("^[0-9]{7}[0-9X]$") && substring(cleaned, 8, 1) === check,
+      concat(substring(cleaned, 1, 4), lit("-"), substring(cleaned, 5, 4))
+    ).otherwise(lit(""))
+  }
+
   /** Default leading-article list (reference ships these in
     * conf/articles.lst; the list is configuration, so this library takes a
     * parameter with the same defaults).

@@ -104,6 +104,46 @@ object MetadataQueries2 {
 
   val all: Seq[Q] = Seq(
     Q(
+      "issn_normalize",
+      (s, d) => {
+        val k = col("p_partkey")
+        val base7 = lpad((k * 31 % 10000000).cast("string"), 7, "0")
+        val sum = (1 to 7)
+          .map(p => substring(base7, p, 1).cast("int") * lit(9 - p))
+          .reduce(_ + _)
+        val rem = (lit(11) - (sum % 11)) % 11
+        val check = when(rem === 10, lit("X")).otherwise(rem.cast("string"))
+        val input = when(k % 3 === 0, concat(substring(base7, 1, 4), lit("-"), substring(base7, 5, 3), check))
+          .when(k % 3 === 1, concat(base7, lit("5"))) // usually bad checksum
+          .otherwise(concat(lit("no issn "), k.cast("string")))
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            input.as("issn_input"),
+            graft.functions.MetadataFunctions.normalizeIssn(input).as("issn")
+          )
+      },
+      Some {
+        def sumSql(b: String) =
+          (1 to 7).map(p => s"${9 - p}*cast(substr($b,$p,1) as int)").mkString(" + ")
+        def remSql(b: String) = s"((11 - ((${sumSql(b)}) % 11)) % 11)"
+        def checkSql(b: String) =
+          s"(CASE WHEN ${remSql(b)} = 10 THEN 'X' ELSE cast(${remSql(b)} as varchar) END)"
+        s"""WITH t AS (SELECT p_partkey, lpad(cast(p_partkey*31 % 10000000 as varchar), 7, '0') AS b7 FROM part),
+           |u AS (SELECT p_partkey,
+           |  (CASE WHEN p_partkey % 3 = 0 THEN substr(b7,1,4) || '-' || substr(b7,5,3) || ${checkSql("b7")}
+           |        WHEN p_partkey % 3 = 1 THEN b7 || '5'
+           |        ELSE 'no issn ' || cast(p_partkey as varchar) END) AS issn_input
+           |  FROM t),
+           |v AS (SELECT p_partkey, issn_input, upper(regexp_replace(issn_input, '[- ]', '', 'g')) AS c FROM u)
+           |SELECT p_partkey, issn_input,
+           |  (CASE WHEN regexp_matches(c, '^[0-9]{7}[0-9X]$$') AND substr(c, 8, 1) = ${checkSql("c")}
+           |        THEN substr(c,1,4) || '-' || substr(c,5,4) ELSE '' END) AS issn
+           |FROM v""".stripMargin
+      }
+    ),
+    Q(
       "author_initials",
       (s, d) => {
         val ws = split(col("p_name"), " ")
