@@ -116,20 +116,28 @@ object MetadataFunctions {
     */
   def extractYear(c: Column): Column = regexp_extract(c, "(-?\\d{4})", 1)
 
+  /** ISSN mod-11 check character over the first 7 digits. Public so test
+    * corpora synthesize valid ISSNs from the same formula.
+    */
+  def issnCheckChar(d: Column): Column = {
+    val sum = (1 to 7)
+      .map(p => substring(d, p, 1).cast("int") * lit(9 - p))
+      .reduce(_ + _)
+    val rem = (lit(11) - (sum % 11)) % 11
+    when(rem === 10, lit("X")).otherwise(rem.cast("string"))
+  }
+
   /** Normalize an ISSN to `NNNN-NNNC` with checksum validation ("" when
-    * invalid). The reference collects ISSNs for the matchRecords identifier
-    * checks (Record/Marc.php getISSNs); the mod-11 weighted checksum is the
-    * ISSN standard's.
+    * invalid). ISSNs surface in the reference's record extraction
+    * (Record/Marc.php getISSNs); note matchRecords compares series ISSNs
+    * by raw equality, so this normalizer is an extraction-time operator,
+    * not part of the match predicate.
     */
   def normalizeIssn(c: Column): Column = {
     val cleaned = upper(regexp_replace(c, "[- ]", ""))
-    val sum = (1 to 7)
-      .map(p => substring(cleaned, p, 1).cast("int") * lit(9 - p))
-      .reduce(_ + _)
-    val rem = (lit(11) - (sum % 11)) % 11
-    val check = when(rem === 10, lit("X")).otherwise(rem.cast("string"))
     when(
-      cleaned.rlike("^[0-9]{7}[0-9X]$") && substring(cleaned, 8, 1) === check,
+      cleaned.rlike("^[0-9]{7}[0-9X]$") &&
+        substring(cleaned, 8, 1) === issnCheckChar(cleaned),
       concat(substring(cleaned, 1, 4), lit("-"), substring(cleaned, 5, 4))
     ).otherwise(lit(""))
   }

@@ -15,7 +15,9 @@ object LlmQueries4 {
       // High values indicate boilerplate/spam; a standard quality filter.
       "docs_repetition",
       (s, d) => {
-        val sh = shingles(col("text"), 3)
+        // coalesce: Spark's array_distinct keeps a null element where
+        // DuckDB's list_distinct drops it — null text must not diverge.
+        val sh = shingles(coalesce(col("text"), lit("")), 3)
         Tables
           .documents(s, d)
           .select(
@@ -28,7 +30,7 @@ object LlmQueries4 {
           )
       },
       Some {
-        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        val norm = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
         val sh =
           s"(CASE WHEN len(string_split($norm, ' ')) >= 3 " +
             s"THEN list_transform(range(1, len(string_split($norm, ' ')) - 1), i -> array_to_string((string_split($norm, ' '))[i:i+2], ' ')) " +

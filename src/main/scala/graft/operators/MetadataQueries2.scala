@@ -108,11 +108,7 @@ object MetadataQueries2 {
       (s, d) => {
         val k = col("p_partkey")
         val base7 = lpad((k * 31 % 10000000).cast("string"), 7, "0")
-        val sum = (1 to 7)
-          .map(p => substring(base7, p, 1).cast("int") * lit(9 - p))
-          .reduce(_ + _)
-        val rem = (lit(11) - (sum % 11)) % 11
-        val check = when(rem === 10, lit("X")).otherwise(rem.cast("string"))
+        val check = graft.functions.MetadataFunctions.issnCheckChar(base7)
         val input = when(k % 3 === 0, concat(substring(base7, 1, 4), lit("-"), substring(base7, 5, 3), check))
           .when(k % 3 === 1, concat(base7, lit("5"))) // usually bad checksum
           .otherwise(concat(lit("no issn "), k.cast("string")))
@@ -138,8 +134,10 @@ object MetadataQueries2 {
            |  FROM t),
            |v AS (SELECT p_partkey, issn_input, upper(regexp_replace(issn_input, '[- ]', '', 'g')) AS c FROM u)
            |SELECT p_partkey, issn_input,
-           |  (CASE WHEN regexp_matches(c, '^[0-9]{7}[0-9X]$$') AND substr(c, 8, 1) = ${checkSql("c")}
-           |        THEN substr(c,1,4) || '-' || substr(c,5,4) ELSE '' END) AS issn
+           |  (CASE WHEN regexp_matches(c, '^[0-9]{7}[0-9X]$$')
+           |        THEN (CASE WHEN substr(c, 8, 1) = ${checkSql("c")}
+           |                   THEN substr(c,1,4) || '-' || substr(c,5,4) ELSE '' END)
+           |        ELSE '' END) AS issn
            |FROM v""".stripMargin
       }
     ),

@@ -55,14 +55,19 @@ object TitleKeyExpr {
     while (i < title.length && !stopped) {
       val next = title.indexOf(' ', i)
       val end = if (next < 0) title.length else next
-      val wordLen = end - i
+      // count code points, not UTF-16 units, to match length()/substring
+      // semantics in the fold form (and mb_strlen in the reference)
+      val wordLen = title.codePointCount(i, end)
       sb.append(title, i, end)
       keyLen += wordLen
       if (wordLen > 3) longWords += 1
       if (longWords > 3 || keyLen > 35) stopped = true
       i = end + 1
     }
-    val capped = if (sb.length > 200) sb.substring(0, 200) else sb.toString
+    val capped =
+      if (sb.codePointCount(0, sb.length) > 200)
+        sb.substring(0, sb.offsetByCodePoints(0, 200))
+      else sb.toString
     NormalizeKeyExpr.normalize(capped)
   }
 }
