@@ -62,6 +62,14 @@ class MetadataFunctionsSpec extends SparkSuite {
     assert(eval1(normalizeIsbn(col("x")), "no isbn here") == "")
   }
 
+  test("normalizeIssn validates real-world checksums incl. X") {
+    assert(eval1(normalizeIssn(col("x")), "0378-5955") == "0378-5955") // Hearing Research
+    assert(eval1(normalizeIssn(col("x")), "03785955") == "0378-5955")
+    assert(eval1(normalizeIssn(col("x")), "2434-561X") == "2434-561X") // X check char
+    assert(eval1(normalizeIssn(col("x")), "0378-5954") == "") // bad checksum
+    assert(eval1(normalizeIssn(col("x")), "not an issn") == "")
+  }
+
   test("extractYear finds the first 4-digit run") {
     assert(eval1(extractYear(col("x")), "published c1987.") == "1987")
     assert(eval1(extractYear(col("x")), "no year") == "")
