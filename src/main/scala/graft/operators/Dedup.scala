@@ -38,29 +38,49 @@ object Dedup {
     def fusedTitleKey(c: org.apache.spark.sql.Column) =
       GraftColumn.of(TitleKeyExpr(GraftColumn.exprOf(c)))
     // Optional matchRecords inputs default to "unknown" when the record
-    // model doesn't carry them (pages null, series fields empty).
+    // model doesn't carry them (pages null, series fields empty, format
+    // empty, no record-level ISSNs).
     val withOptional = Seq(
       "pages" -> lit(null).cast("int"),
       "series_issn" -> lit(""),
-      "series_numbering" -> lit("")
+      "series_numbering" -> lit(""),
+      "format" -> lit(""),
+      "issns" -> lit(null).cast("array<string>")
     ).foldLeft(records) { case (df, (c, default)) =>
       if (df.columns.contains(c)) df else df.withColumn(c, default)
     }
+    // Null titles/authors/isbns normalize to "" (not null): matchPredicate
+    // compares with === and SQL three-valued logic would silently drop any
+    // pair where both sides are null instead of treating them as equal.
     withOptional
-      .withColumn("title_key", fusedTitleKey(col("title")))
-      .withColumn("norm_title", fusedNorm(col("title")))
-      .withColumn("norm_author", fusedNorm(col("author")))
-      .withColumn("isbn_key", normalizeIsbn(col("isbn")))
+      .withColumn("title_key", coalesce(fusedTitleKey(col("title")), lit("")))
+      .withColumn("norm_title", coalesce(fusedNorm(col("title")), lit("")))
+      .withColumn("norm_author", coalesce(fusedNorm(col("author")), lit("")))
+      .withColumn("isbn_key", coalesce(normalizeIsbn(col("isbn")), lit("")))
   }
 
   /** The reference's matchRecords predicate over a joined candidate pair
-    * (columns suffixed _1 / _2): shared ISBN is an immediate match;
-    * otherwise publication years must not conflict, titles must be within
-    * 10% Levenshtein distance of the first record's title, and authors must
-    * agree (authorMatch or within 20% distance). Reference:
-    * DedupHandler.php:742.
+    * (columns suffixed _1 / _2), in the reference's veto order
+    * (DedupHandler.php:742): formats must agree FIRST (a format mismatch
+    * vetoes even a shared ISBN, DedupHandler.php:786-808); then a shared
+    * ISBN is an immediate match; otherwise record-level ISSN sets must not
+    * be disjoint when both known (DedupHandler.php:857-884), publication
+    * years must not conflict, titles must be within 10% Levenshtein
+    * distance, and authors must agree (authorMatch or within 20% distance).
+    *
+    * `format` and `issns` default to unknown via [[withKeys]] when the
+    * record model doesn't carry them; unknown-vs-unknown passes, but — as
+    * in the reference, where an empty format array != a non-empty one — a
+    * known format never matches an unknown one.
     */
   def matchPredicate: Column = {
+    val f1 = coalesce(col("format_1"), lit(""))
+    val f2 = coalesce(col("format_2"), lit(""))
+    val formatOk = f1 === f2
+    val i1 = coalesce(col("issns_1"), array())
+    val i2 = coalesce(col("issns_2"), array())
+    val issnOk = size(i1) === 0 || size(i2) === 0 ||
+      size(array_intersect(i1, i2)) > 0
     val isbnMatch = col("isbn_key_1") =!= "" && col("isbn_key_1") === col("isbn_key_2")
     val yearOk = col("year_1") === col("year_2") ||
       col("year_1").isNull || col("year_2").isNull
@@ -92,7 +112,8 @@ object Dedup {
     val seriesOk =
       coalesce(col("series_issn_1"), lit("")) === coalesce(col("series_issn_2"), lit("")) &&
         coalesce(col("series_numbering_1"), lit("")) === coalesce(col("series_numbering_2"), lit(""))
-    isbnMatch || (yearOk && pagesOk && seriesOk && titleOk && authorOk)
+    formatOk &&
+      (isbnMatch || (issnOk && yearOk && pagesOk && seriesOk && titleOk && authorOk))
   }
 
   /** Reference bail-out threshold: DedupHandler.php stops processing a key
@@ -235,16 +256,29 @@ object Dedup {
     val batchKeyed = withKeys(batch)
     // withKeys only appends columns, so dedup_id passes straight through —
     // no drop/re-join (which would traverse the clustered plan twice).
-    val corpusKeyed = withKeys(clustered)
+    // Corpus block sizes get the same MaxBlockSize skew cap as the batch
+    // path: one pathologically popular title_key (placeholder titles) would
+    // otherwise make the join fanout unbounded. The cap also keeps each key
+    // join a plain equi-join (an OR of the two keys in one join condition
+    // would force a nested-loop join — quadratic at corpus scale).
+    val corpusKeyed = withBlockSizes(withKeys(clustered)).persist()
     val left = batchKeyed.columns.foldLeft(batchKeyed)((d, c) => d.withColumnRenamed(c, c + "_1"))
-    val right = corpusKeyed.columns.foldLeft(corpusKeyed)((d, c) => d.withColumnRenamed(c, c + "_2"))
-    val cand = left.join(
-      right,
-      ((col("title_key_1") =!= "" && col("title_key_1") === col("title_key_2")) ||
-        (col("isbn_key_1") =!= "" && col("isbn_key_1") === col("isbn_key_2"))) &&
-        col("source_id_1") =!= col("source_id_2")
-    )
-    val matched = cand
+    def corpusSide(keyCol: String): DataFrame = {
+      val capped = corpusKeyed
+        .filter(col(keyCol) =!= "" && col(s"__n_$keyCol") <= MaxBlockSize)
+        .drop(corpusKeyed.columns.filter(_.startsWith("__n_")): _*)
+      capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
+    }
+    def candidates(keyCol: String): DataFrame =
+      left
+        .filter(col(s"${keyCol}_1") =!= "")
+        .join(
+          corpusSide(keyCol),
+          col(s"${keyCol}_1") === col(s"${keyCol}_2") &&
+            col("source_id_1") =!= col("source_id_2")
+        )
+    val matched = candidates("title_key")
+      .unionByName(candidates("isbn_key"))
       .filter(matchPredicate)
       .groupBy(col("id_1").as("id"))
       .agg(min(col("dedup_id_2")).as("dedup_id"))

@@ -108,8 +108,8 @@ object PipelineQueries {
       },
       Some(
         """SELECT lang, source, count(*) AS n_docs,
-          |  sum(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS total_words,
-          |  sum(length(text)) AS total_chars,
+          |  cast(sum(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) as bigint) AS total_words,
+          |  cast(sum(length(text)) as bigint) AS total_chars,
           |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
           |FROM documents GROUP BY lang, source""".stripMargin
       )

@@ -138,7 +138,7 @@ object RecordQueries {
               .when(col("o_orderstatus") === "O", lit("open"))
               .otherwise(lit("pending")).as("status_label"),
             date_format(col("o_orderdate"), "yyyy").as("order_year"),
-            col("o_totalprice").cast("decimal(18,2)").as("total_price")
+            col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price")
           ),
       Some(
         """SELECT 'order-' || cast(o_orderkey as varchar) AS record_id,
@@ -147,7 +147,7 @@ object RecordQueries {
           |        WHEN o_orderstatus = 'O' THEN 'open'
           |        ELSE 'pending' END) AS status_label,
           |  strftime(o_orderdate, '%Y') AS order_year,
-          |  cast(o_totalprice as decimal(18,2)) AS total_price
+          |  cast(cast(o_totalprice as decimal(18,2)) as double) AS total_price
           |FROM orders""".stripMargin
       )
     )

@@ -28,17 +28,13 @@ case class NormalizeKeyExpr(child: Expression) extends UnaryExpression {
       )
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      NormalizeKeyExpr.normalize(input.asInstanceOf[UTF8String].toString)
-    )
+    NormalizeKeyExpr.normalize(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(
       ctx,
       ev,
-      c =>
-        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
-          s"graft.plans.NormalizeKeyExpr.normalize($c.toString()))"
+      c => s"graft.plans.NormalizeKeyExpr.normalize($c)"
     )
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeKeyExpr =
@@ -48,13 +44,18 @@ case class NormalizeKeyExpr(child: Expression) extends UnaryExpression {
 object NormalizeKeyExpr {
 
   /** Single-pass strip of `[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]` followed
-    * by locale-independent lowercasing (matches Spark's `lower`).
+    * by `UTF8String.toLowerCase` — the SAME lowercase call Spark's `Lower`
+    * makes, so a plan rewritten by [[FuseNormalizeKey]] can never produce a
+    * different result from the unfused `lower(...)` it replaced (a
+    * `String.toLowerCase(Locale.ROOT)` here would diverge under e.g. a
+    * Turkish default JVM locale).
     */
-  def normalize(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
+    while (i < str.length) {
+      val c = str.charAt(i)
       val strip = c <= 0x2f ||
         (c >= 0x3a && c <= 0x40) ||
         (c >= 0x5b && c <= 0x60) ||
@@ -62,6 +63,10 @@ object NormalizeKeyExpr {
       if (!strip) sb.append(c)
       i += 1
     }
-    sb.toString.toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(sb.toString).toLowerCase
   }
+
+  /** String convenience form (tests, [[TitleKeyExpr]]). */
+  def normalize(s: String): String =
+    normalize(UTF8String.fromString(s)).toString
 }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 /** ISO 2709 (binary MARC exchange format) record codec.
   *
   * Spark-native re-expression of the wire-format handling in the
@@ -8,10 +10,17 @@ package graft.sources
   * 12-byte entries (tag 3, length 4, start 5) + field data, with 0x1E
   * field / 0x1F subfield / 0x1D record terminators.
   *
-  * Pure per-record string transformation — used inside `mapPartitions`
-  * over a Dataset of raw records, so parsing distributes with the data
-  * and feeds the columnar array<struct<tag,code,val>> record model that
-  * every downstream operator (extraction, dedup keys, mapping) consumes.
+  * Directory lengths and offsets are BYTE counts (the wire format — and the
+  * reference, which uses strlen/substr on raw bytes — define them that
+  * way), so records containing multibyte UTF-8 parse correctly whether they
+  * were built here or arrived from an external MARC exchange file. The
+  * record travels as a String whose UTF-8 encoding is the wire image; both
+  * directions encode/decode with UTF-8 explicitly.
+  *
+  * Pure per-record transformation — used inside `mapPartitions` over a
+  * Dataset of raw records, so parsing distributes with the data and feeds
+  * the columnar array<struct<tag,code,val>> record model that every
+  * downstream operator (extraction, dedup keys, mapping) consumes.
   */
 object Iso2709 {
 
@@ -20,6 +29,7 @@ object Iso2709 {
   val FieldTerm = '\u001e'
   val SubfieldDelim = '\u001f'
   val RecordTerm = '\u001d'
+  private val FieldTermByte = 0x1e.toByte
 
   /** Serialize (tag, code, value) triples into one ISO 2709 record.
     * Control fields (tag < "010") take the value directly; data fields get
@@ -31,21 +41,23 @@ object Iso2709 {
       val body =
         if (sf.tag < "010") sf.value
         else "  " + s"$SubfieldDelim${sf.code}${sf.value}"
-      (sf.tag, body + FieldTerm)
+      (sf.tag, body + FieldTerm, (body + FieldTerm).getBytes(UTF_8).length)
     }
     val dir = new StringBuilder
     var start = 0
-    data.foreach { case (tag, body) =>
+    data.foreach { case (tag, _, nBytes) =>
       // Directory fields are fixed-width: oversized values would widen the
       // entry and silently corrupt every subsequent offset on parse.
-      require(body.length <= 9999, s"ISO2709 field $tag exceeds 9999 chars")
-      require(start <= 99999, "ISO2709 record exceeds 99999 data chars")
+      require(nBytes <= 9999, s"ISO2709 field $tag exceeds 9999 bytes")
+      require(start <= 99999, "ISO2709 record exceeds 99999 data bytes")
       dir.append(tag)
-      dir.append(f"${body.length}%04d")
+      dir.append(f"$nBytes%04d")
       dir.append(f"$start%05d")
-      start += body.length
+      start += nBytes
     }
     val dirStr = dir.toString + FieldTerm
+    // leader + directory are pure ASCII, so their byte and char lengths
+    // coincide; data lengths are the byte counts accumulated above.
     val base = 24 + dirStr.length
     val recLen = base + start + 1
     val leader = f"$recLen%05d" + "nam a22" + f"$base%05d" + "   4500"
@@ -56,12 +68,18 @@ object Iso2709 {
     * fields surface with code "". Malformed records yield an empty list
     * (callers route them to a quarantine side-output at scale).
     */
-  def parse(record: String): Seq[Subfield] = {
+  def parse(record: String): Seq[Subfield] = parseBytes(record.getBytes(UTF_8))
+
+  /** Byte-level parse — the form to feed external binary MARC (e.g. from
+    * `spark.read.format("binaryFile")`) without a lossy decode first.
+    */
+  def parseBytes(rec: Array[Byte]): Seq[Subfield] = {
     try {
-      val base = record.substring(12, 17).trim.toInt
-      val dirEnd = record.indexOf(FieldTerm.toInt, 24)
-      if (dirEnd < 0) return Seq.empty
-      val dir = record.substring(24, dirEnd)
+      val base = new String(rec, 12, 5, UTF_8).trim.toInt
+      var dirEnd = 24
+      while (dirEnd < rec.length && rec(dirEnd) != FieldTermByte) dirEnd += 1
+      if (dirEnd >= rec.length) return Seq.empty
+      val dir = new String(rec, 24, dirEnd - 24, UTF_8)
       dir
         .grouped(12)
         .filter(_.length == 12)
@@ -69,7 +87,8 @@ object Iso2709 {
           val tag = entry.substring(0, 3)
           val len = entry.substring(3, 7).toInt
           val start = entry.substring(7, 12).toInt
-          val raw = record.substring(base + start, base + start + len - 1)
+          // len includes the field terminator; strip it from the decode.
+          val raw = new String(rec, base + start, len - 1, UTF_8)
           if (tag < "010") Seq(Subfield(tag, "", raw))
           else
             raw
