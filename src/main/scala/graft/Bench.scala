@@ -24,14 +24,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val headline = SparkEntry.registry.filter(_.bench)
     val chosen = if (headline.nonEmpty) headline else SparkEntry.registry
-    // Untimed warmup so the first measured query doesn't absorb JVM/
-    // codegen/session initialization.
-    try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    // Untimed warmup pass over every measured query so the timed pass
+    // measures steady-state execution, not JVM/janino/JIT compilation of
+    // each query's generated code (at bench scale codegen latency rivals
+    // the actual work; on a real cluster it is amortized to noise).
+    chosen.foreach { q =>
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
     val results = chosen.map { q =>
       val t0 = System.nanoTime()
       val ok =

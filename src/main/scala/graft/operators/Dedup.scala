@@ -180,14 +180,38 @@ object Dedup {
       .withColumn("__n_isbn_key", sizeOver("isbn_key"))
   }
 
-  /** Matched edges from title-key and ISBN blocking, unioned + distinct.
-    * `keyed` should be persisted by the caller — it feeds four join sides.
+  /** Matched edges from title-key and ISBN blocking, via ONE self-join:
+    * each record explodes to its usable blocking keys (non-empty, block
+    * within MaxBlockSize) tagged with the key kind, and the join runs on
+    * (kind, key). Same candidate set as two per-key self-joins, one
+    * shuffle + one codegen pass instead of two of each.
+    * `keyed` should be persisted by the caller — it feeds both join sides.
     */
   def matchedEdges(keyed: DataFrame): DataFrame = {
-    val byTitle = candidatePairs(keyed.filter(col("title_key") =!= ""), "title_key")
-    val byIsbn = candidatePairs(keyed.filter(col("isbn_key") =!= ""), "isbn_key")
-    byTitle
-      .unionByName(byIsbn)
+    val sized =
+      if (keyed.columns.contains("__n_title_key")) keyed else withBlockSizes(keyed)
+    val blockKeys = filter(
+      array(
+        struct(lit("t").as("kind"), col("title_key").as("key"), col("__n_title_key").as("n")),
+        struct(lit("i").as("kind"), col("isbn_key").as("key"), col("__n_isbn_key").as("n"))
+      ),
+      s => s.getField("key") =!= "" && s.getField("n") <= MaxBlockSize
+    )
+    val exploded = sized
+      .withColumn("__bk", explode(blockKeys))
+      .withColumn("__block_kind", col("__bk.kind"))
+      .withColumn("__block_key", col("__bk.key"))
+      .drop("__bk", "__n_title_key", "__n_isbn_key")
+    val left = exploded.columns.foldLeft(exploded)((d, c) => d.withColumnRenamed(c, c + "_1"))
+    val right = exploded.columns.foldLeft(exploded)((d, c) => d.withColumnRenamed(c, c + "_2"))
+    left
+      .join(
+        right,
+        col("__block_kind_1") === col("__block_kind_2") &&
+          col("__block_key_1") === col("__block_key_2") &&
+          col("source_id_1") =!= col("source_id_2") &&
+          col("id_1") < col("id_2")
+      )
       .filter(matchPredicate)
       .select(col("id_1"), col("id_2"))
       .distinct()
@@ -207,39 +231,45 @@ object Dedup {
       .select(col("id_1").as("id"), col("id_2").as("peer"))
       .union(edges.select(col("id_2").as("id"), col("id_1").as("peer")))
       .persist()
+    // The decrease flag rides along INSIDE the propagation projection, so
+    // ONE action per round both materializes the new labels and decides
+    // convergence — no separate checksum scan. (The flag column stays on
+    // the persisted frame so unpersist() hits the cached plan; it is
+    // dropped only on return.) Labels only ever decrease, so a round in
+    // which no label decreased is a fixpoint; most dedup corpora are
+    // pair/star-heavy and stop after a single round.
     var labels = sym
       .groupBy("id")
       .agg(min(col("peer")).as("min_peer"))
-      .select(col("id"), least(col("min_peer"), col("id")).as("dedup_id"))
+      .select(
+        col("id"),
+        least(col("min_peer"), col("id")).as("dedup_id"),
+        lit(true).as("__decreased")
+      )
       .persist()
-    // Labels only ever decrease, so an unchanged checksum means a fixpoint:
-    // most corpora are pair/star-heavy and converge after one round, and
-    // the checksum is one cheap aggregation instead of a diff join.
-    def checksum(df: DataFrame): Long =
-      df.select(xxhash64(col("id"), col("dedup_id")).as("h"))
-        .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
-        .first()
-        .getLong(0)
-    var prev = checksum(labels)
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val next = sym
-        .join(labels.withColumnRenamed("id", "peer"), Seq("peer"))
+        .join(
+          labels
+            .select(col("id").as("peer"), col("dedup_id").as("peer_label")),
+          Seq("peer")
+        )
         .groupBy("id")
-        .agg(min(col("dedup_id")).as("peer_min"))
-        .join(labels, Seq("id"))
+        .agg(min(col("peer_label")).as("peer_min"))
+        .join(labels.select("id", "dedup_id"), Seq("id"))
         .select(
           col("id"),
-          least(col("peer_min"), col("dedup_id")).as("dedup_id")
+          least(col("peer_min"), col("dedup_id")).as("dedup_id"),
+          (col("peer_min") < col("dedup_id")).as("__decreased")
         )
         .persist()
-      val cur = checksum(next)
+      val nDecreased = next.filter(col("__decreased")).count()
       labels.unpersist()
       labels = next
-      converged = cur == prev
-      prev = cur
+      converged = nDecreased == 0
     }
-    labels
+    labels.drop("__decreased")
   }
 
   /** Incremental mode (the reference's per-record dedupRecord loop over

@@ -96,11 +96,17 @@ object LlmQueries {
     * reads it once instead of recomputing k md5 passes per side.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val hashed = corpus(s, d)
-      .select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hx"))
-    val sig = hashed.select(
+    // Native single-pass signature kernel (MinHashSigExpr) — semantically
+    // identical to signatureFromHashes(shingleHashes(shingles(text, 3)), k)
+    // (asserted by MinHashSigSpec); one digest per shingle, no
+    // intermediate shingle/struct arrays.
+    import org.apache.spark.sql.GraftColumn
+    import graft.plans.MinHashSigExpr
+    val sig = corpus(s, d).select(
       col("doc_id"),
-      signatureFromHashes(col("hx"), MinhashK).as("sig")
+      GraftColumn
+        .of(MinHashSigExpr(GraftColumn.exprOf(col("text")), MinhashK, 3))
+        .as("sig")
     )
     val bandTable = sig
       .select(col("doc_id"), posexplode(lshBands(col("sig"), Bands, Rows)))

@@ -21,6 +21,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => NormalizeKeyExpr(children.head)
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(
+          classOf[MinHashSigExpr].getName,
+          "graft_minhash_sig"
+        ),
+        (children: Seq[Expression]) => {
+          def intArg(e: Expression, what: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other =>
+              throw new IllegalArgumentException(
+                s"graft_minhash_sig $what must be an int literal, got $other"
+              )
+          }
+          val k = if (children.length > 1) intArg(children(1), "k") else 12
+          val n = if (children.length > 2) intArg(children(2), "shingleN") else 3
+          MinHashSigExpr(children.head, k, n)
+        }
+      )
+    )
     // Rewrite composed normalizeKey patterns to the fused kernel.
     ext.injectOptimizerRule(_ => FuseNormalizeKey)
   }
