@@ -23,7 +23,10 @@ object SparkEntry {
       operators.LlmQueries3.all ++
       operators.MarcFormatQueries.all ++
       operators.MarcRecordQueries.all ++
-      operators.LlmQueries4.all
+      operators.LlmQueries4.all ++
+      operators.DcQueries.all ++
+      operators.EadQueries.all ++
+      operators.LlmQueries5.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

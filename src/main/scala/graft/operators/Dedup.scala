@@ -45,7 +45,10 @@ object Dedup {
       "series_issn" -> lit(""),
       "series_numbering" -> lit(""),
       "format" -> lit(""),
-      "issns" -> lit(null).cast("array<string>")
+      "issns" -> lit(null).cast("array<string>"),
+      "unique_ids" -> lit(null).cast("array<string>"),
+      "hidden" -> lit(false),
+      "access_restrictions" -> lit("")
     ).foldLeft(records) { case (df, (c, default)) =>
       if (df.columns.contains(c)) df else df.withColumn(c, default)
     }
@@ -71,12 +74,29 @@ object Dedup {
     * `format` and `issns` default to unknown via [[withKeys]] when the
     * record model doesn't carry them; unknown-vs-unknown passes, but — as
     * in the reference, where an empty format array != a non-empty one — a
-    * known format never matches an unknown one.
+    * known format never matches an unknown one. The remaining reference
+    * vetoes are carried the same way: `hidden` (both component-part hidden
+    * or neither) and `access_restrictions` (must be identical) apply ahead
+    * of everything, and a shared entry in `unique_ids` (NBN-style) is an
+    * immediate match alongside the shared-ISBN short circuit.
     */
   def matchPredicate: Column = {
+    // Both hidden component parts or neither (DedupHandler.php:753-775),
+    // and identical access restrictions (:778-784) — the two vetoes the
+    // reference applies before anything else.
+    val hiddenOk =
+      coalesce(col("hidden_1"), lit(false)) === coalesce(col("hidden_2"), lit(false))
+    val accessOk =
+      coalesce(col("access_restrictions_1"), lit("")) ===
+        coalesce(col("access_restrictions_2"), lit(""))
     val f1 = coalesce(col("format_1"), lit(""))
     val f2 = coalesce(col("format_2"), lit(""))
     val formatOk = f1 === f2
+    // Shared non-ISBN unique id (e.g. NBN) is an immediate match, same as
+    // a shared ISBN (DedupHandler.php:836-855).
+    val u1 = coalesce(col("unique_ids_1"), array())
+    val u2 = coalesce(col("unique_ids_2"), array())
+    val uniqueIdMatch = size(array_intersect(u1, u2)) > 0
     val i1 = coalesce(col("issns_1"), array())
     val i2 = coalesce(col("issns_2"), array())
     val issnOk = size(i1) === 0 || size(i2) === 0 ||
@@ -112,8 +132,9 @@ object Dedup {
     val seriesOk =
       coalesce(col("series_issn_1"), lit("")) === coalesce(col("series_issn_2"), lit("")) &&
         coalesce(col("series_numbering_1"), lit("")) === coalesce(col("series_numbering_2"), lit(""))
-    formatOk &&
-      (isbnMatch || (issnOk && yearOk && pagesOk && seriesOk && titleOk && authorOk))
+    hiddenOk && accessOk && formatOk &&
+      (isbnMatch || uniqueIdMatch ||
+        (issnOk && yearOk && pagesOk && seriesOk && titleOk && authorOk))
   }
 
   /** Reference bail-out threshold: DedupHandler.php stops processing a key

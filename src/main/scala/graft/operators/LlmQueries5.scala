@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate detection — the vector-space member of
+  * the dedup family (exact hash / MinHash / SimHash / n-gram Jaccard /
+  * embedding cosine). Candidates come from a sign-LSH bucket equi-join
+  * (hash shuffle on the bucket key, bounded fanout — never an all-pairs
+  * product), then cosine >= threshold verifies within buckets only. The
+  * corpus injects exact duplicates (cosine 1) and direction-perturbed
+  * near duplicates deterministically so the operator has real work.
+  */
+object LlmQueries5 {
+
+  private val Threshold = 0.99
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "embed_neardup",
+      (s, d) => {
+        val base = Tables
+          .embeddings(s, d)
+          .select(
+            col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("vec")
+          )
+        val exact = base
+          .filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"), col("vec"))
+        val near = base
+          .filter(col("vec_id") % 10 === 5)
+          .select(
+            (col("vec_id") + 100000).as("vec_id"),
+            transform(col("vec"), x => x * lit(1.05) + lit(0.01)).as("vec")
+          )
+        val corpus = base
+          .unionByName(exact)
+          .unionByName(near)
+          .withColumn("bucket", signLshBucket(col("vec"), 8))
+          .persist()
+        val a = corpus.select(
+          col("bucket"),
+          col("vec_id").as("id_a"),
+          col("vec").as("vec_a")
+        )
+        val b = corpus.select(
+          col("bucket"),
+          col("vec_id").as("id_b"),
+          col("vec").as("vec_b")
+        )
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(cosine(col("vec_a"), col("vec_b")) >= Threshold)
+          .select(
+            col("id_a"),
+            col("id_b"),
+            round(cosine(col("vec_a"), col("vec_b")), 6).as("score")
+          )
+      },
+      Some {
+        val weight =
+          "(strpos('0123456789abcdef', substr(md5(cast(p as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
+        val bucket =
+          s"array_to_string(list_transform(range(0, 8), p -> CASE WHEN list_sum(list_transform(range(1, len(vec) + 1), dd -> vec[dd] * $weight)) >= 0 THEN '1' ELSE '0' END), '')"
+        s"""WITH corp0 AS (
+           |  SELECT vec_id, cast(embedding as double[]) AS vec FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 200000, cast(embedding as double[]) FROM embeddings WHERE vec_id % 10 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(cast(embedding as double[]), x -> x * 1.05 + 0.01)
+           |  FROM embeddings WHERE vec_id % 10 = 5),
+           |corp AS (SELECT vec_id, vec, $bucket AS bucket FROM corp0)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_dot_product(a.vec, b.vec) /
+           |        (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS score
+           |FROM corp a JOIN corp b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.vec, b.vec) /
+           |      (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= $Threshold""".stripMargin
+      }
+    )
+  )
+}
