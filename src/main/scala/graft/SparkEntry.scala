@@ -26,7 +26,8 @@ object SparkEntry {
       operators.LlmQueries4.all ++
       operators.DcQueries.all ++
       operators.EadQueries.all ++
-      operators.LlmQueries5.all
+      operators.LlmQueries5.all ++
+      operators.LidoQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

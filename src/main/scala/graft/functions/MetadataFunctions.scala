@@ -377,4 +377,63 @@ object MetadataFunctions {
     */
   def trimXmlWhitespace(c: Column): Column =
     regexp_replace(c, "\\s*(<([^>]*)>[^<]*</\\2>|<[^>]*>)\\s*", "$1")
+
+  /** LIDO display-date range parsing (reference: Record/Lido.php:1029
+    * parseDateRange): "yyyy - yyyy", ISO y-m-d, d.m.y, "yy ?" (± 3 years)
+    * and bare-year forms → "start,end" ISO instant pair, null otherwise.
+    * Two-digit years are filled into the 1900s (end takes the start's
+    * century); dates beyond `yearNow` return null (the reference compares
+    * against the wall clock — pinned here because a distributed operator
+    * must be deterministic; note the reference's string compare makes the
+    * veto inclusive for the day-precision branches and exclusive for the
+    * year-precision ones, reproduced faithfully).
+    */
+  def lidoDateRange(c: Column, yearNow: Int = 2026): Column = {
+    val in = lower(trim(c))
+    def ex(re: String, i: Int) = regexp_extract(in, re, i)
+    val r1 = "(\\d\\d\\d\\d) ?- (\\d\\d\\d\\d)"
+    val r2 = "(\\d\\d\\d\\d)-(\\d\\d?)-(\\d\\d?)"
+    val r3 = "(\\d\\d?)\\s*.\\s*(\\d\\d?)\\s*.\\s*(\\d\\d\\d\\d)"
+    val r4 = "(\\d?\\d?\\d\\d) ?\\?"
+    val r5 = "(\\d?\\d?\\d\\d)"
+    def fill2(y: Column) =
+      when(length(y) === 2, (lit(1900) + y.cast("int")).cast("string")).otherwise(y)
+    def centuryFill(start: Column, end: Column) =
+      when(
+        length(end) === 2,
+        (concat(substring(start, 1, 2), lit("00")).cast("int") + end.cast("int"))
+          .cast("string")
+      ).otherwise(end)
+    // Year-precision branches: expand to full-year instants; veto strictly
+    // beyond yearNow (integer compare in the reference).
+    def processed(s0: Column, e0: Column): Column = {
+      val s = fill2(s0)
+      val e = centuryFill(s, e0)
+      when(
+        s.cast("int") > yearNow || e.cast("int") > yearNow,
+        lit(null).cast("string")
+      ).otherwise(
+        concat(s, lit("-01-01T00:00:00Z,"), e, lit("-12-31T23:59:59Z"))
+      )
+    }
+    // Day-precision branches: the reference's string compare against the
+    // current year vetoes the current year too (longer string > "yyyy").
+    def dayPrecision(y: Column, m: Column, d: Column): Column = {
+      val date = concat(y, lit("-"), lpad(m, 2, "0"), lit("-"), lpad(d, 2, "0"))
+      when(y.cast("int") >= yearNow, lit(null).cast("string"))
+        .otherwise(concat(date, lit("T00:00:00Z,"), date, lit("T23:59:59Z")))
+    }
+    when(ex(r1, 1) =!= "", processed(ex(r1, 1), ex(r1, 2)))
+      .when(ex(r2, 1) =!= "", dayPrecision(ex(r2, 1), ex(r2, 2), ex(r2, 3)))
+      .when(ex(r3, 3) =!= "", dayPrecision(ex(r3, 3), ex(r3, 2), ex(r3, 1)))
+      .when(
+        ex(r4, 1) =!= "",
+        processed(
+          (ex(r4, 1).cast("int") - 3).cast("string"),
+          (ex(r4, 1).cast("int") + 3).cast("string")
+        )
+      )
+      .when(ex(r5, 1) =!= "", processed(ex(r5, 1), ex(r5, 1)))
+      .otherwise(lit(null).cast("string"))
+  }
 }
