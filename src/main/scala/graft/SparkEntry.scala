@@ -27,7 +27,9 @@ object SparkEntry {
       operators.DcQueries.all ++
       operators.EadQueries.all ++
       operators.LlmQueries5.all ++
-      operators.LidoQueries.all
+      operators.LidoQueries.all ++
+      operators.AuthorityQueries.all ++
+      operators.LlmQueries6.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
