@@ -29,7 +29,9 @@ object SparkEntry {
       operators.LlmQueries5.all ++
       operators.LidoQueries.all ++
       operators.AuthorityQueries.all ++
-      operators.LlmQueries6.all
+      operators.LlmQueries6.all ++
+      operators.ProfileQueries.all ++
+      operators.ProfileQueries2.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -195,6 +195,16 @@ object MetadataFunctions {
     s4
   }
 
+  /** stripTrailingPunctuation with `preservePunctuationOnly=true`: when the
+    * strip leaves nothing (the string was punctuation-only), keep the
+    * original. Reference: MetadataUtils.php:572 (third parameter, used by
+    * e.g. Record/Doaj.php getTitle).
+    */
+  def stripTrailingPunctuationPreserve(c: Column): Column = {
+    val stripped = stripTrailingPunctuation(c)
+    when(stripped === "", c).otherwise(stripped)
+  }
+
   /** Replace punctuation runs with a single space; if the result is empty,
     * return the original. Reference: MetadataUtils.php:535 `stripPunctuation`
     * (default pattern `[\t\p{P}=´`” ̈]+`, which includes the space).

@@ -92,6 +92,19 @@ object MetadataQueries {
        |       WHEN ends_with(${p}_s3, ']') AND strpos(${p}_s3, '[') = 0 THEN substr(${p}_s3, 1, length(${p}_s3)-1)
        |       ELSE ${p}_s3 END AS $out FROM ${p}3)""".stripMargin
 
+  /** CTE stages implementing createSortTitle over column `in` of CTE
+    * `prev`, ending in a CTE named `${p}3` carrying all prior columns plus
+    * `out` (strip article → strip punctuation → re-strip when the first
+    * character changed → lowercase).
+    */
+  def sortTitleStagesSql(prev: String, in: String, out: String, p: String): String =
+    s"""${p}1 AS (SELECT *, ${stripArticleSql(in)} AS ${p}_t1 FROM $prev),
+       |${p}2 AS (SELECT *, ${stripPunctSql(s"${p}_t1")} AS ${p}_t2 FROM ${p}1),
+       |${p}3 AS (SELECT *,
+       |  lower(CASE WHEN substr(${p}_t2,1,1) != substr(${p}_t1,1,1)
+       |        THEN ${stripArticleSql(s"${p}_t2")} ELSE ${p}_t2 END) AS $out
+       |  FROM ${p}2)""".stripMargin
+
   def authorMatchSql(a1: String, a2: String): String = {
     val w1 = s"string_split($a1, ' ')"
     val w2 = s"string_split($a2, ' ')"
