@@ -31,7 +31,8 @@ object SparkEntry {
       operators.AuthorityQueries.all ++
       operators.LlmQueries6.all ++
       operators.ProfileQueries.all ++
-      operators.ProfileQueries2.all
+      operators.ProfileQueries2.all ++
+      operators.Ead3Queries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -114,6 +114,174 @@ object EadSplitter {
   }
 }
 
+/** EAD3 record extraction (reference: Record/Ead3.php toSolrArray:125).
+  *
+  * Distinctives vs the EAD split (above) and the other profiles:
+  * subtitle-prepended display title with `title_sort =
+  * lower(stripPunctuation(title))` — no article strip:162; scopecontent
+  * paragraphs joined with '   /   ':285; author name elements whose
+  * `part` children are flattened with empties dropped, controlaccess
+  * before origination:342; controlaccess subject/geogname terms by part
+  * value vs by identifier attribute:414; genreform-part format with
+  * @level fallback:181; langmaterial langcode attributes:448; physical
+  * extents excluding bare '-':467; first thumbnail-typed dao href with
+  * did before daoset:483.
+  */
+object Ead3Queries {
+
+  private def partsOf(els: org.apache.spark.sql.Column, kinds: Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    filter(
+      flatten(
+        transform(
+          filter(els, el => el.getField("kind").isin(kinds.map(lit(_)): _*)),
+          el => transform(el.getField("parts"), p => trim(p))
+        )
+      ),
+      p => p =!= ""
+    )
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "ead3_extract",
+      (s, d) => {
+        val k = col("p_partkey")
+        val ks = k.cast("string")
+        val name = col("p_name")
+        val e = lit("")
+        val doc = Tables
+          .part(s, d)
+          .select(
+            concat(lit("e3-"), ks).as("record_id"),
+            name.as("title_short"),
+            when(k % 3 === 0, concat(lit("Collection "), (k % 7).cast("string")))
+              .when(k % 5 === 0, name) // equal to title_short: not prepended
+              .otherwise(e).as("title_sub"),
+            array(concat(lit("Scope para one for "), ks),
+              concat(lit("Scope para two for "), ks)).as("scope_ps"),
+            array(
+              struct(lit("ca_name").as("kind"),
+                array(concat(lit("Author "), ks), e).as("parts")),
+              struct(lit("ca_pers").as("kind"),
+                array(when(k % 2 === 0, concat(lit("Person "), ks)).otherwise(e)).as("parts")),
+              struct(lit("ca_corp").as("kind"),
+                array(concat(lit("Corp "), (k % 9).cast("string"))).as("parts")),
+              struct(lit("or_name").as("kind"),
+                array(concat(lit("Origin "), ks)).as("parts")),
+              struct(lit("or_corp").as("kind"),
+                array(when(k % 4 === 0, lit("Origin Corp")).otherwise(e)).as("parts"))
+            ).as("author_els"),
+            array(
+              struct(concat(lit("Subject "), (k % 11).cast("string")).as("part"),
+                when(k % 2 === 0, concat(lit("http://sub.ex/"), ks)).otherwise(e).as("id")),
+              struct(when(k % 6 === 0, e).otherwise(lit("General")).as("part"),
+                lit("http://sub.ex/general").as("id"))
+            ).as("subjects"),
+            array(
+              struct(concat(lit("Place "), (k % 13).cast("string")).as("part"), e.as("id"))
+            ).as("geognames"),
+            when(k % 3 === 0, lit(" Manuscripts ")).otherwise(e).as("genreform"),
+            when(k % 2 === 0, lit("file")).otherwise(lit("series")).as("level"),
+            concat(lit("Repository "), (k % 4).cast("string")).as("institution"),
+            array(lit("fin"), when(k % 2 === 0, lit("swe")).otherwise(e), lit(" ")).as("langcodes"),
+            array(concat(ks, lit(" boxes")), lit("-")).as("extents"),
+            array(
+              struct(lit("image").as("loc"), concat(lit("https://img.ex/full/"), ks).as("href")),
+              struct(lit("thumbnail").as("loc"),
+                when(k % 2 === 0, concat(lit("https://img.ex/t/"), ks)).otherwise(e).as("href")),
+              struct(lit("thumbnail").as("loc"), concat(lit("https://img.ex/t2/"), ks).as("href"))
+            ).as("daos")
+          )
+        val sub = col("title_sub")
+        val short = col("title_short")
+        val title = concat(
+          when(sub =!= "" && sub =!= short, concat(sub, lit(" "))).otherwise(lit("")),
+          short
+        )
+        val els = col("author_els")
+        val authors = partsOf(els, Seq("ca_name", "ca_pers", "or_name", "or_pers"))
+        val corp = partsOf(els, Seq("ca_corp", "or_corp"))
+        def terms(arr: org.apache.spark.sql.Column) =
+          filter(transform(arr, t => trim(t.getField("part"))), x => x =!= "")
+        def ids(arr: org.apache.spark.sql.Column) =
+          filter(transform(arr, t => t.getField("id")), x => x =!= "")
+        val thumb = coalesce(
+          get(
+            filter(
+              col("daos"),
+              dao => dao.getField("loc") === "thumbnail" && dao.getField("href") =!= ""
+            ),
+            lit(0)
+          ).getField("href"),
+          lit("")
+        )
+        doc.select(
+          col("record_id"),
+          title.as("title"),
+          short.as("title_short"),
+          sub.as("title_sub"),
+          lower(graft.functions.MetadataFunctions.stripPunctuation(title)).as("title_sort"),
+          array_join(col("scope_ps"), "   /   ").as("description"),
+          array_join(authors, "|").as("author"),
+          coalesce(get(authors, lit(0)), lit("")).as("author_sort"),
+          array_join(corp, "|").as("author_corporate"),
+          array_join(terms(col("subjects")), "|").as("topics"),
+          array_join(ids(col("subjects")), "|").as("topic_ids"),
+          array_join(terms(col("geognames")), "|").as("geographic"),
+          when(trim(col("genreform")) =!= "", trim(col("genreform")))
+            .otherwise(col("level")).as("format"),
+          col("institution"),
+          array_join(filter(transform(col("langcodes"), trim(_)), x => x =!= ""), "|")
+            .as("langs"),
+          array_join(filter(col("extents"), x => trim(x) =!= "-"), "|").as("physical"),
+          thumb.as("thumbnail")
+        )
+      },
+      Some {
+        import MetadataQueries.stripPunctSql
+        s"""WITH base AS (
+           |  SELECT p_partkey AS k, p_name AS name,
+           |    'e3-' || cast(p_partkey as varchar) AS record_id,
+           |    (CASE WHEN p_partkey % 3 = 0 THEN 'Collection ' || cast(p_partkey % 7 as varchar)
+           |          WHEN p_partkey % 5 = 0 THEN p_name
+           |          ELSE '' END) AS title_sub
+           |  FROM part),
+           |titled AS (
+           |  SELECT *,
+           |    (CASE WHEN title_sub != '' AND title_sub != name
+           |          THEN title_sub || ' ' || name ELSE name END) AS title_s
+           |  FROM base)
+           |SELECT record_id,
+           |  title_s AS title,
+           |  name AS title_short,
+           |  title_sub,
+           |  lower(${stripPunctSql("title_s")}) AS title_sort,
+           |  'Scope para one for ' || cast(k as varchar) || '   /   ' || 'Scope para two for ' || cast(k as varchar) AS description,
+           |  'Author ' || cast(k as varchar)
+           |    || (CASE WHEN k % 2 = 0 THEN '|Person ' || cast(k as varchar) ELSE '' END)
+           |    || '|Origin ' || cast(k as varchar) AS author,
+           |  'Author ' || cast(k as varchar) AS author_sort,
+           |  'Corp ' || cast(k % 9 as varchar)
+           |    || (CASE WHEN k % 4 = 0 THEN '|Origin Corp' ELSE '' END) AS author_corporate,
+           |  'Subject ' || cast(k % 11 as varchar)
+           |    || (CASE WHEN k % 6 = 0 THEN '' ELSE '|General' END) AS topics,
+           |  (CASE WHEN k % 2 = 0 THEN 'http://sub.ex/' || cast(k as varchar) || '|' ELSE '' END)
+           |    || 'http://sub.ex/general' AS topic_ids,
+           |  'Place ' || cast(k % 13 as varchar) AS geographic,
+           |  (CASE WHEN k % 3 = 0 THEN 'Manuscripts'
+           |        WHEN k % 2 = 0 THEN 'file' ELSE 'series' END) AS format,
+           |  'Repository ' || cast(k % 4 as varchar) AS institution,
+           |  'fin' || (CASE WHEN k % 2 = 0 THEN '|swe' ELSE '' END) AS langs,
+           |  cast(k as varchar) || ' boxes' AS physical,
+           |  (CASE WHEN k % 2 = 0 THEN 'https://img.ex/t/' || cast(k as varchar)
+           |        ELSE 'https://img.ex/t2/' || cast(k as varchar) END) AS thumbnail
+           |FROM titled""".stripMargin
+      }
+    )
+  )
+}
+
 /** Query registration: archives synthesized from `orders`, a two-deep
   * component hierarchy (series -> items) from `lineitem`.
   */

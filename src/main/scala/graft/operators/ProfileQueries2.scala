@@ -418,5 +418,82 @@ object ProfileQueries2 {
     }
   )
 
-  val all: Seq[Q] = Seq(doaj, eaccpf, forward)
+  /** Forward authority records (reference: Record/ForwardAuthority.php):
+    * AgentDate entries typed by AgentDateEventType (51 = birth, 52 =
+    * death) carrying date text + place:196, with `extractYear` applied at
+    * indexing time:83; PersonName → CorporateName heading fallback:231;
+    * occupation label assembly `Affiliation: Position`:258; AgentPlace
+    * related place:285; IDTypeName-prefixed id and record type:56,:311.
+    */
+  private val forwardAuthority = Q(
+    "forward_authority",
+    (s, d) => {
+      val k = col("c_custkey")
+      val ks = k.cast("string")
+      val e = lit("")
+      val doc = Tables
+        .customer(s, d)
+        .select(
+          concat(lit("elonet_henkilo_"), ks).as("record_id"),
+          array(
+            struct(lit(51).as("etype"),
+              concat(lit("noin 18"), lpad((k % 100).cast("string"), 2, "0")).as("dtext"),
+              concat(lit("BP"), (k % 30).cast("string")).as("place")),
+            when(k % 4 === 0, struct(lit(53).as("etype"), lit("other").as("dtext"), lit("X").as("place")))
+              .otherwise(struct(lit(52).as("etype"),
+                concat(lit("19"), lpad((k % 50).cast("string"), 2, "0"), lit("-01-01")).as("dtext"),
+                concat(lit("DP"), (k % 30).cast("string")).as("place")))
+          ).as("agent_dates"),
+          when(k % 3 === 0, lit(null: String)).otherwise(concat(lit("Person "), ks))
+            .as("person_name"),
+          concat(lit("Corp "), ks).as("corporate_name"),
+          when(k % 2 === 0, lit("University")).otherwise(e).as("affiliation"),
+          when(k % 3 === 0, lit("Professor")).otherwise(e).as("position"),
+          when(k % 5 === 0, lit(null: String)).otherwise(concat(lit("RPlace"), (k % 20).cast("string")))
+            .as("agent_place"),
+          lit("elonet_henkilo").as("id_type")
+        )
+      def agentDate(etype: Int): Column =
+        get(filter(col("agent_dates"), dt => dt.getField("etype") === etype), lit(0))
+      val heading = coalesce(col("person_name"), col("corporate_name"))
+      val occupation = when(
+        col("affiliation") =!= "" && col("position") =!= "",
+        concat(col("affiliation"), lit(": "), col("position"))
+      ).when(col("affiliation") =!= "", col("affiliation"))
+        .otherwise(col("position"))
+      doc.select(
+        col("record_id"),
+        col("id_type").as("record_type"),
+        heading.as("heading"),
+        heading.as("use_for"),
+        coalesce(extractYear(agentDate(51).getField("dtext")), lit("")).as("birth_date"),
+        coalesce(extractYear(agentDate(52).getField("dtext")), lit("")).as("death_date"),
+        coalesce(agentDate(51).getField("place"), lit("")).as("birth_place"),
+        coalesce(agentDate(52).getField("place"), lit("")).as("death_place"),
+        coalesce(col("agent_place"), lit("")).as("related_place"),
+        occupation.as("occupation")
+      )
+    },
+    Some {
+      s"""SELECT
+         |  'elonet_henkilo_' || cast(c_custkey as varchar) AS record_id,
+         |  'elonet_henkilo' AS record_type,
+         |  (CASE WHEN c_custkey % 3 = 0 THEN 'Corp ' || cast(c_custkey as varchar)
+         |        ELSE 'Person ' || cast(c_custkey as varchar) END) AS heading,
+         |  (CASE WHEN c_custkey % 3 = 0 THEN 'Corp ' || cast(c_custkey as varchar)
+         |        ELSE 'Person ' || cast(c_custkey as varchar) END) AS use_for,
+         |  '18' || lpad(cast(c_custkey % 100 as varchar), 2, '0') AS birth_date,
+         |  (CASE WHEN c_custkey % 4 = 0 THEN '' ELSE '19' || lpad(cast(c_custkey % 50 as varchar), 2, '0') END) AS death_date,
+         |  'BP' || cast(c_custkey % 30 as varchar) AS birth_place,
+         |  (CASE WHEN c_custkey % 4 = 0 THEN '' ELSE 'DP' || cast(c_custkey % 30 as varchar) END) AS death_place,
+         |  (CASE WHEN c_custkey % 5 = 0 THEN '' ELSE 'RPlace' || cast(c_custkey % 20 as varchar) END) AS related_place,
+         |  (CASE WHEN c_custkey % 6 = 0 THEN 'University: Professor'
+         |        WHEN c_custkey % 2 = 0 THEN 'University'
+         |        WHEN c_custkey % 3 = 0 THEN 'Professor'
+         |        ELSE '' END) AS occupation
+         |FROM customer""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(doaj, eaccpf, forward, forwardAuthority)
 }
