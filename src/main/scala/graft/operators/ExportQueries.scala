@@ -109,6 +109,71 @@ object ExportQueries {
            |             WHEN wkt_type = 'POLYGON' THEN ${polyC("y")} END, 6) AS centroid_y
            |FROM p""".stripMargin
       }
+    ),
+    // MULTI* WKT centroids (the remaining geoPHP shapes of
+    // MetadataUtils.php:987): MULTIPOINT / MULTILINESTRING vertex means,
+    // MULTIPOLYGON exact area-weighted union centroid via combined
+    // shoelace sums. The oracle recomputes the centroids in closed form
+    // from the same generator parameters — every coordinate is an exact
+    // small integer, so both sides divide identical exact numerators and
+    // agree bit-for-bit before the final round.
+    Q(
+      "wkt_multi",
+      (s, d) => {
+        val k = col("p_partkey")
+        def c(e: org.apache.spark.sql.Column) = e.cast("string")
+        val s1 = k % 5 + 1
+        val s2 = k % 3 + 1
+        val input = when(
+          k % 3 === 0,
+          concat(
+            lit("MULTIPOINT("),
+            c(k % 7), lit(" "), c(k % 11), lit(", "),
+            c(k % 5 + 2), lit(" "), c(k % 13), lit(")")
+          )
+        ).when(
+          k % 3 === 1,
+          concat(
+            lit("MULTILINESTRING(("),
+            c(k % 4), lit(" "), c(k % 6), lit(", "),
+            c(k % 4 + 2), lit(" "), c(k % 6 + 2), lit("),("),
+            lit("10 20, 12 22))")
+          )
+        ).otherwise(
+          concat(
+            lit("MULTIPOLYGON(((0 0, "), c(s1), lit(" 0, "), c(s1), lit(" "), c(s1),
+            lit(", 0 "), c(s1), lit(", 0 0)),((10 0, "), c(s2 + 10), lit(" 0, "),
+            c(s2 + 10), lit(" "), c(s2), lit(", 10 "), c(s2), lit(", 10 0)))")
+          )
+        )
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            input.as("wkt"),
+            Wkt.wktType(input).as("wkt_type"),
+            round(Wkt.centroidX(input), 6).as("centroid_x"),
+            round(Wkt.centroidY(input), 6).as("centroid_y")
+          )
+      },
+      Some {
+        s"""WITH t AS (SELECT p_partkey, p_partkey AS k,
+           |  cast(p_partkey % 5 + 1 as double) AS s1,
+           |  cast(p_partkey % 3 + 1 as double) AS s2
+           |  FROM part)
+           |SELECT p_partkey,
+           |  (CASE WHEN k % 3 = 0 THEN 'MULTIPOINT(' || cast(k % 7 as varchar) || ' ' || cast(k % 11 as varchar) || ', ' || cast(k % 5 + 2 as varchar) || ' ' || cast(k % 13 as varchar) || ')'
+           |        WHEN k % 3 = 1 THEN 'MULTILINESTRING((' || cast(k % 4 as varchar) || ' ' || cast(k % 6 as varchar) || ', ' || cast(k % 4 + 2 as varchar) || ' ' || cast(k % 6 + 2 as varchar) || '),(10 20, 12 22))'
+           |        ELSE 'MULTIPOLYGON(((0 0, ' || cast(k % 5 + 1 as varchar) || ' 0, ' || cast(k % 5 + 1 as varchar) || ' ' || cast(k % 5 + 1 as varchar) || ', 0 ' || cast(k % 5 + 1 as varchar) || ', 0 0)),((10 0, ' || cast(k % 3 + 11 as varchar) || ' 0, ' || cast(k % 3 + 11 as varchar) || ' ' || cast(k % 3 + 1 as varchar) || ', 10 ' || cast(k % 3 + 1 as varchar) || ', 10 0)))' END) AS wkt,
+           |  (CASE WHEN k % 3 = 0 THEN 'MULTIPOINT' WHEN k % 3 = 1 THEN 'MULTILINESTRING' ELSE 'MULTIPOLYGON' END) AS wkt_type,
+           |  round(CASE WHEN k % 3 = 0 THEN (cast(k % 7 as double) + (k % 5 + 2)) / 2
+           |             WHEN k % 3 = 1 THEN (cast(k % 4 as double) + (k % 4 + 2) + 10 + 12) / 4
+           |             ELSE (s1*s1*(s1/2) + s2*s2*(10 + s2/2)) / (s1*s1 + s2*s2) END, 6) AS centroid_x,
+           |  round(CASE WHEN k % 3 = 0 THEN (cast(k % 11 as double) + (k % 13)) / 2
+           |             WHEN k % 3 = 1 THEN (cast(k % 6 as double) + (k % 6 + 2) + 20 + 22) / 4
+           |             ELSE (s1*s1*(s1/2) + s2*s2*(s2/2)) / (s1*s1 + s2*s2) END, 6) AS centroid_y
+           |FROM t""".stripMargin
+      }
     )
   )
 }
