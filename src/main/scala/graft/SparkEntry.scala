@@ -32,7 +32,8 @@ object SparkEntry {
       operators.LlmQueries6.all ++
       operators.ProfileQueries.all ++
       operators.ProfileQueries2.all ++
-      operators.Ead3Queries.all
+      operators.Ead3Queries.all ++
+      operators.MarcSubjectQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
