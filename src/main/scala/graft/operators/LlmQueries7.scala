@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators, part 7: web-corpus ingestion + corpus shaping.
+  *
+  *   - `docs_html_strip` — HTML → text: script/style block removal, tag
+  *     stripping, common-entity decode, whitespace collapse. The standard
+  *     first stage of a web-crawl training pipeline; pure regexp chain,
+  *     codegen'd, embarrassingly parallel.
+  *   - `docs_url_canon` — URL canonicalization (scheme/host lowercase,
+  *     default-port and fragment removal, utm_* tracking-param removal)
+  *     followed by a host-level rollup — the dedup key + per-domain stats
+  *     step of crawl curation. One shuffle, on the canonical host.
+  *   - `docs_chunks` — overlapping training windows (64 tokens, stride
+  *     48) via sequence + slice + explode; no shuffle at all, output is
+  *     chunk rows ready for tokenization.
+  *   - `docs_canonical` — representative selection per near-dup cluster
+  *     (block on the first-8-word fingerprint; longest text wins, doc_id
+  *     tiebreak) — the "keep one copy" stage after dedup clustering. One
+  *     bounded-key shuffle.
+  *   - `docs_sample_stratified` — deterministic per-language hash
+  *     sampling (md5-derived bucket, language-dependent rate): the
+  *     reproducible downsampling step for corpus mixing. Zero shuffles.
+  *
+  * All hash/bucket arithmetic uses md5-hex-digit positions so the DuckDB
+  * oracle computes the identical buckets.
+  */
+object LlmQueries7 {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+
+  private val htmlStrip = Q(
+    "docs_html_strip",
+    (s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>Doc "), id.cast("string"),
+        lit("</title><script>var x = 1 &amp;&amp; 2;</script>"),
+        lit("<style>.a{color:red}</style></head><body><h1>Heading "),
+        id.cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"foot\">&amp; more &lt;tags&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</div></body></html>")
+      )
+      val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+      val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+      val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+      val decoded = regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(noTags, "&amp;", "&"),
+                "&lt;", "<"
+              ),
+              "&gt;", ">"
+            ),
+            "&quot;", "\""
+          ),
+          "&#39;", "'"
+        ),
+        "&nbsp;", " "
+      )
+      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      docs(s, d).select(
+        id,
+        clean.as("clean_text"),
+        length(clean).cast("bigint").as("n_chars_clean")
+      )
+    },
+    Some {
+      val html = """'<html><head><title>Doc ' || cast(doc_id as varchar) || '</title><script>var x = 1 &amp;&amp; 2;</script><style>.a{color:red}</style></head><body><h1>Heading ' || cast(doc_id as varchar) || '</h1><p>' || text || '</p><div class="foot">&amp; more &lt;tags&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</div></body></html>'"""
+      s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(t,
+         |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' ') AS t
+         |  FROM s3)
+         |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text,
+         |  cast(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) as bigint) AS n_chars_clean
+         |FROM s4""".stripMargin
+    }
+  )
+
+  private val urlCanon = Q(
+    "docs_url_canon",
+    (s, d) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val raw = when(
+        id % 3 === 0,
+        concat(lit("HTTPS://WWW"), (id % 4).cast("string"),
+          lit(".News.Example.COM:443/articles/"), ids,
+          lit("?utm_source=feed&id="), ids, lit("#top"))
+      ).when(
+        id % 3 === 1,
+        concat(lit("http://Blog"), (id % 3).cast("string"),
+          lit(".Example.ORG:80/post/"), ids, lit("?id="), ids,
+          lit("&utm_campaign=x&ref=y"))
+      ).otherwise(concat(lit("https://cdn.example.net/data/"), ids))
+      // 1) fragment off  2) lowercase scheme+host  3) default ports
+      // 4) utm_* params  5) re-anchor the query string  6) trailing '?'
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      // The scheme/host may arrive in any case — match case-insensitively,
+      // lowercase, and only then strip ports / extract the host.
+      val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+      val lowered = concat(lower(head), noFrag.substr(length(head) + 1, length(noFrag)))
+      val noPort = regexp_replace(
+        regexp_replace(lowered, "^(https://[^/:?#]+):443", "$1"),
+        "^(http://[^/:?#]+):80", "$1"
+      )
+      val noUtm = regexp_replace(noPort, "[?&]utm_[^&#]*", "")
+      val requery = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+      val canon = regexp_replace(requery, "\\?$", "")
+      val host = regexp_extract(canon, "^https?://([^/?#]+)", 1)
+      docs(s, d)
+        .select(id, canon.as("url"), host.as("host"))
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("url")).as("sample_url")
+        )
+    },
+    Some {
+      val raw = """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW' || cast(doc_id % 4 as varchar) || '.News.Example.COM:443/articles/' || cast(doc_id as varchar) || '?utm_source=feed&id=' || cast(doc_id as varchar) || '#top'
+                  |      WHEN doc_id % 3 = 1 THEN 'http://Blog' || cast(doc_id % 3 as varchar) || '.Example.ORG:80/post/' || cast(doc_id as varchar) || '?id=' || cast(doc_id as varchar) || '&utm_campaign=x&ref=y'
+                  |      ELSE 'https://cdn.example.net/data/' || cast(doc_id as varchar) END)""".stripMargin
+      s"""WITH r AS (SELECT doc_id, $raw AS raw FROM documents),
+         |f AS (SELECT doc_id, regexp_replace(raw, '#.*$$', '') AS u FROM r),
+         |l AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+         |    || substr(u, length(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+         |  FROM f),
+         |p AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(u, '^(https://[^/:?#]+):443', '\\1'), '^(http://[^/:?#]+):80', '\\1') AS u
+         |  FROM l),
+         |q AS (SELECT doc_id, regexp_replace(u, '[?&]utm_[^&#]*', '', 'g') AS u FROM p),
+         |a AS (SELECT doc_id, regexp_replace(u, '^([^?&]*)&', '\\1?') AS u FROM q),
+         |c AS (SELECT doc_id, regexp_replace(u, '\\?$$', '') AS url FROM a)
+         |SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         |  cast(count(*) as bigint) AS n_urls,
+         |  cast(count(distinct doc_id) as bigint) AS n_docs,
+         |  min(url) AS sample_url
+         |FROM c GROUP BY 1""".stripMargin
+    }
+  )
+
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  private val chunks = Q(
+    "docs_chunks",
+    (s, d) => {
+      val tokens = split(coalesce(col("text"), lit("")), " ")
+      val starts = sequence(lit(0), greatest(size(tokens) - 1, lit(0)), lit(ChunkStride))
+      docs(s, d)
+        .select(col("doc_id"), tokens.as("tokens"), explode(starts).as("st"))
+        .select(
+          col("doc_id"),
+          col("st").cast("bigint").as("chunk_start"),
+          array_join(slice(col("tokens"), col("st") + 1, lit(ChunkLen)), " ")
+            .as("chunk_text"),
+          size(slice(col("tokens"), col("st") + 1, lit(ChunkLen)))
+            .cast("bigint").as("n_tokens")
+        )
+    },
+    Some {
+      s"""WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tokens FROM documents),
+         |ex AS (SELECT doc_id, tokens,
+         |  unnest(range(0, greatest(len(tokens), 1), $ChunkStride)) AS st FROM tk)
+         |SELECT doc_id, cast(st as bigint) AS chunk_start,
+         |  coalesce(array_to_string(tokens[st+1 : st+$ChunkLen], ' '), '') AS chunk_text,
+         |  cast(coalesce(len(tokens[st+1 : st+$ChunkLen]), 0) as bigint) AS n_tokens
+         |FROM ex""".stripMargin
+    }
+  )
+
+  private val canonical = Q(
+    "docs_canonical",
+    (s, d) => {
+      val tokens = split(coalesce(col("text"), lit("")), " ")
+      val key = md5(array_join(slice(tokens, 1, 8), " "))
+      val base = docs(s, d).select(
+        col("doc_id"),
+        col("n_chars"),
+        key.as("cluster_key")
+      )
+      val w = Window
+        .partitionBy(col("cluster_key"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      base.select(
+        col("doc_id"),
+        col("cluster_key"),
+        (row_number().over(w) === 1).as("canonical"),
+        count(lit(1)).over(Window.partitionBy(col("cluster_key")))
+          .cast("bigint").as("cluster_size")
+      )
+    },
+    Some {
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |    md5(array_to_string(string_split(coalesce(text, ''), ' ')[1:8], ' ')) AS cluster_key
+         |  FROM documents)
+         |SELECT doc_id, cluster_key,
+         |  (row_number() OVER (PARTITION BY cluster_key ORDER BY n_chars DESC, doc_id) = 1) AS canonical,
+         |  cast(count(*) OVER (PARTITION BY cluster_key) as bigint) AS cluster_size
+         |FROM b""".stripMargin
+    }
+  )
+
+  private val sampleStratified = Q(
+    "docs_sample_stratified",
+    (s, d) => {
+      // Bucket 0-255 from the last two md5 hex digits — position lookups
+      // so DuckDB derives the identical value.
+      val bucket = expr(
+        "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 31, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1)"
+      )
+      val cell = (bucket % 10).cast("bigint")
+      val rate = when(col("lang") === "en", lit(5)).otherwise(lit(8))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), cell.as("sample_cell"), rate.as("rate"))
+        .filter(col("sample_cell") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("sample_cell"))
+    },
+    Some {
+      val bucket =
+        "((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 31, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1))"
+      s"""WITH b AS (SELECT doc_id, lang, cast($bucket % 10 as bigint) AS sample_cell,
+         |  (CASE WHEN lang = 'en' THEN 5 ELSE 8 END) AS rate
+         |  FROM documents)
+         |SELECT doc_id, lang, sample_cell FROM b WHERE sample_cell < rate""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(htmlStrip, urlCanon, chunks, canonical, sampleStratified)
+}
