@@ -34,7 +34,8 @@ object SparkEntry {
       operators.ProfileQueries2.all ++
       operators.Ead3Queries.all ++
       operators.MarcSubjectQueries.all ++
-      operators.LlmQueries7.all
+      operators.LlmQueries7.all ++
+      operators.MarcHostQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
