@@ -195,6 +195,55 @@ object MetadataFunctions {
     s4
   }
 
+  /** Strip leading spaces/punctuation; a punctuation-only string is
+    * preserved (the reference's `preservePunctuationOnly` defaults to true
+    * here, unlike the trailing variant). Reference: MetadataUtils.php:645
+    * `stripLeadingPunctuation`, default character set.
+    */
+  def stripLeadingPunctuation(c: Column): Column = {
+    // PHP default: " \t\#*!¡?/:;.,=(['\"´`” ̈" (the last entry is a space +
+    // combining diaeresis). \x{0308} spells the combining char portably in
+    // both Java and RE2 regex syntax.
+    val r = regexp_replace(c, "^[ \\t#*!¡?/:;.,=(\\['\"´`”\\x{0308}]*", "")
+    when(r === "", c).otherwise(r)
+  }
+
+  /** Strict ISO 8601 UTC timestamp validation (reference:
+    * MetadataUtils.php:785 `validateISO8601Date` — anchored pattern plus
+    * field range checks; returns a boolean here where PHP returns
+    * timestamp-or-false).
+    */
+  def validateIso8601Date(c: Column): Column = {
+    val re = "^(-?\\d{4})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2})Z$"
+    def part(i: Int): Column = regexp_extract(c, re, i).cast("int")
+    // The range checks live inside a CASE branch: under ANSI mode the
+    // casts must not run on non-matching input (regexp_extract yields '').
+    when(
+      c.rlike(re),
+      part(2).between(1, 12) && part(3).between(1, 31) &&
+        part(4).between(0, 23) && part(5).between(0, 59) && part(6).between(0, 59)
+    ).otherwise(lit(false))
+  }
+
+  /** Trim every element of a string array (reference: MetadataUtils.php:926
+    * `arrayTrim`, default PHP whitespace set — note Spark's bare `trim`
+    * strips only spaces, so the set is explicit).
+    */
+  def arrayTrim(c: Column): Column =
+    transform(c, x => trim(x, " \t\n\r\u0000\u000b"))
+
+  /** Unicode-normalize via the native Catalyst expression
+    * ([[graft.plans.NormalizeUnicodeExpr]]); form is NFC/NFD/NFKC/NFKD,
+    * defaulting to NFC like the reference (MetadataUtils.php:902).
+    */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.plans.NormalizeUnicodeExpr(
+        org.apache.spark.sql.GraftColumn.exprOf(c),
+        form
+      )
+    )
+
   /** stripTrailingPunctuation with `preservePunctuationOnly=true`: when the
     * strip leaves nothing (the string was punctuation-only), keep the
     * original. Reference: MetadataUtils.php:572 (third parameter, used by

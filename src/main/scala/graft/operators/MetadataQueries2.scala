@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.MetadataFunctions.{arrayTrim, normalizeUnicode, stripLeadingPunctuation, validateIso8601Date}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -302,6 +303,66 @@ object MetadataQueries2 {
           |     (NOT format IN ('eJournalArticle', 'JournalArticle', 'Article')
           |      OR format IN ('JournalArticle', 'Article'))))) AS hidden
           |FROM t""".stripMargin
+      )
+    ),
+    // The remaining MetadataUtils string utilities: leading-punctuation
+    // strip with punctuation-only preservation (:645), strict ISO 8601
+    // validation (:785), element-wise array trim (:926), and NFC Unicode
+    // normalization (:902) through the native NormalizeUnicodeExpr (DuckDB
+    // checks it with its built-in nfc_normalize).
+    Q(
+      "string_edge_ops",
+      (s, d) => {
+        val k = col("p_partkey")
+        val raws = when(k % 4 === 0, concat(lit("¡*Hola "), col("p_name")))
+          .when(k % 4 === 1, concat(lit(".., ["), col("p_name"), lit("]")))
+          .when(k % 4 === 2, lit("!??"))
+          .otherwise(col("p_name"))
+        val iso = when(k % 5 === 0, concat(lit("-"), lpad((k % 9999).cast("string"), 4, "0"), lit("-03-15T10:20:30Z")))
+          .when(k % 5 === 1, concat((lit(1900) + k % 100).cast("string"), lit("-13-15T10:20:30Z")))
+          .when(k % 5 === 2, concat((lit(1900) + k % 100).cast("string"), lit("-03-15T10:20:30")))
+          .when(k % 5 === 3, concat((lit(1900) + k % 100).cast("string"), lit("-03-15T25:20:30Z")))
+          .otherwise(concat((lit(1900) + k % 100).cast("string"), lit("-03-15T10:20:30Z")))
+        val arr = array(
+          concat(lit("  "), col("p_type"), lit("\t")),
+          lit(" x "),
+          col("p_brand")
+        )
+        val decomposed = concat(lit("Café "), (k % 10).cast("string"))
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            stripLeadingPunctuation(raws).as("lead_stripped"),
+            validateIso8601Date(iso).as("iso_valid"),
+            array_join(arrayTrim(arr), "|").as("trimmed"),
+            normalizeUnicode(decomposed).as("nfc")
+          )
+      },
+      Some(
+        """WITH t AS (SELECT p_partkey, p_name, p_type, p_brand,
+          |  (CASE WHEN p_partkey % 4 = 0 THEN '¡*Hola ' || p_name
+          |        WHEN p_partkey % 4 = 1 THEN '.., [' || p_name || ']'
+          |        WHEN p_partkey % 4 = 2 THEN '!??'
+          |        ELSE p_name END) AS raws,
+          |  (CASE WHEN p_partkey % 5 = 0 THEN '-' || lpad(cast(p_partkey % 9999 as varchar), 4, '0') || '-03-15T10:20:30Z'
+          |        WHEN p_partkey % 5 = 1 THEN cast(1900 + p_partkey % 100 as varchar) || '-13-15T10:20:30Z'
+          |        WHEN p_partkey % 5 = 2 THEN cast(1900 + p_partkey % 100 as varchar) || '-03-15T10:20:30'
+          |        WHEN p_partkey % 5 = 3 THEN cast(1900 + p_partkey % 100 as varchar) || '-03-15T25:20:30Z'
+          |        ELSE cast(1900 + p_partkey % 100 as varchar) || '-03-15T10:20:30Z' END) AS iso
+          |  FROM part),
+          |u AS (SELECT *, regexp_replace(raws, '^[ \t#*!¡?/:;.,=(\[''"´`”\x{0308}]*', '') AS ls FROM t)
+          |SELECT p_partkey,
+          |  (CASE WHEN ls = '' THEN raws ELSE ls END) AS lead_stripped,
+          |  (regexp_matches(iso, '^(\-?\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})Z$')
+          |   AND try_cast(regexp_extract(iso, '^(\-?\d{4})-(\d{2})-(\d{2})T', 2) as int) BETWEEN 1 AND 12
+          |   AND try_cast(regexp_extract(iso, '^(\-?\d{4})-(\d{2})-(\d{2})T', 3) as int) BETWEEN 1 AND 31
+          |   AND try_cast(regexp_extract(iso, 'T(\d{2}):(\d{2}):(\d{2})Z$', 1) as int) BETWEEN 0 AND 23
+          |   AND try_cast(regexp_extract(iso, 'T(\d{2}):(\d{2}):(\d{2})Z$', 2) as int) BETWEEN 0 AND 59
+          |   AND try_cast(regexp_extract(iso, 'T(\d{2}):(\d{2}):(\d{2})Z$', 3) as int) BETWEEN 0 AND 59) AS iso_valid,
+          |  trim(p_type, ' ' || chr(9) || chr(10) || chr(13) || chr(11)) || '|x|' || trim(p_brand, ' ' || chr(9) || chr(10) || chr(13) || chr(11)) AS trimmed,
+          |  nfc_normalize('Cafe' || chr(769) || ' ' || cast(p_partkey % 10 as varchar)) AS nfc
+          |FROM u""".stripMargin
       )
     )
   )
