@@ -179,5 +179,130 @@ object MarcHostQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(host, callnumbers)
+  /** MARC unique control numbers (reference: Record/Marc.php
+    * getUniqueIDs:887): 010$a LCCN / 010$b NUCMC — including the
+    * reference's quirk of emitting "(nucmc)<lccn>" (the LCCN value, not
+    * the normalized $b) — 015/016 national-bibliography numbers prefixed
+    * by their $2 source, 024 standard numbers with the indicator-1 source
+    * map (istc/upc/ismn/ian/sici/$2-for-7), ISMN 13-digit validation, the
+    * ian space-truncation rule, and 035 system control numbers kept only
+    * when they match the scnPatterns list (CONSER/DLC/OCoLC, EXLCZ,
+    * EXLNZ-, ISIL-style).
+    */
+  private val uniqueIds = Q(
+    "marc_unique_ids",
+    (s, d) => {
+      val k = col("p_partkey")
+      val ks = k.cast("string")
+      val e = lit("")
+
+      val a010 = when(k % 4 === 0, concat(lit(" 78-"), (k % 100000).cast("string"))).otherwise(e)
+      val b010 = when(k % 8 === 0, lit("x")).otherwise(e)
+      val lccn = normalizeKey(a010)
+      val nucmc = normalizeKey(b010)
+
+      val a015 = when(k % 3 === 0, concat(lit("F-"), (k % 1000).cast("string"))).otherwise(e)
+      val src015 = lit("skl")
+      val n015 = normalizeKey(a015)
+
+      val a016 = when(k % 5 === 0, concat(lit("BN"), (k % 1000).cast("string"))).otherwise(e)
+      val src016 = when(k % 10 === 0, e).otherwise(lit("dnb"))
+      val n016 = normalizeKey(a016)
+
+      val ind024 = element_at(
+        array(lit("0"), lit("1"), lit("2"), lit("3"), lit("4"), lit("7"), lit("5"), lit("8")),
+        (k % 8 + 1).cast("int")
+      )
+      val a024 = when(ind024 === "0", concat(lit("IS"), ks))
+        .when(ind024 === "1", concat(lit("UPC "), ks))
+        .when(ind024 === "2",
+          when(k % 16 === 2, concat(lit("9790"), lpad((k % 1000000000).cast("string"), 9, "0")))
+            .otherwise(lit("M-26000")))
+        .when(ind024 === "3", concat(ks, lit(" tail")))
+        .when(ind024 === "4", concat(lit("SICI/"), ks))
+        .otherwise(concat(lit("DD"), ks))
+      val sub2024 = lit("doi")
+      val src024 = when(ind024 === "0", lit("istc"))
+        .when(ind024 === "1", lit("upc"))
+        .when(ind024 === "2", lit("ismn"))
+        .when(ind024 === "3", lit("ian"))
+        .when(ind024 === "4", lit("sici"))
+        .when(ind024 === "7", sub2024)
+        .otherwise(e)
+      // ian: cut at the first space (PHP strpos truthiness: position > 0).
+      val p = instr(a024, " ")
+      val aIan = when(src024 === "ian" && p > 1, a024.substr(lit(1), p - 1)).otherwise(a024)
+      val n024raw = normalizeKey(aIan)
+      val n024 = when(
+        src024 === "ismn" && regexp_extract(n024raw, "([0-9]{13})", 1) === "",
+        e
+      ).otherwise(n024raw)
+
+      val f035 = array(
+        concat(lit("(OCoLC)ocm"), ks),
+        when(k % 2 === 0, concat(lit("(FI-MELINDA)"), ks)).otherwise(concat(lit("local"), ks))
+      )
+      val scnPatterns = Seq(
+        "^\\((CONSER|DLC|OCoLC)\\).+",
+        "^\\(EXLCZ\\).+",
+        "^\\(EXLNZ-.+\\).+",
+        "^\\(\\w\\w-\\w+\\).+"
+      )
+      val kept035 = transform(
+        filter(f035, nr => scnPatterns.map(nr.rlike(_)).reduce(_ || _)),
+        nr => normalizeKey(nr)
+      )
+
+      val ids = filter(
+        concat(
+          array(
+            when(lccn =!= "", concat(lit("(lccn)"), lccn)).otherwise(e),
+            when(nucmc =!= "", concat(lit("(nucmc)"), lccn)).otherwise(e),
+            when(src015 =!= "" && n015 =!= "", concat(lit("("), src015, lit(")"), n015)).otherwise(e),
+            when(src016 =!= "" && n016 =!= "", concat(lit("("), src016, lit(")"), n016)).otherwise(e),
+            when(src024 =!= "" && n024 =!= "", concat(lit("("), src024, lit(")"), n024)).otherwise(e)
+          ),
+          kept035
+        ),
+        x => x =!= ""
+      )
+
+      Tables
+        .part(s, d)
+        .select(concat(lit("u"), ks).as("record_id"), array_join(ids, "|").as("unique_ids"))
+    },
+    Some {
+      import MetadataQueries.nkSql
+      s"""WITH b AS (
+         |  SELECT p_partkey AS k,
+         |    (CASE WHEN p_partkey % 4 = 0 THEN '78' || cast(p_partkey % 100000 as varchar) ELSE '' END) AS lccn,
+         |    (p_partkey % 8 = 0) AS has_nucmc,
+         |    (CASE WHEN p_partkey % 3 = 0 THEN 'f' || cast(p_partkey % 1000 as varchar) ELSE '' END) AS n015,
+         |    (CASE WHEN p_partkey % 5 = 0 AND p_partkey % 10 != 0 THEN 'bn' || cast(p_partkey % 1000 as varchar) ELSE '' END) AS n016,
+         |    (CASE WHEN p_partkey % 8 = 0 THEN '(istc)is' || cast(p_partkey as varchar)
+         |          WHEN p_partkey % 8 = 1 THEN '(upc)upc' || cast(p_partkey as varchar)
+         |          WHEN p_partkey % 8 = 2 THEN
+         |            (CASE WHEN p_partkey % 16 = 2 THEN '(ismn)9790' || lpad(cast(p_partkey % 1000000000 as varchar), 9, '0') ELSE '' END)
+         |          WHEN p_partkey % 8 = 3 THEN '(ian)' || cast(p_partkey as varchar)
+         |          WHEN p_partkey % 8 = 4 THEN '(sici)sici' || cast(p_partkey as varchar)
+         |          WHEN p_partkey % 8 = 5 THEN '(doi)dd' || cast(p_partkey as varchar)
+         |          ELSE '' END) AS id024,
+         |    'ocolcocm' || cast(p_partkey as varchar) AS scn1,
+         |    (CASE WHEN p_partkey % 2 = 0 THEN ${nkSql("'(FI-MELINDA)' || cast(p_partkey as varchar)")} ELSE '' END) AS scn2
+         |  FROM part)
+         |SELECT 'u' || cast(k as varchar) AS record_id,
+         |  array_to_string(list_filter([
+         |    (CASE WHEN lccn != '' THEN '(lccn)' || lccn ELSE '' END),
+         |    (CASE WHEN has_nucmc THEN '(nucmc)' || lccn ELSE '' END),
+         |    (CASE WHEN n015 != '' THEN '(skl)' || n015 ELSE '' END),
+         |    (CASE WHEN n016 != '' THEN '(dnb)' || n016 ELSE '' END),
+         |    id024,
+         |    scn1,
+         |    scn2
+         |  ], x -> x != ''), '|') AS unique_ids
+         |FROM b""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(host, callnumbers, uniqueIds)
 }
