@@ -35,7 +35,8 @@ object SparkEntry {
       operators.Ead3Queries.all ++
       operators.MarcSubjectQueries.all ++
       operators.LlmQueries7.all ++
-      operators.MarcHostQueries.all
+      operators.MarcHostQueries.all ++
+      operators.MergePolicyQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -241,6 +241,43 @@ object LlmQueries7 {
     }
   )
 
+  /** Corpus-level 3-gram heavy hitters: occurrence count + document
+    * frequency for every 3-gram above a fixed support threshold. The
+    * threshold filter (not a global top-k sort) is deliberate: the plan is
+    * one hash shuffle on the gram with map-side partial aggregation, and
+    * no single-partition rank bottleneck — the shape that survives 100 TB.
+    * Feeds contamination screening and boilerplate detection.
+    */
+  private val ngramFreq = Q(
+    "docs_ngram_freq",
+    (s, d) => {
+      val tokens = split(coalesce(col("text"), lit("")), " ")
+      val grams = transform(
+        sequence(lit(0), greatest(size(tokens) - 3, lit(0))),
+        i => array_join(slice(tokens, i + 1, lit(3)), " ")
+      )
+      docs(s, d)
+        .filter(size(tokens) >= 3)
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("gram"))
+        .agg(
+          count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs")
+        )
+        .filter(col("n_occurrences") >= 5)
+    },
+    Some {
+      s"""WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tokens FROM documents),
+         |ex AS (SELECT doc_id, tokens,
+         |  unnest(range(0, greatest(len(tokens) - 3, 0) + 1)) AS i
+         |  FROM tk WHERE len(tokens) >= 3)
+         |SELECT array_to_string(tokens[i+1 : i+3], ' ') AS gram,
+         |  cast(count(*) as bigint) AS n_occurrences,
+         |  cast(count(distinct doc_id) as bigint) AS n_docs
+         |FROM ex GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
-    Seq(htmlStrip, urlCanon, chunks, canonical, sampleStratified)
+    Seq(htmlStrip, urlCanon, chunks, canonical, sampleStratified, ngramFreq)
 }
