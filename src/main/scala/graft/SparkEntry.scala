@@ -36,7 +36,8 @@ object SparkEntry {
       operators.MarcSubjectQueries.all ++
       operators.LlmQueries7.all ++
       operators.MarcHostQueries.all ++
-      operators.MergePolicyQueries.all
+      operators.MergePolicyQueries.all ++
+      operators.MarcSolrQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
