@@ -36,18 +36,32 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    val results = chosen.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            false
-        }
-      spark.catalog.clearCache() // drop per-query persisted datasets
-      // A failed query must not read as a (fast) success: report -1.
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Two timed passes, per-query minimum: a single pass is hostage to
+    // transient machine load (round-3 recorded a 2× "regression" on
+    // events_sessionize that was contention, not the plan — the same build
+    // measured 0.67 s idle vs 2.09 s under load). The min over passes is
+    // the steady-state cost of the plan, which is the quantity that
+    // extrapolates to cluster scale.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val timings = (1 to passes).map { _ =>
+      chosen.map { q =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+              false
+          }
+        spark.catalog.clearCache() // drop per-query persisted datasets
+        // A failed query must not read as a (fast) success: report -1.
+        q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+    val results = chosen.map(_.name).map { name =>
+      val ts = timings.map(_.toMap.apply(name))
+      // Any failed pass poisons the query: -1 wins over a fast success.
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
