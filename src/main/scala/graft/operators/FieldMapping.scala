@@ -21,7 +21,17 @@ object FieldMapping {
   final case class Mapping(
       entries: Seq[(String, String)],
       default: Option[String] = None,
-      empty: Option[String] = None
+      empty: Option[String] = None,
+      /** `##emptyarray`: like `##empty` but the reference wraps the value
+        * in an array; `##empty` wins when both are configured
+        * (FieldMapper.php:205-210).
+        */
+      emptyArray: Option[String] = None,
+      /** `##mappedempty(array)`: substituted when a non-empty input maps
+        * to nothing (all values mapped to '' and were filtered out,
+        * FieldMapper.php:197-204).
+        */
+      mappedEmpty: Option[String] = None
   )
 
   /** Apply a normal mapping to `df`'s column `valueCol` via broadcast join,
@@ -69,5 +79,59 @@ object FieldMapping {
       when(valueCol.rlike(pat), regexp_replace(valueCol, pat, repl))
         .otherwise(acc)
     }
+  }
+
+  /** All-matches regexp mapping (FieldMapper.php `type=regexp-multi`:246):
+    * every pattern that matches contributes its rewritten value; when none
+    * match the result is `##default` (or the original value). Returns an
+    * array column.
+    */
+  def regexpMultiMapping(
+      valueCol: Column,
+      patterns: Seq[(String, String)],
+      default: Option[String]
+  ): Column = {
+    val hits = filter(
+      array(patterns.map { case (pat, repl) =>
+        when(valueCol.rlike(pat), regexp_replace(valueCol, pat, repl)).otherwise(lit(""))
+      }: _*),
+      x => x =!= ""
+    )
+    when(size(hits) > 0, hits)
+      .otherwise(array(default.map(lit).getOrElse(valueCol)))
+  }
+
+  /** Array-field mapping (FieldMapper.php mapValues:176-211): each value
+    * maps through the entry table (`##default` fallback, else identity),
+    * results are uniqued (first occurrence) and empty strings dropped;
+    * a non-empty input that maps away entirely becomes `##mappedempty`,
+    * an empty input becomes `##empty`/`##emptyarray`. The mapping is a
+    * tiny literal map inside `transform` — fully codegen'd, no join, no
+    * shuffle, exactly what survives a 100 TB fact side.
+    */
+  def applyArrayMapping(arr: Column, mapping: Mapping): Column = {
+    val m = map(mapping.entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val mapped = transform(
+      arr,
+      v => {
+        // try_element_at: missing key -> null (plain element_at throws
+        // under Spark 4 ANSI mode).
+        val looked = try_element_at(m, v)
+        mapping.default
+          .map(dv => coalesce(looked, lit(dv)))
+          .getOrElse(coalesce(looked, v))
+      }
+    )
+    val cleaned = filter(array_distinct(mapped), x => x =!= "")
+    val emptyResult = mapping.empty
+      .orElse(mapping.emptyArray)
+      .map(v => array(lit(v)))
+      .getOrElse(array().cast("array<string>"))
+    val mappedEmptyResult = mapping.mappedEmpty
+      .map(v => array(lit(v)))
+      .getOrElse(array().cast("array<string>"))
+    when(arr.isNull || size(arr) === 0, emptyResult)
+      .when(size(cleaned) === 0, mappedEmptyResult)
+      .otherwise(cleaned)
   }
 }

@@ -44,6 +44,47 @@ object MappingQueries {
       )
     ),
     Q(
+      // Array-field mapping with ##mappedempty / ##emptyarray
+      // (FieldMapper.php:157,197-210): 'purchase' maps to '' (filtered
+      // out), duplicates collapse, unmapped values pass through.
+      "map_values_array",
+      (s, d) => {
+        val k = col("event_id")
+        val arrMapping = FieldMapping.Mapping(
+          entries = Seq(
+            "click" -> "Interaction",
+            "view" -> "Interaction",
+            "purchase" -> "",
+            "signup" -> "Registration"
+          ),
+          emptyArray = Some("EmptyArr"),
+          mappedEmpty = Some("MappedEmpty")
+        )
+        val input = when(k % 5 === 0, array().cast("array<string>"))
+          .when(k % 5 === 1, array(lit("click"), lit("view")))
+          .when(k % 5 === 2, array(lit("purchase")))
+          .when(k % 5 === 3, array(lit("signup"), lit("other")))
+          .otherwise(array(lit("view"), lit("purchase"), lit("click")))
+        Tables
+          .events(s, d)
+          .select(
+            k.as("event_id"),
+            array_join(FieldMapping.applyArrayMapping(input, arrMapping), "|")
+              .as("mapped_values")
+          )
+      },
+      Some(
+        """SELECT event_id,
+          |  (CASE event_id % 5
+          |     WHEN 0 THEN 'EmptyArr'
+          |     WHEN 1 THEN 'Interaction'
+          |     WHEN 2 THEN 'MappedEmpty'
+          |     WHEN 3 THEN 'Registration|other'
+          |     ELSE 'Interaction' END) AS mapped_values
+          |FROM events""".stripMargin
+      )
+    ),
+    Q(
       "map_regexp",
       (s, d) =>
         Tables
@@ -61,6 +102,39 @@ object MappingQueries {
           |       WHEN regexp_matches(p_type, '^(ECONOMY|PROMO) ?(.*)$') THEN regexp_replace(p_type, '^(ECONOMY|PROMO) ?(.*)$', 'Value:\1')
           |       WHEN regexp_matches(p_type, '^(SMALL|MEDIUM|LARGE)(.*)$') THEN regexp_replace(p_type, '^(SMALL|MEDIUM|LARGE)(.*)$', 'Size:\1')
           |       ELSE 'Unmapped' END AS mapped_type
+          |FROM part""".stripMargin
+      )
+    ),
+    Q(
+      // All-matches regexp mapping (FieldMapper `regexp-multi`:246):
+      // every matching pattern contributes a value.
+      "map_regexp_multi",
+      (s, d) =>
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            col("p_type"),
+            array_join(
+              FieldMapping.regexpMultiMapping(
+                col("p_type"),
+                Seq(
+                  ".*ANODIZED.*" -> "Anodized",
+                  "^(STANDARD|PROMO).*" -> "Class:$1",
+                  ".*(TIN|STEEL)$" -> "Metal:$1"
+                ),
+                Some("Unmapped")
+              ),
+              "|"
+            ).as("mapped_types")
+          ),
+      Some(
+        """SELECT p_partkey, p_type,
+          |  coalesce(nullif(array_to_string(list_filter([
+          |    CASE WHEN regexp_matches(p_type, '.*ANODIZED.*') THEN 'Anodized' ELSE '' END,
+          |    CASE WHEN regexp_matches(p_type, '^(STANDARD|PROMO).*') THEN regexp_replace(p_type, '^(STANDARD|PROMO).*', 'Class:\1') ELSE '' END,
+          |    CASE WHEN regexp_matches(p_type, '.*(TIN|STEEL)$') THEN regexp_replace(p_type, '.*(TIN|STEEL)$', 'Metal:\1') ELSE '' END
+          |  ], x -> x != ''), '|'), ''), 'Unmapped') AS mapped_types
           |FROM part""".stripMargin
       )
     )
