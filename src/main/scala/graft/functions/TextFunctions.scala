@@ -172,4 +172,46 @@ object TextFunctions {
     }
     chain.otherwise(lit("und"))
   }
+
+  /** HTML → text: script/style block removal (DOTALL — real crawl HTML
+    * is multiline), tag stripping, common-entity decode, whitespace
+    * collapse. Pure regexp chain, codegen'd, embarrassingly parallel.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&amp;" -> "&",
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&nbsp;" -> " "
+    ).foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** URL canonicalization: fragment off, scheme+host lowercased, default
+    * ports dropped, utm_* tracking params removed, query string
+    * re-anchored, trailing '?' dropped.
+    */
+  def canonicalizeUrl(raw: Column): Column = {
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    // The scheme/host may arrive in any case — lowercase only that span.
+    val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val lowered = concat(lower(head), noFrag.substr(length(head) + 1, length(noFrag)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]+):443", "$1"),
+      "^(http://[^/:?#]+):80",
+      "$1"
+    )
+    val noUtm = regexp_replace(noPort, "[?&]utm_[^&#]*", "")
+    val requery = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    regexp_replace(requery, "\\?$", "")
+  }
+
+  /** Host component of a canonicalized http(s) URL. */
+  def urlHost(canon: Column): Column =
+    regexp_extract(canon, "^https?://([^/?#]+)", 1)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -38,33 +39,18 @@ object LlmQueries7 {
     "docs_html_strip",
     (s, d) => {
       val id = col("doc_id")
+      // The script block spans lines: real crawl HTML is multiline, so the
+      // strip regexes must run in DOTALL mode (round-3 defect: without
+      // (?s), `.*?` stopped at the newline and the script body leaked
+      // into "clean" text).
       val html = concat(
         lit("<html><head><title>Doc "), id.cast("string"),
-        lit("</title><script>var x = 1 &amp;&amp; 2;</script>"),
-        lit("<style>.a{color:red}</style></head><body><h1>Heading "),
+        lit("</title><script>\nvar x = 1 &amp;&amp; 2;\nconsole.log(x);\n</script>"),
+        lit("<style>\n.a{color:red}\n</style></head><body><h1>Heading "),
         id.cast("string"), lit("</h1><p>"), col("text"),
         lit("</p><div class=\"foot\">&amp; more &lt;tags&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</div></body></html>")
       )
-      val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
-      val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
-      val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
-      val decoded = regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(noTags, "&amp;", "&"),
-                "&lt;", "<"
-              ),
-              "&gt;", ">"
-            ),
-            "&quot;", "\""
-          ),
-          "&#39;", "'"
-        ),
-        "&nbsp;", " "
-      )
-      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      val clean = TextFunctions.htmlToText(html)
       docs(s, d).select(
         id,
         clean.as("clean_text"),
@@ -72,10 +58,10 @@ object LlmQueries7 {
       )
     },
     Some {
-      val html = """'<html><head><title>Doc ' || cast(doc_id as varchar) || '</title><script>var x = 1 &amp;&amp; 2;</script><style>.a{color:red}</style></head><body><h1>Heading ' || cast(doc_id as varchar) || '</h1><p>' || text || '</p><div class="foot">&amp; more &lt;tags&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</div></body></html>'"""
+      val html = """'<html><head><title>Doc ' || cast(doc_id as varchar) || '</title><script>' || chr(10) || 'var x = 1 &amp;&amp; 2;' || chr(10) || 'console.log(x);' || chr(10) || '</script><style>' || chr(10) || '.a{color:red}' || chr(10) || '</style></head><body><h1>Heading ' || cast(doc_id as varchar) || '</h1><p>' || text || '</p><div class="foot">&amp; more &lt;tags&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</div></body></html>'"""
       s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
-         |s1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
-         |s2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         |s1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs') AS t FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'gs') AS t FROM s1),
          |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
          |s4 AS (SELECT doc_id,
          |  replace(replace(replace(replace(replace(replace(t,
@@ -103,21 +89,8 @@ object LlmQueries7 {
           lit(".Example.ORG:80/post/"), ids, lit("?id="), ids,
           lit("&utm_campaign=x&ref=y"))
       ).otherwise(concat(lit("https://cdn.example.net/data/"), ids))
-      // 1) fragment off  2) lowercase scheme+host  3) default ports
-      // 4) utm_* params  5) re-anchor the query string  6) trailing '?'
-      val noFrag = regexp_replace(raw, "#.*$", "")
-      // The scheme/host may arrive in any case — match case-insensitively,
-      // lowercase, and only then strip ports / extract the host.
-      val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-      val lowered = concat(lower(head), noFrag.substr(length(head) + 1, length(noFrag)))
-      val noPort = regexp_replace(
-        regexp_replace(lowered, "^(https://[^/:?#]+):443", "$1"),
-        "^(http://[^/:?#]+):80", "$1"
-      )
-      val noUtm = regexp_replace(noPort, "[?&]utm_[^&#]*", "")
-      val requery = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
-      val canon = regexp_replace(requery, "\\?$", "")
-      val host = regexp_extract(canon, "^https?://([^/?#]+)", 1)
+      val canon = TextFunctions.canonicalizeUrl(raw)
+      val host = TextFunctions.urlHost(canon)
       docs(s, d)
         .select(id, canon.as("url"), host.as("host"))
         .groupBy(col("host"))

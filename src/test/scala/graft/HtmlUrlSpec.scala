@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Fixtures for the factored corpus-shaping functions — in particular
+  * the DOTALL behavior the round-3 oracle could not exercise (its input
+  * was single-line).
+  */
+class HtmlUrlSpec extends SparkSuite {
+
+  private def eval1(c: org.apache.spark.sql.Column, input: String): String = {
+    import spark.implicits._
+    Seq(input).toDF("x").select(c.as("r")).collect()(0).getString(0)
+  }
+
+  test("htmlToText strips multiline script and style blocks") {
+    val html =
+      "<html><script type=\"text/javascript\">\nvar x = 1;\nif (x < 2) { x++; }\n</script>" +
+        "<style>\nbody {\n  color: red;\n}\n</style><p>Real text</p></html>"
+    assert(eval1(htmlToText(col("x")), html) == "Real text")
+  }
+
+  test("htmlToText decodes entities and collapses whitespace") {
+    val html = "<p>a&amp;b</p>\n\n<p>&lt;x&gt;&nbsp;&quot;q&quot;&#39;s&#39;</p>"
+    assert(eval1(htmlToText(col("x")), html) == "a&b <x> \"q\"'s'")
+  }
+
+  test("canonicalizeUrl lowercases scheme+host only, strips ports/utm/fragment") {
+    assert(
+      eval1(
+        canonicalizeUrl(col("x")),
+        "HTTPS://WWW.Example.COM:443/Path/UPPER?utm_source=x&id=5#frag"
+      ) == "https://www.example.com/Path/UPPER?id=5"
+    )
+    assert(
+      eval1(canonicalizeUrl(col("x")), "http://Host.ORG:80/a?utm_a=1&utm_b=2") ==
+        "http://host.org/a"
+    )
+  }
+
+  test("urlHost extracts the canonical host") {
+    assert(eval1(urlHost(col("x")), "https://cdn.example.net/data/7") == "cdn.example.net")
+  }
+}
