@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.sources.{Iso2709, MarcXml}
+import graft.sources.{Iso2709, MarcInJson, MarcXml}
 import graft.sources.Iso2709.Subfield
 import org.apache.spark.sql.functions._
 
@@ -73,6 +73,57 @@ object SourceQueries {
       },
       Some(
         """SELECT p_partkey AS record_id, p_name AS title, 2 AS n_245
+          |FROM part""".stripMargin
+      )
+    ),
+    Q(
+      // True MARC-in-JSON structure (leader + fields with indicators and
+      // multi-subfield data fields), round-tripped through the proper
+      // shape AND cross-checked against the legacy v1 parse of the same
+      // logical record (Marc/Serialization/MarcInJson.php).
+      "marcinjson_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        Tables
+          .part(s, d)
+          .select("p_partkey", "p_name", "p_type")
+          .as[(Long, String, String)]
+          .map { case (k, name, typ) =>
+            val fields = Seq(
+              MarcInJson.Field("001", "", "", s"rec$k", Nil),
+              MarcInJson.Field("245", "1", "4", "", Seq("a" -> name, "b" -> typ)),
+              MarcInJson.Field("100", " ", " ", "", Seq("a" -> name.split(" ").take(2).mkString(" ")))
+            )
+            val leader = "00000nam a2200000   4500"
+            val (pl, pf) = MarcInJson.parse(MarcInJson.build(leader, fields))
+            val (ll, lf) = MarcInJson.parse(MarcInJson.buildLegacyV1(leader, fields))
+            val f245 = pf.find(_.tag == "245")
+            (
+              k,
+              f245.flatMap(_.subfields.collectFirst { case ("a", v) => v }).getOrElse(""),
+              f245.flatMap(_.subfields.collectFirst { case ("b", v) => v }).getOrElse(""),
+              f245.map(_.ind2).getOrElse(""),
+              pf.find(_.tag == "001").map(_.value).getOrElse(""),
+              pf.size.toLong,
+              pl == leader && ll == leader &&
+                MarcInJson.toSubfields(pf).sortBy(f => (f.tag, f.code)) ==
+                MarcInJson.toSubfields(lf).sortBy(f => (f.tag, f.code))
+            )
+          }
+          .toDF(
+            "record_id",
+            "title",
+            "subtitle",
+            "ind2",
+            "control_id",
+            "n_fields",
+            "legacy_v1_matches"
+          )
+      },
+      Some(
+        """SELECT p_partkey AS record_id, p_name AS title, p_type AS subtitle,
+          |  '4' AS ind2, 'rec' || cast(p_partkey as varchar) AS control_id,
+          |  cast(3 as bigint) AS n_fields, true AS legacy_v1_matches
           |FROM part""".stripMargin
       )
     ),

@@ -96,4 +96,42 @@ class SourcesSpec extends SparkSuite {
       .toString
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("MARC-in-JSON proper round trip preserves leader, indicators, subfields") {
+    import graft.sources.MarcInJson
+    val fields = Seq(
+      MarcInJson.Field("001", "", "", "rec1", Nil),
+      MarcInJson.Field("245", "1", "4", "", Seq("a" -> "Tïtle \"quoted\"", "b" -> "sub/b")),
+      MarcInJson.Field("700", " ", "2", "", Seq("a" -> "Ana", "t" -> "Part"))
+    )
+    val leader = "00123nam a2200049   4500"
+    val (pl, pf) = MarcInJson.parse(MarcInJson.build(leader, fields))
+    assert(pl == leader)
+    assert(pf == fields)
+  }
+
+  test("MARC-in-JSON legacy v1/v2/v3 parse to the same logical record") {
+    import graft.sources.MarcInJson
+    val v1 = "{\"000\":[\"L\"],\"001\":[\"c1\"],\"245\":[\"14\\u001faT\\u001fbS\"]}"
+    val v2 =
+      """{"v":2,"f":{"000":"L","001":["c1"],"245":[{"i1":"1","i2":"4","s":[{"c":"a","v":"T"},{"c":"b","v":"S"}]}]}}"""
+    val v3 =
+      """{"v":3,"f":{"000":["L"],"001":["c1"],"245":[{"i1":"1","i2":"4","s":[{"a":"T"},{"b":"S"}]}]}}"""
+    val expected = (
+      "L",
+      Seq(
+        MarcInJson.Field("001", "", "", "c1", Nil),
+        MarcInJson.Field("245", "1", "4", "", Seq("a" -> "T", "b" -> "S"))
+      )
+    )
+    assert(MarcInJson.parse(v1) == expected)
+    assert(MarcInJson.parse(v2) == expected)
+    assert(MarcInJson.parse(v3) == expected)
+  }
+
+  test("MARC-in-JSON malformed input quarantines as empty") {
+    import graft.sources.MarcInJson
+    assert(MarcInJson.parse("not json") == ("", Seq.empty))
+    assert(MarcInJson.parse("""{"v":9,"f":{}}""") == ("", Seq.empty))
+  }
 }
