@@ -19,29 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object MarcFormat {
 
-  /** Primary format for a record given its leader, first 007 field, 008
-    * field and whether a 773$g serial host exists.
+  /** FormatCalculator.php:146 getFormatFrom007, every branch except `v`
+    * (the video detail differs between the primary-format and full-list
+    * paths).
     */
-  def marcPrimaryFormat(
-      leader: Column,
-      f007: Column,
-      f008: Column,
-      hasSerialHost: Column
-  ): Column = {
-    // Null-safe: a record without 007/008 is the common case, and a null
-    // would otherwise poison couldBeBook through three-valued logic.
-    val ldr = coalesce(leader, lit(""))
-    val f7 = coalesce(f007, lit(""))
-    val f8 = coalesce(f008, lit(""))
-    val rt = lower(substring(ldr, 7, 1))
-    val bl = lower(substring(ldr, 8, 1))
-    val c1 = lower(substring(f7, 1, 1))
-    val c2 = lower(substring(f7, 2, 1))
-    // PHP get008Value($marc008, p) is 0-based substr -> position p+1 here.
-    def v008(p: Int) = lower(substring(f8, p + 1, 1))
-
-    // FormatCalculator.php:146 getFormatFrom007 (common branches).
-    val fmt007 = when(c1 === "a", when(c2 === "d", "Atlas").otherwise("Map"))
+  private def format007NonVideo(c1: Column, c2: Column): Column =
+    when(c1 === "a", when(c2 === "d", "Atlas").otherwise("Map"))
       .when(
         c1 === "c",
         when(c2 === "a", "TapeCartridge")
@@ -91,11 +74,33 @@ object MarcFormat {
           .when(c2 === "s", "SoundCassette")
           .otherwise("SoundRecording")
       )
-      // All 007/v content surfaces as Video first (getFormatsAsList
-      // appends 'Video' before the detailed type, so the PRIMARY format
-      // for any video record is 'Video').
-      .when(c1 === "v", lit("Video"))
       .otherwise(lit(""))
+
+  /** Primary format for a record given its leader, first 007 field, 008
+    * field and whether a 773$g serial host exists.
+    */
+  def marcPrimaryFormat(
+      leader: Column,
+      f007: Column,
+      f008: Column,
+      hasSerialHost: Column
+  ): Column = {
+    // Null-safe: a record without 007/008 is the common case, and a null
+    // would otherwise poison couldBeBook through three-valued logic.
+    val ldr = coalesce(leader, lit(""))
+    val f7 = coalesce(f007, lit(""))
+    val f8 = coalesce(f008, lit(""))
+    val rt = lower(substring(ldr, 7, 1))
+    val bl = lower(substring(ldr, 8, 1))
+    val c1 = lower(substring(f7, 1, 1))
+    val c2 = lower(substring(f7, 2, 1))
+    // PHP get008Value($marc008, p) is 0-based substr -> position p+1 here.
+    def v008(p: Int) = lower(substring(f8, p + 1, 1))
+
+    // All 007/v content surfaces as Video first (getFormatsAsList
+    // appends 'Video' before the detailed type, so the PRIMARY format
+    // for any video record is 'Video').
+    val fmt007 = when(c1 === "v", lit("Video")).otherwise(format007NonVideo(c1, c2))
 
     // :105 definitelyNotBookBasedOn007 + :117 ...BasedOnRecordType.
     val notBook007 = c1.isin("g", "k", "m", "v")
@@ -180,5 +185,158 @@ object MarcFormat {
       .when(fmtRt =!= "", fmtRt)
       .when(fmtBl =!= "", fmtBl)
       .otherwise(fallback)
+  }
+
+  /** RDA 338 carrier says online (FormatCalculator.php:658): `$a` "online
+    * resource" or `$b` "cr", sourced from rdacarrier.
+    */
+  def isOnline338(f338a: Column, f338b: Column, f3382: Column): Column =
+    (f338a === "online resource" || f338b === "cr") && f3382 === "rdacarrier"
+
+  /** RDA 336 content type says video (FormatCalculator.php:690): `$a`
+    * "two-dimensional moving image" or `$b` "tdi", sourced from rdacontent.
+    */
+  def isVideo336(f336a: Column, f336b: Column, f3362: Column): Column =
+    (f336a === "two-dimensional moving image" || f336b === "tdi") && f3362 === "rdacontent"
+
+  /** Full deduplicated format list (FormatCalculator.php:62 getFormats /
+    * :721 getFormatsAsList) including the additive labels: SuDoc 086 →
+    * GovernmentDocument, dissertation 502 → Thesis, 245$h/[electronic
+    * resource] | leader-m | online-338 → Electronic, 111/711 meeting →
+    * ConferenceProceeding, 336-tdi → Video (+ VideoOnline when the 338
+    * carrier is online), then the 007 / record-type / bib-level decision
+    * tree — with record-type skipped when 33x matched, the thesis gate on
+    * leader-t Manuscript, and the could-be-book veto extended by 33x.
+    * The last-resort fallback applies only when NOTHING (additive labels
+    * included) matched.
+    */
+  def marcFormats(
+      leader: Column,
+      f007: Column,
+      f008: Column,
+      hasSerialHost: Column,
+      hasSuDoc: Column,
+      hasDissertation: Column,
+      sub245h: Column,
+      online338: Column,
+      video336: Column,
+      hasMeetingEntry: Column
+  ): Column = {
+    val ldr = coalesce(leader, lit(""))
+    val f7 = lower(coalesce(f007, lit("")))
+    val f8 = coalesce(f008, lit(""))
+    val rt = lower(substring(ldr, 7, 1))
+    val bl = lower(substring(ldr, 8, 1))
+    val c1 = substring(f7, 1, 1)
+    val c2 = substring(f7, 2, 1)
+    val c5 = substring(f7, 5, 1)
+    def v008(p: Int) = lower(substring(f8, p + 1, 1))
+    val e = lit("")
+
+    val electronic = lower(coalesce(sub245h, lit(""))).contains("[electronic resource]") ||
+      rt === "m" || online338
+    val additive = Seq(
+      when(hasSuDoc, lit("GovernmentDocument")).otherwise(e),
+      when(hasDissertation, lit("Thesis")).otherwise(e),
+      when(electronic, lit("Electronic")).otherwise(e),
+      when(hasMeetingEntry, lit("ConferenceProceeding")).otherwise(e)
+    )
+    val f33x = Seq(
+      when(video336, lit("Video")).otherwise(e),
+      when(video336 && online338, lit("VideoOnline")).otherwise(e)
+    )
+
+    // 007: video contributes the Video flag AND the detailed type.
+    val vDetail = when(c2 === "c", lit("VideoCartridge"))
+      .when(c2 === "d", when(c5 === "s", "BRDisc").otherwise("VideoDisc"))
+      .when(c2 === "f", lit("VideoCassette"))
+      .when(c2 === "r", lit("VideoReel"))
+      .otherwise(lit("VideoOnline")) // assume other video is online
+    val f007list = Seq(
+      when(c1 === "v", lit("Video")).otherwise(e),
+      when(c1 === "v", vDetail).otherwise(format007NonVideo(c1, c2))
+    )
+
+    val notBook007 = c1.isin("g", "k", "m", "v")
+    val notBookRt = rt.isin("e", "f", "g", "i", "j", "k", "r") ||
+      (rt === "m" && !v008(26).isin("d", "i", "m", "u", "z"))
+    val couldBeBook = !(notBook007 || notBookRt || video336)
+
+    // Record type — skipped entirely when 33x matched (:782).
+    val fmtRt = when(video336, e)
+      .when(rt.isin("c", "d"), lit("MusicalScore"))
+      .when(
+        rt.isin("e", "f"),
+        when(v008(25) === "d", "Globe")
+          .when(v008(25) === "e", "Atlas")
+          .otherwise("Map")
+      )
+      .when(
+        rt === "g",
+        when(v008(33) === "f", "Filmstrip")
+          .when(v008(33) === "t", "Transparency")
+          .when(v008(33) === "m", "MotionPicture")
+          .when(v008(33) === "v", "Video")
+          .when(v008(34).isin("a", "c", "l", "u", "z"), "Video")
+          .otherwise(when(c1.isin("g", "m", "v"), "").otherwise("ProjectedMedium"))
+      )
+      .when(rt === "i", lit("SoundRecording"))
+      .when(rt === "j", lit("MusicRecording"))
+      .when(
+        rt === "k",
+        when(v008(33) === "l", "Drawing")
+          .when(v008(33) === "n", "Chart")
+          .when(v008(33) === "o", "FlashCard")
+          .otherwise(when(c1 === "k", "").otherwise("Image"))
+      )
+      .when(
+        rt === "m",
+        when(v008(26) === "a", "DataSet")
+          .when(v008(26) === "b", "Software")
+          .when(v008(26) === "c", "Image")
+          .when(v008(26) === "e", "DataSet")
+          .when(v008(26) === "f", "Font")
+          .when(v008(26) === "g", "VideoGame")
+          .when(v008(26) === "h", "SoundRecording")
+          .when(v008(26) === "i", "InteractiveMultimedia")
+          .otherwise("")
+      )
+      .when(rt.isin("o", "p"), lit("Kit"))
+      .when(rt === "r", lit("PhysicalObject"))
+      // Thesis gate (:498): a leader-t thesis is NOT a Manuscript.
+      .when(rt === "t", when(hasDissertation, e).otherwise(lit("Manuscript")))
+      .otherwise(e)
+
+    val fmtBl = when(bl === "a", when(hasSerialHost, "Article").otherwise("BookComponentPart"))
+      .when(bl === "b", lit("SerialComponentPart"))
+      .when(
+        bl === "i",
+        when(rt === "a" && v008(21).isin("h", "w"), "Website")
+          .when(rt === "a" && v008(22).isin("o", "q", "s"), "OnlineIntegratingResource")
+          .otherwise("PhysicalIntegratingResource")
+      )
+      .when(
+        bl === "m" && couldBeBook,
+        when(rt.isin("a", "t") && v008(23).isin("o", "q", "s"), "eBook")
+          .when(rt === "m", "eBook")
+          .otherwise("Book")
+      )
+      .when(
+        bl === "s",
+        when(rt === "a" && v008(21) === "n", "Newspaper")
+          .when(rt === "a" && v008(21) === "p", "Journal")
+          .otherwise("Serial")
+      )
+      .otherwise(e)
+
+    val fallback = when(bl.isin("c", "d"), "Kit")
+      .when(rt === "a", "Text")
+      .otherwise("Unknown")
+
+    val listed = filter(
+      array(additive ++ f33x ++ f007list ++ Seq(fmtRt, fmtBl): _*),
+      x => x =!= ""
+    )
+    when(size(listed) === 0, array(fallback)).otherwise(array_distinct(listed))
   }
 }
