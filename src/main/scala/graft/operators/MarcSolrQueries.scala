@@ -285,5 +285,72 @@ object MarcSolrQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(workKeys, solrFields)
+  /** MARC 034 geographic locations (reference: Record/Marc.php:2422
+    * getGeographicLocations): subfields d/e/f/g (west/east/north/south)
+    * through coordinateToDecimal; invalid or out-of-range coordinates are
+    * discarded; east+south present and distinct → an ENVELOPE with the
+    * reference's weird-order swap (emitting min/max as
+    * ENVELOPE(minX, maxX, maxY, minY), the Solr order), else a POINT.
+    */
+  private val geoLocations = Q(
+    "marc_geo_locations",
+    (s, d) => {
+      import graft.functions.MetadataFunctions.coordinateToDecimal
+      val k = col("p_partkey")
+      val lonS = (k % 170).cast("string")
+      val latS = (k % 80).cast("string")
+      val b = k % 6
+      val d034 = when(b === 3, lit(""))
+        .when(b === 4, lit("W190.5")) // west out of range -> discarded
+        .otherwise(concat(lit("W"), lonS, lit(".5")))
+      val e034 = when(b === 0, concat(lit("E"), lonS, lit(".25")))
+        .when(b === 2, concat(lit("W"), lonS, lit(".5"))) // east == west -> point
+        .when(b === 5, lit("E185.5")) // east out of range -> discarded
+        .otherwise(lit(""))
+      val f034 = when(b === 3, lit("")).otherwise(concat(lit("N"), latS, lit(".5")))
+      val g034 = when(b === 0, concat(lit("S"), latS, lit(".25")))
+        .when(b === 2, concat(lit("N"), latS, lit(".5")))
+        .when(b === 5, lit("S10.25"))
+        .otherwise(lit(""))
+
+      val w = coordinateToDecimal(d034)
+      val e = coordinateToDecimal(e034)
+      val n = coordinateToDecimal(f034)
+      val so = coordinateToDecimal(g034)
+
+      val wnValid = !isnan(w) && !isnan(n)
+      val wnRange = w >= -180 && w <= 180 && n >= -90 && n <= 90
+      val esPresent = !isnan(e) && !isnan(so) && (e =!= w || n =!= so)
+      val esRange = e >= -180 && e <= 180 && so >= -90 && so <= 90
+      // "Cope with weird coordinate order": the reference swaps so the
+      // emitted 3rd/4th slots are max/min latitude (Solr's maxY, minY).
+      val loc = when(!wnValid || !wnRange, lit(""))
+        .when(esPresent && !esRange, lit(""))
+        .when(
+          esPresent,
+          concat(
+            lit("ENVELOPE("), least(w, e).cast("string"),
+            lit(", "), greatest(w, e).cast("string"),
+            lit(", "), greatest(n, so).cast("string"),
+            lit(", "), least(n, so).cast("string"), lit(")")
+          )
+        )
+        .otherwise(concat(lit("POINT("), w.cast("string"), lit(" "), n.cast("string"), lit(")")))
+
+      Tables.part(s, d).select(k.as("p_partkey"), loc.as("location"))
+    },
+    Some {
+      val lon = "cast(p_partkey % 170 as varchar)"
+      val lat = "cast(p_partkey % 80 as varchar)"
+      s"""SELECT p_partkey,
+         |  (CASE p_partkey % 6
+         |     WHEN 0 THEN 'ENVELOPE(-' || $lon || '.5, ' || $lon || '.25, ' || $lat || '.5, -' || $lat || '.25)'
+         |     WHEN 1 THEN 'POINT(-' || $lon || '.5 ' || $lat || '.5)'
+         |     WHEN 2 THEN 'POINT(-' || $lon || '.5 ' || $lat || '.5)'
+         |     ELSE '' END) AS location
+         |FROM part""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(workKeys, solrFields, geoLocations)
 }
