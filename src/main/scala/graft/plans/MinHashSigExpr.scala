@@ -52,6 +52,15 @@ object MinHashSigExpr {
   /** Same modulus as TextFunctions.MinhashMod: 2^48 - 1. */
   val Mod = 281474976710655L
 
+  // One digest per executor thread, not per row: shingle hashing is the
+  // dominant cost path and a per-row getInstance is measurable GC churn.
+  private val md5 = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  )
+
   def compute(text: UTF8String, k: Int, shingleN: Int): ArrayData = {
     // Mirror the composed pipeline exactly: regexp \s+ → ' ', trim of
     // spaces (all ends are spaces after the collapse), Lower's lowercase.
@@ -60,7 +69,7 @@ object MinHashSigExpr {
     // split(norm, " ") keeps trailing empties (Spark's split uses limit -1)
     val ws = norm.split(" ", -1)
     val mins = Array.fill(k)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
     def fold(shingle: String): Unit = {
       val d = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.reset()

@@ -17,7 +17,7 @@ object MarcXml {
       if (sf.tag < "010")
         s"""<controlfield tag="${sf.tag}">${xmlEscape(sf.value)}</controlfield>"""
       else
-        s"""<datafield tag="${sf.tag}" ind1=" " ind2=" "><subfield code="${sf.code}">${xmlEscape(sf.value)}</subfield></datafield>"""
+        s"""<datafield tag="${sf.tag}" ind1=" " ind2=" "><subfield code="${xmlEscape(sf.code)}">${xmlEscape(sf.value)}</subfield></datafield>"""
     }.mkString
     s"""<record>$body</record>"""
   }
@@ -37,6 +37,12 @@ object MarcXml {
       case _: Exception => Seq.empty
     }
 
+  // Quote/apostrophe escaping matters because the builder interpolates
+  // into attribute values (subfield code) as well as element text.
   private def xmlEscape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s.replace("&", "&amp;")
+      .replace("<", "&lt;")
+      .replace(">", "&gt;")
+      .replace("\"", "&quot;")
+      .replace("'", "&apos;")
 }
