@@ -37,7 +37,8 @@ object SparkEntry {
       operators.LlmQueries7.all ++
       operators.MarcHostQueries.all ++
       operators.MergePolicyQueries.all ++
-      operators.MarcSolrQueries.all
+      operators.MarcSolrQueries.all ++
+      operators.EnrichQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
