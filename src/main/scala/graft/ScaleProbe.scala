@@ -1,40 +1,84 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, DedupQueries}
+import graft.operators.{Dedup, DedupQueries, LlmQueries, LlmQueries6}
 
-/** Scaling probe: replicates the dedup corpus N× (disjoint key spaces) and
-  * times the full pipeline, to check the operator scales linearly rather
-  * than quadratically before it ever meets a cluster.
+/** Scaling probe: replicates a corpus N× (disjoint key spaces) and times
+  * the full pipeline, to check the operator scales linearly rather than
+  * quadratically before it ever meets a cluster.
+  *
+  * Modes: `dedup` (record dedup pipeline), `minhash` (LSH candidate
+  * generation), `segdedup` (segment-level dedup).
+  * Usage: `runMain graft.ScaleProbe [mode] [mult]`.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val mult = if (args.nonEmpty) args(0).toInt else 3
+    val mode = args.headOption.filterNot(_.forall(_.isDigit)).getOrElse("dedup")
+    val mult = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = DedupQueries.records(spark, "/root/testdata/sf0.1")
-    // Replicas must be disjoint in ALL dedup keys (title + isbn), not just
-    // ids — otherwise blocks merge across replicas and candidate pairs
-    // grow quadratically in `mult`, measuring block growth rather than
-    // corpus growth. Prefixing the title perturbs its title_key; clearing
-    // the isbn on replicas keeps isbn blocks constant-size.
-    val big = (0 until mult)
-      .map { i =>
+    val sfDir = "/root/testdata/sf0.1"
+
+    /** Documents replicated with every replica's shingles/segments made
+      * disjoint: a per-replica suffix on EVERY word renames the whole
+      * vocabulary (a bijection — within-replica similarity structure is
+      * preserved exactly), so LSH buckets and segment hashes never merge
+      * across replicas — corpus growth is measured with constant block
+      * sizes, the true scaling dimension. (Inserting separator tokens
+      * instead would create low-information shingles shared by everything
+      * in the replica and inflate similarity — the wrong experiment.)
+      */
+    def docsReplicated: DataFrame = {
+      val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+      (0 until mult).map { i =>
         if (i == 0) base
         else
-          base
-            .withColumn("id", concat(lit(s"x$i."), col("id")))
-            .withColumn("title", concat(lit(s"x$i"), col("title")))
-            .withColumn("isbn", lit(""))
-      }
-      .reduce(_ union _)
-    val total = big.count()
-    val t0 = System.nanoTime()
-    val n = Dedup.dedupRecords(big).filter(col("dedup_id").isNotNull).count()
-    println(f"SCALE mult=$mult records=$total clustered=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+          base.select(
+            (col("doc_id") + i * 1000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1zz$i").as("text")
+          )
+      }.reduce(_ union _)
+    }
+
+    mode match {
+      case "minhash" =>
+        val big = docsReplicated
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = LlmQueries.minhashPairsOf(big).count()
+        println(f"SCALE mode=minhash mult=$mult docs=$total pairs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "segdedup" =>
+        val big = docsReplicated
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = LlmQueries6.segmentStatsOf(big).filter(col("n_common") > 0).count()
+        println(f"SCALE mode=segdedup mult=$mult docs=$total common_docs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case _ =>
+        val base = DedupQueries.records(spark, sfDir)
+        // Replicas must be disjoint in ALL dedup keys (title + isbn), not
+        // just ids — otherwise blocks merge across replicas and candidate
+        // pairs grow quadratically in `mult`, measuring block growth
+        // rather than corpus growth. Prefixing the title perturbs its
+        // title_key; clearing the isbn on replicas keeps isbn blocks
+        // constant-size.
+        val big = (0 until mult)
+          .map { i =>
+            if (i == 0) base
+            else
+              base
+                .withColumn("id", concat(lit(s"x$i."), col("id")))
+                .withColumn("title", concat(lit(s"x$i"), col("title")))
+                .withColumn("isbn", lit(""))
+          }
+          .reduce(_ union _)
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = Dedup.dedupRecords(big).filter(col("dedup_id").isNotNull).count()
+        println(f"SCALE mode=dedup mult=$mult records=$total clustered=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

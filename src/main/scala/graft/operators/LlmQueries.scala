@@ -95,14 +95,20 @@ object LlmQueries {
     * the text), and the exploded band table is persisted so the self-join
     * reads it once instead of recomputing k md5 passes per side.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(corpus(s, d))
+
+  /** The LSH candidate pipeline over any (doc_id, text) frame — shared by
+    * the registered query and ScaleProbe.
+    */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
     // Native single-pass signature kernel (MinHashSigExpr) — semantically
     // identical to signatureFromHashes(shingleHashes(shingles(text, 3)), k)
     // (asserted by MinHashSigSpec); one digest per shingle, no
     // intermediate shingle/struct arrays.
     import org.apache.spark.sql.GraftColumn
     import graft.plans.MinHashSigExpr
-    val sig = corpus(s, d).select(
+    val sig = docs.select(
       col("doc_id"),
       GraftColumn
         .of(MinHashSigExpr(GraftColumn.exprOf(col("text")), MinhashK, 3))

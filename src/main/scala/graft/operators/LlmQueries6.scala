@@ -24,6 +24,40 @@ object LlmQueries6 {
   private val SegWords = 8
   private val CommonDocThreshold = 5
 
+  /** The segment-dedup pipeline over any (doc_id, text) frame — shared by
+    * the registered query and ScaleProbe.
+    */
+  def segmentStatsOf(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = input
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), ((size(col("ws")) - 1) / SegWords).cast("int")),
+          i => md5(array_join(slice(col("ws"), i * SegWords + 1, lit(SegWords)), " "))
+        ).as("seg_hashes")
+      )
+    val segs = docs
+      .select(col("doc_id"), explode(col("seg_hashes")).as("seg_hash"))
+      .persist()
+    val counts = segs
+      .groupBy("seg_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs
+      .join(counts, Seq("seg_hash"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs") >= CommonDocThreshold, 1L).otherwise(0L))
+          .as("n_common"),
+        round(
+          sum(when(col("n_docs") >= CommonDocThreshold, 1.0).otherwise(0.0)) /
+            count(lit(1)),
+          4
+        ).as("common_ratio")
+      )
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+\\d{3}-\\d{2}-\\d{6}"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
@@ -31,40 +65,7 @@ object LlmQueries6 {
   val all: Seq[Q] = Seq(
     Q(
       "docs_segment_dedup",
-      (s, d) => {
-        val docs = Tables
-          .documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .select(
-            col("doc_id"),
-            transform(
-              sequence(lit(0), ((size(col("ws")) - 1) / SegWords).cast("int")),
-              i =>
-                md5(
-                  array_join(slice(col("ws"), i * SegWords + 1, lit(SegWords)), " ")
-                )
-            ).as("seg_hashes")
-          )
-        val segs = docs
-          .select(col("doc_id"), explode(col("seg_hashes")).as("seg_hash"))
-          .persist()
-        val counts = segs
-          .groupBy("seg_hash")
-          .agg(countDistinct(col("doc_id")).as("n_docs"))
-        segs
-          .join(counts, Seq("seg_hash"))
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_segments"),
-            sum(when(col("n_docs") >= CommonDocThreshold, 1L).otherwise(0L))
-              .as("n_common"),
-            round(
-              sum(when(col("n_docs") >= CommonDocThreshold, 1.0).otherwise(0.0)) /
-                count(lit(1)),
-              4
-            ).as("common_ratio")
-          )
-      },
+      (s, d) => segmentStatsOf(Tables.documents(s, d)),
       Some {
         val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
         s"""WITH w AS (
