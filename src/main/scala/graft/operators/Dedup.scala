@@ -157,18 +157,12 @@ object Dedup {
       blockCol: String,
       maxBlockSize: Int = MaxBlockSize
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Block sizes arrive precomputed (withBlockSizes) on the persisted
-    // input, so the cap is a plain filter; compute them here only when a
-    // caller passes raw keys.
-    val nCol = s"__n_$blockCol"
-    val sized =
-      if (keyed.columns.contains(nCol)) keyed
-      else
-        keyed.withColumn(nCol, count(lit(1)).over(Window.partitionBy(blockCol)))
-    val capped = sized
-      .filter(col(nCol) <= maxBlockSize)
-      .drop(sized.columns.filter(_.startsWith("__n_")): _*)
+    val usable = keyed.filter(col(blockCol) =!= "")
+    val capped = usable.join(
+      broadcast(heavyKeys(usable, blockCol, maxBlockSize)),
+      col(blockCol) === col("__heavy_key"),
+      "left_anti"
+    )
     val left = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_1"))
     val right = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
     left
@@ -180,49 +174,61 @@ object Dedup {
       )
   }
 
-  /** Attach per-key block sizes (used by the candidate cap) in one pass so
-    * the downstream self-joins filter cached columns instead of re-counting.
+  /** Keys whose block exceeds `maxBlockSize`, as a one-column
+    * (`__heavy_key`) frame for a broadcast anti-join.
+    *
+    * The cap only needs the HEAVY keys, and those are rare by definition:
+    * a key is heavy only when >maxBlockSize records share it, so the heavy
+    * set holds at most corpus/maxBlockSize rows and in real corpora a
+    * handful (placeholder titles, dummy ISBNs). A map-side-combinable
+    * groupBy over the single key column gets there without ever sorting or
+    * re-shuffling the full-width corpus — the window-count alternative
+    * shuffles AND sorts every record's entire row once per key column.
+    * If a degenerate corpus ever made this set too big to broadcast,
+    * dropping the broadcast hint degrades it to a shuffled anti-join on
+    * the narrow key — still never a full-width sort.
     */
-  def withBlockSizes(keyed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Empty keys (no isbn / no title) are never blocking keys — candidate
-    // generation filters them out — but they would form one giant window
-    // partition pinned to a single task. Salt them to per-record singleton
-    // partitions so the count pass stays balanced.
-    def sizeOver(key: String) =
-      count(lit(1)).over(
-        Window.partitionBy(
-          col(key),
-          when(col(key) === "", col("id")).otherwise(lit(""))
-        )
-      )
+  def heavyKeys(keyed: DataFrame, keyCol: String, maxBlockSize: Int): DataFrame =
     keyed
-      .withColumn("__n_title_key", sizeOver("title_key"))
-      .withColumn("__n_isbn_key", sizeOver("isbn_key"))
-  }
+      .filter(col(keyCol) =!= "")
+      .groupBy(col(keyCol).as("__heavy_key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockSize)
+      .drop("__n")
 
   /** Matched edges from title-key and ISBN blocking, via ONE self-join:
     * each record explodes to its usable blocking keys (non-empty, block
     * within MaxBlockSize) tagged with the key kind, and the join runs on
     * (kind, key). Same candidate set as two per-key self-joins, one
-    * shuffle + one codegen pass instead of two of each.
-    * `keyed` should be persisted by the caller — it feeds both join sides.
+    * shuffle + one codegen pass instead of two of each. The block-size cap
+    * is a broadcast anti-join against the tiny heavy-key set (see
+    * [[heavyKeys]]) — not a window count, which would sort the full corpus.
+    * `keyed` should be persisted by the caller — it feeds both join sides
+    * and the heavy-key count.
     */
   def matchedEdges(keyed: DataFrame): DataFrame = {
-    val sized =
-      if (keyed.columns.contains("__n_title_key")) keyed else withBlockSizes(keyed)
     val blockKeys = filter(
       array(
-        struct(lit("t").as("kind"), col("title_key").as("key"), col("__n_title_key").as("n")),
-        struct(lit("i").as("kind"), col("isbn_key").as("key"), col("__n_isbn_key").as("n"))
+        struct(lit("t").as("kind"), col("title_key").as("key")),
+        struct(lit("i").as("kind"), col("isbn_key").as("key"))
       ),
-      s => s.getField("key") =!= "" && s.getField("n") <= MaxBlockSize
+      s => s.getField("key") =!= ""
     )
-    val exploded = sized
+    val withKinds = keyed
       .withColumn("__bk", explode(blockKeys))
       .withColumn("__block_kind", col("__bk.kind"))
       .withColumn("__block_key", col("__bk.key"))
-      .drop("__bk", "__n_title_key", "__n_isbn_key")
+      .drop("__bk")
+    val heavy = withKinds
+      .groupBy(col("__block_kind").as("__heavy_kind"), col("__block_key").as("__heavy_key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > MaxBlockSize)
+      .drop("__n")
+    val exploded = withKinds.join(
+      broadcast(heavy),
+      col("__block_kind") === col("__heavy_kind") && col("__block_key") === col("__heavy_key"),
+      "left_anti"
+    )
     val left = exploded.columns.foldLeft(exploded)((d, c) => d.withColumnRenamed(c, c + "_1"))
     val right = exploded.columns.foldLeft(exploded)((d, c) => d.withColumnRenamed(c, c + "_2"))
     left
@@ -307,17 +313,20 @@ object Dedup {
     val batchKeyed = withKeys(batch)
     // withKeys only appends columns, so dedup_id passes straight through —
     // no drop/re-join (which would traverse the clustered plan twice).
-    // Corpus block sizes get the same MaxBlockSize skew cap as the batch
+    // The corpus side gets the same MaxBlockSize skew cap as the batch
     // path: one pathologically popular title_key (placeholder titles) would
     // otherwise make the join fanout unbounded. The cap also keeps each key
     // join a plain equi-join (an OR of the two keys in one join condition
     // would force a nested-loop join — quadratic at corpus scale).
-    val corpusKeyed = withBlockSizes(withKeys(clustered)).persist()
+    val corpusKeyed = withKeys(clustered).persist()
     val left = batchKeyed.columns.foldLeft(batchKeyed)((d, c) => d.withColumnRenamed(c, c + "_1"))
     def corpusSide(keyCol: String): DataFrame = {
-      val capped = corpusKeyed
-        .filter(col(keyCol) =!= "" && col(s"__n_$keyCol") <= MaxBlockSize)
-        .drop(corpusKeyed.columns.filter(_.startsWith("__n_")): _*)
+      val usable = corpusKeyed.filter(col(keyCol) =!= "")
+      val capped = usable.join(
+        broadcast(heavyKeys(usable, keyCol, MaxBlockSize)),
+        col(keyCol) === col("__heavy_key"),
+        "left_anti"
+      )
       capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
     }
     def candidates(keyCol: String): DataFrame =
@@ -338,9 +347,11 @@ object Dedup {
 
   /** Full pipeline: records → (id, dedup_id nullable). */
   def dedupRecords(records: DataFrame, iters: Int = 10): DataFrame = {
-    // keyed feeds four join sides + the final left join: persist it so the
-    // normalization expressions run once per record, not five times.
-    val keyed = withBlockSizes(withKeys(records)).persist()
+    // keyed feeds both join sides, the heavy-key count, and the final left
+    // join: persist it so the normalization expressions run once per
+    // record, not four times. The persisted frame is narrow (no window
+    // columns) and its materialization needs no shuffle at all.
+    val keyed = withKeys(records).persist()
     val clusters = assignClusters(matchedEdges(keyed), iters)
     keyed
       .select("id")

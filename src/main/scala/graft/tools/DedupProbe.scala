@@ -27,7 +27,7 @@ object DedupProbe {
     }
     val records = DedupQueries.records(spark, sfDir)
     time("records.count")(records.count())
-    val keyed = Dedup.withBlockSizes(Dedup.withKeys(records)).persist()
+    val keyed = Dedup.withKeys(records).persist()
     time("keyed materialize")(keyed.count())
     val edges = Dedup.matchedEdges(keyed)
     val e = time("matchedEdges")(edges.persist().count())
@@ -50,11 +50,12 @@ object DedupProbe {
     )
     spark.catalog.clearCache()
     val k2 = Dedup.withKeys(DedupQueries.records(spark, sfDir))
-    time("withKeys only (no windows)")(
+    time("withKeys only")(
       k2.write.format("noop").mode("overwrite").save()
     )
-    time("withBlockSizes on top")(
-      Dedup.withBlockSizes(k2).write.format("noop").mode("overwrite").save()
+    time("heavyKeys(title_key) on top")(
+      Dedup.heavyKeys(k2, "title_key", Dedup.MaxBlockSize).write
+        .format("noop").mode("overwrite").save()
     )
     spark.stop()
   }
