@@ -38,6 +38,7 @@ object SparkEntry {
       operators.MarcHostQueries.all ++
       operators.MergePolicyQueries.all ++
       operators.MarcSolrQueries.all ++
+      operators.MarcSolrQueries2.all ++
       operators.EnrichQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,

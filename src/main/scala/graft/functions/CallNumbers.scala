@@ -53,6 +53,20 @@ object CallNumbers {
 
   def deweyValid(c: Column): Column = trim(c).rlike("^\\d")
 
+  /** Classification floored to a precision bucket, zero-padded to three
+    * digits — the Solr dewey-hundreds/tens/ones fields
+    * (DeweyCallNumber.php:140 getNumber). Empty when the call number has
+    * no leading classification.
+    */
+  def deweyNumber(c: Column, precision: Int): Column =
+    when(
+      deweyValid(c),
+      format_string(
+        "%03.0f",
+        (floor(deweyClassification(c).cast("double") / precision) * precision).cast("double")
+      )
+    ).otherwise(lit(""))
+
   /** DeweyCallNumber.php:154 getSearchString. */
   def deweySearchString(c: Column): Column =
     when(deweyValid(c), upper(regexp_replace(trim(c), " ", ""))).otherwise(lit(""))

@@ -31,6 +31,16 @@ class CallNumbersSpec extends SparkSuite {
     assert(eval1(deweySortKey(col("x")), "004.16 .A123") == "1004.16 A123")
   }
 
+  test("dewey precision buckets (getNumber)") {
+    // floor(512.5/100)*100 = 500; tens 510; ones 512 — zero-padded to 3.
+    assert(eval1(deweyNumber(col("x"), 100), "512.5 A1") == "500")
+    assert(eval1(deweyNumber(col("x"), 10), "512.5") == "510")
+    assert(eval1(deweyNumber(col("x"), 1), "512.5") == "512")
+    assert(eval1(deweyNumber(col("x"), 100), "45.67") == "000")
+    assert(eval1(deweyNumber(col("x"), 1), "45.67") == "045")
+    assert(eval1(deweyNumber(col("x"), 100), "QA76") == "")
+  }
+
   test("lc parse + validity + sort key") {
     assert(eval1(lcValid(col("x")), "QA76.5 .B3") == true)
     assert(eval1(lcValid(col("x")), "IX12") == false) // I-prefix invalid
