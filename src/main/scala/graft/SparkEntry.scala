@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Ead3Queries.all ++
       operators.MarcSubjectQueries.all ++
       operators.LlmQueries7.all ++
+      operators.LlmQueries8.all ++
       operators.MarcHostQueries.all ++
       operators.MergePolicyQueries.all ++
       operators.MarcSolrQueries.all ++

@@ -320,5 +320,74 @@ object MarcSolrQueries2 {
     }
   )
 
-  val all: Seq[Q] = Seq(titles, display)
+  /** The `allfields` free-text rollup (Record/Marc.php:1946 getAllFields):
+    * fields with numeric tag in [100, 841) plus 856/880, minus per-tag
+    * excluded subfield codes (default $0/$6/$8; 650 adds $2; 773 excludes
+    * $6/$7/$8/$w; 856 excludes $6/$8/$q), each value
+    * stripLeading+stripTrailing-punctuated, deduplicated keeping first
+    * occurrences. Runs as filter/transform over the columnar
+    * array<struct<tag,code,val>> record model — per-row, no shuffle.
+    */
+  private val allfields = Q(
+    "marc_allfields",
+    (s, d) => {
+      val k = col("p_partkey")
+      val ks = k.cast("string")
+      val ws = split(col("p_name"), " ")
+      def w(i: Int) = element_at(ws, i)
+      def f(tag: String, code: String, v: Column) =
+        struct(lit(tag).as("tag"), lit(code).as("code"), v.as("val"))
+      val fields = array(
+        f("035", "a", concat(lit("(XX)"), ks)),
+        f("100", "a", concat(lit("Author, "), w(1), lit("."))),
+        f("100", "0", lit("(id)123")),
+        f("245", "a", concat(lit(":Title "), w(2), lit(" /"))),
+        f("500", "a", when(k % 2 === 0, concat(lit("Topic "), (k % 40).cast("string"))).otherwise(lit("General note"))),
+        f("650", "a", concat(lit("Topic "), (k % 40).cast("string"))),
+        f("650", "2", lit("fast")),
+        f("773", "t", lit("Host journal")),
+        f("773", "w", concat(lit("(FI)"), ks)),
+        f("856", "u", concat(lit("http://example.org/r"), ks)),
+        f("856", "q", lit("text/html")),
+        f("880", "a", lit("[Alt script title]")),
+        f("900", "a", lit("Local note"))
+      )
+      val included = filter(
+        fields,
+        x => {
+          val tag = x.getField("tag")
+          val t = tag.cast("int")
+          val excluded = when(tag === "650", array(lit("0"), lit("2"), lit("6"), lit("8")))
+            .when(tag === "773", array(lit("6"), lit("7"), lit("8"), lit("w")))
+            .when(tag === "856", array(lit("6"), lit("8"), lit("q")))
+            .otherwise(array(lit("0"), lit("6"), lit("8")))
+          ((t >= 100 && t < 841) || tag === "856" || tag === "880") &&
+          !array_contains(excluded, x.getField("code"))
+        }
+      )
+      val vals = transform(
+        included,
+        x => stripTrailingPunctuation(stripLeadingPunctuation(x.getField("val")))
+      )
+      Tables
+        .part(s, d)
+        .select(
+          k.as("record_id"),
+          array_join(array_distinct(vals), "|").as("allfields")
+        )
+    },
+    Some {
+      s"""SELECT p_partkey AS record_id,
+         |  'Author, ' || string_split(p_name, ' ')[1]
+         |  || '|Title ' || string_split(p_name, ' ')[2]
+         |  || (CASE WHEN p_partkey % 2 = 1 THEN '|General note' ELSE '' END)
+         |  || '|Topic ' || cast(p_partkey % 40 as varchar)
+         |  || '|Host journal'
+         |  || '|http://example.org/r' || cast(p_partkey as varchar)
+         |  || '|Alt script title' AS allfields
+         |FROM part""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(titles, display, allfields)
 }
