@@ -107,22 +107,38 @@ object Dedup {
     // The reference normalizes the distance by the *current* record's
     // length and over a full corpus pass each record takes a turn as the
     // current one — the set-oriented equivalent accepts the pair if either
-    // direction is within the threshold.
-    val titleLev = levenshtein(
-      substring(col("norm_title_1"), 1, 255),
-      substring(col("norm_title_2"), 1, 255)
-    ) * 100.0
+    // direction is within the threshold. The bound can only be met when
+    // dist <= max(len)/denominator, so the banded 3-arg levenshtein
+    // (O(n·k) instead of O(n²), returns -1 past the threshold) computes
+    // the same decision at a fraction of the cost — candidate pairs are
+    // near-identical long strings, the worst case for the full DP.
+    def boundedLev(l: Column, r: Column, pctBound: Int): Column = {
+      import org.apache.spark.sql.GraftColumn
+      import org.apache.spark.sql.catalyst.expressions.Levenshtein
+      // The per-row threshold needs the expression form — the public
+      // 3-arg levenshtein only takes a constant.
+      val th = (greatest(length(l), length(r)) * pctBound / 100 + 1).cast("int")
+      GraftColumn.of(
+        Levenshtein(
+          GraftColumn.exprOf(substring(l, 1, 255)),
+          GraftColumn.exprOf(substring(r, 1, 255)),
+          Some(GraftColumn.exprOf(th))
+        )
+      )
+    }
+    val titleLev = boundedLev(col("norm_title_1"), col("norm_title_2"), 10) * 100.0
     val titleOk = col("norm_title_1") =!= "" && col("norm_title_2") =!= "" &&
+      titleLev >= 0 &&
       (titleLev / length(col("norm_title_1")) < 10 ||
         titleLev / length(col("norm_title_2")) < 10)
     val a1 = col("norm_author_1")
     val a2 = col("norm_author_2")
-    val authorLev =
-      levenshtein(substring(a1, 1, 255), substring(a2, 1, 255)) * 100.0
+    val authorLev = boundedLev(a1, a2, 20) * 100.0
     val authorOk = (a1 === "" && a2 === "") ||
       (a1 =!= "" && a2 =!= "" &&
         (authorMatch(a1, a2) ||
-          authorLev / length(a1) <= 20 || authorLev / length(a2) <= 20))
+          (authorLev >= 0 &&
+            (authorLev / length(a1) <= 20 || authorLev / length(a2) <= 20))))
     // Page counts within 10 when both known; series ISSN/numbering must
     // agree exactly (DedupHandler.php:888-900).
     val pagesOk = col("pages_1").isNull || col("pages_2").isNull ||
