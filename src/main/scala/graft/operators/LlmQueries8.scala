@@ -66,7 +66,8 @@ object LlmQueries8 {
            |  min(doc_id) AS first_doc,
            |  max(doc_id) AS last_doc
            |FROM x GROUP BY 1, 2, 3""".stripMargin
-      }
+      },
+      bench = true
     )
   )
 }

@@ -320,6 +320,34 @@ object MarcSolrQueries2 {
     }
   )
 
+  /** Reusable allfields rollup over an array<struct<tag,code,val>> column
+    * (Record/Marc.php:1946 getAllFields) — apply to any record-model
+    * column; the registered query below exercises it on a synthesized
+    * distribution. Returns the deduplicated value array (first
+    * occurrences kept, record order).
+    */
+  def allFieldsRollup(fields: Column): Column = {
+    val included = filter(
+      fields,
+      x => {
+        val tag = x.getField("tag")
+        val t = tag.cast("int")
+        val excluded = when(tag === "650", array(lit("0"), lit("2"), lit("6"), lit("8")))
+          .when(tag === "773", array(lit("6"), lit("7"), lit("8"), lit("w")))
+          .when(tag === "856", array(lit("6"), lit("8"), lit("q")))
+          .otherwise(array(lit("0"), lit("6"), lit("8")))
+        ((t >= 100 && t < 841) || tag === "856" || tag === "880") &&
+        !array_contains(excluded, x.getField("code"))
+      }
+    )
+    array_distinct(
+      transform(
+        included,
+        x => stripTrailingPunctuation(stripLeadingPunctuation(x.getField("val")))
+      )
+    )
+  }
+
   /** The `allfields` free-text rollup (Record/Marc.php:1946 getAllFields):
     * fields with numeric tag in [100, 841) plus 856/880, minus per-tag
     * excluded subfield codes (default $0/$6/$8; 650 adds $2; 773 excludes
@@ -352,28 +380,11 @@ object MarcSolrQueries2 {
         f("880", "a", lit("[Alt script title]")),
         f("900", "a", lit("Local note"))
       )
-      val included = filter(
-        fields,
-        x => {
-          val tag = x.getField("tag")
-          val t = tag.cast("int")
-          val excluded = when(tag === "650", array(lit("0"), lit("2"), lit("6"), lit("8")))
-            .when(tag === "773", array(lit("6"), lit("7"), lit("8"), lit("w")))
-            .when(tag === "856", array(lit("6"), lit("8"), lit("q")))
-            .otherwise(array(lit("0"), lit("6"), lit("8")))
-          ((t >= 100 && t < 841) || tag === "856" || tag === "880") &&
-          !array_contains(excluded, x.getField("code"))
-        }
-      )
-      val vals = transform(
-        included,
-        x => stripTrailingPunctuation(stripLeadingPunctuation(x.getField("val")))
-      )
       Tables
         .part(s, d)
         .select(
           k.as("record_id"),
-          array_join(array_distinct(vals), "|").as("allfields")
+          array_join(allFieldsRollup(fields), "|").as("allfields")
         )
     },
     Some {

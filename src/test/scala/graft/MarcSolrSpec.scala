@@ -83,4 +83,39 @@ class MarcSolrSpec extends SparkSuite {
     // k=5: 024 doi only (5%4==1).
     assert(sf(5).getAs[String]("dois") == "10.1234/x5")
   }
+
+  test("allFieldsRollup edge semantics on a hand-built record") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MarcSolrQueries2.allFieldsRollup
+    def f(tag: String, code: String, v: String) =
+      struct(lit(tag).as("tag"), lit(code).as("code"), lit(v).as("val"))
+    val fields = array(
+      f("099", "a", "local call"), // tag < 100 -> excluded
+      f("100", "a", "Smith, Jo."), // trailing period after letters dropped
+      f("245", "a", "..."), // punctuation-only: leading strip preserves it
+      f("650", "0", "(uri)x"), // excluded code for 650
+      f("650", "a", "Dogs"),
+      f("840", "a", "Last in-range tag"), // 840 < 841 -> included
+      f("841", "a", "First out-of-range"), // 841 excluded
+      f("856", "u", "http://x"), // 856$u kept, $q excluded
+      f("856", "q", "pdf"),
+      f("880", "a", "Dogs"), // duplicate after strip -> deduped
+      f("900", "a", "local note") // > 841, not 856/880 -> excluded
+    )
+    val out = spark
+      .range(1)
+      .select(allFieldsRollup(fields).as("vals"))
+      .head()
+      .getSeq[String](0)
+    // "..." is preserved by the leading strip (punctuation-only rule);
+    // the trailing strip then drops a single period -> "..".
+    assert(out.contains(".."))
+    assert(out.head == "Smith, Jo")
+    assert(out.contains("Dogs") && out.count(_ == "Dogs") == 1)
+    assert(out.contains("Last in-range tag"))
+    assert(!out.exists(_.contains("local")))
+    assert(!out.contains("First out-of-range"))
+    assert(!out.contains("(uri)x") && !out.contains("pdf"))
+    assert(out.contains("http://x"))
+  }
 }
