@@ -181,13 +181,16 @@ object TextFunctions {
     val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // &amp; must decode LAST: decoding it first would turn escaped entity
+    // text like "&amp;lt;" into "&lt;" and then a literal "<" — content
+    // the source document had explicitly escaped.
     val decoded = Seq(
-      "&amp;" -> "&",
       "&lt;" -> "<",
       "&gt;" -> ">",
       "&quot;" -> "\"",
       "&#39;" -> "'",
-      "&nbsp;" -> " "
+      "&nbsp;" -> " ",
+      "&amp;" -> "&"
     ).foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -198,17 +201,27 @@ object TextFunctions {
     */
   def canonicalizeUrl(raw: Column): Column = {
     val noFrag = regexp_replace(raw, "#.*$", "")
-    // The scheme/host may arrive in any case — lowercase only that span.
+    // Lowercase only scheme + host:port. Userinfo is case-sensitive per
+    // RFC 3986, so it passes through untouched.
     val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-    val lowered = concat(lower(head), noFrag.substr(length(head) + 1, length(noFrag)))
+    val scheme = regexp_extract(head, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val ui = regexp_extract(head, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*@)", 1)
+    val hostport = head.substr(length(scheme) + length(ui) + 4, length(head))
+    val rest = noFrag.substr(length(head) + 1, length(noFrag))
+    val lowered = when(head === "", noFrag)
+      .otherwise(concat(lower(scheme), lit("://"), ui, lower(hostport), rest))
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(https://[^/:?#]+):443", "$1"),
       "^(http://[^/:?#]+):80",
       "$1"
     )
-    val noUtm = regexp_replace(noPort, "[?&]utm_[^&#]*", "")
-    val requery = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
-    regexp_replace(requery, "\\?$", "")
+    // Strip utm_* from the query alone, split at the first '?': a literal
+    // '&' in the path must never be rewritten to '?'.
+    val base = regexp_replace(noPort, "\\?.*$", "")
+    val query = regexp_extract(noPort, "\\?(.*)$", 1)
+    val keptQuery =
+      regexp_replace(regexp_replace(concat(lit("&"), query), "&utm_[^&]*", ""), "^&", "")
+    when(keptQuery === "", base).otherwise(concat(base, lit("?"), keptQuery))
   }
 
   /** Host component of a canonicalized http(s) URL. */

@@ -65,7 +65,7 @@ object LlmQueries7 {
          |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
          |s4 AS (SELECT doc_id,
          |  replace(replace(replace(replace(replace(replace(t,
-         |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' ') AS t
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
          |  FROM s3)
          |SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text,
          |  cast(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) as bigint) AS n_chars_clean
@@ -106,16 +106,23 @@ object LlmQueries7 {
                   |      ELSE 'https://cdn.example.net/data/' || cast(doc_id as varchar) END)""".stripMargin
       s"""WITH r AS (SELECT doc_id, $raw AS raw FROM documents),
          |f AS (SELECT doc_id, regexp_replace(raw, '#.*$$', '') AS u FROM r),
-         |l AS (SELECT doc_id,
-         |  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
-         |    || substr(u, length(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+         |x AS (SELECT doc_id, u,
+         |  regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS h,
+         |  regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS sch,
+         |  regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*@)', 1) AS ui
          |  FROM f),
+         |l AS (SELECT doc_id,
+         |  (CASE WHEN h = '' THEN u
+         |        ELSE lower(sch) || '://' || ui || lower(substr(h, length(sch) + length(ui) + 4))
+         |          || substr(u, length(h) + 1) END) AS u
+         |  FROM x),
          |p AS (SELECT doc_id,
          |  regexp_replace(regexp_replace(u, '^(https://[^/:?#]+):443', '\\1'), '^(http://[^/:?#]+):80', '\\1') AS u
          |  FROM l),
-         |q AS (SELECT doc_id, regexp_replace(u, '[?&]utm_[^&#]*', '', 'g') AS u FROM p),
-         |a AS (SELECT doc_id, regexp_replace(u, '^([^?&]*)&', '\\1?') AS u FROM q),
-         |c AS (SELECT doc_id, regexp_replace(u, '\\?$$', '') AS url FROM a)
+         |q AS (SELECT doc_id, regexp_replace(u, '\\?.*$$', '') AS base,
+         |  regexp_replace(regexp_replace('&' || regexp_extract(u, '\\?(.*)$$', 1), '&utm_[^&]*', '', 'g'), '^&', '') AS kq
+         |  FROM p),
+         |c AS (SELECT doc_id, (CASE WHEN kq = '' THEN base ELSE base || '?' || kq END) AS url FROM q)
          |SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
          |  cast(count(*) as bigint) AS n_urls,
          |  cast(count(distinct doc_id) as bigint) AS n_docs,

@@ -71,8 +71,8 @@ object MinHashSigExpr {
     val mins = Array.fill(k)(Long.MaxValue)
     val md = md5.get()
     def fold(shingle: String): Unit = {
+      // digest() resets the MessageDigest itself — no explicit reset needed.
       val d = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.reset()
       // hex chars 1-12 / 13-24 of the digest = bytes 0-5 / 6-11 big-endian
       var h1 = 0L
       var h2 = 0L

@@ -68,7 +68,9 @@ object MarcInJson {
   /** Serialize to the legacy v1 shape (for migration-compatibility tests). */
   def buildLegacyV1(leader: String, fields: Seq[Field]): String = {
     val root = mapper.createObjectNode()
-    val byTag = fields.groupBy(_.tag).toSeq.sortBy(_._1)
+    // Tag "000" is reserved for the leader in the v1 shape — a (malformed)
+    // field carrying that tag must not clobber it.
+    val byTag = fields.filter(_.tag != "000").groupBy(_.tag).toSeq.sortBy(_._1)
     root.putArray("000").add(leader)
     byTag.foreach { case (tag, fs) =>
       val arr = root.putArray(tag)
