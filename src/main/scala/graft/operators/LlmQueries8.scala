@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +27,46 @@ import org.apache.spark.sql.functions._
 object LlmQueries8 {
 
   private val SeqLen = 2048
+
+  /** Near-duplicate CLUSTERS: the composition the per-pair operators
+    * build toward — MinHash-LSH candidate pairs, Jaccard verification at
+    * `minJaccard`, then connected components via the same min-label
+    * propagation the record-dedup pipeline uses
+    * ([[Dedup.assignClusters]]). Returns (doc_id, cluster_id,
+    * is_canonical): every document appears, singletons are their own
+    * cluster, the representative is the min doc_id of the component.
+    *
+    * Scale shape: pair generation is the bounded band-bucket equi-join
+    * (never all-pairs), verification touches candidates only, and each
+    * propagation round is one aggregation shuffle over the (tiny) edge
+    * set — the same plan at 60k docs and at 100 TB. Components here are
+    * multi-hop (A≈B≈C chains), which pairwise queries cannot express —
+    * and which no ANSI-SQL oracle can either, so this query is
+    * spec-covered (rows-only driver check), like streaming state.
+    */
+  def neardupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val wordSets = docs
+      .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
+      .persist()
+    val verified = LlmQueries
+      .minhashPairsOf(docs)
+      .join(wordSets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
+      .join(wordSets.select(col("doc_id").as("doc_b"), col("wset").as("wb")), Seq("doc_b"))
+      .filter(
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_distinct(concat(col("wa"), col("wb")))) >= minJaccard
+      )
+    val edges = verified.select(col("doc_a").as("id_1"), col("doc_b").as("id_2"))
+    val clusters = Dedup.assignClusters(edges)
+    docs
+      .select(col("doc_id"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("dedup_id"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("dedup_id"), col("doc_id")) === col("doc_id")).as("is_canonical")
+      )
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -68,6 +110,14 @@ object LlmQueries8 {
            |FROM x GROUP BY 1, 2, 3""".stripMargin
       },
       bench = true
+    ),
+    Q(
+      "docs_neardup_clusters",
+      (s, d) => neardupClusters(LlmQueries.corpus(s, d), 0.8),
+      // Connected components are iterative — not ANSI-SQL-expressible;
+      // multi-hop semantics are asserted by Llm8Spec (rows-only driver
+      // check, like streaming state).
+      None
     )
   )
 }
