@@ -56,6 +56,15 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = LlmQueries6.segmentStatsOf(big).filter(col("n_common") > 0).count()
         println(f"SCALE mode=segdedup mult=$mult docs=$total common_docs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "cluster" =>
+        val big = docsReplicated
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.LlmQueries8
+          .neardupClusters(big, 0.8)
+          .filter(!col("is_canonical"))
+          .count()
+        println(f"SCALE mode=cluster mult=$mult docs=$total merged=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case _ =>
         val base = DedupQueries.records(spark, sfDir)
         // Replicas must be disjoint in ALL dedup keys (title + isbn), not
