@@ -35,9 +35,11 @@ object FieldMapping {
   )
 
   /** Apply a normal mapping to `df`'s column `valueCol` via broadcast join,
-    * writing `outCol`. Mirrors FieldMapper.php:291-297: entry value if
-    * present, else `##default` if present, else the original value; empty
-    * input maps to `##empty` when configured.
+    * writing `outCol`. Mirrors FieldMapper.php:176,290-297: a NON-EMPTY
+    * value maps to its entry, else `##default`, else itself (and
+    * `##mappedempty` when the result is ''); an empty input takes
+    * `##empty` when configured and is otherwise left unchanged — the
+    * reference never applies `##default` to empty input.
     */
   def applyMapping(
       spark: SparkSession,
@@ -47,7 +49,9 @@ object FieldMapping {
       mapping: Mapping
   ): DataFrame = {
     import spark.implicits._
-    val dim = mapping.entries.toDF("__map_key", "__map_val")
+    // Duplicate keys are last-wins, like repeated keys in a PHP map file;
+    // a duplicate in the join dimension would fan out fact rows.
+    val dim = mapping.entries.toMap.toSeq.toDF("__map_key", "__map_val")
     val joined = df.join(
       broadcast(dim),
       col(valueCol) === col("__map_key"),
@@ -56,12 +60,14 @@ object FieldMapping {
     val defaulted = mapping.default
       .map(dv => coalesce(col("__map_val"), lit(dv)))
       .getOrElse(coalesce(col("__map_val"), col(valueCol)))
-    val mapped = mapping.empty match {
-      case Some(ev) =>
-        when(col(valueCol).isNull || col(valueCol) === "", lit(ev))
-          .otherwise(defaulted)
+    val nonEmptyMapped = mapping.mappedEmpty match {
+      case Some(me) => when(defaulted === "", lit(me)).otherwise(defaulted)
       case None => defaulted
     }
+    val mapped = when(
+      col(valueCol).isNull || col(valueCol) === "",
+      mapping.empty.map(lit).getOrElse(col(valueCol))
+    ).otherwise(nonEmptyMapped)
     joined.withColumn(outCol, mapped).drop("__map_key", "__map_val")
   }
 
@@ -91,26 +97,33 @@ object FieldMapping {
       patterns: Seq[(String, String)],
       default: Option[String]
   ): Column = {
+    // Null (not "") is the no-match sentinel: the reference keeps a match
+    // whose replacement rewrites the value to an empty string
+    // (FieldMapper.php:285 `if ($newValues)` — [''] is truthy in PHP).
     val hits = filter(
       array(patterns.map { case (pat, repl) =>
-        when(valueCol.rlike(pat), regexp_replace(valueCol, pat, repl)).otherwise(lit(""))
+        when(valueCol.rlike(pat), regexp_replace(valueCol, pat, repl))
       }: _*),
-      x => x =!= ""
+      x => x.isNotNull
     )
     when(size(hits) > 0, hits)
       .otherwise(array(default.map(lit).getOrElse(valueCol)))
   }
 
-  /** Array-field mapping (FieldMapper.php mapValues:176-211): each value
-    * maps through the entry table (`##default` fallback, else identity),
-    * results are uniqued (first occurrence) and empty strings dropped;
+  /** Array-field mapping (FieldMapper.php mapValues:176-211): each
+    * element maps through the entry table (`##default` fallback, else
+    * identity — the reference applies this per element with no empty
+    * check, so an empty-string ELEMENT takes the default too), results
+    * are uniqued (first occurrence) and values that map to '' dropped;
     * a non-empty input that maps away entirely becomes `##mappedempty`,
-    * an empty input becomes `##empty`/`##emptyarray`. The mapping is a
-    * tiny literal map inside `transform` — fully codegen'd, no join, no
-    * shuffle, exactly what survives a 100 TB fact side.
+    * an empty input array becomes `##empty`/`##emptyarray`. The mapping
+    * is a tiny literal map inside `transform` — fully codegen'd, no
+    * join, no shuffle, exactly what survives a 100 TB fact side.
     */
   def applyArrayMapping(arr: Column, mapping: Mapping): Column = {
-    val m = map(mapping.entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // Last-wins key dedupe: Spark's map() throws on duplicate keys under
+    // the default ANSI dedup policy.
+    val m = map(mapping.entries.toMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val mapped = transform(
       arr,
       v => {

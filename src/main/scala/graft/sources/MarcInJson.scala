@@ -47,7 +47,10 @@ object MarcInJson {
     val arr = root.putArray("fields")
     fields.foreach { f =>
       val fo = mapper.createObjectNode()
-      if (f.tag < "010") fo.put(f.tag, f.value)
+      // Control-field shape also round-trips a value-carrying field with
+      // a data tag (parseProper accepts textual fields at any tag) — the
+      // subfield branch would silently drop its value.
+      if (f.tag < "010" || (f.subfields.isEmpty && f.value.nonEmpty)) fo.put(f.tag, f.value)
       else {
         val body = mapper.createObjectNode()
         body.put("ind1", f.ind1)
@@ -75,7 +78,7 @@ object MarcInJson {
     byTag.foreach { case (tag, fs) =>
       val arr = root.putArray(tag)
       fs.foreach { f =>
-        if (f.tag < "010") arr.add(f.value)
+        if (f.tag < "010" || (f.subfields.isEmpty && f.value.nonEmpty)) arr.add(f.value)
         else
           arr.add(
             f.ind1 + f.ind2 +
@@ -92,7 +95,10 @@ object MarcInJson {
   def parse(json: String): (String, Seq[Field]) =
     try {
       val n = mapper.readTree(json)
-      if (n.has("leader") && n.has("fields")) parseProper(n)
+      // Either key marks the proper shape: a record missing just its
+      // leader (or just fields) must not fall through to the v1 parser,
+      // which would mangle "fields" into a MARC tag.
+      if (n.has("leader") || n.has("fields")) parseProper(n)
       else if (!n.has("v")) parseLegacyV1(n)
       else if (n.get("v").asInt == 2) parseLegacyV23(n, v3 = false)
       else if (n.get("v").asInt == 3) parseLegacyV23(n, v3 = true)
@@ -112,9 +118,12 @@ object MarcInJson {
     }
 
   private def parseProper(n: JsonNode): (String, Seq[Field]) = {
-    val leader = n.get("leader").asText("")
+    // asText(default) maps JSON null to the default ('' / ' '), matching
+    // PHP json_decode + string coercion; bare asText would yield the
+    // 4-char string "null".
+    val leader = Option(n.get("leader")).map(_.asText("")).getOrElse("")
     val fields = scala.collection.mutable.ArrayBuffer[Field]()
-    n.get("fields").forEach { fo =>
+    Option(n.get("fields")).foreach(_.forEach { fo =>
       val it = fo.fields()
       while (it.hasNext) {
         val e = it.next()
@@ -127,19 +136,19 @@ object MarcInJson {
             val sit = so.fields()
             while (sit.hasNext) {
               val se = sit.next()
-              sfs += (se.getKey -> se.getValue.asText)
+              sfs += (se.getKey -> se.getValue.asText(""))
             }
           })
           fields += Field(
             tag,
-            Option(v.get("ind1")).map(_.asText).getOrElse(" "),
-            Option(v.get("ind2")).map(_.asText).getOrElse(" "),
+            Option(v.get("ind1")).map(_.asText(" ")).getOrElse(" "),
+            Option(v.get("ind2")).map(_.asText(" ")).getOrElse(" "),
             "",
             sfs.toSeq
           )
         }
       }
-    }
+    })
     (leader, fields.toSeq)
   }
 
@@ -151,14 +160,16 @@ object MarcInJson {
       val e = it.next()
       val tag = e.getKey
       e.getValue.forEach { dn =>
-        val data = dn.asText
+        val data = dn.asText("")
         if (data.contains(Delim)) {
           // "<i1><i2>a..." — indicators then delimited subfields
           // (MarcInJson.php:78: substr($data, 3) skips both indicators and
           // the first delimiter).
-          val padded = data + " "
+          // drop/take degrade gracefully on short data, like PHP substr —
+          // a truncated field must not quarantine the whole record.
+          val padded = data + "  "
           val sfs = data
-            .substring(3)
+            .drop(3)
             .split(Delim)
             .toSeq
             .filter(_.nonEmpty)
@@ -180,10 +191,10 @@ object MarcInJson {
       val tag = e.getKey
       val v = e.getValue
       if (v3 && tag == "000") {
-        leader = if (v.isArray) { if (v.size > 0) v.get(0).asText else "" } else v.asText
+        leader = if (v.isArray) { if (v.size > 0) v.get(0).asText("") else "" } else v.asText("")
       } else if (!v3 && !v.isArray) {
         // v2: the leader is the one non-array entry.
-        leader = v.asText
+        leader = v.asText("")
       } else {
         v.forEach { fn =>
           if (fn.isTextual) fields += Field(tag, "", "", fn.asText, Nil)
@@ -194,14 +205,16 @@ object MarcInJson {
                 val sit = so.fields()
                 while (sit.hasNext) {
                   val se = sit.next()
-                  sfs += (se.getKey -> se.getValue.asText)
+                  sfs += (se.getKey -> se.getValue.asText(""))
                 }
-              } else sfs += (so.get("c").asText -> so.get("v").asText)
+              } else
+                sfs += (Option(so.get("c")).map(_.asText("")).getOrElse("") ->
+                  Option(so.get("v")).map(_.asText("")).getOrElse(""))
             })
             fields += Field(
               tag,
-              Option(fn.get("i1")).map(_.asText).getOrElse(" "),
-              Option(fn.get("i2")).map(_.asText).getOrElse(" "),
+              Option(fn.get("i1")).map(_.asText(" ")).getOrElse(" "),
+              Option(fn.get("i2")).map(_.asText(" ")).getOrElse(" "),
               "",
               sfs.toSeq
             )

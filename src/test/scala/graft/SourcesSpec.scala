@@ -134,4 +134,26 @@ class SourcesSpec extends SparkSuite {
     assert(MarcInJson.parse("not json") == ("", Seq.empty))
     assert(MarcInJson.parse("""{"v":9,"f":{}}""") == ("", Seq.empty))
   }
+
+  test("MARC-in-JSON degraded inputs parse gracefully, not quarantine") {
+    import graft.sources.MarcInJson
+    // v1 field shorter than indicators+delimiter: keep the record.
+    val (l1, f1) = MarcInJson.parse("{\"000\":[\"L\"],\"245\":[\"1\\u001f\"],\"001\":[\"c1\"]}")
+    assert(l1 == "L" && f1.exists(f => f.tag == "001" && f.value == "c1"))
+    // JSON nulls become ''/' ', never the string "null".
+    val (_, f2) = MarcInJson.parse(
+      """{"leader":"L","fields":[{"245":{"ind1":null,"ind2":null,"subfields":[{"a":null}]}}]}"""
+    )
+    assert(f2 == Seq(MarcInJson.Field("245", " ", " ", "", Seq("a" -> ""))))
+    // A proper record missing its leader must not hit the v1 parser.
+    val (l3, f3) = MarcInJson.parse("""{"fields":[{"001":"c1"}]}""")
+    assert(l3 == "" && f3 == Seq(MarcInJson.Field("001", "", "", "c1", Nil)))
+  }
+
+  test("MARC-in-JSON round-trips a value-carrying field with a data tag") {
+    import graft.sources.MarcInJson
+    val (l, f) = MarcInJson.parse("""{"leader":"L","fields":[{"300":"ill. map"}]}""")
+    assert(f == Seq(MarcInJson.Field("300", "", "", "ill. map", Nil)))
+    assert(MarcInJson.parse(MarcInJson.build(l, f)) == ((l, f)))
+  }
 }
