@@ -5,17 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** MARC format detection from leader / 007 / 008.
   *
-  * Spark-native re-expression of the core decision tree in the reference's
+  * Spark-native re-expression of the decision tree in the reference's
   * format calculator (reference: src/RecordManager/Base/Record/Marc/
   * FormatCalculator.php:62 getFormats / :560 getFormatsAsList): the 007
   * carrier switch, the leader/06 record-type switch, the leader/07
-  * bibliographic-level switch (with the could-be-book gate), and the
-  * last-resort fallbacks, evaluated in the reference's precedence order
-  * (007 → record type → bib level → fallback; the primary format is the
-  * first hit). Scope: single (non-repeating) 007; the additive labels
-  * (GovernmentDocument/Thesis/Electronic/ConferenceProceeding) and the
-  * 33x path are out of scope — they append extra labels rather than
-  * change the primary decision.
+  * bibliographic-level switch (with the could-be-book gate and the
+  * conference gate on the Serial default, :355), and the last-resort
+  * fallbacks, evaluated in the reference's precedence order. The additive
+  * labels (GovernmentDocument/Thesis/Electronic/ConferenceProceeding) and
+  * the 33x path live in [[marcFormats]]; [[marcPrimaryFormat]] returns
+  * the first hit only. One shared tree serves both — the two paths in
+  * the reference differ only in the 33x skip and the thesis gate, which
+  * arrive here as optional columns.
   */
 object MarcFormat {
 
@@ -76,40 +77,19 @@ object MarcFormat {
       )
       .otherwise(lit(""))
 
-  /** Primary format for a record given its leader, first 007 field, 008
-    * field and whether a 773$g serial host exists.
+  /** :374 getFormatFromRecordType; `skip33x` blanks the whole switch when
+    * a 33x field already decided (:782), `thesisGate` suppresses the
+    * leader-t Manuscript for dissertations (:498).
     */
-  def marcPrimaryFormat(
-      leader: Column,
-      f007: Column,
-      f008: Column,
-      hasSerialHost: Column
-  ): Column = {
-    // Null-safe: a record without 007/008 is the common case, and a null
-    // would otherwise poison couldBeBook through three-valued logic.
-    val ldr = coalesce(leader, lit(""))
-    val f7 = coalesce(f007, lit(""))
-    val f8 = coalesce(f008, lit(""))
-    val rt = lower(substring(ldr, 7, 1))
-    val bl = lower(substring(ldr, 8, 1))
-    val c1 = lower(substring(f7, 1, 1))
-    val c2 = lower(substring(f7, 2, 1))
-    // PHP get008Value($marc008, p) is 0-based substr -> position p+1 here.
-    def v008(p: Int) = lower(substring(f8, p + 1, 1))
-
-    // All 007/v content surfaces as Video first (getFormatsAsList
-    // appends 'Video' before the detailed type, so the PRIMARY format
-    // for any video record is 'Video').
-    val fmt007 = when(c1 === "v", lit("Video")).otherwise(format007NonVideo(c1, c2))
-
-    // :105 definitelyNotBookBasedOn007 + :117 ...BasedOnRecordType.
-    val notBook007 = c1.isin("g", "k", "m", "v")
-    val notBookRt = rt.isin("e", "f", "g", "i", "j", "k", "r") ||
-      (rt === "m" && !v008(26).isin("d", "i", "m", "u", "z"))
-    val couldBeBook = !(notBook007 || notBookRt)
-
-    // :374 getFormatFromRecordType (common branches).
-    val fmtRt = when(rt.isin("c", "d"), lit("MusicalScore"))
+  private def recordTypeFormat(
+      rt: Column,
+      c1: Column,
+      v008: Int => Column,
+      skip33x: Column,
+      thesisGate: Column
+  ): Column =
+    when(skip33x, lit(""))
+      .when(rt.isin("c", "d"), lit("MusicalScore"))
       .when(
         rt.isin("e", "f"),
         when(v008(25) === "d", "Globe")
@@ -149,11 +129,22 @@ object MarcFormat {
       )
       .when(rt.isin("o", "p"), lit("Kit"))
       .when(rt === "r", lit("PhysicalObject"))
-      .when(rt === "t", lit("Manuscript"))
+      .when(rt === "t", when(thesisGate, lit("")).otherwise(lit("Manuscript")))
       .otherwise(lit(""))
 
-    // :272 getFormatFromBibLevel.
-    val fmtBl = when(bl === "a", when(hasSerialHost, "Article").otherwise("BookComponentPart"))
+  /** :272 getFormatFromBibLevel. The Serial default is gated on the
+    * conference check (:355): a conference-proceeding serial yields ''
+    * here (the additive label carries it), Newspaper/Journal still win.
+    */
+  private def bibLevelFormat(
+      bl: Column,
+      rt: Column,
+      v008: Int => Column,
+      hasSerialHost: Column,
+      couldBeBook: Column,
+      meeting: Column
+  ): Column =
+    when(bl === "a", when(hasSerialHost, "Article").otherwise("BookComponentPart"))
       .when(bl === "b", lit("SerialComponentPart"))
       .when(
         bl === "i",
@@ -171,33 +162,78 @@ object MarcFormat {
         bl === "s",
         when(rt === "a" && v008(21) === "n", "Newspaper")
           .when(rt === "a" && v008(21) === "p", "Journal")
-          .otherwise("Serial")
+          .otherwise(when(meeting, lit("")).otherwise(lit("Serial")))
       )
       .otherwise(lit(""))
 
-    // Last resort (:612): Collection/Sub-unit -> Kit, Language material ->
-    // Text, else Unknown.
-    val fallback = when(bl.isin("c", "d"), "Kit")
+  /** Last resort (:612): Collection/Sub-unit -> Kit, Language material ->
+    * Text, else Unknown.
+    */
+  private def fallbackFormat(rt: Column, bl: Column): Column =
+    when(bl.isin("c", "d"), "Kit")
       .when(rt === "a", "Text")
       .otherwise("Unknown")
+
+  /** Primary format for a record given its leader, first 007 field, 008
+    * field, whether a 773$g serial host exists, and whether a 111/711
+    * meeting entry exists (gates the Serial default, :355).
+    */
+  def marcPrimaryFormat(
+      leader: Column,
+      f007: Column,
+      f008: Column,
+      hasSerialHost: Column,
+      hasMeetingEntry: Column = lit(false)
+  ): Column = {
+    // Null-safe: a record without 007/008 is the common case, and a null
+    // would otherwise poison couldBeBook through three-valued logic.
+    val ldr = coalesce(leader, lit(""))
+    val f7 = coalesce(f007, lit(""))
+    val f8 = coalesce(f008, lit(""))
+    val host = coalesce(hasSerialHost, lit(false))
+    val meeting = coalesce(hasMeetingEntry, lit(false))
+    val rt = lower(substring(ldr, 7, 1))
+    val bl = lower(substring(ldr, 8, 1))
+    val c1 = lower(substring(f7, 1, 1))
+    val c2 = lower(substring(f7, 2, 1))
+    // PHP get008Value($marc008, p) is 0-based substr -> position p+1 here.
+    def v008(p: Int) = lower(substring(f8, p + 1, 1))
+
+    // All 007/v content surfaces as Video first (getFormatsAsList
+    // appends 'Video' before the detailed type, so the PRIMARY format
+    // for any video record is 'Video').
+    val fmt007 = when(c1 === "v", lit("Video")).otherwise(format007NonVideo(c1, c2))
+
+    // :105 definitelyNotBookBasedOn007 + :117 ...BasedOnRecordType.
+    val notBook007 = c1.isin("g", "k", "m", "v")
+    val notBookRt = rt.isin("e", "f", "g", "i", "j", "k", "r") ||
+      (rt === "m" && !v008(26).isin("d", "i", "m", "u", "z"))
+    val couldBeBook = !(notBook007 || notBookRt)
+
+    val fmtRt = recordTypeFormat(rt, c1, v008, skip33x = lit(false), thesisGate = lit(false))
+    val fmtBl = bibLevelFormat(bl, rt, v008, host, couldBeBook, meeting)
 
     when(fmt007 =!= "", fmt007)
       .when(fmtRt =!= "", fmtRt)
       .when(fmtBl =!= "", fmtBl)
-      .otherwise(fallback)
+      .otherwise(fallbackFormat(rt, bl))
   }
 
   /** RDA 338 carrier says online (FormatCalculator.php:658): `$a` "online
-    * resource" or `$b` "cr", sourced from rdacarrier.
+    * resource" or `$b` "cr", sourced from rdacarrier. Null-safe: absent
+    * 338 subfields mean false, not SQL null.
     */
   def isOnline338(f338a: Column, f338b: Column, f3382: Column): Column =
-    (f338a === "online resource" || f338b === "cr") && f3382 === "rdacarrier"
+    (coalesce(f338a, lit("")) === "online resource" ||
+      coalesce(f338b, lit("")) === "cr") && coalesce(f3382, lit("")) === "rdacarrier"
 
   /** RDA 336 content type says video (FormatCalculator.php:690): `$a`
-    * "two-dimensional moving image" or `$b` "tdi", sourced from rdacontent.
+    * "two-dimensional moving image" or `$b` "tdi", sourced from
+    * rdacontent. Null-safe like [[isOnline338]].
     */
   def isVideo336(f336a: Column, f336b: Column, f3362: Column): Column =
-    (f336a === "two-dimensional moving image" || f336b === "tdi") && f3362 === "rdacontent"
+    (coalesce(f336a, lit("")) === "two-dimensional moving image" ||
+      coalesce(f336b, lit("")) === "tdi") && coalesce(f3362, lit("")) === "rdacontent"
 
   /** Full deduplicated format list (FormatCalculator.php:62 getFormats /
     * :721 getFormatsAsList) including the additive labels: SuDoc 086 →
@@ -225,6 +261,16 @@ object MarcFormat {
     val ldr = coalesce(leader, lit(""))
     val f7 = lower(coalesce(f007, lit("")))
     val f8 = coalesce(f008, lit(""))
+    // Boolean flags come from field-existence checks that may carry SQL
+    // null (e.g. isVideo336 over absent subfield columns before it was
+    // null-safe): coalesce them all so three-valued logic can't silently
+    // drop a branch.
+    val host = coalesce(hasSerialHost, lit(false))
+    val suDoc = coalesce(hasSuDoc, lit(false))
+    val thesis = coalesce(hasDissertation, lit(false))
+    val online = coalesce(online338, lit(false))
+    val video = coalesce(video336, lit(false))
+    val meeting = coalesce(hasMeetingEntry, lit(false))
     val rt = lower(substring(ldr, 7, 1))
     val bl = lower(substring(ldr, 8, 1))
     val c1 = substring(f7, 1, 1)
@@ -234,16 +280,16 @@ object MarcFormat {
     val e = lit("")
 
     val electronic = lower(coalesce(sub245h, lit(""))).contains("[electronic resource]") ||
-      rt === "m" || online338
+      rt === "m" || online
     val additive = Seq(
-      when(hasSuDoc, lit("GovernmentDocument")).otherwise(e),
-      when(hasDissertation, lit("Thesis")).otherwise(e),
+      when(suDoc, lit("GovernmentDocument")).otherwise(e),
+      when(thesis, lit("Thesis")).otherwise(e),
       when(electronic, lit("Electronic")).otherwise(e),
-      when(hasMeetingEntry, lit("ConferenceProceeding")).otherwise(e)
+      when(meeting, lit("ConferenceProceeding")).otherwise(e)
     )
     val f33x = Seq(
-      when(video336, lit("Video")).otherwise(e),
-      when(video336 && online338, lit("VideoOnline")).otherwise(e)
+      when(video, lit("Video")).otherwise(e),
+      when(video && online, lit("VideoOnline")).otherwise(e)
     )
 
     // 007: video contributes the Video flag AND the detailed type.
@@ -260,83 +306,15 @@ object MarcFormat {
     val notBook007 = c1.isin("g", "k", "m", "v")
     val notBookRt = rt.isin("e", "f", "g", "i", "j", "k", "r") ||
       (rt === "m" && !v008(26).isin("d", "i", "m", "u", "z"))
-    val couldBeBook = !(notBook007 || notBookRt || video336)
+    val couldBeBook = !(notBook007 || notBookRt || video)
 
-    // Record type — skipped entirely when 33x matched (:782).
-    val fmtRt = when(video336, e)
-      .when(rt.isin("c", "d"), lit("MusicalScore"))
-      .when(
-        rt.isin("e", "f"),
-        when(v008(25) === "d", "Globe")
-          .when(v008(25) === "e", "Atlas")
-          .otherwise("Map")
-      )
-      .when(
-        rt === "g",
-        when(v008(33) === "f", "Filmstrip")
-          .when(v008(33) === "t", "Transparency")
-          .when(v008(33) === "m", "MotionPicture")
-          .when(v008(33) === "v", "Video")
-          .when(v008(34).isin("a", "c", "l", "u", "z"), "Video")
-          .otherwise(when(c1.isin("g", "m", "v"), "").otherwise("ProjectedMedium"))
-      )
-      .when(rt === "i", lit("SoundRecording"))
-      .when(rt === "j", lit("MusicRecording"))
-      .when(
-        rt === "k",
-        when(v008(33) === "l", "Drawing")
-          .when(v008(33) === "n", "Chart")
-          .when(v008(33) === "o", "FlashCard")
-          .otherwise(when(c1 === "k", "").otherwise("Image"))
-      )
-      .when(
-        rt === "m",
-        when(v008(26) === "a", "DataSet")
-          .when(v008(26) === "b", "Software")
-          .when(v008(26) === "c", "Image")
-          .when(v008(26) === "e", "DataSet")
-          .when(v008(26) === "f", "Font")
-          .when(v008(26) === "g", "VideoGame")
-          .when(v008(26) === "h", "SoundRecording")
-          .when(v008(26) === "i", "InteractiveMultimedia")
-          .otherwise("")
-      )
-      .when(rt.isin("o", "p"), lit("Kit"))
-      .when(rt === "r", lit("PhysicalObject"))
-      // Thesis gate (:498): a leader-t thesis is NOT a Manuscript.
-      .when(rt === "t", when(hasDissertation, e).otherwise(lit("Manuscript")))
-      .otherwise(e)
-
-    val fmtBl = when(bl === "a", when(hasSerialHost, "Article").otherwise("BookComponentPart"))
-      .when(bl === "b", lit("SerialComponentPart"))
-      .when(
-        bl === "i",
-        when(rt === "a" && v008(21).isin("h", "w"), "Website")
-          .when(rt === "a" && v008(22).isin("o", "q", "s"), "OnlineIntegratingResource")
-          .otherwise("PhysicalIntegratingResource")
-      )
-      .when(
-        bl === "m" && couldBeBook,
-        when(rt.isin("a", "t") && v008(23).isin("o", "q", "s"), "eBook")
-          .when(rt === "m", "eBook")
-          .otherwise("Book")
-      )
-      .when(
-        bl === "s",
-        when(rt === "a" && v008(21) === "n", "Newspaper")
-          .when(rt === "a" && v008(21) === "p", "Journal")
-          .otherwise("Serial")
-      )
-      .otherwise(e)
-
-    val fallback = when(bl.isin("c", "d"), "Kit")
-      .when(rt === "a", "Text")
-      .otherwise("Unknown")
+    val fmtRt = recordTypeFormat(rt, c1, v008, skip33x = video, thesisGate = thesis)
+    val fmtBl = bibLevelFormat(bl, rt, v008, host, couldBeBook, meeting)
 
     val listed = filter(
       array(additive ++ f33x ++ f007list ++ Seq(fmtRt, fmtBl): _*),
       x => x =!= ""
     )
-    when(size(listed) === 0, array(fallback)).otherwise(array_distinct(listed))
+    when(size(listed) === 0, array(fallbackFormat(rt, bl))).otherwise(array_distinct(listed))
   }
 }

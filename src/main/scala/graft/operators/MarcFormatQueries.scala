@@ -64,6 +64,12 @@ object MarcFormatQueries {
     FmtScenario("am", "", "", false, false, "", false, false, false, "Book"),
     FmtScenario("tm", "", "", true, true, "", false, false, true, "GovernmentDocument|Thesis|ConferenceProceeding|Book"),
     FmtScenario("zz", "", "", false, false, "", false, false, false, "Unknown"),
+    // Conference-proceeding serial: the Serial default is gated off
+    // (FormatCalculator.php:355) — only the additive label remains.
+    FmtScenario("as", "", "", false, false, "", false, false, true, "ConferenceProceeding"),
+    FmtScenario("as", "", "", false, false, "", false, false, false, "Serial"),
+    // Journal beats the conference gate (008/21 'p' returns before it).
+    FmtScenario("as", "", " " * 21 + "p", false, false, "", false, false, true, "ConferenceProceeding|Journal"),
     // computer-file document: Electronic (leader m) + eBook.
     FmtScenario("mm", "", " " * 26 + "d", false, false, "", false, false, false, "Electronic|eBook")
   )
