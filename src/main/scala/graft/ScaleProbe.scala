@@ -65,6 +65,31 @@ object ScaleProbe {
           .filter(!col("is_canonical"))
           .count()
         println(f"SCALE mode=cluster mult=$mult docs=$total merged=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "incr" =>
+        // Incremental mode: a FIXED batch against an N×-growing clustered
+        // corpus — the production shape (daily delta vs full history).
+        // Time should grow only with the corpus-side key scan (linear),
+        // never with batch×corpus.
+        val base = DedupQueries.records(spark, sfDir)
+        val batch = base.limit(2000)
+        val corpus = (0 until mult)
+          .map { i =>
+            if (i == 0) base
+            else
+              base
+                .withColumn("id", concat(lit(s"x$i."), col("id")))
+                .withColumn("title", concat(lit(s"x$i"), col("title")))
+                .withColumn("isbn", lit(""))
+          }
+          .reduce(_ union _)
+          .withColumn("dedup_id", col("id"))
+        val total = corpus.count()
+        val t0 = System.nanoTime()
+        val n = Dedup
+          .dedupIncremental(batch, corpus)
+          .filter(col("dedup_id").isNotNull)
+          .count()
+        println(f"SCALE mode=incr mult=$mult corpus=$total batch=2000 matched=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case _ =>
         val base = DedupQueries.records(spark, sfDir)
         // Replicas must be disjoint in ALL dedup keys (title + isbn), not
