@@ -278,6 +278,212 @@ object Ead3Queries {
            |        ELSE 'https://img.ex/t2/' || cast(k as varchar) END) AS thumbnail
            |FROM titled""".stripMargin
       }
+    ),
+    // EAD2 record extraction (reference: Record/Ead.php toSolrArray:159).
+    // Distinctives vs ead3_extract above: format = first
+    // controlaccess/genreform else the archdesc @level attribute
+    // (getFormat:307); subtitle = unitid gated OFF for fonds/collection
+    // (getSubtitle:403); series = parent title gated off for
+    // fonds/collection/series/subseries AND when the parent IS the archive
+    // (getSeries:421); the origination corpname SCALAR-OVERWRITES the
+    // controlaccess author_corporate array (:199 — a reference quirk kept
+    // as-is) while origination persname lands in author2 (:204);
+    // '-'-placeholder filtering on persname/subject/geogname/extent; WGS84
+    // geographiccoordinates "lat, lon" → "POINT(lon lat)" + "lon lat"
+    // center, non-WGS84 systems dropped (getGeographicData:493); the
+    // hierarchy block (:269-297): archive → top id/title (' : '-joined
+    // subtitle), parent → parent id/title, no parent → is_hierarchy
+    // twins that overwrite top; title_in_hierarchy = trim(unitid+' '+title).
+    Q(
+      "ead2_extract",
+      (s, d) => {
+        val k = col("p_partkey")
+        val ks = k.cast("string")
+        val e = lit("")
+        val short = col("p_name")
+        val unitid =
+          concat(lit("A"), (k % 90).cast("string"), lit("."), (k % 7).cast("string"))
+        val gf = when(k % 6 === 0, lit("letters")).otherwise(e)
+        val level = when(k % 2 === 0, lit("fonds"))
+          .when(k % 3 === 0, lit("series"))
+          .otherwise(lit("file"))
+        val fmt = when(gf =!= "", gf).otherwise(level)
+        val subtitle = when(fmt.isin("fonds", "collection"), e).otherwise(unitid)
+        val hasParent = k % 4 =!= 0
+        val hasArchive = k % 5 =!= 4
+        val archiveId = concat(lit("arch"), (k % 10).cast("string"))
+        val parentId =
+          when(k % 4 === 1, archiveId).otherwise(concat(lit("p"), (k % 50).cast("string")))
+        val parentTitle = concat(lit("Parent "), (k % 20).cast("string"))
+        val series = when(fmt.isin("fonds", "collection", "series", "subseries"), e)
+          .when(!hasParent, e)
+          .when(hasArchive && (parentId === archiveId), e)
+          .otherwise(parentTitle)
+        val title =
+          when(subtitle =!= "" && subtitle =!= short, concat(subtitle, lit(" "), short))
+            .otherwise(short)
+        val desc = when(
+          k % 3 === 0,
+          concat(lit("Scope one for "), ks, lit("   /   Scope two"))
+        ).otherwise(concat(lit("Scope one for "), ks))
+        val persnames = array(
+          concat(lit("Person, "), element_at(split(short, " "), 1)),
+          when(k % 7 === 0, lit("-"))
+            .otherwise(concat(lit("Second person "), (k % 5).cast("string")))
+        )
+        val authors = filter(persnames, p => trim(p) =!= "-")
+        val caCorp =
+          when(k % 3 === 0, concat(lit("Corp "), (k % 9).cast("string"))).otherwise(e)
+        val authorCorp =
+          when(k % 5 === 0, concat(lit("Origin Corp "), (k % 4).cast("string")))
+            .otherwise(caCorp)
+        val author2 =
+          when(k % 7 === 0, concat(lit("Origin Person "), ks)).otherwise(e)
+        val topics = array_join(
+          filter(
+            array(
+              concat(lit("Subject "), (k % 11).cast("string")),
+              when(k % 9 === 0, lit("-"))
+                .otherwise(concat(lit("Theme "), (k % 4).cast("string")))
+            ),
+            p => trim(p) =!= "-"
+          ),
+          "|"
+        )
+        val lat = (lit(60) + k % 10).cast("string")
+        val lon = (lit(20) + k % 15).cast("string")
+        // WGS84 rows emit the point; the k%4==2 rows carry a non-WGS84
+        // coordinatesystem and are dropped like the reference does.
+        val hasWgs = k % 4 === 0
+        val geoNames = array_join(
+          filter(
+            array(
+              when(k % 2 === 0, concat(lit("Place "), (k % 13).cast("string"))).otherwise(e),
+              when(k % 6 === 1, lit("-"))
+                .when(k % 3 === 1, concat(lit("Part place "), (k % 8).cast("string")))
+                .otherwise(e)
+            ),
+            p => p =!= "" && p =!= "-"
+          ),
+          "|"
+        )
+        val locationGeo =
+          when(hasWgs, concat(lit("POINT("), lon, lit(" "), lat, lit(")"))).otherwise(e)
+        val center = when(hasWgs, concat(lon, lit(" "), lat)).otherwise(e)
+        val physical = concat((k % 300 + 1).cast("string"), lit(" boxes"))
+        val institution = concat(lit("Repository "), (k % 4).cast("string"))
+        val archTitle = concat(
+          lit("Archive "),
+          (k % 10).cast("string"),
+          when(k % 3 === 0, concat(lit(" : Archive sub "), (k % 5).cast("string"))).otherwise(e)
+        )
+        val recordId = concat(lit("e2-"), ks)
+        val topId =
+          when(hasParent, when(hasArchive, archiveId).otherwise(e)).otherwise(recordId)
+        val topTitle =
+          when(hasParent, when(hasArchive, archTitle).otherwise(e)).otherwise(short)
+        Tables
+          .part(s, d)
+          .select(
+            recordId.as("record_id"),
+            title.as("title"),
+            subtitle.as("title_sub"),
+            lower(graft.functions.MetadataFunctions.stripPunctuation(title)).as("title_sort"),
+            series.as("series"),
+            fmt.as("format"),
+            desc.as("description"),
+            array_join(authors, "|").as("author"),
+            coalesce(get(authors, lit(0)), lit("")).as("author_sort"),
+            authorCorp.as("author_corporate"),
+            author2.as("author2"),
+            topics.as("topics"),
+            geoNames.as("geographic"),
+            locationGeo.as("location_geo"),
+            center.as("center_coords"),
+            physical.as("physical"),
+            institution.as("institution"),
+            topId.as("hierarchy_top_id"),
+            topTitle.as("hierarchy_top_title"),
+            when(hasParent, parentId).otherwise(e).as("hierarchy_parent_id"),
+            when(hasParent, parentTitle).otherwise(e).as("hierarchy_parent_title"),
+            when(!hasParent, recordId).otherwise(e).as("is_hierarchy_id"),
+            when(!hasParent, short).otherwise(e).as("is_hierarchy_title"),
+            trim(concat(unitid, lit(" "), title)).as("title_in_hierarchy")
+          )
+      },
+      Some {
+        import MetadataQueries.stripPunctSql
+        s"""WITH base AS (
+           |  SELECT p_partkey AS k, p_name AS name,
+           |    'A' || cast(p_partkey % 90 as varchar) || '.' || cast(p_partkey % 7 as varchar) AS unitid,
+           |    (CASE WHEN p_partkey % 6 = 0 THEN 'letters'
+           |          WHEN p_partkey % 2 = 0 THEN 'fonds'
+           |          WHEN p_partkey % 3 = 0 THEN 'series'
+           |          ELSE 'file' END) AS fmt,
+           |    (p_partkey % 4 != 0) AS has_parent,
+           |    (p_partkey % 5 != 4) AS has_archive,
+           |    'arch' || cast(p_partkey % 10 as varchar) AS archive_id,
+           |    (CASE WHEN p_partkey % 4 = 1 THEN 'arch' || cast(p_partkey % 10 as varchar)
+           |          ELSE 'p' || cast(p_partkey % 50 as varchar) END) AS parent_id,
+           |    'Parent ' || cast(p_partkey % 20 as varchar) AS parent_title,
+           |    cast(60 + p_partkey % 10 as varchar) AS lat,
+           |    cast(20 + p_partkey % 15 as varchar) AS lon
+           |  FROM part),
+           |sub AS (
+           |  SELECT *,
+           |    (CASE WHEN fmt IN ('fonds', 'collection') THEN '' ELSE unitid END) AS subtitle
+           |  FROM base),
+           |titled AS (
+           |  SELECT *,
+           |    (CASE WHEN subtitle != '' AND subtitle != name
+           |          THEN subtitle || ' ' || name ELSE name END) AS title_s,
+           |    'Person, ' || string_split(name, ' ')[1]
+           |      || (CASE WHEN k % 7 = 0 THEN '' ELSE '|Second person ' || cast(k % 5 as varchar) END) AS author_s
+           |  FROM sub)
+           |SELECT 'e2-' || cast(k as varchar) AS record_id,
+           |  title_s AS title,
+           |  subtitle AS title_sub,
+           |  lower(${stripPunctSql("title_s")}) AS title_sort,
+           |  (CASE WHEN fmt IN ('fonds', 'collection', 'series', 'subseries') THEN ''
+           |        WHEN NOT has_parent THEN ''
+           |        WHEN has_archive AND parent_id = archive_id THEN ''
+           |        ELSE parent_title END) AS series,
+           |  fmt AS format,
+           |  'Scope one for ' || cast(k as varchar)
+           |    || (CASE WHEN k % 3 = 0 THEN '   /   Scope two' ELSE '' END) AS description,
+           |  author_s AS author,
+           |  'Person, ' || string_split(name, ' ')[1] AS author_sort,
+           |  (CASE WHEN k % 5 = 0 THEN 'Origin Corp ' || cast(k % 4 as varchar)
+           |        WHEN k % 3 = 0 THEN 'Corp ' || cast(k % 9 as varchar)
+           |        ELSE '' END) AS author_corporate,
+           |  (CASE WHEN k % 7 = 0 THEN 'Origin Person ' || cast(k as varchar) ELSE '' END) AS author2,
+           |  'Subject ' || cast(k % 11 as varchar)
+           |    || (CASE WHEN k % 9 = 0 THEN '' ELSE '|Theme ' || cast(k % 4 as varchar) END) AS topics,
+           |  coalesce(array_to_string(list_filter([
+           |    (CASE WHEN k % 2 = 0 THEN 'Place ' || cast(k % 13 as varchar) ELSE '' END),
+           |    (CASE WHEN k % 6 = 1 THEN ''
+           |          WHEN k % 3 = 1 THEN 'Part place ' || cast(k % 8 as varchar)
+           |          ELSE '' END)
+           |  ], x -> x != ''), '|'), '') AS geographic,
+           |  (CASE WHEN k % 4 = 0 THEN 'POINT(' || lon || ' ' || lat || ')' ELSE '' END) AS location_geo,
+           |  (CASE WHEN k % 4 = 0 THEN lon || ' ' || lat ELSE '' END) AS center_coords,
+           |  cast(k % 300 + 1 as varchar) || ' boxes' AS physical,
+           |  'Repository ' || cast(k % 4 as varchar) AS institution,
+           |  (CASE WHEN has_parent THEN (CASE WHEN has_archive THEN archive_id ELSE '' END)
+           |        ELSE 'e2-' || cast(k as varchar) END) AS hierarchy_top_id,
+           |  (CASE WHEN has_parent
+           |        THEN (CASE WHEN has_archive
+           |                   THEN 'Archive ' || cast(k % 10 as varchar)
+           |                        || (CASE WHEN k % 3 = 0 THEN ' : Archive sub ' || cast(k % 5 as varchar) ELSE '' END)
+           |                   ELSE '' END)
+           |        ELSE name END) AS hierarchy_top_title,
+           |  (CASE WHEN has_parent THEN parent_id ELSE '' END) AS hierarchy_parent_id,
+           |  (CASE WHEN has_parent THEN parent_title ELSE '' END) AS hierarchy_parent_title,
+           |  (CASE WHEN NOT has_parent THEN 'e2-' || cast(k as varchar) ELSE '' END) AS is_hierarchy_id,
+           |  (CASE WHEN NOT has_parent THEN name ELSE '' END) AS is_hierarchy_title,
+           |  trim(unitid || ' ' || title_s) AS title_in_hierarchy
+           |FROM titled""".stripMargin
+      }
     )
   )
 }

@@ -400,5 +400,118 @@ object MarcSolrQueries2 {
     }
   )
 
-  val all: Seq[Q] = Seq(titles, display, allfields)
+  /** The last Marc.php getters with no repo counterpart: getLanguages:2188
+    * (008/35-37 control-field code first, then 041 $a/$d/$h/$j in spec
+    * order, each trailing-punctuation-stripped then normalized via
+    * normalizeLanguageStrings — trim + lowercase + drop empties, no
+    * dedupe), getSeriesISSN:1037 (first 490$x) and getSeriesNumbering:1047
+    * (first 490$v) via getFieldSubfield's trailing-punctuation strip,
+    * getContainerReference:783 (first 773$g, stripped), and the enrichment
+    * id harvests getRawTopicIds:1481 (650$0 verbatim) and
+    * getRawGeographicTopicIds:1491 (651$0 verbatim). Pure per-row column
+    * expressions — no shuffle at any scale.
+    */
+  private val langSeries = Q(
+    "marc_lang_series",
+    (s, d) => {
+      val k = col("p_partkey")
+      val ks = k.cast("string")
+      val e = lit("")
+
+      // 008/35-37 fixed-width code; all-blank (no code) trims to empty and
+      // is dropped. The uppercase row exercises the lowercase path.
+      val l008 = when(k % 4 === 0, lit("fin"))
+        .when(k % 4 === 1, lit("SWE"))
+        .when(k % 4 === 2, lit("eng"))
+        .otherwise(lit("   "))
+      val a1 = when(k % 3 === 0, lit("eng")).otherwise(e)
+      val a2 = when(k % 6 === 0, lit("GER")).otherwise(e)
+      val d1 = when(k % 5 === 0, lit("fre ")).otherwise(e)
+      val h1 = when(k % 7 === 0, lit("lat")).otherwise(e)
+      val j1 = when(k % 9 === 0, lit("swe")).otherwise(e)
+      val languages = array_join(
+        filter(
+          transform(
+            array(l008, a1, a2, d1, h1, j1),
+            v => normalizeLanguageString(stripTrailingPunctuation(v))
+          ),
+          v => v =!= ""
+        ),
+        "|"
+      )
+
+      val issn = when(
+        k % 5 === 0,
+        concat(lit("0355-40"), lpad((k % 90).cast("string"), 2, "0"), lit(" ;"))
+      ).otherwise(e)
+      val numbering =
+        when(k % 4 === 1, concat(lit("vol "), (k % 30).cast("string"))).otherwise(e)
+      val container = when(
+        k % 3 < 2,
+        concat(
+          lit("Vol. "),
+          (k % 50).cast("string"),
+          lit(", no. "),
+          (k % 12).cast("string"),
+          lit(", pages "),
+          (k % 300 + 1).cast("string"),
+          lit("-"),
+          (k % 300 + 20).cast("string"),
+          lit(" ;")
+        )
+      ).otherwise(e)
+
+      val topicIds = array_join(
+        filter(
+          array(
+            when(k % 2 === 0, concat(lit("(fast)fst"), (k % 100000).cast("string"))).otherwise(e),
+            concat(lit("http://id.loc.gov/authorities/subjects/sh"), ks)
+          ),
+          v => v =!= ""
+        ),
+        "|"
+      )
+      val geoIds =
+        when(k % 3 === 0, concat(lit("http://id.loc.gov/authorities/names/n"), ks)).otherwise(e)
+
+      Tables
+        .part(s, d)
+        .select(
+          k.as("record_id"),
+          languages.as("languages"),
+          stripTrailingPunctuation(issn).as("series_issn"),
+          stripTrailingPunctuation(numbering).as("series_numbering"),
+          stripTrailingPunctuation(container).as("container_reference"),
+          topicIds.as("raw_topic_ids"),
+          geoIds.as("raw_geo_topic_ids")
+        )
+    },
+    Some {
+      // The synthesized suffixes are all " ;"-form, so the reference's
+      // trailing-punctuation strip reduces to rtrim(x, ' ;') here; the
+      // general formula is oracle-checked by strip_trail_punct.
+      s"""WITH c AS (SELECT p_partkey AS k,
+         |  (CASE WHEN p_partkey%4=0 THEN 'fin' WHEN p_partkey%4=1 THEN 'swe'
+         |        WHEN p_partkey%4=2 THEN 'eng' ELSE '' END) AS l008,
+         |  (CASE WHEN p_partkey%3=0 THEN 'eng' ELSE '' END) AS a1,
+         |  (CASE WHEN p_partkey%6=0 THEN 'ger' ELSE '' END) AS a2,
+         |  (CASE WHEN p_partkey%5=0 THEN 'fre' ELSE '' END) AS d1,
+         |  (CASE WHEN p_partkey%7=0 THEN 'lat' ELSE '' END) AS h1,
+         |  (CASE WHEN p_partkey%9=0 THEN 'swe' ELSE '' END) AS j1
+         |  FROM part)
+         |SELECT k AS record_id,
+         |  coalesce(array_to_string(list_filter([l008,a1,a2,d1,h1,j1], x -> x != ''), '|'), '') AS languages,
+         |  (CASE WHEN k%5=0 THEN '0355-40' || lpad(cast(k%90 as varchar),2,'0') ELSE '' END) AS series_issn,
+         |  (CASE WHEN k%4=1 THEN 'vol ' || cast(k%30 as varchar) ELSE '' END) AS series_numbering,
+         |  (CASE WHEN k%3<2 THEN 'Vol. ' || cast(k%50 as varchar) || ', no. ' || cast(k%12 as varchar)
+         |     || ', pages ' || cast(k%300+1 as varchar) || '-' || cast(k%300+20 as varchar)
+         |   ELSE '' END) AS container_reference,
+         |  (CASE WHEN k%2=0 THEN '(fast)fst' || cast(k%100000 as varchar) || '|' ELSE '' END)
+         |    || 'http://id.loc.gov/authorities/subjects/sh' || cast(k as varchar) AS raw_topic_ids,
+         |  (CASE WHEN k%3=0 THEN 'http://id.loc.gov/authorities/names/n' || cast(k as varchar) ELSE '' END) AS raw_geo_topic_ids
+         |FROM c""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(titles, display, allfields, langSeries)
 }
