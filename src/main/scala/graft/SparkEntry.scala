@@ -36,6 +36,7 @@ object SparkEntry {
       operators.MarcSubjectQueries.all ++
       operators.LlmQueries7.all ++
       operators.LlmQueries8.all ++
+      operators.LlmQueries9.all ++
       operators.MarcHostQueries.all ++
       operators.MergePolicyQueries.all ++
       operators.MarcSolrQueries.all ++

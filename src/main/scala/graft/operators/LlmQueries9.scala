@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language-model quality scoring — the perplexity-proxy
+  * filter (CCNet / Gopher style) that ranks documents by how "ordinary"
+  * their word sequences are under a model trained on the corpus itself.
+  * No counterpart in the reference (RecordManager has no free-text
+  * corpus modeling); this is part of the LLM-pipeline surface the north
+  * star requires.
+  *
+  * Model: corpus-wide unigram counts c(w) and bigram counts c(w1 w2)
+  * over the shared `words` tokenization, vocabulary size V, Laplace
+  * bigram probability P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Per
+  * document: avg log P over its bigrams (higher = more typical text),
+  * its bigram count, and the fraction of tokens whose corpus frequency
+  * is 1 (hapax/rare ratio — a cheap OOV stand-in). A real pipeline
+  * thresholds on these columns (or buckets them for stratified
+  * sampling); the score columns are rounded to 4 decimals so the DuckDB
+  * oracle compares exactly.
+  *
+  * Scale shape: two word-count aggregations (unigram, bigram) — the
+  * canonical map-side-combined shuffles — then fact-to-dimension
+  * equi-joins from the exploded bigrams/tokens to those count tables and
+  * one per-doc aggregate. V is a 1-row aggregate broadcast by crossJoin.
+  * Nothing is ever all-pairs and no key exceeds corpus-distinct-token
+  * cardinality, so the plan survives 100 TB; hot heads (stopword
+  * bigrams) are N:1 join keys, which Spark handles without skew blowup
+  * because the dimension side is unique per key. In a production run the
+  * count tables are the trained model: persist (or write) `uni` and the
+  * bigram counts once and reuse them across scoring passes — the
+  * single-expression form here recomputes them per branch so the oracle
+  * stays a pure function of the input.
+  */
+object LlmQueries9 {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "docs_lm_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
+
+        val uni = toks
+          .select(explode(col("ws")).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("cu"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+
+        val bg = toks
+          .filter(size(col("ws")) >= 2)
+          .select(
+            col("doc_id"),
+            explode(
+              zip_with(
+                slice(col("ws"), lit(1), size(col("ws")) - 1),
+                slice(col("ws"), lit(2), size(col("ws")) - 1),
+                (a, b) => concat(a, lit(" "), b)
+              )
+            ).as("bg")
+          )
+        val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+
+        val scored = bg
+          .join(bgCounts, Seq("bg"))
+          .withColumn("w1", element_at(split(col("bg"), " "), 1))
+          .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+          // 1-row dimension via a broadcast HASH join on a computed key (a
+          // literal key folds away and a bare crossJoin plans the
+          // BroadcastNestedLoopJoin the plan suite reserves for the knn
+          // baseline; `x - x + 1` stays non-foldable).
+          .withColumn("j", (col("cu") - col("cu") + 1).cast("int"))
+          .join(
+            broadcast(vocab.select((col("v") - col("v") + 1).cast("int").as("j"), col("v"))),
+            Seq("j")
+          )
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(avg(log((col("cb") + lit(1.0)) / (col("cu") + col("v")))), 4)
+              .as("avg_logprob")
+          )
+
+        val rare = toks
+          .select(col("doc_id"), explode(col("ws")).as("w"))
+          .join(uni, Seq("w"))
+          .groupBy("doc_id")
+          .agg(
+            round(avg(when(col("cu") <= 1, 1.0).otherwise(0.0)), 4).as("rare_ratio")
+          )
+
+        docs
+          .select("doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .join(rare, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"),
+            coalesce(col("rare_ratio"), lit(0.0)).as("rare_ratio")
+          )
+      },
+      Some {
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+           |u AS (SELECT w, count(*) AS cu FROM (SELECT unnest(ws) AS w FROM toks) _t GROUP BY w),
+           |v AS (SELECT count(*) AS v FROM u),
+           |bgl AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+           |  FROM toks WHERE len(ws) >= 2),
+           |b AS (SELECT bg, count(*) AS cb FROM bgl GROUP BY bg),
+           |scored AS (
+           |  SELECT doc_id, count(*) AS n_bigrams,
+           |    round(avg(ln((cb + 1.0) / (cu + v.v))) , 4) AS avg_logprob
+           |  FROM bgl
+           |  JOIN b USING (bg)
+           |  JOIN u ON string_split(bgl.bg, ' ')[1] = u.w
+           |  CROSS JOIN v
+           |  GROUP BY doc_id),
+           |rare AS (
+           |  SELECT doc_id,
+           |    round(avg(CASE WHEN cu <= 1 THEN 1.0 ELSE 0.0 END), 4) AS rare_ratio
+           |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) _w
+           |  JOIN u USING (w)
+           |  GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(scored.n_bigrams, 0) AS n_bigrams,
+           |  coalesce(scored.avg_logprob, 0.0) AS avg_logprob,
+           |  coalesce(rare.rare_ratio, 0.0) AS rare_ratio
+           |FROM documents d
+           |LEFT JOIN scored ON d.doc_id = scored.doc_id
+           |LEFT JOIN rare ON d.doc_id = rare.doc_id""".stripMargin
+      }
+    )
+  )
+}
