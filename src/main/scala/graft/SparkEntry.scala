@@ -28,6 +28,7 @@ object SparkEntry {
       operators.EadQueries.all ++
       operators.LlmQueries5.all ++
       operators.LidoQueries.all ++
+      operators.LidoQueries2.all ++
       operators.AuthorityQueries.all ++
       operators.LlmQueries6.all ++
       operators.ProfileQueries.all ++

@@ -134,6 +134,50 @@ object LlmQueries9 {
            |LEFT JOIN scored ON d.doc_id = scored.doc_id
            |LEFT JOIN rare ON d.doc_id = rare.doc_id""".stripMargin
       }
+    ),
+    // BPE merge-pair counting — the inner kernel of tokenizer training
+    // (one merge iteration = "count adjacent symbol pairs over the corpus,
+    // weighted by word frequency; merge the argmax"). Distributed shape:
+    // word-frequency aggregation (map-side-combined shuffle on a
+    // vocabulary-bounded key) → per-DISTINCT-word pair explosion (pair
+    // work is O(vocab), not O(corpus) — the crucial trick at 100 TB) →
+    // pair aggregation on a tiny key space (≤ alphabet² for the first
+    // iteration). Driving the full merge loop re-runs this plan with the
+    // merge table applied; the counting kernel is the expensive part.
+    Q(
+      "docs_bpe_pairs",
+      (s, d) => {
+        val wf = Tables
+          .documents(s, d)
+          .select(explode(words(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w")
+          .agg(count(lit(1)).as("f"))
+        wf.select(
+            col("w"),
+            col("f"),
+            explode(
+              transform(sequence(lit(1), length(col("w")) - 1), i => col("w").substr(i, lit(2)))
+            ).as("pair")
+          )
+          .groupBy("pair")
+          .agg(sum("f").as("n_occ"), countDistinct("w").as("n_words"))
+          .filter(col("n_occ") >= 5)
+          .select(col("pair"), col("n_occ"), col("n_words").cast("long").as("n_words"))
+      },
+      Some {
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        s"""WITH toks AS (SELECT string_split($norm, ' ') AS ws FROM documents),
+           |wf AS (
+           |  SELECT w, count(*) AS f
+           |  FROM (SELECT unnest(ws) AS w FROM toks) _t
+           |  WHERE length(w) >= 2 GROUP BY w),
+           |p AS (
+           |  SELECT w, f, unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+           |  FROM wf)
+           |SELECT pair, cast(sum(f) as bigint) AS n_occ, cast(count(distinct w) as bigint) AS n_words
+           |FROM p GROUP BY pair HAVING sum(f) >= 5""".stripMargin
+      }
     )
   )
 }
