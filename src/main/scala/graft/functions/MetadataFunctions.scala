@@ -437,6 +437,14 @@ object MetadataFunctions {
   def trimXmlWhitespace(c: Column): Column =
     regexp_replace(c, "\\s*(<([^>]*)>[^<]*</\\2>|<[^>]*>)\\s*", "$1")
 
+  /** Join words hyphenated across line breaks in extracted full text
+    * (reference: Record/FullTextTrait.php:124 — `([^\s]+)-\s*[\n\r]+\s*`
+    * → `\1`; imperfect by design, the reference notes 'Etelä-Suomi' →
+    * 'EteläSuomi' when the compound happens to break at the hyphen).
+    */
+  def dehyphenateFullText(c: Column): Column =
+    regexp_replace(c, "(\\S+)-\\s*[\\n\\r]+\\s*", "$1")
+
   /** LIDO display-date range parsing (reference: Record/Lido.php:1029
     * parseDateRange): "yyyy - yyyy", ISO y-m-d, d.m.y, "yy ?" (± 3 years)
     * and bare-year forms → "start,end" ISO instant pair, null otherwise.

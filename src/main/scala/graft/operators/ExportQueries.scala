@@ -54,6 +54,35 @@ object ExportQueries {
       }
     ),
     Q(
+      // Full-text enrichment shaping (reference: Record/FullTextTrait.php:88
+      // getFullTextfields): xpath-collected fragments joined with ' ', then
+      // the line-break de-hyphenation fixup (:124). The HTTP fetch branch is
+      // out of scope (live I/O); the joined-fragment + fixup path is the
+      // data transformation.
+      "fulltext_dehyphenate",
+      (s, d) => {
+        val id = col("doc_id").cast("string")
+        val fragments = array(
+          concat(lit("Exam-\n  ple text "), id, lit(" hyphen-ated")),
+          concat(lit("normaa-\r\n   li Etela-Suomi jat-\nkuu loppu-"))
+        )
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            dehyphenateFullText(array_join(fragments, " ")).as("fulltext")
+          )
+      },
+      Some {
+        val frag =
+          "'Exam-' || chr(10) || '  ple text ' || cast(doc_id as varchar) || ' hyphen-ated' || ' ' || " +
+            "'normaa-' || chr(13) || chr(10) || '   li Etela-Suomi jat-' || chr(10) || 'kuu loppu-'"
+        s"""SELECT doc_id,
+           |  regexp_replace($frag, '(\\S+)-\\s*[\\n\\r]+\\s*', '\\1', 'g') AS fulltext
+           |FROM documents""".stripMargin
+      }
+    ),
+    Q(
       "wkt_centroid",
       (s, d) => {
         val k = col("p_partkey")

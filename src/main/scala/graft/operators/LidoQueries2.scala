@@ -50,17 +50,20 @@ object LidoQueries2 {
 
   // ---------------------------------------------------------------- titles
 
+  /** An empty pref attribute defaults to 'preferred'
+    * (Lido.php:466 `(string)$appellationValue['pref'] ?: 'preferred'`).
+    */
   private def entryPred(x: Column, s: Int, lang: String, isPref: Boolean): Column = {
-    val prefOk =
-      if (isPref) x.getField("pref") === "preferred"
-      else x.getField("pref") =!= "preferred"
+    val isPreferred = x.getField("pref") === "preferred" || x.getField("pref") === ""
+    val prefOk = if (isPref) isPreferred else !isPreferred
     x.getField("set_id") === s && x.getField("lang") === lang && prefOk &&
       trim(x.getField("val")) =!= ""
   }
 
   private def entryPredSql(s: Int, lang: String, isPref: Boolean): String = {
-    val op = if (isPref) "=" else "<>"
-    s"x.set_id = $s AND x.lang = '$lang' AND x.pref $op 'preferred' AND trim(x.val) <> ''"
+    val p = "(x.pref = 'preferred' OR x.pref = '')"
+    val prefOk = if (isPref) p else s"NOT $p"
+    s"x.set_id = $s AND x.lang = '$lang' AND $prefOk AND trim(x.val) <> ''"
   }
 
   private def vals(ent: Column, s: Int, lang: String, isPref: Boolean): Column =
@@ -146,7 +149,8 @@ object LidoQueries2 {
             lit(lang).as("lang"),
             v.as("val")
           )
-        val entries = when(m === 0, array(e(1, 1, "preferred", "en", base), e(1, 2, "alternative", "en", altV)))
+        // m=0 exercises the empty-pref default ('' counts as preferred).
+        val entries = when(m === 0, array(e(1, 1, "", "en", base), e(1, 2, "alternative", "en", altV)))
           .when(m === 1, array(e(1, 1, "preferred", "fi", base), e(1, 2, "alternative", "en", altV)))
           .when(m === 2, array(e(1, 1, "preferred", "fi", base), e(2, 3, "preferred", "fi", base)))
           .when(m === 3, array(e(1, 1, "preferred", "en", base), e(2, 3, "preferred", "en", en2)))
@@ -239,7 +243,7 @@ object LidoQueries2 {
         def e(set: Int, pos: Int, pref: String, lang: String, v: String) =
           s"struct_pack(set_id := $set, pos := $pos, pref := '$pref', lang := '$lang', val := $v)"
         val entries =
-          s"""(CASE WHEN $m = 0 THEN [${e(1, 1, "preferred", "en", base)}, ${e(1, 2, "alternative", "en", altV)}]
+          s"""(CASE WHEN $m = 0 THEN [${e(1, 1, "", "en", base)}, ${e(1, 2, "alternative", "en", altV)}]
              | WHEN $m = 1 THEN [${e(1, 1, "preferred", "fi", base)}, ${e(1, 2, "alternative", "en", altV)}]
              | WHEN $m = 2 THEN [${e(1, 1, "preferred", "fi", base)}, ${e(2, 3, "preferred", "fi", base)}]
              | WHEN $m = 3 THEN [${e(1, 1, "preferred", "en", base)}, ${e(2, 3, "preferred", "en", en2)}]

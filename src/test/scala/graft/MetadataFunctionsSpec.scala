@@ -118,4 +118,11 @@ class MetadataFunctionsSpec extends SparkSuite {
         "<a><b>keep me</b></a>"
     )
   }
+
+  test("dehyphenateFullText joins line-broken words, keeps inline hyphens") {
+    assert(
+      eval1(dehyphenateFullText(col("x")), "Exam-\n  ple hyphen-ated jat-\r\n kuu loppu-") ==
+        "Example hyphen-ated jatkuu loppu-"
+    )
+  }
 }
