@@ -258,6 +258,61 @@ object LlmQueries7 {
     }
   )
 
+  /** Temperature-based corpus mixture sampling (the XLM-R / mT5 recipe):
+    * language weights w_l ∝ c_l^α with α = 0.3 flatten the language
+    * distribution, a target budget of 30% of the corpus sets per-language
+    * keep probabilities p_l = min(1, target·w_l/c_l), and a deterministic
+    * md5 bucket (0-255) gates each document against floor(p_l·256).
+    * Low-resource languages keep (up to) everything; high-resource ones
+    * downsample. Scale shape: one tiny language-count aggregate, a 1-row
+    * stats broadcast (computed-key hash join — same trick as
+    * docs_lm_score), then a broadcast dimension join back to the fact
+    * table: the corpus-size pass never shuffles the documents themselves.
+    */
+  private val sampleTemperature = Q(
+    "docs_sample_temperature",
+    (s, d) => {
+      val counts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(
+        sum(col("c")).as("n"),
+        sum(pow(col("c"), lit(0.3))).as("sw")
+      )
+      val dim = counts
+        .withColumn("j", (col("c") - col("c") + 1).cast("int"))
+        .join(
+          broadcast(tot.select((col("n") - col("n") + 1).cast("int").as("j"), col("n"), col("sw"))),
+          Seq("j")
+        )
+        .select(
+          col("lang"),
+          floor(
+            least(lit(1.0), (lit(0.3) * col("n") * pow(col("c"), lit(0.3)) / col("sw")) / col("c")) * 256
+          ).cast("int").as("keep_threshold")
+        )
+      val bucket = expr(
+        "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 31, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1)"
+      ).cast("int")
+      docs(s, d)
+        .join(broadcast(dim), Seq("lang"))
+        .select(col("doc_id"), col("lang"), bucket.as("sample_bucket"), col("keep_threshold"))
+        .filter(col("sample_bucket") < col("keep_threshold"))
+    },
+    Some {
+      val bucket =
+        "cast((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 31, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1) as int)"
+      s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         |t AS (SELECT sum(c) AS n, sum(pow(c, 0.3)) AS sw FROM c),
+         |dim AS (SELECT lang,
+         |  cast(floor(least(1.0, (0.3 * t.n * pow(c.c, 0.3) / t.sw) / c.c) * 256) as int) AS keep_threshold
+         |  FROM c CROSS JOIN t)
+         |SELECT doc_id, lang, $bucket AS sample_bucket, keep_threshold
+         |FROM documents JOIN dim USING (lang)
+         |WHERE $bucket < keep_threshold""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
-    Seq(htmlStrip, urlCanon, chunks, canonical, sampleStratified, ngramFreq)
+    Seq(htmlStrip, urlCanon, chunks, canonical, sampleStratified, sampleTemperature, ngramFreq)
 }
