@@ -361,6 +361,49 @@ object Dedup {
     batchKeyed.select("id").join(matched, Seq("id"), "left")
   }
 
+  /** Deletion maintenance of a clustered corpus (reference:
+    * DedupHandler.php removeFromDedupRecord:139): deleted records leave
+    * their dedup group; a group left with fewer than two members
+    * dissolves, so the lone survivor loses its `dedup_id` (the reference
+    * clears the field and marks the record update_needed). The reference
+    * does NOT re-run matching on deletion — group membership of the
+    * survivors is preserved as-is, and so is the (now historical) group
+    * label.
+    *
+    * Scale shape: corpus-side work is two broadcast joins (the deleted-id
+    * anti-join and the dissolved-group label fixup) plus a count restricted
+    * to the clusters the delta actually touched — never a recluster of
+    * history, and the survivor count aggregates only the affected subset.
+    *
+    * `clustered` columns: at least (`id`, `dedup_id` nullable);
+    * `deletedIds`: (`id`). Returns the remaining corpus with updated
+    * `dedup_id`.
+    */
+  def dedupRetract(clustered: DataFrame, deletedIds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // Cluster ids touched by the deletion — proportional to the delta.
+    val affected = clustered
+      .join(broadcast(deletedIds), Seq("id"), "left_semi")
+      .filter(col("dedup_id").isNotNull)
+      .select("dedup_id")
+      .distinct()
+    val remaining = clustered.join(broadcast(deletedIds), Seq("id"), "left_anti")
+    // Survivor counts within affected clusters only.
+    val dissolved = remaining
+      .join(broadcast(affected), Seq("dedup_id"), "left_semi")
+      .groupBy("dedup_id")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 2)
+      .select(col("dedup_id"), lit(true).as("dissolve"))
+    remaining
+      .join(broadcast(dissolved), Seq("dedup_id"), "left")
+      .withColumn(
+        "dedup_id",
+        when(col("dissolve"), lit(null).cast("string")).otherwise(col("dedup_id"))
+      )
+      .drop("dissolve")
+  }
+
   /** Full pipeline: records → (id, dedup_id nullable). */
   def dedupRecords(records: DataFrame, iters: Int = 10): DataFrame = {
     // keyed feeds both join sides, the heavy-key count, and the final left

@@ -193,6 +193,47 @@ object DedupQueries {
       bench = true
     ),
     Q(
+      // Deletion maintenance (reference: DedupHandler.php
+      // removeFromDedupRecord:139): delete every 9th source-b record and
+      // every 18th source-a record (so some groups lose one member and
+      // dissolve to a lone survivor, some lose both and vanish), then
+      // apply the group-dissolution rule. No re-matching — reference
+      // semantics preserve surviving group membership as-is.
+      "dedup_retract",
+      (s, d) => {
+        val recs = records(s, d)
+        val clustered = Dedup.dedupRecords(recs)
+        val k = col("p_partkey")
+        val p = Tables.part(s, d)
+        val deleted = p
+          .filter(k % 9 === 0)
+          .select(concat(lit("b."), k.cast("string")).as("id"))
+          .union(
+            p.filter(k % 18 === 0)
+              .select(concat(lit("a."), k.cast("string")).as("id"))
+          )
+        Dedup.dedupRetract(clustered, deleted).select("id", "dedup_id")
+      },
+      Some {
+        val del =
+          "((id LIKE 'b.%' AND try_cast(substr(id, 3) AS int) % 9 = 0) OR " +
+            "(id LIKE 'a.%' AND try_cast(substr(id, 3) AS int) % 18 = 0))"
+        s"""WITH $recordsSql, $edgesSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id),
+           |fullc AS (SELECT r.id, l.dedup_id FROM recs r LEFT JOIN labels l ON r.id = l.id),
+           |rem AS (SELECT * FROM fullc WHERE NOT $del),
+           |aff AS (SELECT DISTINCT dedup_id FROM fullc WHERE $del AND dedup_id IS NOT NULL),
+           |sizes AS (SELECT rem.dedup_id, count(*) AS n
+           |          FROM rem JOIN aff ON rem.dedup_id = aff.dedup_id
+           |          GROUP BY rem.dedup_id)
+           |SELECT rem.id,
+           |  (CASE WHEN s.n = 1 THEN NULL ELSE rem.dedup_id END) AS dedup_id
+           |FROM rem LEFT JOIN sizes s ON rem.dedup_id = s.dedup_id""".stripMargin
+      }
+    ),
+    Q(
       "dedup_incremental",
       (s, d) => {
         val recs = records(s, d)

@@ -78,6 +78,27 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.candidatePairs(keyed, "title_key", maxBlockSize = 100).count() > 0)
   }
 
+  test("retraction dissolves groups below two members, keeps larger groups as-is") {
+    import spark.implicits._
+    // Three clusters: g1 has 3 members (loses one -> survivors KEEP the
+    // group, no re-match per the reference), g2 is a pair (loses one ->
+    // survivor's dedup_id clears), g3 untouched.
+    val clustered = Seq(
+      ("a.1", "g1"), ("b.1", "g1"), ("c.1", "g1"),
+      ("a.2", "g2"), ("b.2", "g2"),
+      ("a.3", "g3"), ("b.3", "g3"),
+      ("a.4", null.asInstanceOf[String]) // unclustered record passes through
+    ).toDF("id", "dedup_id")
+    val deleted = Seq("c.1", "b.2").toDF("id")
+    val out = Dedup.dedupRetract(clustered, deleted).collect()
+      .map(r => r.getAs[String]("id") -> Option(r.getAs[String]("dedup_id"))).toMap
+    assert(out.size == 6)
+    assert(out("a.1").contains("g1") && out("b.1").contains("g1"))
+    assert(out("a.2").isEmpty) // lone survivor of g2
+    assert(out("a.3").contains("g3") && out("b.3").contains("g3"))
+    assert(out("a.4").isEmpty)
+  }
+
   test("dedup plan contains no cartesian product") {
     val records = df(
       ("a.1", "a", "Some Title", "smith john", 1999, ""),
