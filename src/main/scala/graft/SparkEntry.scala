@@ -42,6 +42,7 @@ object SparkEntry {
       operators.MergePolicyQueries.all ++
       operators.MarcSolrQueries.all ++
       operators.MarcSolrQueries2.all ++
+      operators.MarcEditQueries.all ++
       operators.EnrichQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,

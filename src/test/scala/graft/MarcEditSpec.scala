@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.MarcEdit._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Fixtures for the MARC editing API (Base/Marc/Marc.php mutation
+  * methods): occurrence indexing skips subfield-less fields, subfield
+  * occurrence counts only the target code, edits compose.
+  */
+class MarcEditSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def rec(fields: (String, Seq[(String, String)])*) =
+    Seq(1).toDF("one").select(
+      array(
+        fields.map { case (tag, subs) =>
+          struct(
+            lit(tag).as("tag"),
+            array(subs.map { case (c, v) =>
+              struct(lit(c).as("code"), lit(v).as("val"))
+            }: _*).as("subs")
+          )
+        }: _*
+      ).as("rec")
+    )
+
+  private def fieldsOf(row: Row): Seq[(String, Seq[(String, String)])] =
+    row.getSeq[Row](0).map { f =>
+      f.getAs[String]("tag") ->
+        f.getSeq[Row](f.fieldIndex("subs")).map(s => (s.getString(0), s.getString(1)))
+    }
+
+  test("field occurrence index skips subfield-less fields, like the reference walk") {
+    // First 650 has no subfields -> occurrence 0 of '650' is the SECOND one.
+    val df = rec(
+      ("650", Seq.empty),
+      ("650", Seq(("a", "topic one"))),
+      ("650", Seq(("a", "topic two")))
+    )
+    val out = df.select(
+      updateFieldSubfield(col("rec"), "650", 0, "a", Some(0), lit("EDITED")).as("rec")
+    ).collect()(0)
+    assert(fieldsOf(out) == Seq(
+      ("650", Seq.empty),
+      ("650", Seq(("a", "EDITED"))),
+      ("650", Seq(("a", "topic two")))
+    ))
+  }
+
+  test("subfield occurrence counts only the target code") {
+    val df = rec(("245", Seq(("b", "x"), ("a", "first"), ("a", "second"))))
+    val out = df.select(
+      updateFieldSubfield(col("rec"), "245", 0, "a", Some(1), lit("EDITED")).as("rec")
+    ).collect()(0)
+    assert(fieldsOf(out) == Seq(("245", Seq(("b", "x"), ("a", "first"), ("a", "EDITED")))))
+  }
+
+  test("delete + addField + addFieldSubfield compose") {
+    val df = rec(("999", Seq(("a", "junk"))), ("100", Seq(("a", "auth"))))
+    val edited = df.select(
+      addField(
+        addFieldSubfield(deleteFields(col("rec"), "999"), "100", 0, "9", lit("mark")),
+        "500",
+        array(struct(lit("a").as("code"), lit("note").as("val")))
+      ).as("rec")
+    ).collect()(0)
+    assert(fieldsOf(edited) == Seq(
+      ("100", Seq(("a", "auth"), ("9", "mark"))),
+      ("500", Seq(("a", "note")))
+    ))
+  }
+}
