@@ -181,42 +181,12 @@ object LidoQueries2 {
             descs.as("descs")
           )
         val ent = col("entries")
-        // Per-language merged strings + insertion ranks.
-        def langCols(lang: String) = {
-          val p1 = pstr(ent, 1, lang); val p2 = pstr(ent, 2, lang)
-          val a1 = astr(ent, 1, lang); val a2 = astr(ent, 2, lang)
-          (
-            mergeSets(p1, p2),
-            mergeSets(a1, a2),
-            langRank(p1, minPos(ent, 1, lang, isPref = true), p2, minPos(ent, 2, lang, isPref = true)),
-            langRank(a1, minPos(ent, 1, lang, isPref = false), a2, minPos(ent, 2, lang, isPref = false))
-          )
-        }
-        val (pEn, aEn, rpEn, raEn) = langCols("en")
-        val (pFi, aFi, rpFi, raFi) = langCols("fi")
-        // Preferred fallback chain: default lang 'en' preferred → other
-        // preferred → default alternates → other alternates (Lido.php:505).
-        val preferred0 = coalesce(pEn, pFi, aEn, aFi, lit(""))
-        val chosenAEn = pEn.isNull && pFi.isNull && aEn.isNotNull
-        val chosenAFi = pEn.isNull && pFi.isNull && aEn.isNull && aFi.isNotNull
-        // Leftover preferred strings (not consumed by the shift) are
-        // unshifted into the alternate map (Lido.php:520). With 'en'
-        // default, an existing P_en is always the chosen one, so only the
-        // fi leftover can survive.
-        val vEn = when(!chosenAEn, aEn)
-        val vFi = coalesce(when(pEn.isNotNull, pFi), when(!chosenAFi, aFi))
-        val keyEn = when(aEn.isNotNull, raEn).otherwise(lit(BIG) + rpEn)
-        val keyFi = when(aFi.isNotNull, raFi).otherwise(lit(BIG) + rpFi)
-        val altList = when(
-          vEn.isNotNull && vFi.isNotNull,
-          when(keyEn <= keyFi, array(vEn, vFi)).otherwise(array(vFi, vEn))
-        ).when(vEn.isNotNull, array(vEn))
-          .when(vFi.isNotNull, array(vFi))
-          .otherwise(lit(Array.empty[String]))
-        val altUniq = when(
-          size(altList) === 2 && element_at(altList, 1) === element_at(altList, 2),
-          slice(altList, 1, 1)
-        ).otherwise(altList)
+        // Staged selects (mirroring the oracle's nested subqueries): each
+        // level references the previous level's ALIASED columns, so the
+        // plan stays linear. Building the whole algorithm as one nested
+        // expression duplicated the entries CASE multiplicatively through
+        // every level — a 50 MiB serialized plan for what is a per-row
+        // scalar computation.
         val descJoin = array_join(
           transform(
             filter(col("descs"), x => x.getField("typ") =!= "provenance" && trim(x.getField("val")) =!= ""),
@@ -224,9 +194,72 @@ object LidoQueries2 {
           ),
           "; "
         )
-        val title = when(lower(col("work_type")) === lower(preferred0) && descJoin =!= "", descJoin)
-          .otherwise(preferred0)
-        base0.select(
+        def lvl1Cols(lang: String) = Seq(
+          pstr(ent, 1, lang).as(s"p1_$lang"),
+          pstr(ent, 2, lang).as(s"p2_$lang"),
+          astr(ent, 1, lang).as(s"a1_$lang"),
+          astr(ent, 2, lang).as(s"a2_$lang"),
+          minPos(ent, 1, lang, isPref = true).as(s"mpp1_$lang"),
+          minPos(ent, 2, lang, isPref = true).as(s"mpp2_$lang"),
+          minPos(ent, 1, lang, isPref = false).as(s"mpa1_$lang"),
+          minPos(ent, 2, lang, isPref = false).as(s"mpa2_$lang")
+        )
+        val keep = Seq(col("record_id"), col("work_type"))
+        val l1 = base0.select(
+          keep ++ Seq(descJoin.as("descjoin")) ++ lvl1Cols("en") ++ lvl1Cols("fi"): _*
+        )
+        // Per-language merged strings + insertion ranks (mergeTitleSets).
+        def lvl2Cols(lang: String) = Seq(
+          mergeSets(col(s"p1_$lang"), col(s"p2_$lang")).as(s"p_$lang"),
+          mergeSets(col(s"a1_$lang"), col(s"a2_$lang")).as(s"a_$lang"),
+          langRank(col(s"p1_$lang"), col(s"mpp1_$lang"), col(s"p2_$lang"), col(s"mpp2_$lang"))
+            .as(s"rp_$lang"),
+          langRank(col(s"a1_$lang"), col(s"mpa1_$lang"), col(s"a2_$lang"), col(s"mpa2_$lang"))
+            .as(s"ra_$lang")
+        )
+        val l2 = l1.select(
+          keep ++ Seq(col("descjoin")) ++ lvl2Cols("en") ++ lvl2Cols("fi"): _*
+        )
+        // Preferred fallback chain: default lang 'en' preferred → other
+        // preferred → default alternates → other alternates (Lido.php:505).
+        val pEn = col("p_en"); val pFi = col("p_fi")
+        val aEn = col("a_en"); val aFi = col("a_fi")
+        val chosenAEn = pEn.isNull && pFi.isNull && aEn.isNotNull
+        val chosenAFi = pEn.isNull && pFi.isNull && aEn.isNull && aFi.isNotNull
+        // Leftover preferred strings (not consumed by the shift) are
+        // unshifted into the alternate map (Lido.php:520). With 'en'
+        // default, an existing P_en is always the chosen one, so only the
+        // fi leftover can survive.
+        val l3 = l2.select(
+          keep ++ Seq(
+            col("descjoin"),
+            coalesce(pEn, pFi, aEn, aFi, lit("")).as("preferred0"),
+            when(!chosenAEn, aEn).as("v_en"),
+            coalesce(when(pEn.isNotNull, pFi), when(!chosenAFi, aFi)).as("v_fi"),
+            when(aEn.isNotNull, col("ra_en")).otherwise(lit(BIG) + col("rp_en")).as("key_en"),
+            when(aFi.isNotNull, col("ra_fi")).otherwise(lit(BIG) + col("rp_fi")).as("key_fi")
+          ): _*
+        )
+        val vEn = col("v_en"); val vFi = col("v_fi")
+        val altList = when(
+          vEn.isNotNull && vFi.isNotNull,
+          when(col("key_en") <= col("key_fi"), array(vEn, vFi)).otherwise(array(vFi, vEn))
+        ).when(vEn.isNotNull, array(vEn))
+          .when(vFi.isNotNull, array(vFi))
+          .otherwise(lit(Array.empty[String]))
+        val l4 = l3.select(
+          keep ++ Seq(col("descjoin"), col("preferred0"), altList.as("altlist")): _*
+        )
+        val altUniq = when(
+          size(col("altlist")) === 2 &&
+            element_at(col("altlist"), 1) === element_at(col("altlist"), 2),
+          slice(col("altlist"), 1, 1)
+        ).otherwise(col("altlist"))
+        val title = when(
+          lower(col("work_type")) === lower(col("preferred0")) && col("descjoin") =!= "",
+          col("descjoin")
+        ).otherwise(col("preferred0"))
+        l4.select(
           col("record_id"),
           title.as("title"),
           array_join(altUniq, "|").as("title_alt"),
