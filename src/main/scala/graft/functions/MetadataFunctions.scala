@@ -28,6 +28,18 @@ object MetadataFunctions {
   def normalizeKey(c: Column): Column =
     lower(trim(regexp_replace(c, KeyStripRe, "")))
 
+  /** Evaluate `c` once and reference it cheaply in `f` via a lambda
+    * variable (1-element-array transform). Column-expression trees have no
+    * let-binding: a combinator like [[stripTrailingPunctuation]] that
+    * mentions its input ~300× multiplies the input's whole subtree into
+    * the plan, which serializes tens of MiB when the input is itself a
+    * large expression. Binding keeps the tree linear. Use at call sites
+    * already inside higher-order-function lambdas (where codegen doesn't
+    * apply anyway) or where the input tree is demonstrably large.
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    get(transform(array(c), f), lit(0))
+
   /** Dedup title key: concatenate leading words until more than 3 "long"
     * (>3 char) words or more than 35 significant chars have been taken, cap
     * at 200 chars, then normalize. Reference: MetadataUtils.php:369

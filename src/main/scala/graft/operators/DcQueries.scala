@@ -91,29 +91,56 @@ object DcQueries {
           .part(s, d)
           .select(concat(lit("dc"), k.cast("string")).as("record_id"), fields.as("fields"))
         val f = col("fields")
-        val title = stripTrailingPunctuation(trim(first(f, "title")))
-        val titleParts = split(title, " : ", 2)
-        val descs = vals(f, "description")
-        val langWords = split(trim(first(f, "language")), " ")
-        doc.select(
+        // Staged selects: stripTrailingPunctuation mentions its input
+        // ~300×, so stripping a first(fields,...) tree directly inlines it
+        // multiplicatively (a ~4.6 MiB task binary). Stage the raw element
+        // lookups first; the strips then duplicate only cheap attributes.
+        val l1 = doc.select(
           col("record_id"),
-          title.as("title"),
+          trim(first(f, "title")).as("title_raw"),
+          trim(first(f, "creator")).as("creator_raw"),
+          trim(first(f, "type")).as("type_raw"),
+          trim(first(f, "publisher")).as("publisher_raw"),
+          vals(f, "description").as("descs"),
+          vals(f, "identifier").as("identifiers"),
+          vals(f, "date").as("dates"),
+          vals(f, "contributor").as("contributors"),
+          split(trim(first(f, "language")), " ").as("lang_words")
+        )
+        val l2 = l1.select(
+          col("record_id"),
+          stripTrailingPunctuation(col("title_raw")).as("title"),
+          createSortTitle(col("title_raw")).as("title_sort"),
+          stripTrailingPunctuation(col("creator_raw")).as("author"),
+          col("type_raw"),
+          col("publisher_raw"),
+          col("descs"),
+          col("identifiers"),
+          col("dates"),
+          col("contributors"),
+          col("lang_words")
+        )
+        val titleParts = split(col("title"), " : ", 2)
+        val descs = col("descs")
+        l2.select(
+          col("record_id"),
+          col("title"),
           element_at(titleParts, 1).as("title_short"),
           coalesce(get(titleParts, lit(1)), lit("")).as("title_sub"),
-          createSortTitle(trim(first(f, "title"))).as("title_sort"),
-          stripTrailingPunctuation(trim(first(f, "creator"))).as("author"),
-          array_join(vals(f, "contributor"), "|").as("author2"),
-          when(trim(first(f, "type")) === "", lit("Other"))
-            .otherwise(trim(first(f, "type"))).as("format"),
+          col("title_sort"),
+          col("author"),
+          array_join(col("contributors"), "|").as("author2"),
+          when(col("type_raw") === "", lit("Other"))
+            .otherwise(col("type_raw")).as("format"),
           coalesce(
-            get(filter(vals(f, "date"), dte => trim(dte).rlike("^\\d{4}$")), lit(0)),
+            get(filter(col("dates"), dte => trim(dte).rlike("^\\d{4}$")), lit(0)),
             lit("")
           ).as("publish_year"),
           array_join(
             array_distinct(
               filter(
                 transform(
-                  vals(f, "identifier"),
+                  col("identifiers"),
                   id =>
                     normalizeIsbn(
                       regexp_extract(
@@ -128,9 +155,9 @@ object DcQueries {
             ),
             "|"
           ).as("isbns"),
-          array_join(flatten(transform(langWords, langChunks(_))), "|").as("langs"),
-          stripTrailingPunctuation(trim(first(f, "publisher"))).as("publisher"),
-          coalesce(lastHttp(descs), lastHttp(vals(f, "identifier")), lit(""))
+          array_join(flatten(transform(col("lang_words"), langChunks(_))), "|").as("langs"),
+          stripTrailingPunctuation(col("publisher_raw")).as("publisher"),
+          coalesce(lastHttp(descs), lastHttp(col("identifiers")), lit(""))
             .as("url"),
           array_join(
             filter(descs, dsc => !dsc.rlike("^https?") && !dsc.rlike("^\\d+\\.\\d+$")),

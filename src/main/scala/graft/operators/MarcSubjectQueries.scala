@@ -110,7 +110,12 @@ object MarcSubjectQueries {
           */
         def fieldValues(tag: String, codes: Seq[String]): Column =
           filter(
-            transform(fieldsOf(tag), f => stripTrailingPunctuation(trim(joinedSubs(f, codes)))),
+            transform(
+              fieldsOf(tag),
+              // bindOnce: strip mentions its input ~300×; bind the joined
+              // subfield tree to a lambda var so the plan stays linear.
+              f => bindOnce(trim(joinedSubs(f, codes)))(stripTrailingPunctuation)
+            ),
             v => v =!= ""
           )
 
@@ -183,7 +188,10 @@ object MarcSubjectQueries {
                 concat(base, lit(" "), array_join(altTerms, " "))
               ).otherwise(base)
               struct(
-                stripTrailingPunctuation(trim(withAlt)).as("name"),
+                // bindOnce: withAlt embeds the whole 880-link scan; without
+                // the binding, strip's ~300 input mentions serialize a
+                // ~23 MiB task binary for this one projection.
+                bindOnce(trim(withAlt))(stripTrailingPunctuation).as("name"),
                 coalesce(get(fieldRelators(f), lit(0)), lit("")).as("relator")
               )
             }
@@ -194,21 +202,30 @@ object MarcSubjectQueries {
         val primary = authorsByRelator("100", nameCodes, Seq("aut", "cre"), noRelatorRequired = true)
         val secondary = authorsByRelator("700", nameCodes, Seq("edt", "editor"), noRelatorRequired = false)
 
-        doc.select(
+        // Staged selects: the author/topic array expressions embed the
+        // `fields` tree many times over; materializing them once as
+        // aliased columns keeps CollapseProject from re-inlining the
+        // whole tree into every consumer (the final select reads each
+        // array twice), which otherwise serializes a ~42 MiB plan.
+        val staged = doc.select(
           col("record_id"),
-          array_join(transform(primary, _.getField("name")), "|").as("author"),
-          array_join(transform(primary, _.getField("relator")), "|").as("author_role"),
-          array_join(transform(secondary, _.getField("name")), "|").as("author2"),
-          array_join(transform(secondary, _.getField("relator")), "|").as("author2_role"),
-          array_join(
-            fieldValues("650", Seq("a", "b", "c", "d", "e", "v", "x", "y", "z")),
-            "|"
-          ).as("topics"),
-          array_join(fieldValues("655", Seq("a", "b", "c", "v", "x", "y", "z")), "|")
-            .as("genres"),
-          array_join(fieldValues("651", Seq("a", "e", "v", "x", "y", "z")), "|")
-            .as("geographic"),
-          array_join(fieldValues("648", Seq("a", "v", "x", "y", "z")), "|").as("eras")
+          primary.as("primary"),
+          secondary.as("secondary"),
+          fieldValues("650", Seq("a", "b", "c", "d", "e", "v", "x", "y", "z")).as("topics_arr"),
+          fieldValues("655", Seq("a", "b", "c", "v", "x", "y", "z")).as("genres_arr"),
+          fieldValues("651", Seq("a", "e", "v", "x", "y", "z")).as("geo_arr"),
+          fieldValues("648", Seq("a", "v", "x", "y", "z")).as("eras_arr")
+        )
+        staged.select(
+          col("record_id"),
+          array_join(transform(col("primary"), _.getField("name")), "|").as("author"),
+          array_join(transform(col("primary"), _.getField("relator")), "|").as("author_role"),
+          array_join(transform(col("secondary"), _.getField("name")), "|").as("author2"),
+          array_join(transform(col("secondary"), _.getField("relator")), "|").as("author2_role"),
+          array_join(col("topics_arr"), "|").as("topics"),
+          array_join(col("genres_arr"), "|").as("genres"),
+          array_join(col("geo_arr"), "|").as("geographic"),
+          array_join(col("eras_arr"), "|").as("eras")
         )
       },
       Some {

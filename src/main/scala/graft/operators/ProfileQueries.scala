@@ -123,7 +123,6 @@ object ProfileQueries {
         true
       )
       val mainTitle = trim(element_at(titles, mainPos.cast("int")).getField("val"))
-      val titleParts = split(mainTitle, " : ")
       val titleAlt = transform(
         filter(titles, (t, i) => (i + 1) =!= mainPos),
         t => trim(t.getField("val"))
@@ -217,15 +216,17 @@ object ProfileQueries {
         filter(vls(f, "description"), dsc => trim(dsc).rlike("^https?"))
       )
 
-      doc.select(
+      // Staged selects: createSortTitle mentions its input ~3000× (two
+      // stripLeadingArticle passes of ~31 mentions over a 3-mention
+      // stripPunctuation), so feeding it the mainTitle tree directly
+      // inlines multiplicatively (~4.6 MiB task binary). Stage the
+      // f-dependent trees once; derived columns then reference cheap
+      // attributes.
+      val l1 = doc.select(
         col("record_id"),
-        mainTitle.as("title"),
-        element_at(titleParts, 1).as("title_short"),
-        coalesce(get(titleParts, lit(1)), lit("")).as("title_sub"),
+        mainTitle.as("main_title"),
         array_join(titleAlt, "|").as("title_alt"),
-        createSortTitle(mainTitle).as("title_sort"),
-        array_join(creators, "|").as("author"),
-        coalesce(get(creators, lit(0)), lit("")).as("author_sort"),
+        creators.as("creators"),
         array_join(transform(vls(f, "contributor"), stripTrailingPunctuation(_)), "|")
           .as("author2"),
         format.as("format"),
@@ -239,6 +240,30 @@ object ProfileQueries {
         array_join(transform(descs, _.getField("val")), "|").as("contents"),
         array_join(urls, "|").as("urls"),
         trim(get(vls(f, "publisher"), lit(0))).as("publisher")
+      )
+      val mt = col("main_title")
+      val titleParts2 = split(mt, " : ")
+      l1.select(
+        col("record_id"),
+        mt.as("title"),
+        element_at(titleParts2, 1).as("title_short"),
+        coalesce(get(titleParts2, lit(1)), lit("")).as("title_sub"),
+        col("title_alt"),
+        createSortTitle(mt).as("title_sort"),
+        array_join(col("creators"), "|").as("author"),
+        coalesce(get(col("creators"), lit(0)), lit("")).as("author_sort"),
+        col("author2"),
+        col("format"),
+        col("publish_year"),
+        col("unique_ids"),
+        col("isbns"),
+        col("issns"),
+        col("dois"),
+        col("langs"),
+        col("description"),
+        col("contents"),
+        col("urls"),
+        col("publisher")
       )
     },
     Some {
