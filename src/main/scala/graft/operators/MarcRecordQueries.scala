@@ -36,39 +36,49 @@ object MarcRecordQueries {
         // trailing punctuation, else ' '; reference Marc.php:799).
         val sep = when(MetadataQueries2.hasTrailingPunctuation(titleA), lit(" "))
           .otherwise(lit(" : "))
-        val fullTitle = stripTrailingPunctuation(concat(titleA, sep, titleB))
         // getTitle(forFiling=true): drop ind2 non-filing chars, strip
         // punctuation, lowercase.
         val filingBase = when(
           nonfiling > 0,
           titleA.substr(nonfiling + 1, length(titleA))
         ).otherwise(titleA)
-        val filingTitle =
-          stripTrailingPunctuation(lower(stripPunctuation(concat(filingBase, sep, titleB))))
 
-        // getPublicationYear: 260$c year, else 264(ind2=1)$c year, else
-        // 008 positions 7-10 when not 0000/9999.
-        val y260 = extractYear(c260)
-        val y264 = extractYear(c264)
-        val y008raw = substring(f008, 8, 4)
-        val y008 = when(y008raw === "0000" || y008raw === "9999", lit(""))
-          .otherwise(extractYear(y008raw))
-        val pubYear = when(y260 =!= "", y260)
-          .when(y264 =!= "", y264)
-          .otherwise(y008)
-
-        // getPageCount: first digit run of 300$a.
-        val pages = regexp_extract(extent, "(\\d+)", 1)
-
-        Tables
+        // Staged selects: stripTrailingPunctuation / stripPunctuation
+        // re-reference their operands ~300×, so they run over aliased
+        // attributes (l2), not over the assembled title trees directly —
+        // the single-select form inlined ~166k expression nodes.
+        val l1 = Tables
           .part(s, d)
           .select(
             k.as("record_id"),
-            fullTitle.as("title"),
-            filingTitle.as("title_filing"),
-            pubYear.as("pub_year"),
-            pages.as("page_count")
+            concat(titleA, sep, titleB).as("full_raw"),
+            concat(filingBase, sep, titleB).as("filing_raw"),
+            extractYear(c260).as("y260"),
+            extractYear(c264).as("y264"),
+            substring(f008, 8, 4).as("y008raw"),
+            regexp_extract(extent, "(\\d+)", 1).as("page_count")
           )
+        val l2 = l1.select(
+          col("record_id"),
+          stripTrailingPunctuation(col("full_raw")).as("title"),
+          lower(stripPunctuation(col("filing_raw"))).as("filing_p"),
+          col("y260"),
+          col("y264"),
+          when(col("y008raw") === "0000" || col("y008raw") === "9999", lit(""))
+            .otherwise(extractYear(col("y008raw"))).as("y008"),
+          col("page_count")
+        )
+        // getPublicationYear: 260$c year, else 264(ind2=1)$c year, else
+        // 008 positions 7-10 when not 0000/9999.
+        l2.select(
+          col("record_id"),
+          col("title"),
+          stripTrailingPunctuation(col("filing_p")).as("title_filing"),
+          when(col("y260") =!= "", col("y260"))
+            .when(col("y264") =!= "", col("y264"))
+            .otherwise(col("y008")).as("pub_year"),
+          col("page_count")
+        )
       },
       Some {
         import MetadataQueries._

@@ -60,11 +60,6 @@ object MarcSolrQueries2 {
         joinNonEmpty(" ", concat(lit("Uniform "), w(2)), when(k % 2 === 0, lit("No. 1")).otherwise(e))
 
       val titleSub = when(has245, joinNonEmpty(" ", b245, n245, p245)).otherwise(e)
-      val titleShort =
-        when(has245, stripTrailingPunctuationPreserve(a245)).otherwise(title240)
-      val titleFull =
-        when(has245, stripTrailingPunctuationPreserve(joinNonEmpty(" ", a245, b245, n245, p245)))
-          .otherwise(title240)
       val titleOld = when(k % 7 === 0, concat(lit("Old "), w(1), lit(" Former title"))).otherwise(e)
       val titleNew = when(k % 8 === 0, concat(lit("New "), w(2))).otherwise(e)
 
@@ -84,24 +79,42 @@ object MarcSolrQueries2 {
         when(k % 2 === 0, concat(w(2), lit(", "), w(1))).otherwise(concat(w(1), lit(" "), w(2)))
       ).otherwise(e)
       val a700 = when(k % 3 === 1, concat(lit("Secondary "), w(2))).otherwise(e)
-      val variant = when(a100 =!= "", MetadataQueries2.authorInitials(a100)).otherwise(e)
-      val authorSort = when(a100 =!= "", a100).otherwise(a700)
       val additional = when(k % 10 === 0, concat(lit("Foreword by "), w(2))).otherwise(e)
 
-      Tables
+      // Staged selects: the strip-preserve combinator re-references its
+      // operand ~600×, so it runs over aliased attributes, not over the
+      // assembled 245 trees (the single-select form inlined ~65k nodes).
+      val l1 = Tables
         .part(s, d)
         .select(
           k.as("record_id"),
+          has245.as("has245"),
+          a245.as("a245"),
+          joinNonEmpty(" ", a245, b245, n245, p245).as("full_raw"),
+          title240.as("title240"),
           titleSub.as("title_sub"),
-          titleShort.as("title_short"),
-          titleFull.as("title_full"),
           titleOld.as("title_old"),
           titleNew.as("title_new"),
           series.as("series"),
-          variant.as("author_variant"),
-          authorSort.as("author_sort"),
+          a100.as("a100"),
+          a700.as("a700"),
           additional.as("author_additional")
         )
+      l1.select(
+        col("record_id"),
+        col("title_sub"),
+        when(col("has245"), stripTrailingPunctuationPreserve(col("a245")))
+          .otherwise(col("title240")).as("title_short"),
+        when(col("has245"), stripTrailingPunctuationPreserve(col("full_raw")))
+          .otherwise(col("title240")).as("title_full"),
+        col("title_old"),
+        col("title_new"),
+        col("series"),
+        when(col("a100") =!= "", MetadataQueries2.authorInitials(col("a100")))
+          .otherwise(lit("")).as("author_variant"),
+        when(col("a100") =!= "", col("a100")).otherwise(col("a700")).as("author_sort"),
+        col("author_additional")
+      )
     },
     Some {
       // For the synthesized 2-word names, authorInitials reduces to

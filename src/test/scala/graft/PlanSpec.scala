@@ -35,6 +35,23 @@ class PlanSpec extends SparkSuite {
     assert(offenders.map(_.name).toSet.subsetOf(Set("knn_cosine")), offenders.map(_.name).mkString(","))
   }
 
+  test("no registered query serializes a multi-MiB expression tree") {
+    // Column combinators that re-reference their operands (when-chains
+    // like stripTrailingPunctuation / createSortTitle) inline a
+    // non-trivial input tree multiplicatively; marc_subjects_880 once
+    // shipped a 42 MiB task binary this way. Staged selects / bindOnce
+    // keep trees linear; this guards the discipline. The proxy is the
+    // optimized plan's total expression-node count — large enough to
+    // allow the ~300-node strip chains over cheap attributes, small
+    // enough to catch a big tree multiplied through one.
+    val limit = 60000
+    SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.optimizedPlan
+      val nodes = plan.map(p => p.expressions.map(e => e.collect { case x => x }.size).sum).sum
+      assert(nodes <= limit, s"${q.name} optimized plan has $nodes expression nodes (> $limit)")
+    }
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val df = Tables
       .lineitem(spark, sf)
