@@ -178,6 +178,49 @@ object LlmQueries9 {
            |SELECT pair, cast(sum(f) as bigint) AS n_occ, cast(count(distinct w) as bigint) AS n_words
            |FROM p GROUP BY pair HAVING sum(f) >= 5""".stripMargin
       }
+    ),
+    // k-means Lloyd iteration over the embedding corpus — the training
+    // kernel behind a real IVF index (ann_ivf routes by fixed hash
+    // projections; production IVF routes by trained centroids, and this
+    // is the step that trains them). Shape: K seed centroids collected
+    // into one broadcast row (constant-key hash join — never a
+    // nested-loop), per-row argmin over the K centroids (sequential
+    // double math, deterministic), then posexplode + groupBy(cell, dim)
+    // — a K×D-key aggregate (256 keys here) that is ~pure map-side
+    // combine at any corpus size. The output carries exact integer
+    // micro-unit sums and counts per (cell, dim): new centroid =
+    // s_micro/(1e6*n), computed by the caller so the loop can also
+    // weight or damp updates; re-running the plan with the output as
+    // seeds is the full Lloyd loop.
+    Q(
+      "embed_kmeans_step",
+      (s, d) => {
+        val emb = Tables
+          .embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // Seed centroids: the first K vectors (deterministic, like the
+        // oracle); a production run seeds from a sample or a prior model.
+        val seeds = emb.filter(col("id") < 4).select(col("id").as("cell"), col("vec").as("cv"))
+        KMeans.step(emb, seeds)
+      },
+      Some {
+        s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 4),
+           |d AS (SELECT e.vec_id, c.cell,
+           |    list_sum(list_transform(range(1, len(e.v) + 1),
+           |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+           |  FROM e CROSS JOIN c),
+           |a AS (SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM d),
+           |asn AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+           |x AS (SELECT asn.cell, unnest(range(1, len(e.v) + 1)) AS dim,
+           |    unnest(e.v) AS x
+           |  FROM asn JOIN e USING (vec_id))
+           |SELECT cell, cast(dim as bigint) AS dim, cast(count(*) as bigint) AS n,
+           |  cast(sum(cast(round(x * 1e6) as bigint)) as bigint) AS s_micro
+           |FROM x GROUP BY cell, dim""".stripMargin
+      }
     )
   )
 }
