@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
 /** Export shaping + WKT centroid registrations. */
 object ExportQueries {
 
+  /** True when any value of a field matches a `suppressOnField` filter:
+    * a slash-wrapped filter is a regular expression over the values,
+    * anything else is a pipe-separated exact-value list. Reference:
+    * Record/AbstractRecord.php:445 `getSuppressed` (note: the PHP tests
+    * the slash-wrapping on the *value* rather than the filter — an
+    * evident inversion, since the suppressOnField config documents the
+    * filter as `/regex/` or `value1|value2`; this implements the
+    * documented semantics).
+    */
+  def suppressMatch(values: org.apache.spark.sql.Column, filterSpec: String) =
+    if (filterSpec.startsWith("/") && filterSpec.endsWith("/"))
+      exists(values, v => v.rlike(filterSpec.substring(1, filterSpec.length - 1)))
+    else
+      exists(values, v => v.isin(filterSpec.split("\\|").toSeq: _*))
+
   val all: Seq[Q] = Seq(
     Q(
       // Search-index document building (reference: Solr/SolrUpdater.php —
@@ -51,6 +66,53 @@ object ExportQueries {
            |  '","author":"' || regexp_replace($author, '^(.*) ([^ ]+)$$', '\\2, \\1') ||
            |  '","publish_year":' || cast(1900 + p_partkey % 100 as varchar) || '}' AS solr_doc
            |FROM c""".stripMargin
+      }
+    ),
+    Q(
+      // Config-driven record suppression (reference:
+      // Record/AbstractRecord.php:445 getSuppressed + the suppressOnField
+      // data-source setting): a record is suppressed when any value of a
+      // configured Solr field matches that field's filter — regex when
+      // slash-wrapped, else a pipe-separated exact list. Used by the
+      // ingest pipeline to skip/delete records at update time. Map-only
+      // projection; the filter evaluates inside the scan's codegen stage.
+      "records_suppressed",
+      (s, d) => {
+        val k = col("p_partkey")
+        val fmt1 = when(k % 7 === 0, lit("Electronic Book")).otherwise(lit("Book"))
+        val fmt2 = when(k % 3 === 0, lit("Online")).otherwise(lit(""))
+        val status = when(k % 5 === 0, lit("deleted")).otherwise(lit("active"))
+        val formats = filter(array(fmt1, fmt2), v => v =!= "")
+        val byFormat = suppressMatch(formats, "/^Electronic/")
+        val byStatus = suppressMatch(array(status), "deleted|hidden")
+        Tables
+          .part(s, d)
+          .select(
+            concat(lit("part."), k.cast("string")).as("record_id"),
+            array_join(formats, "|").as("format"),
+            status.as("status"),
+            (byFormat || byStatus).as("suppressed"),
+            when(byFormat, lit("format"))
+              .when(byStatus, lit("status"))
+              .otherwise(lit("")).as("suppressed_by")
+          )
+      },
+      Some {
+        s"""WITH t AS (SELECT p_partkey AS k,
+           |  (CASE WHEN p_partkey % 7 = 0 THEN 'Electronic Book' ELSE 'Book' END) AS fmt1,
+           |  (CASE WHEN p_partkey % 3 = 0 THEN 'Online' ELSE '' END) AS fmt2,
+           |  (CASE WHEN p_partkey % 5 = 0 THEN 'deleted' ELSE 'active' END) AS st
+           |  FROM part),
+           |f AS (SELECT k, fmt1, fmt2, st,
+           |  regexp_matches(fmt1, '^Electronic') OR (fmt2 != '' AND regexp_matches(fmt2, '^Electronic')) AS by_format,
+           |  st IN ('deleted', 'hidden') AS by_status
+           |  FROM t)
+           |SELECT 'part.' || cast(k as varchar) AS record_id,
+           |  (CASE WHEN fmt2 != '' THEN fmt1 || '|' || fmt2 ELSE fmt1 END) AS format,
+           |  st AS status,
+           |  (by_format OR by_status) AS suppressed,
+           |  (CASE WHEN by_format THEN 'format' WHEN by_status THEN 'status' ELSE '' END) AS suppressed_by
+           |FROM f""".stripMargin
       }
     ),
     Q(

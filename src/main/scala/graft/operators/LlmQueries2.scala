@@ -34,6 +34,29 @@ object LlmQueries2 {
       (acc, v) => acc + v
     )
 
+  /** Deterministic PQ sub-codeword weight for (subspace, code, dim) —
+    * same one-hex-char construction as [[centroidWeight]].
+    */
+  private def pqWeight(m: Column, c: Column, dd: Column): Column =
+    conv(
+      substring(
+        md5(
+          concat(
+            lit("pq"),
+            m.cast("string"),
+            lit(":"),
+            c.cast("string"),
+            lit(":"),
+            dd.cast("string")
+          )
+        ),
+        1,
+        1
+      ),
+      16,
+      10
+    ).cast("double") - 7.5
+
   /** IVF coarse assignment: index (1-based) of the highest-scoring of
     * `cells` deterministic centroids. The scale path for ANN: vectors
     * shuffle by cell, probes search one cell.
@@ -171,6 +194,57 @@ object LlmQueries2 {
         """SELECT p_partkey AS record_id, p_name AS title, 4 AS n_fields
           |FROM part""".stripMargin
       )
+    ),
+    // Product-quantization encode — the PQ half of an IVF-PQ index, the
+    // standard layout for billion-vector ANN: the 64-dim vector splits
+    // into 8 subspaces of 8 dims, each encoded as the argmax-scoring of
+    // 16 deterministic sub-codewords (the same md5-derived construction
+    // as the IVF cells; a trained variant would take KMeans.centroids
+    // output per subspace instead). 64 floats compress to 8 nibbles —
+    // 32× smaller, which is what makes the candidate-rerank table fit in
+    // memory at corpus scale. Per-row map-only projection, no shuffle;
+    // the encode stays inside one codegen stage over the scan.
+    Q(
+      "embed_pq_encode",
+      (s, d) => {
+        val m = 8; val subDim = 8; val codes = 16
+        def codeOf(sub: Column): Column = {
+          val scores = transform(
+            sequence(lit(0), lit(codes - 1)),
+            c =>
+              aggregate(
+                zip_with(
+                  sub,
+                  sequence(lit(0), lit(subDim - 1)),
+                  (x, dd) => x.cast("double") * pqWeight(col("m"), c, dd)
+                ),
+                lit(0.0),
+                (acc, v) => acc + v
+              )
+          )
+          array_position(scores, array_max(scores))
+        }
+        Tables
+          .embeddings(s, d)
+          .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
+          .select(
+            col("vec_id"),
+            col("m").cast("long").as("sub"),
+            codeOf(slice(col("embedding"), col("m") * subDim + 1, lit(subDim))).as("code")
+          )
+      },
+      Some {
+        val weight =
+          "(strpos('0123456789abcdef', substr(md5('pq' || cast(m as varchar) || ':' || cast(c as varchar) || ':' || cast(dd as varchar)), 1, 1)) - 1 - 7.5)"
+        val scores =
+          s"list_transform(range(0, 16), c -> list_sum(list_transform(range(0, 8), dd -> v[m*8 + dd + 1] * $weight)))"
+        s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+           |s AS (SELECT vec_id, unnest(range(0, 8)) AS m, v FROM e),
+           |sc AS (SELECT vec_id, m, $scores AS scores FROM s)
+           |SELECT vec_id, cast(m as bigint) AS sub,
+           |  cast(list_position(scores, list_max(scores)) as bigint) AS code
+           |FROM sc""".stripMargin
+      }
     )
   )
 }
