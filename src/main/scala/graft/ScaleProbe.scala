@@ -65,6 +65,22 @@ object ScaleProbe {
           .filter(!col("is_canonical"))
           .count()
         println(f"SCALE mode=cluster mult=$mult docs=$total merged=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "kmeans" =>
+        // One Lloyd step over an N×-replicated embedding corpus: the
+        // aggregate key space stays K×D no matter the corpus size, so
+        // time should track the scan+assign (linear), with the shuffle a
+        // constant 16×64 partial-sum exchange.
+        val base = Tables
+          .embeddings(spark, sfDir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val big = base
+          .select(explode(sequence(lit(0), lit(mult - 1))).as("r"), col("id"), col("vec"))
+          .select((col("id") + col("r") * 10000000L).as("id"), col("vec"))
+        val seeds = base.filter(col("id") < 16).select(col("id").as("cell"), col("vec").as("cv"))
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.KMeans.step(big, seeds).count()
+        println(f"SCALE mode=kmeans mult=$mult vectors=$total cells_x_dims=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "incr" =>
         // Incremental mode: a FIXED batch against an N×-growing clustered
         // corpus — the production shape (daily delta vs full history).

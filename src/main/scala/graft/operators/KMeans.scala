@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Composed higher-order-function argmin — the cross-checkable
+    * specification of [[graft.plans.NearestCentroidExpr]] (KMeansSpec
+    * asserts equality). `cents` is an `array<struct<cell, cv>>` column.
+    */
+  def nearestCellHof(vec: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(-1L).as("cell"), lit(Double.MaxValue).as("dist")),
+      (acc, c) => {
+        val dsq = l2sq(vec, c.getField("cv"))
+        when(
+          dsq < acc.getField("dist"),
+          // Aliases on non-trivial expressions inside a lambda don't
+          // survive analysis (the struct resolves as col1/col2); cast to
+          // the accumulator's shape so the CASE branches unify.
+          struct(c.getField("cell").cast("long"), dsq)
+            .cast("struct<cell:bigint,dist:double>")
+        ).otherwise(acc)
+      }
+    ).getField("cell")
+
   /** Squared L2 distance, sequential double accumulation. */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(
@@ -55,26 +76,20 @@ object KMeans {
       .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
       .select((size(col("cents")) - size(col("cents")) + 1).cast("int").as("j"), col("cents"))
     // Nearest centroid by squared L2; strict < keeps the lowest cell on
-    // ties (the argmin ORDER BY dist, cell).
-    val best = aggregate(
-      col("cents"),
-      struct(lit(-1L).as("cell"), lit(Double.MaxValue).as("dist")),
-      (acc, c) => {
-        val dsq = l2sq(col("vec"), c.getField("cv"))
-        when(
-          dsq < acc.getField("dist"),
-          // Aliases on non-trivial expressions inside a lambda don't
-          // survive analysis (the struct resolves as col1/col2); cast to
-          // the accumulator's shape so the CASE branches unify.
-          struct(c.getField("cell").cast("long"), dsq)
-            .cast("struct<cell:bigint,dist:double>")
-        ).otherwise(acc)
-      }
+    // ties (the argmin ORDER BY dist, cell). Native kernel: the composed
+    // HOF form ([[nearestCellHof]], kept as the cross-checkable
+    // specification) costs ~14 ms/row interpreted — assignment would
+    // dominate every Lloyd pass at scale.
+    val best = org.apache.spark.sql.GraftColumn.of(
+      graft.plans.NearestCentroidExpr(
+        org.apache.spark.sql.GraftColumn.exprOf(col("vec")),
+        org.apache.spark.sql.GraftColumn.exprOf(col("cents"))
+      )
     )
     emb
       .withColumn("j", (size(col("vec")) * 0 + 1).cast("int"))
       .join(broadcast(cents), Seq("j"))
-      .select(best.getField("cell").as("cell"), posexplode(col("vec")))
+      .select(best.as("cell"), posexplode(col("vec")))
       .select(
         col("cell"),
         (col("pos") + 1).cast("long").as("dim"),

@@ -88,6 +88,39 @@ class KMeansSpec extends SparkSuite {
     assert(out.select("cell").distinct().as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("native argmin kernel matches the composed HOF specification") {
+    // Real float vectors from the testdata, 16 centroids from the same
+    // table — equality must hold bit-for-bit, including tie handling.
+    val emb = Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = emb
+      .filter(col("id") < 16)
+      .agg(sort_array(collect_list(struct(col("id").as("cell"), col("vec").as("cv")))).as("cents"))
+    val both = emb
+      .withColumn("j", (size(col("vec")) * 0 + 1).cast("int"))
+      .join(
+        broadcast(
+          cents.select((size(col("cents")) - size(col("cents")) + 1).cast("int").as("j"), col("cents"))
+        ),
+        Seq("j")
+      )
+      .select(
+        col("id"),
+        org.apache.spark.sql.GraftColumn
+          .of(
+            graft.plans.NearestCentroidExpr(
+              org.apache.spark.sql.GraftColumn.exprOf(col("vec")),
+              org.apache.spark.sql.GraftColumn.exprOf(col("cents"))
+            )
+          )
+          .as("native"),
+        KMeans.nearestCellHof(col("vec"), col("cents")).as("hof")
+      )
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("the broadcast join is a hash join, not a nested loop") {
     val plan = KMeans
       .step(blobs, Seq((0L, Array(0.0, 0.0))).toDF("cell", "cv"))
