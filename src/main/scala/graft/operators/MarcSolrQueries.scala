@@ -352,5 +352,100 @@ object MarcSolrQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(workKeys, solrFields, geoLocations)
+  /** Processing-warnings collection (reference: AbstractRecord.php:581
+    * storeWarning + the Marc.php call sites): each 020 $a that fails ISBN
+    * normalization stores "Invalid ISBN '<original>'" (Marc.php:477,
+    * :1006 — empty subfields are skipped silently), and 034 coordinate
+    * assembly stores 'invalid coordinates in 034' when the west/north
+    * pair parses but is out of range, or when a distinct east/south pair
+    * parses out of range (Marc.php:2443, :2463; an unparseable pair is
+    * skipped silently). Warnings ride along in toSolrArray order — the
+    * ingest diagnostics a pipeline surfaces per record. Map-only, inside
+    * the scan's codegen stage; the oracle recomputes the expected
+    * warnings in closed form from the generator branches.
+    */
+  private val warnings = Q(
+    "records_warnings",
+    (s, d) => {
+      import graft.functions.MetadataFunctions.{coordinateToDecimal, normalizeIsbn}
+      val k = col("p_partkey")
+      val isbnBase = lpad((k * 7919 % 1000000000).cast("string"), 9, "0")
+      val isbn1 = when(k % 5 === 0, lit("12345"))
+        .otherwise(concat(isbnBase, graft.functions.MetadataFunctions.isbn10CheckChar(isbnBase)))
+      val isbn2 = when(k % 4 === 0, lit("0-123-45678-Z")).otherwise(lit(""))
+
+      val b = k % 6
+      val lonS = (k % 170).cast("string")
+      val latS = (k % 80).cast("string")
+      val d034 = when(b === 3, lit(""))
+        .when(b === 4, lit("W190.5"))
+        .otherwise(concat(lit("W"), lonS, lit(".5")))
+      val e034 = when(b === 0, concat(lit("E"), lonS, lit(".25")))
+        .when(b === 2, concat(lit("W"), lonS, lit(".5")))
+        .when(b === 5, lit("E185.5"))
+        .otherwise(lit(""))
+      val f034 = when(b === 3, lit("")).otherwise(concat(lit("N"), latS, lit(".5")))
+      val g034 = when(b === 0, concat(lit("S"), latS, lit(".25")))
+        .when(b === 2, concat(lit("N"), latS, lit(".5")))
+        .when(b === 5, lit("S10.25"))
+        .otherwise(lit(""))
+      def isbnWarning(original: Column): Column =
+        when(
+          original =!= "" && normalizeIsbn(original) === "",
+          concat(lit("Invalid ISBN '"), original, lit("'"))
+        ).otherwise(lit(""))
+
+      // Staged selects: normalizeIsbn (checksum chain) and
+      // coordinateToDecimal re-reference their operands heavily, so they
+      // run over aliased attributes — the single-select form inlined
+      // ~67k expression nodes (PlanSpec's plan-size guard caught it).
+      val l1 = Tables
+        .part(s, d)
+        .select(
+          k.as("record_id"),
+          isbn1.as("isbn1"),
+          isbn2.as("isbn2"),
+          coordinateToDecimal(d034).as("w"),
+          coordinateToDecimal(e034).as("e"),
+          coordinateToDecimal(f034).as("n"),
+          coordinateToDecimal(g034).as("so")
+        )
+      val (w, e, n, so) = (col("w"), col("e"), col("n"), col("so"))
+      val wnValid = !isnan(w) && !isnan(n)
+      val wnRange = w >= -180 && w <= 180 && n >= -90 && n <= 90
+      val esPresent = !isnan(e) && !isnan(so) && (e =!= w || n =!= so)
+      val esRange = e >= -180 && e <= 180 && so >= -90 && so <= 90
+      val badCoords = (wnValid && !wnRange) ||
+        (wnValid && wnRange && esPresent && !esRange)
+      val l2 = l1.select(
+        col("record_id"),
+        filter(
+          array(
+            isbnWarning(col("isbn1")),
+            isbnWarning(col("isbn2")),
+            when(badCoords, lit("invalid coordinates in 034")).otherwise(lit(""))
+          ),
+          v => v =!= ""
+        ).as("warnings_arr")
+      )
+      l2.select(
+        col("record_id"),
+        array_join(col("warnings_arr"), "|").as("warnings"),
+        size(col("warnings_arr")).cast("long").as("n_warnings")
+      )
+    },
+    Some {
+      s"""WITH t AS (SELECT p_partkey AS k,
+         |  (CASE WHEN p_partkey % 5 = 0 THEN 'Invalid ISBN ''12345''' ELSE '' END) AS w1,
+         |  (CASE WHEN p_partkey % 4 = 0 THEN 'Invalid ISBN ''0-123-45678-Z''' ELSE '' END) AS w2,
+         |  (CASE WHEN p_partkey % 6 IN (4, 5) THEN 'invalid coordinates in 034' ELSE '' END) AS w3
+         |  FROM part),
+         |j AS (SELECT k, list_filter([w1, w2, w3], x -> x != '') AS ws FROM t)
+         |SELECT k AS record_id, coalesce(array_to_string(ws, '|'), '') AS warnings,
+         |  cast(len(ws) as bigint) AS n_warnings
+         |FROM j""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(workKeys, solrFields, geoLocations, warnings)
 }
