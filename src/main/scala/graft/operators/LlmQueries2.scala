@@ -57,6 +57,38 @@ object LlmQueries2 {
       10
     ).cast("double") - 7.5
 
+  /** PQ codes for every vector: (vec_id, sub 0-7, code 1-16) — each
+    * 8-dim subspace encoded as the argmax-scoring of its 16 deterministic
+    * sub-codewords. Shared by the encode query and the ADC search.
+    */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val m = 8; val subDim = 8; val codes = 16
+    def codeOf(sub: Column): Column = {
+      val scores = transform(
+        sequence(lit(0), lit(codes - 1)),
+        c =>
+          aggregate(
+            zip_with(
+              sub,
+              sequence(lit(0), lit(subDim - 1)),
+              (x, dd) => x.cast("double") * pqWeight(col("m"), c, dd)
+            ),
+            lit(0.0),
+            (acc, v) => acc + v
+          )
+      )
+      array_position(scores, array_max(scores))
+    }
+    Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
+      .select(
+        col("vec_id"),
+        col("m").cast("long").as("sub"),
+        codeOf(slice(col("embedding"), col("m") * subDim + 1, lit(subDim))).as("code")
+      )
+  }
+
   /** IVF coarse assignment: index (1-based) of the highest-scoring of
     * `cells` deterministic centroids. The scale path for ANN: vectors
     * shuffle by cell, probes search one cell.
@@ -206,33 +238,7 @@ object LlmQueries2 {
     // the encode stays inside one codegen stage over the scan.
     Q(
       "embed_pq_encode",
-      (s, d) => {
-        val m = 8; val subDim = 8; val codes = 16
-        def codeOf(sub: Column): Column = {
-          val scores = transform(
-            sequence(lit(0), lit(codes - 1)),
-            c =>
-              aggregate(
-                zip_with(
-                  sub,
-                  sequence(lit(0), lit(subDim - 1)),
-                  (x, dd) => x.cast("double") * pqWeight(col("m"), c, dd)
-                ),
-                lit(0.0),
-                (acc, v) => acc + v
-              )
-          )
-          array_position(scores, array_max(scores))
-        }
-        Tables
-          .embeddings(s, d)
-          .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
-          .select(
-            col("vec_id"),
-            col("m").cast("long").as("sub"),
-            codeOf(slice(col("embedding"), col("m") * subDim + 1, lit(subDim))).as("code")
-          )
-      },
+      (s, d) => pqCodes(s, d),
       Some {
         val weight =
           "(strpos('0123456789abcdef', substr(md5('pq' || cast(m as varchar) || ':' || cast(c as varchar) || ':' || cast(dd as varchar)), 1, 1)) - 1 - 7.5)"
@@ -244,6 +250,88 @@ object LlmQueries2 {
            |SELECT vec_id, cast(m as bigint) AS sub,
            |  cast(list_position(scores, list_max(scores)) as bigint) AS code
            |FROM sc""".stripMargin
+      }
+    ),
+    // ADC (asymmetric-distance) top-k search over PQ codes — the query
+    // half of IVF-PQ: each query vector precomputes an 8×16 lookup table
+    // of subspace dot products against the codebook (640 doubles for 5
+    // queries — broadcast), candidates are represented ONLY by their
+    // 8-nibble codes, and a candidate's score is 8 table lookups summed.
+    // Scale shape: the code table (32× smaller than the vectors)
+    // broadcast-joins the per-query tables on the 8-key subspace column
+    // — no shuffle of candidates — then one groupBy(query, candidate)
+    // map-side-combined aggregate and a per-query top-k window. Scores
+    // are integer micro-units (exact, order-independent), ties broken by
+    // neighbor id, so the ranking is bit-deterministic.
+    Q(
+      "embed_pq_adc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qs = Tables
+          .embeddings(s, d)
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        // Per-(query, subspace) lookup table: t_micro[c] = round(1e6 *
+        // dot(q_sub, codeword(sub, c))) for the 16 codes.
+        val lookup = qs
+          .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("m"), col("qv"))
+          .select(
+            col("query_id"),
+            col("m").cast("long").as("sub"),
+            transform(
+              sequence(lit(0), lit(15)),
+              c =>
+                round(
+                  aggregate(
+                    zip_with(
+                      slice(col("qv"), col("m") * 8 + 1, lit(8)),
+                      sequence(lit(0), lit(7)),
+                      (x, dd) => x.cast("double") * pqWeight(col("m"), c, dd)
+                    ),
+                    lit(0.0),
+                    (acc, v) => acc + v
+                  ) * 1e6
+                ).cast("long")
+            ).as("tvals")
+          )
+        val scored = pqCodes(s, d)
+          .join(broadcast(lookup), Seq("sub"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            expr("element_at(tvals, cast(code as int))").as("t_micro")
+          )
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum("t_micro").as("score_micro"))
+        val w = Window.partitionBy("query_id").orderBy(col("score_micro").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some {
+        val weight =
+          "(strpos('0123456789abcdef', substr(md5('pq' || cast(m as varchar) || ':' || cast(c as varchar) || ':' || cast(dd as varchar)), 1, 1)) - 1 - 7.5)"
+        val codeScores =
+          s"list_transform(range(0, 16), c -> list_sum(list_transform(range(0, 8), dd -> v[m*8 + dd + 1] * $weight)))"
+        val tEntry =
+          s"list_sum(list_transform(range(0, 8), dd -> v[m*8 + dd + 1] * $weight))"
+        s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+           |se AS (SELECT vec_id, unnest(range(0, 8)) AS m, v FROM e),
+           |codes AS (SELECT vec_id, m AS sub, list_position(sc, list_max(sc)) AS code
+           |  FROM (SELECT vec_id, m, $codeScores AS sc FROM se) _x),
+           |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+           |t AS (SELECT query_id, m AS sub, c, cast(round($tEntry * 1e6) as bigint) AS t_micro
+           |  FROM q, range(0, 8) _m(m), range(0, 16) _c(c)),
+           |sc2 AS (SELECT t.query_id, codes.vec_id AS neighbor_id, t.t_micro
+           |  FROM codes JOIN t ON t.sub = codes.sub AND t.c = codes.code - 1
+           |  WHERE codes.vec_id != t.query_id),
+           |agg AS (SELECT query_id, neighbor_id, sum(t_micro) AS score_micro
+           |  FROM sc2 GROUP BY query_id, neighbor_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rank FROM agg)
+           |SELECT query_id, neighbor_id, cast(score_micro as bigint) AS score_micro,
+           |  cast(rank as bigint) AS rank
+           |FROM r WHERE rank <= 5""".stripMargin
       }
     )
   )
