@@ -9,19 +9,28 @@ import org.apache.spark.sql.functions._
 object ExportQueries {
 
   /** True when any value of a field matches a `suppressOnField` filter:
-    * a slash-wrapped filter is a regular expression over the values,
-    * anything else is a pipe-separated exact-value list. Reference:
-    * Record/AbstractRecord.php:445 `getSuppressed` (note: the PHP tests
-    * the slash-wrapping on the *value* rather than the filter — an
-    * evident inversion, since the suppressOnField config documents the
-    * filter as `/regex/` or `value1|value2`; this implements the
-    * documented semantics).
+    * a slash-wrapped filter — optionally with trailing PCRE flags, since
+    * the reference passes the spec verbatim to preg_match — is a regular
+    * expression over the values, anything else is a pipe-separated
+    * exact-value list. Reference: Record/AbstractRecord.php:445
+    * `getSuppressed` (note: the PHP tests the slash-wrapping on the
+    * *value* rather than the filter — an evident inversion, since the
+    * suppressOnField config documents the filter as `/regex/` or
+    * `value1|value2`; this implements the documented semantics).
     */
-  def suppressMatch(values: org.apache.spark.sql.Column, filterSpec: String) =
-    if (filterSpec.startsWith("/") && filterSpec.endsWith("/"))
-      exists(values, v => v.rlike(filterSpec.substring(1, filterSpec.length - 1)))
-    else
-      exists(values, v => v.isin(filterSpec.split("\\|").toSeq: _*))
+  def suppressMatch(values: org.apache.spark.sql.Column, filterSpec: String) = {
+    val RegexSpec = "(?s)^/(.*)/([a-zA-Z]*)$".r
+    filterSpec match {
+      // "/" alone is not a regex spec (PHP preg_match would error and
+      // treat it as no match); require both delimiters to be present.
+      case RegexSpec(body, flags) if filterSpec.length >= 2 =>
+        val inline = flags.filter("imsxu".contains(_))
+        val pattern = if (inline.isEmpty) body else s"(?$inline)$body"
+        exists(values, v => v.rlike(pattern))
+      case _ =>
+        exists(values, v => v.isin(filterSpec.split("\\|").toSeq: _*))
+    }
+  }
 
   val all: Seq[Q] = Seq(
     Q(

@@ -67,29 +67,40 @@ object KMeans {
     *         same IEEE double everywhere), which is what lets a DuckDB
     *         oracle certify the step.
     */
-  def step(emb: DataFrame, seeds: DataFrame): DataFrame = {
-    // All centroids in one deterministic broadcast row; the computed
-    // constant key keeps the join a hash join (a literal key folds away
-    // and a bare crossJoin plans the BroadcastNestedLoopJoin the plan
-    // suite reserves for the knn baseline).
-    val cents = seeds
+  /** `(cell, cv)` seed rows collapsed into ONE deterministic broadcast
+    * row `(j, cents)` — sorted by cell so tie-breaks don't depend on the
+    * seeds' partitioning; the computed constant key `j` keeps the
+    * downstream join a hash join (a literal key folds away and a bare
+    * crossJoin plans the BroadcastNestedLoopJoin the plan suite reserves
+    * for the knn baseline).
+    */
+  def centroidsRow(seeds: DataFrame): DataFrame =
+    seeds
       .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
       .select((size(col("cents")) - size(col("cents")) + 1).cast("int").as("j"), col("cents"))
+
+  /** Native nearest-centroid assignment column (argmin squared L2 over a
+    * `array<struct<cell, cv>>` column; [[nearestCellHof]] is the
+    * composed specification it is spec-asserted equal to).
+    */
+  def nearestCell(vec: Column, cents: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.plans.NearestCentroidExpr(
+        org.apache.spark.sql.GraftColumn.exprOf(vec),
+        org.apache.spark.sql.GraftColumn.exprOf(cents)
+      )
+    )
+
+  def step(emb: DataFrame, seeds: DataFrame): DataFrame = {
     // Nearest centroid by squared L2; strict < keeps the lowest cell on
     // ties (the argmin ORDER BY dist, cell). Native kernel: the composed
     // HOF form ([[nearestCellHof]], kept as the cross-checkable
     // specification) costs ~14 ms/row interpreted — assignment would
     // dominate every Lloyd pass at scale.
-    val best = org.apache.spark.sql.GraftColumn.of(
-      graft.plans.NearestCentroidExpr(
-        org.apache.spark.sql.GraftColumn.exprOf(col("vec")),
-        org.apache.spark.sql.GraftColumn.exprOf(col("cents"))
-      )
-    )
     emb
       .withColumn("j", (size(col("vec")) * 0 + 1).cast("int"))
-      .join(broadcast(cents), Seq("j"))
-      .select(best.as("cell"), posexplode(col("vec")))
+      .join(broadcast(centroidsRow(seeds)), Seq("j"))
+      .select(nearestCell(col("vec"), col("cents")).as("cell"), posexplode(col("vec")))
       .select(
         col("cell"),
         (col("pos") + 1).cast("long").as("dim"),

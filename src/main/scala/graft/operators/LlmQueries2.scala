@@ -57,35 +57,42 @@ object LlmQueries2 {
       10
     ).cast("double") - 7.5
 
+  private val PqSubspaces = 8
+  private val PqSubDim = 8
+  private val PqCodebook = 16
+
+  /** Sequential-double dot product of subspace `m` of `vec` with
+    * sub-codeword `c` — the ONE scoring expression both the encoder and
+    * the ADC lookup tables build on: encode/search agreement depends on
+    * the two sides computing bit-identical sums.
+    */
+  private def pqSubScore(vec: Column, m: Column, c: Column): Column =
+    aggregate(
+      zip_with(
+        slice(vec, m * PqSubDim + 1, lit(PqSubDim)),
+        sequence(lit(0), lit(PqSubDim - 1)),
+        (x, dd) => x.cast("double") * pqWeight(m, c, dd)
+      ),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
   /** PQ codes for every vector: (vec_id, sub 0-7, code 1-16) — each
     * 8-dim subspace encoded as the argmax-scoring of its 16 deterministic
     * sub-codewords. Shared by the encode query and the ADC search.
     */
   private def pqCodes(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val m = 8; val subDim = 8; val codes = 16
-    def codeOf(sub: Column): Column = {
-      val scores = transform(
-        sequence(lit(0), lit(codes - 1)),
-        c =>
-          aggregate(
-            zip_with(
-              sub,
-              sequence(lit(0), lit(subDim - 1)),
-              (x, dd) => x.cast("double") * pqWeight(col("m"), c, dd)
-            ),
-            lit(0.0),
-            (acc, v) => acc + v
-          )
-      )
-      array_position(scores, array_max(scores))
-    }
+    val scores = transform(
+      sequence(lit(0), lit(PqCodebook - 1)),
+      c => pqSubScore(col("embedding"), col("m"), c)
+    )
     Tables
       .embeddings(s, d)
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m"), col("embedding"))
       .select(
         col("vec_id"),
         col("m").cast("long").as("sub"),
-        codeOf(slice(col("embedding"), col("m") * subDim + 1, lit(subDim))).as("code")
+        array_position(scores, array_max(scores)).as("code")
       )
   }
 
@@ -274,24 +281,13 @@ object LlmQueries2 {
         // Per-(query, subspace) lookup table: t_micro[c] = round(1e6 *
         // dot(q_sub, codeword(sub, c))) for the 16 codes.
         val lookup = qs
-          .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("m"), col("qv"))
+          .select(col("query_id"), explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m"), col("qv"))
           .select(
             col("query_id"),
             col("m").cast("long").as("sub"),
             transform(
-              sequence(lit(0), lit(15)),
-              c =>
-                round(
-                  aggregate(
-                    zip_with(
-                      slice(col("qv"), col("m") * 8 + 1, lit(8)),
-                      sequence(lit(0), lit(7)),
-                      (x, dd) => x.cast("double") * pqWeight(col("m"), c, dd)
-                    ),
-                    lit(0.0),
-                    (acc, v) => acc + v
-                  ) * 1e6
-                ).cast("long")
+              sequence(lit(0), lit(PqCodebook - 1)),
+              c => round(pqSubScore(col("qv"), col("m"), c) * 1e6).cast("long")
             ).as("tvals")
           )
         val scored = pqCodes(s, d)

@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   *
   * Semantically identical to the composed higher-order-function form
   * ([[graft.operators.KMeans.nearestCellHof]]; asserted equal by
-  * KMeansSpec), but as one primitive double loop instead of an
-  * interpreted aggregate-over-zip_with per centroid — the HOF form
-  * measured ~14 ms per 64-dim vector against 16 centroids, which would
-  * make assignment the bottleneck of every Lloyd pass at corpus scale;
-  * this kernel is ~µs. Same native-kernel-plus-composed-oracle split as
-  * [[MinHashSigExpr]].
+  * KMeansSpec), including skipping null or length-mismatched centroids
+  * the way the zip_with form's null distance does. The one residual
+  * difference: a null `vec` is SQL NULL here (BinaryExpression null
+  * propagation) where the HOF form returns -1. It is one primitive
+  * double loop instead of an interpreted aggregate-over-zip_with per
+  * centroid — the HOF form measured ~14 ms per 64-dim vector against 16
+  * centroids, which would make assignment the bottleneck of every Lloyd
+  * pass at corpus scale; this kernel is ~µs. Same
+  * native-kernel-plus-composed-oracle split as [[MinHashSigExpr]].
   */
 case class NearestCentroidExpr(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -107,21 +110,30 @@ object NearestCentroidExpr {
     var c = 0
     val k = cents.numElements()
     while (c < k) {
-      val row = cents.getStruct(c, nFields)
-      val cv = row.getArray(cvIdx)
-      val m = math.min(n, cv.numElements())
-      var d = 0.0
-      var i = 0
-      while (i < m) {
-        val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-        val y = if (cvFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
-        val t = x - y
-        d += t * t
-        i += 1
-      }
-      if (d < bestD) {
-        bestD = d
-        best = row.getLong(cellIdx)
+      // Match the HOF specification on malformed centroids: a null
+      // struct/cv, or a cv of a different length, yields a null distance
+      // in the zip_with form, and `null < acc.dist` skips that centroid —
+      // so skip it here too instead of computing a truncated distance.
+      if (!cents.isNullAt(c)) {
+        val row = cents.getStruct(c, nFields)
+        if (!row.isNullAt(cvIdx)) {
+          val cv = row.getArray(cvIdx)
+          if (cv.numElements() == n) {
+            var d = 0.0
+            var i = 0
+            while (i < n) {
+              val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+              val y = if (cvFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+              val t = x - y
+              d += t * t
+              i += 1
+            }
+            if (d < bestD) {
+              bestD = d
+              best = row.getLong(cellIdx)
+            }
+          }
+        }
       }
       c += 1
     }

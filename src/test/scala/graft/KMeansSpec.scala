@@ -91,34 +91,42 @@ class KMeansSpec extends SparkSuite {
   test("native argmin kernel matches the composed HOF specification") {
     // Real float vectors from the testdata, 16 centroids from the same
     // table — equality must hold bit-for-bit, including tie handling.
+    // Production wiring (centroidsRow + nearestCell), so the equality
+    // claim covers exactly what KMeans.step executes.
     val emb = Tables
       .embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = emb
-      .filter(col("id") < 16)
-      .agg(sort_array(collect_list(struct(col("id").as("cell"), col("vec").as("cv")))).as("cents"))
+    val seeds = emb.filter(col("id") < 16).select(col("id").as("cell"), col("vec").as("cv"))
     val both = emb
       .withColumn("j", (size(col("vec")) * 0 + 1).cast("int"))
-      .join(
-        broadcast(
-          cents.select((size(col("cents")) - size(col("cents")) + 1).cast("int").as("j"), col("cents"))
-        ),
-        Seq("j")
-      )
+      .join(broadcast(KMeans.centroidsRow(seeds)), Seq("j"))
       .select(
         col("id"),
-        org.apache.spark.sql.GraftColumn
-          .of(
-            graft.plans.NearestCentroidExpr(
-              org.apache.spark.sql.GraftColumn.exprOf(col("vec")),
-              org.apache.spark.sql.GraftColumn.exprOf(col("cents"))
-            )
-          )
-          .as("native"),
+        KMeans.nearestCell(col("vec"), col("cents")).as("native"),
         KMeans.nearestCellHof(col("vec"), col("cents")).as("hof")
       )
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
     assert(both.count() > 0)
+  }
+
+  test("native kernel skips length-mismatched centroids like the HOF form") {
+    val emb = Seq((0L, Array(1.0f, 1.0f))).toDF("id", "vec")
+    // Cell 0's centroid has the wrong dimensionality (would win with a
+    // truncated distance); cell 9 is well-formed and must be chosen.
+    val seeds = Seq(
+      (0L, Array(1.0)),
+      (9L, Array(5.0, 5.0))
+    ).toDF("cell", "cv")
+    val joined = emb
+      .withColumn("j", (size(col("vec")) * 0 + 1).cast("int"))
+      .join(broadcast(KMeans.centroidsRow(seeds)), Seq("j"))
+      .select(
+        KMeans.nearestCell(col("vec"), col("cents")).as("native"),
+        KMeans.nearestCellHof(col("vec"), col("cents")).as("hof")
+      )
+      .head()
+    assert(joined.getLong(0) == 9L)
+    assert(joined.getLong(1) == 9L)
   }
 
   test("the broadcast join is a hash join, not a nested loop") {
