@@ -117,6 +117,50 @@ object CallNumbers {
     lcLetters(c) =!= "" && lcDigits(c) =!= "" &&
       !upper(substring(lcLetters(c), 1, 1)).isin("I", "O", "W", "X", "Y")
 
+  /** One LC classification category range (a row of the reference's
+    * LcCallNumberCategories mapping: letters between a1..a2 byte-wise,
+    * intval(digits) between d1..d2, intval(decimal) between f1..f2 →
+    * cat). The mapping data ships separately from the reference, so the
+    * table is caller-supplied config.
+    */
+  final case class LcCategoryRange(
+      a1: String,
+      a2: String,
+      d1: Int,
+      d2: Int,
+      f1: Int,
+      f2: Int,
+      cat: String
+  )
+
+  /** LcCallNumber.php:197 getCategory: the FIRST table row whose ranges
+    * contain the parsed call number, '' when invalid or nothing matches.
+    * PHP intval semantics: '' → 0, and the stored decimal keeps its
+    * leading dot so intval of any real decimal is 0 — both reproduced
+    * here. Category tables are small config, so the first-match rule
+    * compiles to a codegen'd when-chain (same treatment as
+    * FieldMapping's CASE chains).
+    */
+  def lcCategory(c: Column, table: Seq[LcCategoryRange]): Column = {
+    val letters = lcLetters(c)
+    def intval(s: Column): Column = {
+      val lead = regexp_extract(s, "^(-?[0-9]+)", 1)
+      when(lead === "", 0).otherwise(lead.cast("int"))
+    }
+    val digits = intval(lcDigits(c))
+    val dec = intval(lcDecimal(c))
+    val chain = table
+      .foldLeft(when(lit(false), lit(""))) { (acc, r) =>
+        acc.when(
+          letters >= r.a1 && letters <= r.a2 &&
+            digits.between(r.d1, r.d2) && dec.between(r.f1, r.f2),
+          lit(r.cat)
+        )
+      }
+      .otherwise(lit(""))
+    when(lcValid(c), chain).otherwise(lit(""))
+  }
+
   /** LcCallNumber.php getSortKey: letters, length-prefixed digits,
     * decimal, sortable suffix ('_'-marked when alphabetic), sortable
     * cutter segments.

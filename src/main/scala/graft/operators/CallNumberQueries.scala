@@ -158,6 +158,64 @@ object CallNumberQueries {
            |  (CASE WHEN cutterkey != '' THEN k3 || (CASE WHEN k3 != '' THEN ' ' ELSE '' END) || cutterkey ELSE k3 END) AS sort_key
            |FROM k3t""".stripMargin
       }
+    ),
+    // LC classification category (reference: LcCallNumber.php:197
+    // getCategory over the LcCallNumberCategories mapping): the FIRST
+    // config row whose (letters, intval(digits), intval(decimal)) ranges
+    // contain the parsed call number; '' when the call number is invalid
+    // or no row matches. The mapping data ships separately from the
+    // reference, so a small demo table stands in — specific rows before
+    // general ones exercise the first-match rule, and the QA 76 row
+    // exercises the digit ranges. Map-only when-chain inside the scan's
+    // codegen stage.
+    Q(
+      "lc_category",
+      (s, d) => {
+        import graft.functions.CallNumbers._
+        val k = col("p_partkey")
+        val alpha = lit(Alpha)
+        val l1 = alpha.substr((k % 26 + 1).cast("int"), lit(1))
+        val input = when(k % 7 === 0, concat(lit("QA"), (k % 150).cast("string"), lit(".5 .C2")))
+          .when(k % 7 === 1, lit("no digits here"))
+          .otherwise(concat(l1, (k % 3000).cast("string"), lit(" .B"), (k % 9).cast("string")))
+        val table = Seq(
+          LcCategoryRange("QA", "QA", 76, 76, 0, 99, "Computer science"),
+          LcCategoryRange("Q", "QZ", 0, 9999, 0, 99, "Science"),
+          LcCategoryRange("A", "FZ", 0, 9999, 0, 99, "Humanities range"),
+          LcCategoryRange("L", "PZ", 0, 9999, 0, 99, "Language and education")
+        )
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            input.as("callnum"),
+            lcCategory(input, table).as("category")
+          )
+      },
+      Some {
+        val lcRe = "^([a-zA-Z]+) *(?:(\\d+)(\\.\\d+)?)?(.*)$"
+        s"""WITH t AS (SELECT p_partkey,
+           |  (CASE WHEN p_partkey % 7 = 0 THEN 'QA' || cast(p_partkey % 150 as varchar) || '.5 .C2'
+           |        WHEN p_partkey % 7 = 1 THEN 'no digits here'
+           |        ELSE substr('$Alpha', cast(p_partkey % 26 + 1 as int), 1) || cast(p_partkey % 3000 as varchar) || ' .B' || cast(p_partkey % 9 as varchar)
+           |   END) AS callnum FROM part),
+           |p AS (SELECT p_partkey, callnum,
+           |  trim(regexp_extract(trim(callnum), '$lcRe', 1)) AS letters,
+           |  trim(regexp_extract(trim(callnum), '$lcRe', 2)) AS digits
+           |  FROM t),
+           |v AS (SELECT *,
+           |  (letters != '' AND digits != '' AND NOT upper(substr(letters, 1, 1)) IN ('I', 'O', 'W', 'X', 'Y')) AS valid,
+           |  (CASE WHEN digits = '' THEN 0 ELSE cast(digits as int) END) AS dig
+           |  FROM p)
+           |SELECT p_partkey, callnum,
+           |  (CASE WHEN NOT valid THEN ''
+           |        WHEN letters >= 'QA' AND letters <= 'QA' AND dig BETWEEN 76 AND 76 THEN 'Computer science'
+           |        WHEN letters >= 'Q' AND letters <= 'QZ' AND dig BETWEEN 0 AND 9999 THEN 'Science'
+           |        WHEN letters >= 'A' AND letters <= 'FZ' AND dig BETWEEN 0 AND 9999 THEN 'Humanities range'
+           |        WHEN letters >= 'L' AND letters <= 'PZ' AND dig BETWEEN 0 AND 9999 THEN 'Language and education'
+           |        ELSE '' END) AS category
+           |FROM v""".stripMargin
+      }
     )
   )
 }

@@ -139,6 +139,59 @@ object SourceQueries {
       Some(
         s"SELECT p_partkey, ${MetadataQueries.nkSql("p_name")} AS norm_key FROM part"
       )
+    ),
+    // Line-based ("tagged") MARC dialect detection (reference:
+    // Utils/LineBasedMarcFormatter.php:105 convertLineBasedMarcToXml +
+    // :91 getIllegalXmlCharacterCount): the subfield-delimiter format —
+    // $a… (Alma), |a … (OCLC tagged) or ‡a … — is auto-detected as the
+    // regex with the MOST matches over the record text (strictly-greater
+    // comparison, so the first format wins ties and an all-zero record
+    // falls back to the first), and illegal-XML characters are counted
+    // as preg_replace replacement RUNS (consecutive bad chars count
+    // once). Map-only regexp_count projections.
+    Q(
+      "linemarc_detect",
+      (s, d) => {
+        val k = col("p_partkey")
+        val badRun = when(k % 5 === 0, lit("\u0001\u0002"))
+          .when(k % 5 === 1, lit("\u0003"))
+          .otherwise(lit(""))
+        val badTail = when(k % 5 === 1, lit("\u0004")).otherwise(lit(""))
+        val title = concat(lit("Title "), badRun, col("p_name"), badTail)
+        val line = when(
+          k % 3 === 0,
+          concat(lit("245 10 $a"), title, lit("$bRemainder of title"))
+        ).when(
+          k % 3 === 1,
+          concat(lit("245 10 |a "), title, lit(" |b Remainder"))
+        ).otherwise(
+          concat(lit("245 10 ‡a "), title, lit(" ‡b Remainder"))
+        )
+        val counts = array(
+          regexp_count(line, lit("\\$[a-z0-9]")),
+          regexp_count(line, lit("\\|[a-z0-9] ")),
+          regexp_count(line, lit("‡[a-z0-9] "))
+        )
+        Tables
+          .part(s, d)
+          .select(
+            k.as("record_id"),
+            array_position(counts, array_max(counts)).as("format_idx"),
+            element_at(counts, array_position(counts, array_max(counts)).cast("int"))
+              .cast("long").as("n_subfields"),
+            regexp_count(
+              line,
+              lit("[^\\x09\\x0A\\x0D\\x20-\\uD7FF\\uE000-\\uFFFD]+")
+            ).cast("long").as("bad_char_runs")
+          )
+      },
+      Some {
+        s"""SELECT p_partkey AS record_id,
+           |  cast(p_partkey % 3 + 1 as bigint) AS format_idx,
+           |  cast(2 as bigint) AS n_subfields,
+           |  cast(CASE WHEN p_partkey % 5 = 0 THEN 1 WHEN p_partkey % 5 = 1 THEN 2 ELSE 0 END as bigint) AS bad_char_runs
+           |FROM part""".stripMargin
+      }
     )
   )
 }
