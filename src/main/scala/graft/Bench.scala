@@ -67,9 +67,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Persist the result where log interleaving can't clobber it, then stop
+    // Spark BEFORE the final stdout print: every prior round's driver record
+    // came back `parsed: null` because sbt/Spark shutdown noise landed after
+    // (or interleaved with) the JSON line. The last thing on stdout must be
+    // the bare JSON.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
     spark.stop()
+    System.out.flush()
+    println(line)
+    System.out.flush()
   }
 }

