@@ -46,6 +46,16 @@ object MarcEdit {
   /** updateFieldSubfield: with `subfieldIdx = None` appends a new subfield
     * (addFieldSubfield); with `Some(j)` rewrites the j-th occurrence of
     * `code` in the fieldIdx-th `tag` field.
+    *
+    * DIVERGENCE from the reference: Marc.php:438 throws a
+    * RuntimeException ("Field/Subfield ... not found") when the addressed
+    * field or subfield occurrence does not exist, while this expression
+    * is a SILENT NO-OP on the missing address — a per-row columnar
+    * expression cannot usefully throw (one bad record would fail the
+    * whole task). Edit pipelines that need the reference's fail-fast
+    * addressing should assert on [[fieldExists]]/[[subfieldExists]]
+    * first (e.g. quarantine rows where the predicate is false before
+    * applying the edit).
     */
   def updateFieldSubfield(
       rec: Column,
@@ -81,6 +91,37 @@ object MarcEdit {
         }
         when(isTarget, struct(f.getField("tag").as("tag"), newSubs.as("subs")))
           .otherwise(f)
+      }
+    )
+
+  /** True iff the fieldIdx-th subfield-carrying `tag` field exists —
+    * the address-validity predicate matching the reference's "Field not
+    * found" RuntimeException condition (Marc.php:438), exposed so
+    * callers can assert/quarantine instead of silently no-op'ing.
+    */
+  def fieldExists(rec: Column, tag: String, fieldIdx: Int): Column =
+    size(
+      filter(rec, g => g.getField("tag") === tag && size(g.getField("subs")) > 0)
+    ) > fieldIdx
+
+  /** True iff the subfieldIdx-th occurrence of `code` exists in the
+    * fieldIdx-th `tag` field (the "Subfield not found" condition).
+    */
+  def subfieldExists(
+      rec: Column,
+      tag: String,
+      fieldIdx: Int,
+      code: String,
+      subfieldIdx: Int
+  ): Column =
+    exists(
+      sequence(lit(1), size(rec)),
+      i => {
+        val f = element_at(rec, i)
+        val subs = f.getField("subs")
+        f.getField("tag") === tag && size(subs) > 0 &&
+        occIndex(rec, i, tag) === fieldIdx &&
+        size(filter(subs, x => x.getField("code") === code)) > subfieldIdx
       }
     )
 

@@ -126,8 +126,22 @@ object Dedup {
         )
       )
     }
+    // Length pre-gate: the edit distance can never undercut the length
+    // difference of the (255-truncated) strings the DP actually sees, and
+    // the pct bound is met only when dist*100 </<= pct * max(full length)
+    // (the larger denominator gives the smaller quotient). So a pair
+    // whose truncated length gap already exceeds the bound cannot pass —
+    // the conjunction short-circuits and the banded DP (the dominant
+    // per-pair cost) is never entered. ISBN-blocked candidates with
+    // unrelated titles are the common kill.
+    def lenGate(l: Column, r: Column, pct: Int, strict: Boolean): Column = {
+      val gap = abs(least(length(l), lit(255)) - least(length(r), lit(255))) * 100
+      val bound = greatest(length(l), length(r)) * pct
+      if (strict) gap < bound else gap <= bound
+    }
     val titleLev = boundedLev(col("norm_title_1"), col("norm_title_2"), 10) * 100.0
     val titleOk = col("norm_title_1") =!= "" && col("norm_title_2") =!= "" &&
+      lenGate(col("norm_title_1"), col("norm_title_2"), 10, strict = true) &&
       titleLev >= 0 &&
       (titleLev / length(col("norm_title_1")) < 10 ||
         titleLev / length(col("norm_title_2")) < 10)
@@ -137,7 +151,8 @@ object Dedup {
     val authorOk = (a1 === "" && a2 === "") ||
       (a1 =!= "" && a2 =!= "" &&
         (authorMatch(a1, a2) ||
-          (authorLev >= 0 &&
+          (lenGate(a1, a2, 20, strict = false) &&
+            authorLev >= 0 &&
             (authorLev / length(a1) <= 20 || authorLev / length(a2) <= 20))))
     // Page counts within 10 when both known; series ISSN/numbering must
     // agree exactly (DedupHandler.php:888-900).

@@ -284,10 +284,21 @@ object LlmQueries7 {
           Seq("j")
         )
         .select(
-          col("lang"),
-          floor(
-            least(lit(1.0), (lit(0.3) * col("n") * pow(col("c"), lit(0.3)) / col("sw")) / col("c")) * 256
-          ).cast("int").as("keep_threshold")
+          col("lang"), {
+            // The keep probability is quantized to integer micro-units
+            // BEFORE the *256 floor: floor(p*256) directly would sit on a
+            // float boundary whenever p*256 lands on an integer, and a
+            // 1-ULP pow() difference between engines would flip the
+            // bucket (the integer-unit discipline KMeans.step uses). The
+            // subtraction of the remainder makes the final division exact
+            // in doubles (numerator a multiple of 1e6, well under 2^53).
+            val p = least(
+              lit(1.0),
+              (lit(0.3) * col("n") * pow(col("c"), lit(0.3)) / col("sw")) / col("c")
+            )
+            val scaled = round(p * 1000000).cast("long") * 256
+            ((scaled - scaled % 1000000) / 1000000).cast("int").as("keep_threshold")
+          }
         )
       val bucket = expr(
         "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 31, 1)) - 1) * 16 + " +
@@ -304,9 +315,12 @@ object LlmQueries7 {
           "(strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1) as int)"
       s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
          |t AS (SELECT sum(c) AS n, sum(pow(c, 0.3)) AS sw FROM c),
+         |m AS (SELECT lang,
+         |  cast(round(least(1.0, (0.3 * t.n * pow(c.c, 0.3) / t.sw) / c.c) * 1000000) as bigint) * 256 AS scaled
+         |  FROM c CROSS JOIN t),
          |dim AS (SELECT lang,
-         |  cast(floor(least(1.0, (0.3 * t.n * pow(c.c, 0.3) / t.sw) / c.c) * 256) as int) AS keep_threshold
-         |  FROM c CROSS JOIN t)
+         |  cast((scaled - scaled % 1000000) / 1000000 as int) AS keep_threshold
+         |  FROM m)
          |SELECT doc_id, lang, $bucket AS sample_bucket, keep_threshold
          |FROM documents JOIN dim USING (lang)
          |WHERE $bucket < keep_threshold""".stripMargin

@@ -417,15 +417,20 @@ object MarcSolrQueries {
       val esRange = e >= -180 && e <= 180 && so >= -90 && so <= 90
       val badCoords = (wnValid && !wnRange) ||
         (wnValid && wnRange && esPresent && !esRange)
+      // array_distinct mirrors AbstractRecord::storeWarning's in_array
+      // dedupe: identical warnings (e.g. two 020s carrying the same
+      // invalid ISBN) are stored once.
       val l2 = l1.select(
         col("record_id"),
-        filter(
-          array(
-            isbnWarning(col("isbn1")),
-            isbnWarning(col("isbn2")),
-            when(badCoords, lit("invalid coordinates in 034")).otherwise(lit(""))
-          ),
-          v => v =!= ""
+        array_distinct(
+          filter(
+            array(
+              isbnWarning(col("isbn1")),
+              isbnWarning(col("isbn2")),
+              when(badCoords, lit("invalid coordinates in 034")).otherwise(lit(""))
+            ),
+            v => v =!= ""
+          )
         ).as("warnings_arr")
       )
       l2.select(
@@ -441,6 +446,9 @@ object MarcSolrQueries {
          |  (CASE WHEN p_partkey % 6 IN (4, 5) THEN 'invalid coordinates in 034' ELSE '' END) AS w3
          |  FROM part),
          |j AS (SELECT k, list_filter([w1, w2, w3], x -> x != '') AS ws FROM t)
+         |-- no list_distinct here: DuckDB's reorders elements, and the
+         |-- generator never emits duplicate warnings, so the Spark-side
+         |-- order-preserving array_distinct is a no-op on this corpus
          |SELECT k AS record_id, coalesce(array_to_string(ws, '|'), '') AS warnings,
          |  cast(len(ws) as bigint) AS n_warnings
          |FROM j""".stripMargin

@@ -57,6 +57,32 @@ class MarcEditSpec extends SparkSuite {
     assert(fieldsOf(out) == Seq(("245", Seq(("b", "x"), ("a", "first"), ("a", "EDITED")))))
   }
 
+  test("fieldExists/subfieldExists flag the addresses the reference would throw on") {
+    // Marc.php:438 throws "Field/Subfield not found" on a bad address;
+    // the columnar edit is a silent no-op, with these predicates as the
+    // caller-side assertion. First 650 is subfield-less, so only ONE
+    // addressable 650 exists.
+    val df = rec(
+      ("650", Seq.empty),
+      ("650", Seq(("a", "topic one"), ("x", "sub"), ("a", "topic two")))
+    )
+    val out = df.select(
+      fieldExists(col("rec"), "650", 0).as("f0"),
+      fieldExists(col("rec"), "650", 1).as("f1"),
+      fieldExists(col("rec"), "245", 0).as("f245"),
+      subfieldExists(col("rec"), "650", 0, "a", 1).as("s_a1"),
+      subfieldExists(col("rec"), "650", 0, "a", 2).as("s_a2"),
+      subfieldExists(col("rec"), "650", 0, "z", 0).as("s_z0")
+    ).collect()(0)
+    assert(out.getBoolean(0) && !out.getBoolean(1) && !out.getBoolean(2))
+    assert(out.getBoolean(3) && !out.getBoolean(4) && !out.getBoolean(5))
+    // And the corresponding edit on a bad address really is a no-op.
+    val same = df.select(
+      updateFieldSubfield(col("rec"), "650", 1, "a", Some(0), lit("EDITED")).as("rec")
+    ).collect()(0)
+    assert(fieldsOf(same) == fieldsOf(df.select(col("rec")).collect()(0)))
+  }
+
   test("delete + addField + addFieldSubfield compose") {
     val df = rec(("999", Seq(("a", "junk"))), ("100", Seq(("a", "auth"))))
     val edited = df.select(
