@@ -28,6 +28,53 @@ object MetadataFunctions {
   def normalizeKey(c: Column): Column =
     lower(trim(regexp_replace(c, KeyStripRe, "")))
 
+  /** The reference's default normalization folding table
+    * (MetadataUtils.php:138-152): Latin-1/Latin-2 letters folded to ASCII
+    * before key comparison, so e.g. Scandinavian title variants produce
+    * identical dedup keys. Deployments drop entries via
+    * `folding_ignore_characters` (:236) — model that by filtering this
+    * seq before passing it to the folded variants.
+    */
+  val DefaultFoldingTable: Seq[(Char, String)] = Seq(
+    'Š' -> "S", 'š' -> "s", 'Ž' -> "Z", 'ž' -> "z", 'À' -> "A",
+    'Á' -> "A", 'Â' -> "A", 'Ã' -> "A", 'Ä' -> "A", 'Å' -> "A",
+    'Æ' -> "A", 'Ç' -> "C", 'È' -> "E", 'É' -> "E", 'Ê' -> "E",
+    'Ë' -> "E", 'Ì' -> "I", 'Í' -> "I", 'Î' -> "I", 'Ï' -> "I",
+    'Ñ' -> "N", 'Ò' -> "O", 'Ó' -> "O", 'Ô' -> "O", 'Õ' -> "O",
+    'Ö' -> "O", 'Ø' -> "O", 'Ù' -> "U", 'Ú' -> "U", 'Û' -> "U",
+    'Ü' -> "U", 'Ý' -> "Y", 'Þ' -> "B", 'ß' -> "Ss", 'à' -> "a",
+    'á' -> "a", 'â' -> "a", 'ã' -> "a", 'ä' -> "a", 'å' -> "a",
+    'æ' -> "a", 'ç' -> "c", 'è' -> "e", 'é' -> "e", 'ê' -> "e",
+    'ë' -> "e", 'ì' -> "i", 'í' -> "i", 'î' -> "i", 'ï' -> "i",
+    'ð' -> "o", 'ñ' -> "n", 'ò' -> "o", 'ó' -> "o", 'ô' -> "o",
+    'õ' -> "o", 'ö' -> "o", 'ø' -> "o", 'ù' -> "u", 'ú' -> "u",
+    'û' -> "u", 'ü' -> "u", 'ý' -> "y", 'þ' -> "b", 'ÿ' -> "y"
+  )
+
+  /** Apply a character folding table (strtr semantics for single-char
+    * keys, MetadataUtils.php:423). The 1→1 entries compile to ONE
+    * `translate` pass; 1→many entries (only 'ß' → "Ss" in the default
+    * table) chain `replace` calls. Key and replacement domains are
+    * disjoint (non-ASCII → ASCII), so sequential application equals
+    * strtr's simultaneous substitution.
+    */
+  def foldChars(c: Column, table: Seq[(Char, String)]): Column = {
+    val (single, multi) = table.partition(_._2.length == 1)
+    val translated =
+      if (single.isEmpty) c
+      else translate(c, single.map(_._1).mkString, single.map(_._2).mkString)
+    multi.foldLeft(translated) { case (acc, (from, to)) =>
+      replace(acc, lit(from.toString), lit(to))
+    }
+  }
+
+  /** Folding-table key normalization (the reference's configured-fold
+    * path: strtr THEN strip/lowercase). Matches
+    * `NormalizeKeyExpr(child, folding)` bit for bit (spec-asserted).
+    */
+  def normalizeKey(c: Column, folding: Seq[(Char, String)]): Column =
+    normalizeKey(foldChars(c, folding))
+
   /** Evaluate `c` once and reference it cheaply in `f` via a lambda
     * variable (1-element-array transform). Column-expression trees have no
     * let-binding: a combinator like [[stripTrailingPunctuation]] that
@@ -78,6 +125,45 @@ object MetadataFunctions {
       acc => acc.getField("key")
     )
     normalizeKey(substring(folded, 1, 200))
+  }
+
+  /** Folding-table title key: budgets count pre-fold characters (the
+    * reference folds inside the final normalizeKey call only —
+    * MetadataUtils.php:405).
+    */
+  def createTitleKey(c: Column, folding: Seq[(Char, String)]): Column =
+    bindOnce(createTitleKeyRaw(c))(k => normalizeKey(k, folding))
+
+  /** The word-budget walk + 200 cap WITHOUT normalization — shared by
+    * the plain and folded title keys.
+    */
+  private def createTitleKeyRaw(c: Column): Column = {
+    val ws = split(c, " ")
+    val zero = struct(
+      lit("").as("key"),
+      lit(0).as("klen"),
+      lit(0).as("lw"),
+      lit(false).as("stop")
+    )
+    val folded = aggregate(
+      ws,
+      zero,
+      (acc, w) => {
+        val nKey = concat(acc.getField("key"), w)
+        val nLen = acc.getField("klen") + length(w)
+        val nLw = acc.getField("lw") + when(length(w) > 3, 1).otherwise(0)
+        when(acc.getField("stop"), acc).otherwise(
+          struct(
+            nKey.as("key"),
+            nLen.as("klen"),
+            nLw.as("lw"),
+            (nLw > 3 || nLen > 35).as("stop")
+          )
+        )
+      },
+      acc => acc.getField("key")
+    )
+    substring(folded, 1, 200)
   }
 
   private def dig(d: Column, pos: Int): Column =

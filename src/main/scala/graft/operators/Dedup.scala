@@ -29,14 +29,26 @@ object Dedup {
     * Uses the fused native normalization (NormalizeKeyExpr — same
     * semantics as MetadataFunctions.normalizeKey, single char pass) for
     * the two full-string keys on the hot path.
+    *
+    * `folding` is the deployment's key-folding table
+    * (MetadataUtils.php:416-433: configured deployments — e.g. the
+    * NatLibFi production setup — fold Scandinavian characters so that
+    * accent variants land in the same dedup block and survive the title
+    * Levenshtein bound; pass
+    * `MetadataFunctions.DefaultFoldingTable` optionally filtered by
+    * `folding_ignore_characters`). The default (no folding) matches the
+    * reference with an empty table.
     */
-  def withKeys(records: DataFrame): DataFrame = {
+  def withKeys(
+      records: DataFrame,
+      folding: Seq[(Char, String)] = Nil
+  ): DataFrame = {
     import org.apache.spark.sql.GraftColumn
     import graft.plans.{NormalizeKeyExpr, TitleKeyExpr}
     def fusedNorm(c: org.apache.spark.sql.Column) =
-      GraftColumn.of(NormalizeKeyExpr(GraftColumn.exprOf(c)))
+      GraftColumn.of(NormalizeKeyExpr(GraftColumn.exprOf(c), folding))
     def fusedTitleKey(c: org.apache.spark.sql.Column) =
-      GraftColumn.of(TitleKeyExpr(GraftColumn.exprOf(c)))
+      GraftColumn.of(TitleKeyExpr(GraftColumn.exprOf(c), folding))
     // Optional matchRecords inputs default to "unknown" when the record
     // model doesn't carry them (pages null, series fields empty, format
     // empty, no record-level ISSNs).
@@ -419,13 +431,19 @@ object Dedup {
       .drop("dissolve")
   }
 
-  /** Full pipeline: records → (id, dedup_id nullable). */
-  def dedupRecords(records: DataFrame, iters: Int = 10): DataFrame = {
+  /** Full pipeline: records → (id, dedup_id nullable). `folding` is the
+    * deployment key-folding table (see [[withKeys]]).
+    */
+  def dedupRecords(
+      records: DataFrame,
+      iters: Int = 10,
+      folding: Seq[(Char, String)] = Nil
+  ): DataFrame = {
     // keyed feeds both join sides, the heavy-key count, and the final left
     // join: persist it so the normalization expressions run once per
     // record, not four times. The persisted frame is narrow (no window
     // columns) and its materialization needs no shuffle at all.
-    val keyed = withKeys(records).persist()
+    val keyed = withKeys(records, folding).persist()
     val clusters = assignClusters(matchedEdges(keyed), iters)
     keyed
       .select("id")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.MetadataFunctions
 import graft.functions.MetadataFunctions._
 import org.apache.spark.sql.functions._
 
@@ -119,23 +120,47 @@ object MetadataQueries {
 
   val all: Seq[Q] = Seq(
     Q(
+      // The folded column exercises the configured folding-table path
+      // (MetadataUtils.php:416-433): accents are injected (a→ä e→é o→ö
+      // s→š), then the DEFAULT reference table folds them back, so the
+      // result must round-trip to the unfolded key of the original name.
+      // Any folding defect (a missed table entry, fold applied after the
+      // strip, a broken multi-char value) breaks the round-trip and the
+      // oracle catches it.
       "norm_key",
-      (s, d) =>
-        Tables
-          .part(s, d)
-          .select(col("p_partkey"), normalizeKey(col("p_name")).as("norm_key")),
-      Some(s"SELECT p_partkey, ${nkSql("p_name")} AS norm_key FROM part")
-    ),
-    Q(
-      "title_key",
-      (s, d) =>
+      (s, d) => {
+        val accented = translate(col("p_name"), "aeos", "äéöš")
         Tables
           .part(s, d)
           .select(
             col("p_partkey"),
-            createTitleKey(col("p_name")).as("title_key")
-          ),
-      Some(s"SELECT p_partkey, ${titleKeySql("p_name")} AS title_key FROM part")
+            normalizeKey(col("p_name")).as("norm_key"),
+            normalizeKey(accented, MetadataFunctions.DefaultFoldingTable)
+              .as("norm_key_folded")
+          )
+      },
+      Some(
+        s"""SELECT p_partkey, ${nkSql("p_name")} AS norm_key,
+           |  ${nkSql("p_name")} AS norm_key_folded FROM part""".stripMargin
+      )
+    ),
+    Q(
+      "title_key",
+      (s, d) => {
+        val accented = translate(col("p_name"), "aeos", "äéöš")
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            createTitleKey(col("p_name")).as("title_key"),
+            createTitleKey(accented, MetadataFunctions.DefaultFoldingTable)
+              .as("title_key_folded")
+          )
+      },
+      Some(
+        s"""SELECT p_partkey, ${titleKeySql("p_name")} AS title_key,
+           |  ${titleKeySql("p_name")} AS title_key_folded FROM part""".stripMargin
+      )
     ),
     Q(
       "isbn_normalize",

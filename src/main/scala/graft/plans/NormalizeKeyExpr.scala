@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * stays inside whole-stage codegen; on the dedup hot path this removes
   * one compiled-regex scan per record per key.
   */
-case class NormalizeKeyExpr(child: Expression) extends UnaryExpression {
+case class NormalizeKeyExpr(
+    child: Expression,
+    folding: Seq[(Char, String)] = Nil
+) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_normalize_key"
@@ -27,15 +30,31 @@ case class NormalizeKeyExpr(child: Expression) extends UnaryExpression {
         s"$prettyName requires a string argument, got ${child.dataType}"
       )
 
+  /** Single-char → replacement map in java form for the codegen call.
+    * Built once per expression instance; shipped to executors as a plan
+    * reference object (the table is a handful of entries, not data).
+    */
+  @transient private lazy val foldingMap: java.util.HashMap[Character, String] = {
+    val m = new java.util.HashMap[Character, String]()
+    folding.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def nullSafeEval(input: Any): Any =
-    NormalizeKeyExpr.normalize(input.asInstanceOf[UTF8String])
+    if (folding.isEmpty) NormalizeKeyExpr.normalize(input.asInstanceOf[UTF8String])
+    else NormalizeKeyExpr.normalizeFolded(input.asInstanceOf[UTF8String], foldingMap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(
-      ctx,
-      ev,
-      c => s"graft.plans.NormalizeKeyExpr.normalize($c)"
-    )
+    if (folding.isEmpty)
+      defineCodeGen(ctx, ev, c => s"graft.plans.NormalizeKeyExpr.normalize($c)")
+    else {
+      val mapRef = ctx.addReferenceObj("graftFoldingMap", foldingMap, "java.util.HashMap")
+      defineCodeGen(
+        ctx,
+        ev,
+        c => s"graft.plans.NormalizeKeyExpr.normalizeFolded($c, $mapRef)"
+      )
+    }
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeKeyExpr =
     copy(child = newChild)
@@ -69,4 +88,40 @@ object NormalizeKeyExpr {
   /** String convenience form (tests, [[TitleKeyExpr]]). */
   def normalize(s: String): String =
     normalize(UTF8String.fromString(s)).toString
+
+  /** Folding-table variant: each character is first looked up in the
+    * configured fold map (reference: MetadataUtils.php:423 `strtr($str,
+    * $this->foldingTable)` — the no-intl normalizeKey path with the
+    * default table at :138, minus any `folding_ignore_characters`), THEN
+    * the ASCII strip + lowercase run as in [[normalize]]. Replacement
+    * values pass through the same strip (a table mapping to punctuation
+    * still strips), matching strtr-before-preg_replace order. Multi-char
+    * KEYS are not supported (the reference's default table has none);
+    * multi-char VALUES ('ß' → 'Ss') are.
+    */
+  def normalizeFolded(s: UTF8String, table: java.util.HashMap[Character, String]): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val mapped = table.get(c)
+      if (mapped != null) {
+        var j = 0
+        while (j < mapped.length) {
+          val m = mapped.charAt(j)
+          if (!stripChar(m)) sb.append(m)
+          j += 1
+        }
+      } else if (!stripChar(c)) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString).toLowerCase
+  }
+
+  @inline private def stripChar(c: Char): Boolean =
+    c <= 0x2f ||
+      (c >= 0x3a && c <= 0x40) ||
+      (c >= 0x5b && c <= 0x60) ||
+      (c >= 0x7b && c <= 0x7f)
 }

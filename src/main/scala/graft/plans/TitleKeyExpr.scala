@@ -14,7 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * form, asserted by spec); this avoids per-word struct allocation in the
   * fold and stays inside whole-stage codegen.
   */
-case class TitleKeyExpr(child: Expression) extends UnaryExpression {
+case class TitleKeyExpr(
+    child: Expression,
+    folding: Seq[(Char, String)] = Nil
+) extends UnaryExpression {
+
+  @transient private lazy val foldingMap: java.util.HashMap[Character, String] = {
+    val m = new java.util.HashMap[Character, String]()
+    folding.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_title_key"
@@ -27,18 +36,34 @@ case class TitleKeyExpr(child: Expression) extends UnaryExpression {
       )
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      TitleKeyExpr.titleKey(input.asInstanceOf[UTF8String].toString)
-    )
+    if (folding.isEmpty)
+      UTF8String.fromString(
+        TitleKeyExpr.titleKey(input.asInstanceOf[UTF8String].toString)
+      )
+    else
+      UTF8String.fromString(
+        TitleKeyExpr.titleKeyFolded(input.asInstanceOf[UTF8String].toString, foldingMap)
+      )
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(
-      ctx,
-      ev,
-      c =>
-        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
-          s"graft.plans.TitleKeyExpr.titleKey($c.toString()))"
-    )
+    if (folding.isEmpty)
+      defineCodeGen(
+        ctx,
+        ev,
+        c =>
+          "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+            s"graft.plans.TitleKeyExpr.titleKey($c.toString()))"
+      )
+    else {
+      val mapRef = ctx.addReferenceObj("graftFoldingMap", foldingMap, "java.util.HashMap")
+      defineCodeGen(
+        ctx,
+        ev,
+        c =>
+          "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+            s"graft.plans.TitleKeyExpr.titleKeyFolded($c.toString(), $mapRef))"
+      )
+    }
 
   override protected def withNewChildInternal(newChild: Expression): TitleKeyExpr =
     copy(child = newChild)
@@ -46,7 +71,23 @@ case class TitleKeyExpr(child: Expression) extends UnaryExpression {
 
 object TitleKeyExpr {
 
-  def titleKey(title: String): String = {
+  /** Folding-table variant: the word-budget walk runs on the RAW title
+    * (like the reference, which builds the key from unnormalized words —
+    * MetadataUtils.php:384-400) and the fold applies inside the final
+    * normalizeKey (:405 → :423 strtr), so budgets count pre-fold chars.
+    */
+  def titleKeyFolded(title: String, table: java.util.HashMap[Character, String]): String = {
+    val capped = rawKey(title)
+    NormalizeKeyExpr
+      .normalizeFolded(UTF8String.fromString(capped), table)
+      .toString
+  }
+
+  def titleKey(title: String): String =
+    NormalizeKeyExpr.normalize(rawKey(title))
+
+  /** Word-budget accumulation + 200-char cap, before normalization. */
+  private def rawKey(title: String): String = {
     val sb = new java.lang.StringBuilder(math.min(title.length, 64))
     var keyLen = 0
     var longWords = 0
@@ -64,10 +105,8 @@ object TitleKeyExpr {
       if (longWords > 3 || keyLen > 35) stopped = true
       i = end + 1
     }
-    val capped =
-      if (sb.codePointCount(0, sb.length) > 200)
-        sb.substring(0, sb.offsetByCodePoints(0, 200))
-      else sb.toString
-    NormalizeKeyExpr.normalize(capped)
+    if (sb.codePointCount(0, sb.length) > 200)
+      sb.substring(0, sb.offsetByCodePoints(0, 200))
+    else sb.toString
   }
 }

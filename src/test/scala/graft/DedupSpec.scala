@@ -99,6 +99,30 @@ class DedupSpec extends SparkSuite {
     assert(out("a.4").isEmpty)
   }
 
+  test("configured folding table merges accent variants; default keeps them apart") {
+    // 'Tähtien sota' vs 'Tahtien sota': without folding the title keys
+    // differ (different blocks — no candidate pair is ever generated) and
+    // even as a pair the 1-char title distance is 7.7% but the block never
+    // forms; with the reference's default folding table both fold to the
+    // same key, block together, and Levenshtein distance drops to 0.
+    val records = df(
+      ("a.1", "a", "Tähtien sota", "lucas george", 1977, ""),
+      ("b.1", "b", "Tahtien sota", "lucas george", 1977, "")
+    )
+    val plain = Dedup.dedupRecords(records, iters = 3).collect()
+    assert(plain.forall(_.isNullAt(1)))
+    val folded = Dedup
+      .dedupRecords(
+        records,
+        iters = 3,
+        folding = graft.functions.MetadataFunctions.DefaultFoldingTable
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(folded == Map("a.1" -> "a.1", "b.1" -> "a.1"))
+  }
+
   test("dedup plan contains no cartesian product") {
     val records = df(
       ("a.1", "a", "Some Title", "smith john", 1999, ""),

@@ -36,6 +36,38 @@ class MetadataFunctionsSpec extends SparkSuite {
     out.foreach(r => assert(r.get(0) == r.get(1), s"not idempotent: $r"))
   }
 
+  test("folding table: column form, native form and reference fixtures agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumn
+    import graft.plans.{NormalizeKeyExpr, TitleKeyExpr}
+    val tbl = DefaultFoldingTable
+    // Hand-computed against MetadataUtils.php:423 strtr + strip + lower.
+    val cases = Seq(
+      "Häkkinen, Mika" -> "hakkinenmika",
+      "Tähtien Sota" -> "tahtiensota",
+      "Straße & Co" -> "strasseco", // 'ß' -> "Ss", multi-char value
+      "ÆØÅ æøå" -> "aoaaoa",
+      "plain ascii!" -> "plainascii"
+    )
+    cases.foreach { case (in, want) =>
+      assert(eval1(normalizeKey(col("x"), tbl), in) == want, in)
+      assert(
+        eval1(GraftColumn.of(NormalizeKeyExpr(GraftColumn.exprOf(col("x")), tbl)), in) == want,
+        s"native: $in"
+      )
+    }
+    // folding_ignore_characters semantics: a filtered table keeps the
+    // ignored char unfolded (MetadataUtils.php:236-247).
+    val noA = tbl.filterNot { case (k, _) => k == 'ä' || k == 'Ä' }
+    assert(eval1(normalizeKey(col("x"), noA), "Häkkinen") == "häkkinen")
+    // Folded title key: both forms agree on an accented title.
+    val title = "Tähtien sota: jedin paluu"
+    val colForm = eval1(createTitleKey(col("x"), tbl), title)
+    val nativeForm =
+      eval1(GraftColumn.of(TitleKeyExpr(GraftColumn.exprOf(col("x")), tbl)), title)
+    assert(colForm == nativeForm && colForm == "tahtiensotajedinpaluu")
+  }
+
   test("createTitleKey matches the reference word-budget semantics") {
     // Stops after >3 long words or >35 chars, including the word that
     // crosses the limit (MetadataUtils.php:369).
