@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image header decoding from raw bytes — the concrete slice of the
+  * multimodal decode path that needs no codec libraries, parsed straight
+  * from the public container formats:
+  *
+  *  - PNG (RFC 2083 / W3C PNG spec): 8-byte signature
+  *    `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk whose data carries
+  *    width (4B big-endian), height (4B BE), bit depth (1B) and color
+  *    type (1B). CRCs are not validated — this is header extraction, not
+  *    integrity checking.
+  *  - JPEG (ITU T.81 / JFIF): `FF D8` SOI, then a marker-segment walk
+  *    (each segment `FF <marker> <len16 incl. itself>`) until a start-of-
+  *    frame marker (FFC0–FFCF excluding the non-SOF C4/C8/CC), whose
+  *    payload carries sample precision (1B), height (2B BE), width
+  *    (2B BE) and component count (1B).
+  *
+  * Anything else (or a truncated/corrupt payload) yields
+  * `format='unknown', ok=false` — per-row quarantine, never a task
+  * failure. Codegen emits one static call, so the parse stays inside
+  * whole-stage codegen and the payload bytes never leave the scan
+  * projection.
+  */
+case class ImageMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImageMetaExpr.schema
+  override def prettyName: String = "graft_image_meta"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary argument, got ${child.dataType}"
+      )
+
+  override def nullSafeEval(input: Any): Any =
+    ImageMetaExpr.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ImageMetaExpr.parse($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMetaExpr =
+    copy(child = newChild)
+}
+
+object ImageMetaExpr {
+
+  val schema: StructType = StructType(
+    Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bit_depth", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("ok", BooleanType)
+    )
+  )
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  @inline private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  @inline private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def fail: InternalRow =
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromString("unknown"), null, null, null, null, false)
+    )
+
+  private def row(fmt: String, w: Int, h: Int, depth: Int, ch: Int): InternalRow =
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromString(fmt), w, h, depth, ch, true)
+    )
+
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b.length >= 26 && PngSig.indices.forall(i => b(i) == PngSig(i))) {
+      // Bytes 8..15 are the IHDR chunk header (length + "IHDR"); the spec
+      // requires IHDR first — verify rather than assume.
+      if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return fail
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return fail
+      val depth = u8(b, 24)
+      val channels = u8(b, 25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return fail
+      }
+      row("png", w.toInt, h.toInt, depth, channels)
+    } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return fail
+        val marker = u8(b, i + 1)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 9 >= b.length) return fail
+          return row("jpeg", be16(b, i + 7), be16(b, i + 5), u8(b, i + 4), u8(b, i + 9))
+        }
+        // Standalone markers (RSTn, TEM) carry no length field.
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else i += 2 + be16(b, i + 2)
+      }
+      fail
+    } else fail
+  }
+}
