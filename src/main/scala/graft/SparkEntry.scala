@@ -44,7 +44,8 @@ object SparkEntry {
       operators.MarcSolrQueries2.all ++
       operators.MarcEditQueries.all ++
       operators.EnrichQueries.all ++
-      operators.XslTransform.all
+      operators.XslTransform.all ++
+      operators.IvfPq.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end IVF-PQ approximate-nearest-neighbor SEARCH — the composed
+  * pipeline all the certified index pieces build toward (the standard
+  * billion-vector ANN layout: coarse inverted-file routing + product-
+  * quantized codes + asymmetric-distance shortlist + exact rerank):
+  *
+  *  1. coarse assignment: every vector routes to one of `Cells` IVF
+  *     cells ([[LlmQueries2.ivfCell]]);
+  *  2. nprobe: each query probes its `NProbe` best cells (not just its
+  *     own — the standard recall lever);
+  *  3. ADC shortlist: candidates in probed cells are scored ONLY from
+  *     their 8-nibble PQ codes against the query's precomputed
+  *     per-subspace lookup tables (integer micro-units, broadcast —
+  *     candidates never ship vectors);
+  *  4. exact rerank: the top-`Rerank` shortlist joins back to full
+  *     vectors for true cosine, and the final top-`TopK` emerges.
+  *
+  * Scale shape: the only shuffle of corpus-sized data is the groupBy
+  * that sums 8 lookup values per (query, candidate) — over codes 32×
+  * smaller than the vectors; the rerank touches `Rerank` rows per query.
+  * The trained-centroid variant (KMeans Lloyd loop feeding the same
+  * pipeline) is certified by IvfPqSpec with a planted-neighbor recall
+  * floor; this registered query uses the deterministic md5 codebooks so
+  * the DuckDB oracle can mirror every stage bit for bit.
+  */
+object IvfPq {
+
+  private val Cells = 8
+  private val NProbe = 2
+  private val RerankN = 20
+  private val TopK = 5
+
+  /** The full search over any (vec_id, embedding) frame with the
+    * deterministic centroids; `queryPred` selects the query rows.
+    */
+  def searchDeterministic(emb: DataFrame): DataFrame = {
+    val assigned = emb
+      .select(col("vec_id"), LlmQueries2.ivfCell(col("embedding"), Cells).as("cell"))
+    val cscores = transform(
+      sequence(lit(0), lit(Cells - 1)),
+      c => LlmQueries2.centroidDot(col("embedding"), c)
+    )
+    val qbase = emb
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), cscores.as("cs"))
+      .persist()
+    // Top-NProbe cells: argmax, then argmax excluding the first (the
+    // md5-derived scores are continuous, so ties are measure-zero).
+    val c1 = array_position(col("cs"), array_max(col("cs")))
+    val c2 = array_position(
+      col("cs"),
+      array_max(filter(col("cs"), (_, i) => (i + 1).cast("long") =!= c1))
+    )
+    val probes = qbase.select(col("query_id"), explode(array(c1, c2)).as("cell"))
+    // Per-(query, subspace) ADC lookup tables in integer micro-units.
+    val lookup = qbase
+      .select(
+        col("query_id"),
+        explode(sequence(lit(0), lit(LlmQueries2.PqSubspaces - 1))).as("m"),
+        col("qv")
+      )
+      .select(
+        col("query_id"),
+        col("m").cast("long").as("sub"),
+        transform(
+          sequence(lit(0), lit(LlmQueries2.PqCodebook - 1)),
+          c => round(LlmQueries2.pqSubScore(col("qv"), col("m"), c) * 1e6).cast("long")
+        ).as("tvals")
+      )
+    adcRerank(emb, qbase.select(col("query_id"), col("qv")), lookup, assigned, probes)
+  }
+
+  /** Stages 3-4 (ADC shortlist + exact rerank), shared by the
+    * deterministic registered query and the KMeans-trained spec variant.
+    */
+  private[operators] def adcRerank(
+      emb: DataFrame,
+      qvecs: DataFrame,
+      lookup: DataFrame,
+      assigned: DataFrame,
+      probes: DataFrame
+  ): DataFrame = {
+    val cand = LlmQueries2
+      .pqCodesOf(emb)
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val adc = cand
+      .join(broadcast(lookup), Seq("query_id", "sub"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        expr("element_at(tvals, cast(code as int))").as("t_micro")
+      )
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("t_micro").as("adc_micro"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+    val shortlist = adc
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= RerankN)
+      .select("query_id", "neighbor_id")
+    val reranked = shortlist
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("score")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= TopK)
+  }
+
+  /** Trained-centroid variant: the SAME pipeline with IVF routing from a
+    * KMeans-trained (cell, cv) centroid table — assignment via the
+    * native argmin kernel, probes = the `NProbe` nearest centroids by
+    * squared L2. Spec-certified (IvfPqSpec) with a planted-neighbor
+    * recall floor against brute-force cosine.
+    */
+  def searchTrained(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val withCents = emb
+      .withColumn("j", (size(col("embedding")) * 0 + 1).cast("int"))
+      .join(broadcast(KMeans.centroidsRow(cents)), Seq("j"))
+    val assigned = withCents.select(
+      col("vec_id"),
+      KMeans.nearestCell(col("embedding"), col("cents")).as("cell")
+    )
+    val nearestCells = slice(
+      transform(
+        array_sort(
+          transform(
+            col("cents"),
+            c => struct(
+              KMeans.l2sq(col("embedding"), c.getField("cv")).as("dist"),
+              c.getField("cell").as("cell")
+            )
+          )
+        ),
+        s => s.getField("cell")
+      ),
+      1,
+      NProbe
+    )
+    val qbase = withCents
+      .filter(col("vec_id") < 5)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        nearestCells.as("probe_cells")
+      )
+      .persist()
+    val probes = qbase.select(col("query_id"), explode(col("probe_cells")).as("cell"))
+    val lookup = qbase
+      .select(
+        col("query_id"),
+        explode(sequence(lit(0), lit(LlmQueries2.PqSubspaces - 1))).as("m"),
+        col("qv")
+      )
+      .select(
+        col("query_id"),
+        col("m").cast("long").as("sub"),
+        transform(
+          sequence(lit(0), lit(LlmQueries2.PqCodebook - 1)),
+          c => round(LlmQueries2.pqSubScore(col("qv"), col("m"), c) * 1e6).cast("long")
+        ).as("tvals")
+      )
+    adcRerank(emb, qbase.select(col("query_id"), col("qv")), lookup, assigned, probes)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "embed_ivfpq_search",
+      (s, d) => searchDeterministic(Tables.embeddings(s, d).select("vec_id", "embedding")),
+      Some {
+        val ivfWeight =
+          "(strpos('0123456789abcdef', substr(md5('ivf' || cast(c as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
+        val cellScores =
+          s"list_transform(range(0, $Cells), c -> list_sum(list_transform(range(1, len(v) + 1), dd -> v[dd] * $ivfWeight)))"
+        val pqWeight =
+          "(strpos('0123456789abcdef', substr(md5('pq' || cast(m as varchar) || ':' || cast(c as varchar) || ':' || cast(dd as varchar)), 1, 1)) - 1 - 7.5)"
+        val codeScores =
+          s"list_transform(range(0, 16), c -> list_sum(list_transform(range(0, 8), dd -> v[m*8 + dd + 1] * $pqWeight)))"
+        val tEntry =
+          s"list_sum(list_transform(range(0, 8), dd -> v[m*8 + dd + 1] * $pqWeight))"
+        val cos =
+          "round(list_dot_product(q.qv, x.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 6)"
+        s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+           |cs AS (SELECT vec_id, v, $cellScores AS sc FROM e),
+           |b AS (SELECT vec_id, list_position(sc, list_max(sc)) AS cell FROM cs),
+           |qp AS (SELECT vec_id AS query_id, v AS qv,
+           |  list_position(sc, list_max(sc)) AS c1,
+           |  list_position(sc, list_max(list_filter(sc, (x, i) -> i != list_position(sc, list_max(sc))))) AS c2
+           |  FROM cs WHERE vec_id < 5),
+           |probes AS (SELECT query_id, unnest([c1, c2]) AS cell FROM qp),
+           |se AS (SELECT vec_id, unnest(range(0, 8)) AS m, v FROM e),
+           |codes AS (SELECT vec_id, m AS sub, list_position(sc2, list_max(sc2)) AS code
+           |  FROM (SELECT vec_id, m, $codeScores AS sc2 FROM se) _x),
+           |t AS (SELECT query_id, m AS sub, c, cast(round($tEntry * 1e6) as bigint) AS t_micro
+           |  FROM (SELECT query_id, qv AS v FROM qp) q, range(0, 8) _m(m), range(0, 16) _c(c)),
+           |cand AS (SELECT p.query_id, codes.vec_id, codes.sub, codes.code
+           |  FROM codes JOIN b ON b.vec_id = codes.vec_id
+           |  JOIN probes p ON b.cell = p.cell
+           |  WHERE codes.vec_id != p.query_id),
+           |adc AS (SELECT cand.query_id, cand.vec_id AS neighbor_id, sum(t.t_micro) AS adc_micro
+           |  FROM cand JOIN t ON t.query_id = cand.query_id AND t.sub = cand.sub AND t.c = cand.code - 1
+           |  GROUP BY 1, 2),
+           |short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS r FROM adc),
+           |rr AS (SELECT s.query_id, s.neighbor_id, $cos AS score
+           |  FROM short s JOIN e x ON x.vec_id = s.neighbor_id
+           |  JOIN qp q ON q.query_id = s.query_id
+           |  WHERE s.r <= $RerankN),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM rr)
+           |SELECT query_id, neighbor_id, score, cast(rank as bigint) AS rank
+           |FROM ranked WHERE rank <= $TopK""".stripMargin
+      }
+    )
+  )
+}

@@ -42,7 +42,7 @@ object KMeans {
     ).getField("cell")
 
   /** Squared L2 distance, sequential double accumulation. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     aggregate(
       zip_with(
         a,

@@ -23,7 +23,7 @@ object LlmQueries2 {
     ).cast("double") - 7.5
 
   /** Dot product of a vector with the generated centroid `cell`. */
-  private def centroidDot(vec: Column, cell: Column): Column =
+  private[operators] def centroidDot(vec: Column, cell: Column): Column =
     aggregate(
       zip_with(
         vec,
@@ -57,16 +57,16 @@ object LlmQueries2 {
       10
     ).cast("double") - 7.5
 
-  private val PqSubspaces = 8
-  private val PqSubDim = 8
-  private val PqCodebook = 16
+  private[operators] val PqSubspaces = 8
+  private[operators] val PqSubDim = 8
+  private[operators] val PqCodebook = 16
 
   /** Sequential-double dot product of subspace `m` of `vec` with
     * sub-codeword `c` — the ONE scoring expression both the encoder and
     * the ADC lookup tables build on: encode/search agreement depends on
     * the two sides computing bit-identical sums.
     */
-  private def pqSubScore(vec: Column, m: Column, c: Column): Column =
+  private[operators] def pqSubScore(vec: Column, m: Column, c: Column): Column =
     aggregate(
       zip_with(
         slice(vec, m * PqSubDim + 1, lit(PqSubDim)),
@@ -81,13 +81,18 @@ object LlmQueries2 {
     * 8-dim subspace encoded as the argmax-scoring of its 16 deterministic
     * sub-codewords. Shared by the encode query and the ADC search.
     */
-  private def pqCodes(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[operators] def pqCodes(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqCodesOf(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** PQ codes over any (vec_id, embedding) frame — shared with the
+    * composed IVF-PQ search and its trained-centroid spec variant.
+    */
+  private[operators] def pqCodesOf(emb: org.apache.spark.sql.DataFrame) = {
     val scores = transform(
       sequence(lit(0), lit(PqCodebook - 1)),
       c => pqSubScore(col("embedding"), col("m"), c)
     )
-    Tables
-      .embeddings(s, d)
+    emb
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m"), col("embedding"))
       .select(
         col("vec_id"),
