@@ -45,7 +45,8 @@ object SparkEntry {
       operators.MarcEditQueries.all ++
       operators.EnrichQueries.all ++
       operators.XslTransform.all ++
-      operators.IvfPq.all
+      operators.IvfPq.all ++
+      operators.PreviewQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
