@@ -75,6 +75,17 @@ object MetadataFunctions {
   def normalizeKey(c: Column, folding: Seq[(Char, String)]): Column =
     normalizeKey(foldChars(c, folding))
 
+  /** The reference's DEFAULT `key_folding_rules` ICU pipeline
+    * (MetadataUtils.php:159, used by normalizeKey:419 whenever intl is
+    * present): NFD → lower → drop non-letter/number → NFKC, exact for
+    * Latin-script input. See [[graft.plans.KeyFoldRulesExpr]] for the
+    * one documented divergence (no romanization of non-Latin scripts).
+    */
+  def normalizeKeyRules(c: Column): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.plans.KeyFoldRulesExpr(org.apache.spark.sql.GraftColumn.exprOf(c))
+    )
+
   /** Evaluate `c` once and reference it cheaply in `f` via a lambda
     * variable (1-element-array transform). Column-expression trees have no
     * let-binding: a combinator like [[stripTrailingPunctuation]] that

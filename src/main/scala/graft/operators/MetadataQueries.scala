@@ -163,6 +163,27 @@ object MetadataQueries {
       )
     ),
     Q(
+      // The ICU-rules normalizeKey path (the reference default when intl
+      // is present): NFD + mark-removal folds the injected accents back
+      // to ASCII, so both columns must round-trip to the plain key —
+      // computing that on the Spark side requires the real NFD pipeline.
+      "norm_key_rules",
+      (s, d) => {
+        val accented = translate(col("p_name"), "aeos", "äéöš")
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            normalizeKeyRules(col("p_name")).as("rules_key"),
+            normalizeKeyRules(accented).as("rules_key_accented")
+          )
+      },
+      Some(
+        s"""SELECT p_partkey, ${nkSql("p_name")} AS rules_key,
+           |  ${nkSql("p_name")} AS rules_key_accented FROM part""".stripMargin
+      )
+    ),
+    Q(
       "isbn_normalize",
       (s, d) => {
         val base = lpad((col("p_partkey") * 7919 % 1000000000).cast("string"), 9, "0")

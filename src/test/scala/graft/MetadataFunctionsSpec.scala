@@ -68,6 +68,18 @@ class MetadataFunctionsSpec extends SparkSuite {
     assert(colForm == nativeForm && colForm == "tahtiensotajedinpaluu")
   }
 
+  test("ICU-rules key folding: NFD mark-removal, lowercasing, NFKC; no romanization") {
+    import graft.plans.KeyFoldRulesExpr.fold
+    assert(fold("Tähtien Sota!") == "tahtiensota")
+    assert(fold("Æ is not decomposable") == "æisnotdecomposable") // NFD keeps Æ; it is a letter
+    assert(fold("café  Nr. 9") == "cafenr9")
+    assert(fold("ﬁne") == "fine") // final NFKC compatibility-folds the ﬁ ligature
+    // Documented divergence: non-Latin scripts lower but do not romanize
+    // (the ICU ':: Latin;' stage needs ICU data).
+    assert(fold("Привет 42") == "привет42")
+    assert(eval1(normalizeKeyRules(col("x")), "Tähtien Sota!") == "tahtiensota")
+  }
+
   test("createTitleKey matches the reference word-budget semantics") {
     // Stops after >3 long words or >35 chars, including the word that
     // crosses the limit (MetadataUtils.php:369).
