@@ -46,7 +46,8 @@ object SparkEntry {
       operators.EnrichQueries.all ++
       operators.XslTransform.all ++
       operators.IvfPq.all ++
-      operators.PreviewQueries.all
+      operators.PreviewQueries.all ++
+      operators.MaintenanceQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
