@@ -152,11 +152,16 @@ object Dedup {
       if (strict) gap < bound else gap <= bound
     }
     val titleLev = boundedLev(col("norm_title_1"), col("norm_title_2"), 10) * 100.0
+    // Equality short-circuit ahead of the DP: title-blocked candidates
+    // share a truncated budget key, and the most common case is the full
+    // normalized titles being identical too (distance 0 trivially passes
+    // the 10% bound) — one string compare instead of a banded DP.
     val titleOk = col("norm_title_1") =!= "" && col("norm_title_2") =!= "" &&
-      lenGate(col("norm_title_1"), col("norm_title_2"), 10, strict = true) &&
-      titleLev >= 0 &&
-      (titleLev / length(col("norm_title_1")) < 10 ||
-        titleLev / length(col("norm_title_2")) < 10)
+      (col("norm_title_1") === col("norm_title_2") ||
+        (lenGate(col("norm_title_1"), col("norm_title_2"), 10, strict = true) &&
+          titleLev >= 0 &&
+          (titleLev / length(col("norm_title_1")) < 10 ||
+            titleLev / length(col("norm_title_2")) < 10)))
     val a1 = col("norm_author_1")
     val a2 = col("norm_author_2")
     val authorLev = boundedLev(a1, a2, 20) * 100.0
