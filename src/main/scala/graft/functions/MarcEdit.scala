@@ -64,7 +64,7 @@ object MarcEdit {
       code: String,
       subfieldIdx: Option[Int],
       newValue: Column
-  ): Column =
+  ): Column = when(size(rec) === 0, rec).otherwise(
     transform(
       sequence(lit(1), size(rec)),
       i => {
@@ -93,6 +93,7 @@ object MarcEdit {
           .otherwise(f)
       }
     )
+  )
 
   /** True iff the fieldIdx-th subfield-carrying `tag` field exists —
     * the address-validity predicate matching the reference's "Field not
@@ -114,7 +115,11 @@ object MarcEdit {
       code: String,
       subfieldIdx: Int
   ): Column =
-    exists(
+    // The size guard matters: sequence(1, 0) on an EMPTY record yields
+    // the descending [1, 0], and element_at(rec, 0) throws in every SQL
+    // mode — the exact task-killing failure these predicates exist to
+    // prevent.
+    size(rec) > 0 && exists(
       sequence(lit(1), size(rec)),
       i => {
         val f = element_at(rec, i)

@@ -105,38 +105,8 @@ object MetadataFunctions {
     * words before it are still within bounds (the PHP loop breaks after the
     * word that exceeds them, so that word is still included).
     */
-  def createTitleKey(c: Column): Column = {
-    // Single left-to-right fold (O(title length)): accumulate the key and
-    // the running word-budget counters; once the budget is exceeded the
-    // accumulator freezes (the crossing word itself is still included,
-    // matching the reference's post-append break).
-    val ws = split(c, " ")
-    val zero = struct(
-      lit("").as("key"),
-      lit(0).as("klen"),
-      lit(0).as("lw"),
-      lit(false).as("stop")
-    )
-    val folded = aggregate(
-      ws,
-      zero,
-      (acc, w) => {
-        val nKey = concat(acc.getField("key"), w)
-        val nLen = acc.getField("klen") + length(w)
-        val nLw = acc.getField("lw") + when(length(w) > 3, 1).otherwise(0)
-        when(acc.getField("stop"), acc).otherwise(
-          struct(
-            nKey.as("key"),
-            nLen.as("klen"),
-            nLw.as("lw"),
-            (nLw > 3 || nLen > 35).as("stop")
-          )
-        )
-      },
-      acc => acc.getField("key")
-    )
-    normalizeKey(substring(folded, 1, 200))
-  }
+  def createTitleKey(c: Column): Column =
+    normalizeKey(createTitleKeyRaw(c))
 
   /** Folding-table title key: budgets count pre-fold characters (the
     * reference folds inside the final normalizeKey call only —

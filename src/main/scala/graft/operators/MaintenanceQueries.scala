@@ -39,19 +39,23 @@ object MaintenanceQueries {
     * caps groups), so window partitions are tiny.
     */
   def checkDedup(membership: DataFrame, records: DataFrame): DataFrame = {
+    // Join-marker existence test: a data column (source_id) can be
+    // legitimately null on an existing record, which would misreport it
+    // as missing; the marker is null exactly when the join found no row.
     val joined = membership.join(
       records.select(
         col("id").as("member_id"),
         col("source_id"),
         col("deleted").as("rec_deleted"),
-        col("dedup_id").as("rec_dedup_id")
+        col("dedup_id").as("rec_dedup_id"),
+        lit(true).as("__exists")
       ),
       Seq("member_id"),
       "left"
     )
     val wSize = Window.partitionBy("dedup_id")
     val wSource = Window.partitionBy("dedup_id", "source_id").orderBy("member_ord")
-    val exists = col("source_id").isNotNull
+    val exists = coalesce(col("__exists"), lit(false))
     val problem = when(!exists, lit("record does not exist"))
       .when(
         row_number().over(wSource) > 1,
@@ -148,13 +152,25 @@ object MaintenanceQueries {
       // CountValues: frequency census of a field's values across records
       // (one groupBy on the value — map-side combinable at any scale).
       "records_count_values",
-      (s, d) =>
-        Tables
+      (s, d) => {
+        val counts = Tables
           .part(s, d)
           .select(explode(split(col("p_name"), " ")).as("value"))
           .groupBy("value")
           .agg(count(lit(1)).as("n_occurrences"))
-          .withColumn("n_distinct_total", count(lit(1)).over(Window.partitionBy())),
+        // The global distinct-count attaches via a broadcast hash join on
+        // a computed constant key (a literal key would constant-fold into
+        // a nested-loop cross join; an empty-partition window would
+        // funnel the whole census through ONE task — the anti-pattern
+        // for a high-cardinality value census).
+        val total = counts
+          .agg(count(lit(1)).as("n_distinct_total"))
+          .select((col("n_distinct_total") * 0 + 1).cast("int").as("j"), col("n_distinct_total"))
+        counts
+          .withColumn("j", (length(col("value")) * 0 + 1).cast("int"))
+          .join(broadcast(total), Seq("j"))
+          .drop("j")
+      },
       Some(
         """WITH v AS (SELECT unnest(string_split(p_name, ' ')) AS value FROM part),
           |g AS (SELECT value, count(*) AS n_occurrences FROM v GROUP BY value)

@@ -54,11 +54,7 @@ object PreviewQueries {
       Some {
         import MetadataQueries._
         val author = "array_to_string(string_split(p_name, ' ')[1:2], ' ')"
-        s"""WITH a AS (SELECT p_partkey, p_name, ${stripArticleSql("p_name")} AS t1 FROM part),
-           |b AS (SELECT p_partkey, p_name, t1, ${stripPunctSql("t1")} AS t2 FROM a),
-           |c AS (SELECT p_partkey, p_name,
-           |  lower(CASE WHEN substr(t2,1,1) != substr(t1,1,1) THEN ${stripArticleSql("t2")} ELSE t2 END) AS title_sort
-           |  FROM b)
+        s"""WITH ${sortTitleStagesSql("part", "p_name", "title_sort", "st")}
            |SELECT 'part.' || cast(p_partkey as varchar) AS record_id,
            |  p_name AS title,
            |  title_sort,
@@ -66,7 +62,7 @@ object PreviewQueries {
            |  (CASE WHEN p_partkey % 7 = 0 THEN 'eBook' ELSE 'Book' END) AS format,
            |  cast(1900 + p_partkey % 100 as varchar) AS publish_year,
            |  (p_partkey % 7 = 0) AS suppressed
-           |FROM c""".stripMargin
+           |FROM st3""".stripMargin
       }
     ),
     Q(

@@ -48,6 +48,18 @@ object XslTransform {
     ds.mapPartitions { it =>
       val factory = TransformerFactory.newInstance()
       factory.setErrorListener(Quiet)
+      // Hardened against XXE/entity-expansion: secure processing plus
+      // blocked external DTD/stylesheet access, so a record carrying
+      // <!DOCTYPE r [<!ENTITY x SYSTEM "file:...">]> quarantines instead
+      // of resolving files/URLs on the executor. (The xml_entity_scan
+      // operator is the audit-side complement; this is the enforcement.)
+      factory.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      for (attr <- Seq(
+          javax.xml.XMLConstants.ACCESS_EXTERNAL_DTD,
+          javax.xml.XMLConstants.ACCESS_EXTERNAL_STYLESHEET
+        ))
+        try factory.setAttribute(attr, "")
+        catch { case _: IllegalArgumentException => () } // pre-JAXP-1.5 impls
       val templates: Seq[Templates] =
         stylesheets.map(s => factory.newTemplates(new StreamSource(new StringReader(s))))
       it.map { case (id, xml) =>

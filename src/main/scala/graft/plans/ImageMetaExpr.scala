@@ -102,18 +102,26 @@ object ImageMetaExpr {
       row("png", w.toInt, h.toInt, depth, channels)
     } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
       var i = 2
-      while (i + 3 < b.length) {
+      while (i + 1 < b.length) {
         if (u8(b, i) != 0xff) return fail
-        val marker = u8(b, i + 1)
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        // marker — skip to the first non-FF byte.
+        var j = i + 1
+        while (j < b.length && u8(b, j) == 0xff) j += 1
+        if (j >= b.length) return fail
+        val marker = u8(b, j)
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
-          if (i + 9 >= b.length) return fail
-          return row("jpeg", be16(b, i + 7), be16(b, i + 5), u8(b, i + 4), u8(b, i + 9))
+          if (j + 8 >= b.length) return fail
+          return row("jpeg", be16(b, j + 6), be16(b, j + 4), u8(b, j + 3), u8(b, j + 8))
         }
-        // Standalone markers (RSTn, TEM) carry no length field.
-        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
-        else i += 2 + be16(b, i + 2)
+        // Standalone markers (TEM, RSTn, SOI/EOI) carry no length field.
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i = j + 1
+        else {
+          if (j + 2 >= b.length) return fail
+          i = j + 1 + be16(b, j + 1)
+        }
       }
       fail
     } else fail

@@ -83,6 +83,23 @@ class MarcEditSpec extends SparkSuite {
     assert(fieldsOf(same) == fieldsOf(df.select(col("rec")).collect()(0)))
   }
 
+  test("empty record: predicates false, edits no-op, nothing throws") {
+    // Zero fields — sequence(1, size) would be the descending [1, 0].
+    // (array() alone types as array<void>; cast to the record schema.)
+    val df = Seq(1).toDF("one").select(
+      array()
+        .cast("array<struct<tag:string,subs:array<struct<code:string,val:string>>>>")
+        .as("rec")
+    )
+    val out = df.select(
+      fieldExists(col("rec"), "245", 0).as("f"),
+      subfieldExists(col("rec"), "245", 0, "a", 0).as("s"),
+      updateFieldSubfield(col("rec"), "245", 0, "a", Some(0), lit("X")).as("rec")
+    ).collect()(0)
+    assert(!out.getBoolean(0) && !out.getBoolean(1))
+    assert(out.getSeq[Row](2).isEmpty)
+  }
+
   test("delete + addField + addFieldSubfield compose") {
     val df = rec(("999", Seq(("a", "junk"))), ("100", Seq(("a", "auth"))))
     val edited = df.select(

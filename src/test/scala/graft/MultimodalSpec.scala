@@ -49,6 +49,20 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getInt(3) == 8 && r.getInt(4) == 3 && r.getBoolean(5))
   }
 
+  test("JPEG fill bytes (T.81 B.1.1.2) before markers are skipped") {
+    // SOI, then an APP0 preceded by two 0xFF fill bytes, then SOF0 also
+    // preceded by a fill byte.
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val bytes = hex(
+      "FFD8" + "FFFF" + "FFE000104A46494600010100000100010000" +
+        "FF" + "FFC0001108" + "0020" + "0040" + "03011100021101031101" + "FFD9"
+    )
+    val r = parse(bytes)
+    assert(r.getString(0) == "jpeg")
+    assert(r.getInt(1) == 64 && r.getInt(2) == 32 && r.getBoolean(5))
+  }
+
   test("corrupt or foreign payloads quarantine as unknown/ok=false") {
     val png = encode(new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB), "png")
     for (bad <- Seq(png.take(10), "not an image".getBytes, Array[Byte](0xff.toByte, 0xd8.toByte))) {

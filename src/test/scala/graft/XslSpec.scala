@@ -26,6 +26,17 @@ class XslSpec extends SparkSuite {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("external entities do not resolve (XXE hardening): row quarantines or inlines nothing") {
+    val evil =
+      """<?xml version="1.0"?><!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]><r>&x;</r>"""
+    val out = XslTransform
+      .transformRows(Seq((1L, evil)).toDS(), Seq(XslTransform.StripNamespacesXsl), Map.empty)
+      .collect()(0)
+    // Secure processing must either reject the document (ok=false) or
+    // at minimum never leak resolved file content into the output.
+    assert(!out._3 || !out._2.contains("\n") && out._2.replaceAll("<[^>]*>", "").trim.isEmpty)
+  }
+
   test("chain order matters: strip namespaces THEN unprefixed matches fire") {
     val xml = """<r xmlns="urn:x"><id>7</id><type>movingImage</type></r>"""
     val one = XslTransform
