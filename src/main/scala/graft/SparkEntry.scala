@@ -47,7 +47,8 @@ object SparkEntry {
       operators.XslTransform.all ++
       operators.IvfPq.all ++
       operators.PreviewQueries.all ++
-      operators.MaintenanceQueries.all
+      operators.MaintenanceQueries.all ++
+      operators.RdfQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
