@@ -101,6 +101,65 @@ object LlmQueries8 {
       )
   }
 
+  /** Incremental near-dup assignment — the daily-delta shape for the
+    * document family, mirroring [[Dedup.dedupIncremental]]: each new
+    * document generates its LSH bands, candidates come from an equi-join
+    * against the CLUSTERED corpus's band table (batch×corpus candidates
+    * only — history is never reclustered), heavy corpus buckets are
+    * excluded via the broadcast cap, Jaccard verifies, and a matching
+    * document adopts the EARLIEST (min) matching cluster id; novel
+    * documents start their own cluster. Batch-internal duplicates are
+    * intentionally not paired (same contract as record-side incremental
+    * dedup: the batch lands in the corpus before the next delta).
+    *
+    * `corpus` columns: (doc_id, text, cluster_id).
+    * Returns (doc_id, cluster_id, is_new) for every batch document.
+    */
+  def neardupIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      minJaccard: Double = 0.8,
+      maxBucketSize: Int = LlmQueries.MaxBucketSize
+  ): DataFrame = {
+    val corpusBands = LlmQueries.bandTableOf(corpus.select("doc_id", "text"))
+    val heavy = LlmQueries.heavyBandBuckets(corpusBands, maxBucketSize)
+    val cappedCorpus = corpusBands
+      .join(
+        broadcast(heavy.select("band_id", "band_hash")),
+        Seq("band_id", "band_hash"),
+        "left_anti"
+      )
+      .select(col("doc_id").as("c_doc_id"), col("band_id"), col("band_hash"))
+    val batchBands = LlmQueries
+      .bandTableOf(batch.select("doc_id", "text"))
+      .select(col("doc_id").as("b_doc_id"), col("band_id"), col("band_hash"))
+    val candidates = batchBands
+      .join(cappedCorpus, Seq("band_id", "band_hash"))
+      .select("b_doc_id", "c_doc_id")
+      .distinct()
+    val batchSets = batch
+      .select(col("doc_id").as("b_doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wb"))
+    val corpusSets = corpus
+      .select(col("doc_id").as("c_doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wc"), col("cluster_id"))
+    val matched = candidates
+      .join(batchSets, Seq("b_doc_id"))
+      .join(corpusSets, Seq("c_doc_id"))
+      .filter(
+        size(array_intersect(col("wb"), col("wc"))).cast("double") /
+          size(array_distinct(concat(col("wb"), col("wc")))) >= minJaccard
+      )
+      .groupBy(col("b_doc_id").as("doc_id"))
+      .agg(min(col("cluster_id")).as("matched_cluster"))
+    batch
+      .select("doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("matched_cluster"), col("doc_id")).as("cluster_id"),
+        col("matched_cluster").isNull.as("is_new")
+      )
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "docs_pack_sequences",
@@ -143,6 +202,68 @@ object LlmQueries8 {
            |FROM x GROUP BY 1, 2, 3""".stripMargin
       },
       bench = true
+    ),
+    Q(
+      // Incremental assignment fixture: corpus = documents each in its
+      // own cluster; batch = tail-perturbed near-copies (+500000, should
+      // adopt the source doc's cluster when Jaccard clears 0.8) and
+      // synthetic novel docs (+600000, should start new clusters).
+      "docs_neardup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val corpus = docs.withColumn("cluster_id", col("doc_id"))
+        val near = docs
+          .filter(col("doc_id") % 10 === 0)
+          .select(
+            (col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" extra tail words appended here")).as("text")
+          )
+        val novel = docs
+          .filter(col("doc_id") % 10 === 5)
+          .select(
+            (col("doc_id") + 600000).as("doc_id"),
+            concat(
+              lit("nv"), col("doc_id").cast("string"),
+              lit(" xq"), col("doc_id").cast("string"),
+              lit(" qq"), col("doc_id").cast("string")
+            ).as("text")
+          )
+        neardupIncremental(near.union(novel), corpus)
+      },
+      Some {
+        val corpusSql =
+          """corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 500000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 600000,
+            |    'nv' || cast(doc_id as varchar) || ' xq' || cast(doc_id as varchar) || ' qq' || cast(doc_id as varchar)
+            |  FROM documents WHERE doc_id % 10 = 5
+            |)""".stripMargin
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        s"""WITH $corpusSql, ${LlmQueries.SigSql},
+           |cand AS (
+           |  SELECT b.doc_id AS b_id, c.doc_id AS c_id
+           |  FROM bh b JOIN bh c
+           |    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+           |   AND b.doc_id >= 500000 AND c.doc_id < 500000
+           |  GROUP BY 1, 2),
+           |wsets AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS ws FROM corpus),
+           |m AS (
+           |  SELECT cand.b_id AS doc_id, min(cand.c_id) AS matched_cluster
+           |  FROM cand
+           |  JOIN wsets a ON a.doc_id = cand.b_id
+           |  JOIN wsets c ON c.doc_id = cand.c_id
+           |  WHERE cast(len(list_intersect(a.ws, c.ws)) as double) /
+           |        len(list_distinct(list_concat(a.ws, c.ws))) >= 0.8
+           |  GROUP BY 1),
+           |batch AS (SELECT doc_id FROM corpus WHERE doc_id >= 500000)
+           |SELECT b.doc_id,
+           |  coalesce(m.matched_cluster, b.doc_id) AS cluster_id,
+           |  m.matched_cluster IS NULL AS is_new
+           |FROM batch b LEFT JOIN m ON m.doc_id = b.doc_id""".stripMargin
+      }
     ),
     Q(
       "docs_neardup_clusters",

@@ -41,3 +41,34 @@ object DedupStream {
         sink(Dedup.dedupIncremental(batch, clusteredCorpus), batchId)
       }
 }
+
+/** Streaming incremental NEAR-DUP assignment for documents — the
+  * LSH-family twin of [[DedupStream]]: each micro-batch of arriving
+  * documents is matched against the static clustered corpus with exactly
+  * the batch semantics of
+  * [[graft.operators.LlmQueries8.neardupIncremental]] (band equi-join
+  * with the heavy-bucket cap, Jaccard verify, earliest-cluster-wins).
+  * Same foreachBatch rationale: the corpus is a slowly-changing static
+  * side, so the per-batch plan is IDENTICAL to the batch operator and
+  * the streaming layer adds only delivery.
+  */
+object NeardupStream {
+
+  /** `sink` receives each micro-batch's (doc_id, cluster_id, is_new)
+    * assignment rows.
+    */
+  def incremental(
+      newDocs: DataFrame,
+      clusteredCorpus: DataFrame,
+      sink: (DataFrame, Long) => Unit
+  ): DataStreamWriter[Row] =
+    newDocs.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          graft.operators.LlmQueries8.neardupIncremental(batch, clusteredCorpus),
+          batchId
+        )
+      }
+}
