@@ -163,11 +163,18 @@ object MaintenanceQueries {
         // a nested-loop cross join; an empty-partition window would
         // funnel the whole census through ONE task — the anti-pattern
         // for a high-cardinality value census).
+        // x - x + 1 (not x * 0 + 1): Catalyst folds multiply-by-zero to a
+        // literal, which would fold the key away and re-plan the nested
+        // loop this join exists to avoid (same idiom as
+        // KMeans.centroidsRow).
         val total = counts
           .agg(count(lit(1)).as("n_distinct_total"))
-          .select((col("n_distinct_total") * 0 + 1).cast("int").as("j"), col("n_distinct_total"))
+          .select(
+            (col("n_distinct_total") - col("n_distinct_total") + 1).cast("int").as("j"),
+            col("n_distinct_total")
+          )
         counts
-          .withColumn("j", (length(col("value")) * 0 + 1).cast("int"))
+          .withColumn("j", (length(col("value")) - length(col("value")) + 1).cast("int"))
           .join(broadcast(total), Seq("j"))
           .drop("j")
       },
