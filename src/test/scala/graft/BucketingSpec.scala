@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Dedup, DedupQueries}
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** The bucketed-layout scale path: a corpus bucketed by its join key
+  * self-joins with ZERO shuffle exchanges — the plan shape a 100 TB
+  * dedup corpus relies on (shuffle paid once at write time).
+  */
+class BucketingSpec extends SparkSuite {
+
+  test("bucketed-by-key corpus self-join plans no shuffle exchange") {
+    val dir = "/tmp/graft_bucketed_" + System.nanoTime()
+    val keyed = Dedup
+      .withKeys(DedupQueries.records(spark, "/root/testdata/sf0.001"))
+      .filter(col("title_key") =!= "")
+      .select("id", "source_id", "title_key", "norm_title")
+    Bucketing.writeBucketed(keyed, Seq("title_key"), 8, "graft_bucketed_recs", dir)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force a non-broadcast join so the test exercises the shuffle
+      // requirement a 100 TB self-join would actually face.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Bucketing.readBucketed(spark, "graft_bucketed_recs")
+      val joined = t.as("a")
+        .join(t.as("b"), "title_key")
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"), col("title_key"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"), s"unexpected exchange in:\n$physical")
+      assert(joined.count() > 0)
+      // Same result as the unbucketed join (layout changes nothing).
+      val plain = keyed.as("a")
+        .join(keyed.as("b"), "title_key")
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"), col("title_key"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_recs")
+    }
+  }
+}
