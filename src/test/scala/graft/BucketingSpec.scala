@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSuite {
 
+  test("hive-partitioned corpus prunes partitions at the scan") {
+    val dir = "/tmp/graft_partitioned_" + System.nanoTime()
+    Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .write
+      .mode("overwrite")
+      .partitionBy("lang")
+      .parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    val physical = read.queryExecution.executedPlan.toString
+    // The lang predicate must land in PartitionFilters (pruned
+    // directories), not PushedFilters/post-scan filter over all data.
+    assert(physical.contains("PartitionFilters: [isnotnull(lang"), physical)
+    val expected = Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en")
+      .count()
+    assert(read.count() == expected && expected > 0)
+  }
+
   test("bucketed-by-key corpus self-join plans no shuffle exchange") {
     val dir = "/tmp/graft_bucketed_" + System.nanoTime()
     val keyed = Dedup
