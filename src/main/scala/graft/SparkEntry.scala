@@ -48,7 +48,8 @@ object SparkEntry {
       operators.IvfPq.all ++
       operators.PreviewQueries.all ++
       operators.MaintenanceQueries.all ++
-      operators.RdfQueries.all
+      operators.RdfQueries.all ++
+      operators.BloomQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -42,6 +42,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    // Spark's internal bloom-filter sketch pair (used by runtime row
+    // filtering), surfaced as SQL functions: build a filter over a
+    // (small) key set with graft_bloom_agg, broadcast the resulting
+    // binary, and prefilter a huge corpus with graft_might_contain —
+    // the no-shuffle membership-test shape (e.g. eval-set
+    // decontamination at 100 TB). Bloom has no false negatives, so an
+    // exact verify of the survivors reproduces the precise join result.
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "graft_bloom_agg"
+        ),
+        (children: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+          children.length match {
+            case 1 => new BloomFilterAggregate(children.head)
+            case 2 => new BloomFilterAggregate(children(0), children(1))
+            case _ => new BloomFilterAggregate(children(0), children(1), children(2))
+          }
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_might_contain"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "graft_might_contain"
+        ),
+        (children: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            children(0),
+            children(1)
+          )
+      )
+    )
     // Rewrite composed normalizeKey patterns to the fused kernel.
     ext.injectOptimizerRule(_ => FuseNormalizeKey)
   }
