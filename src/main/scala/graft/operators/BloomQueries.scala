@@ -52,26 +52,9 @@ object BloomQueries {
             |WHERE d.doc_id >= 10""".stripMargin
         )
       },
-      Some {
-        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-        val fp =
-          s"(CASE WHEN length($norm) >= 8 " +
-            s"THEN list_transform(range(1, length($norm) - 6), i -> md5(substr($norm, i, 8))) " +
-            s"ELSE [md5($norm)] END)"
-        s"""WITH h AS (SELECT doc_id, unnest(list_distinct($fp)) AS h FROM documents),
-           |bench AS (SELECT DISTINCT h FROM h WHERE doc_id < 10),
-           |hits AS (
-           |  SELECT doc_id, count(*) AS shared_windows
-           |  FROM h JOIN bench USING (h)
-           |  WHERE doc_id >= 10
-           |  GROUP BY doc_id
-           |)
-           |SELECT d.doc_id,
-           |  coalesce(hits.shared_windows, 0) AS shared_windows,
-           |  coalesce(hits.shared_windows, 0) > 0 AS contaminated
-           |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
-           |WHERE d.doc_id >= 10""".stripMargin
-      }
+      // Shared oracle: the bloom stage must be invisible to results, so
+      // this certifies against the SAME SQL as docs_contamination.
+      Some(LlmQueries4.ContaminationOracleSql)
     )
   )
 }

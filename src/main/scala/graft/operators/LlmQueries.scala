@@ -112,12 +112,15 @@ object LlmQueries {
     */
   val MaxBucketSize = 1000
 
-  /** Exploded (doc_id, band_id, band_hash) LSH band table, persisted —
-    * feeds both self-join sides plus the heavy-bucket count, so it is
-    * computed once. Callers unpersist via `spark.catalog.clearCache()`
-    * (Verify/Bench already do).
+  /** Exploded (doc_id, band_id, band_hash) LSH band table, persisted by
+    * default — it feeds both self-join sides plus the heavy-bucket
+    * count, so it is computed once. Callers unpersist via
+    * `spark.catalog.clearCache()` (Verify/Bench already do). Pass
+    * `persist = false` for single-use band tables (e.g. the delta side
+    * of incremental matching inside a long-running stream, where a
+    * per-batch persist would leak cache).
     */
-  def bandTableOf(docs: DataFrame): DataFrame = {
+  def bandTableOf(docs: DataFrame, persist: Boolean = true): DataFrame = {
     // Native single-pass signature kernel (MinHashSigExpr) — semantically
     // identical to signatureFromHashes(shingleHashes(shingles(text, 3)), k)
     // (asserted by MinHashSigSpec); one digest per shingle, no
@@ -130,10 +133,10 @@ object LlmQueries {
         .of(MinHashSigExpr(GraftColumn.exprOf(col("text")), MinhashK, 3))
         .as("sig")
     )
-    sig
+    val bands = sig
       .select(col("doc_id"), posexplode(lshBands(col("sig"), Bands, Rows)))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
-      .persist()
+    if (persist) bands.persist() else bands
   }
 
   /** (band_id, band_hash, n, rep) for buckets with more than `cap`

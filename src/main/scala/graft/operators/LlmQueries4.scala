@@ -9,6 +9,32 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries4 {
 
+  /** The exact-join contamination oracle, shared with
+    * `docs_bloom_decontaminate`: the bloom variant's contract is
+    * "results equal the plain contamination join", so both queries must
+    * certify against ONE oracle definition.
+    */
+  private[operators] val ContaminationOracleSql: String = {
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val fp =
+      s"(CASE WHEN length($norm) >= 8 " +
+        s"THEN list_transform(range(1, length($norm) - 6), i -> md5(substr($norm, i, 8))) " +
+        s"ELSE [md5($norm)] END)"
+    s"""WITH h AS (SELECT doc_id, unnest(list_distinct($fp)) AS h FROM documents),
+       |bench AS (SELECT DISTINCT h FROM h WHERE doc_id < 10),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS shared_windows
+       |  FROM h JOIN bench USING (h)
+       |  WHERE doc_id >= 10
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(hits.shared_windows, 0) AS shared_windows,
+       |  coalesce(hits.shared_windows, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       |WHERE d.doc_id >= 10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       // Within-document repetition: fraction of duplicated word 3-grams.
@@ -74,26 +100,7 @@ object LlmQueries4 {
             (coalesce(col("shared_windows"), lit(0L)) > 0).as("contaminated")
           )
       },
-      Some {
-        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-        val fp =
-          s"(CASE WHEN length($norm) >= 8 " +
-            s"THEN list_transform(range(1, length($norm) - 6), i -> md5(substr($norm, i, 8))) " +
-            s"ELSE [md5($norm)] END)"
-        s"""WITH h AS (SELECT doc_id, unnest(list_distinct($fp)) AS h FROM documents),
-           |bench AS (SELECT DISTINCT h FROM h WHERE doc_id < 10),
-           |hits AS (
-           |  SELECT doc_id, count(*) AS shared_windows
-           |  FROM h JOIN bench USING (h)
-           |  WHERE doc_id >= 10
-           |  GROUP BY doc_id
-           |)
-           |SELECT d.doc_id,
-           |  coalesce(hits.shared_windows, 0) AS shared_windows,
-           |  coalesce(hits.shared_windows, 0) > 0 AS contaminated
-           |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
-           |WHERE d.doc_id >= 10""".stripMargin
-      }
+      Some(LlmQueries4.ContaminationOracleSql)
     )
   )
 }

@@ -120,7 +120,27 @@ object LlmQueries8 {
       corpus: DataFrame,
       minJaccard: Double = 0.8,
       maxBucketSize: Int = LlmQueries.MaxBucketSize
-  ): DataFrame = {
+  ): DataFrame =
+    neardupIncrementalIndexed(batch, neardupIndexOf(corpus, maxBucketSize), minJaccard)
+
+  /** Precomputed, persisted corpus-side index for incremental matching:
+    * the capped band table and the (word-set, cluster_id) table. A
+    * long-running stream builds this ONCE and matches every micro-batch
+    * against it ([[graft.streaming.NeardupStream]]) — recomputing (and
+    * re-persisting) the corpus MinHash signatures per delta would leak
+    * cache and repeat the corpus-sized work each batch.
+    */
+  case class NeardupIndex(cappedBands: DataFrame, corpusSets: DataFrame) {
+    def unpersist(): Unit = {
+      cappedBands.unpersist()
+      corpusSets.unpersist()
+    }
+  }
+
+  def neardupIndexOf(
+      corpus: DataFrame,
+      maxBucketSize: Int = LlmQueries.MaxBucketSize
+  ): NeardupIndex = {
     val corpusBands = LlmQueries.bandTableOf(corpus.select("doc_id", "text"))
     val heavy = LlmQueries.heavyBandBuckets(corpusBands, maxBucketSize)
     val cappedCorpus = corpusBands
@@ -130,20 +150,38 @@ object LlmQueries8 {
         "left_anti"
       )
       .select(col("doc_id").as("c_doc_id"), col("band_id"), col("band_hash"))
+      .persist()
+    val corpusSets = corpus
+      .select(
+        col("doc_id").as("c_doc_id"),
+        array_distinct(TextFunctions.words(col("text"))).as("wc"),
+        col("cluster_id")
+      )
+      .persist()
+    NeardupIndex(cappedCorpus, corpusSets)
+  }
+
+  /** Match one delta against a prebuilt corpus index (see
+    * [[neardupIncremental]] for semantics). The batch-side band table is
+    * single-use and deliberately NOT persisted.
+    */
+  def neardupIncrementalIndexed(
+      batch: DataFrame,
+      index: NeardupIndex,
+      minJaccard: Double = 0.8
+  ): DataFrame = {
     val batchBands = LlmQueries
-      .bandTableOf(batch.select("doc_id", "text"))
+      .bandTableOf(batch.select("doc_id", "text"), persist = false)
       .select(col("doc_id").as("b_doc_id"), col("band_id"), col("band_hash"))
     val candidates = batchBands
-      .join(cappedCorpus, Seq("band_id", "band_hash"))
+      .join(index.cappedBands, Seq("band_id", "band_hash"))
       .select("b_doc_id", "c_doc_id")
       .distinct()
     val batchSets = batch
       .select(col("doc_id").as("b_doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wb"))
-    val corpusSets = corpus
-      .select(col("doc_id").as("c_doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wc"), col("cluster_id"))
     val matched = candidates
       .join(batchSets, Seq("b_doc_id"))
-      .join(corpusSets, Seq("c_doc_id"))
+      .join(index.corpusSets, Seq("c_doc_id"))
       .filter(
         size(array_intersect(col("wb"), col("wc"))).cast("double") /
           size(array_distinct(concat(col("wb"), col("wc")))) >= minJaccard
@@ -204,19 +242,23 @@ object LlmQueries8 {
       bench = true
     ),
     Q(
-      // Incremental assignment fixture: corpus = documents each in its
-      // own cluster; batch = tail-perturbed near-copies (+500000, should
-      // adopt the source doc's cluster when Jaccard clears 0.8) and
-      // synthetic novel docs (+600000, should start new clusters).
+      // Incremental assignment fixture: the corpus is the
+      // duplicate-injected dedup corpus (a batch near-copy of doc k
+      // matches BOTH k and its verbatim duplicate k+100000) with
+      // NON-MONOTONE cluster ids (doc_id % 97), so min(cluster_id) over
+      // the matched set is observably different from the cluster of the
+      // min matching doc — the oracle certifies real
+      // earliest-CLUSTER-wins semantics, not a coincidence of the
+      // fixture. Novel docs (+600000) start new clusters.
       "docs_neardup_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
-        val corpus = docs.withColumn("cluster_id", col("doc_id"))
+        val corpus = LlmQueries.corpus(s, d).withColumn("cluster_id", col("doc_id") % 97)
         val near = docs
           .filter(col("doc_id") % 10 === 0)
           .select(
             (col("doc_id") + 500000).as("doc_id"),
-            concat(col("text"), lit(" extra tail words appended here")).as("text")
+            concat(col("text"), lit(" another small suffix here")).as("text")
           )
         val novel = docs
           .filter(col("doc_id") % 10 === 5)
@@ -231,11 +273,17 @@ object LlmQueries8 {
         neardupIncremental(near.union(novel), corpus)
       },
       Some {
+        // `corpus` here is corpus docs ∪ batch docs so one SigSql band
+        // table covers both sides (ids ≥ 500000 are the batch).
         val corpusSql =
           """corpus AS (
             |  SELECT doc_id, text FROM documents
             |  UNION ALL
-            |  SELECT doc_id + 500000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 0
+            |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 200000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 5
+            |  UNION ALL
+            |  SELECT doc_id + 500000, text || ' another small suffix here' FROM documents WHERE doc_id % 10 = 0
             |  UNION ALL
             |  SELECT doc_id + 600000,
             |    'nv' || cast(doc_id as varchar) || ' xq' || cast(doc_id as varchar) || ' qq' || cast(doc_id as varchar)
@@ -251,7 +299,7 @@ object LlmQueries8 {
            |  GROUP BY 1, 2),
            |wsets AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS ws FROM corpus),
            |m AS (
-           |  SELECT cand.b_id AS doc_id, min(cand.c_id) AS matched_cluster
+           |  SELECT cand.b_id AS doc_id, min(cand.c_id % 97) AS matched_cluster
            |  FROM cand
            |  JOIN wsets a ON a.doc_id = cand.b_id
            |  JOIN wsets c ON c.doc_id = cand.c_id

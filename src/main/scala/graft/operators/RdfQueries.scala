@@ -23,18 +23,26 @@ object RdfQueries {
       "rdf_import",
       (s, d) => {
         val id = col("doc_id").cast("string")
-        // Three triples per document, serialized as N-Triples lines.
-        val ntriples = concat(
+        // Each line is serialized INDEPENDENTLY (a null lang/source nulls
+        // only its own line, not the whole document — concat is
+        // null-propagating) and literal content strips quote, backslash
+        // AND line-break characters so no value can split a line.
+        val titleLine = concat(
           lit("<urn:doc:"), id, lit("> <http://purl.org/dc/terms/title> \""),
-          regexp_replace(substring(col("text"), 1, 20), "[\"\\\\]", ""), lit("\" .\n"),
+          regexp_replace(substring(col("text"), 1, 20), "[\"\\\\\n\r]", ""), lit("\" .")
+        )
+        val langLine = concat(
           lit("<urn:doc:"), id, lit("> <http://purl.org/dc/terms/language> \""),
-          col("lang"), lit("\" .\n"),
+          regexp_replace(col("lang"), "[\"\\\\\n\r]", ""), lit("\" .")
+        )
+        val sourceLine = concat(
           lit("<urn:doc:"), id, lit("> <http://purl.org/dc/terms/source> <urn:src:"),
           col("source"), lit("> .")
         )
         val lines = Tables
           .documents(s, d)
-          .select(explode(split(ntriples, "\n")).as("line"))
+          .select(explode(array(titleLine, langLine, sourceLine)).as("line"))
+          .filter(col("line").isNotNull)
         val subject = regexp_extract(col("line"), "^<([^>]*)>", 1)
         val predicate = regexp_extract(col("line"), "^<[^>]*>\\s+<([^>]*)>", 1)
         val literal = regexp_extract(col("line"), "\"([^\"]*)\"", 1)
@@ -55,14 +63,16 @@ object RdfQueries {
       },
       Some(
         """WITH t AS (SELECT cast(doc_id as varchar) AS id,
-          |  regexp_replace(substr(text, 1, 20), '["\\\\]', '', 'g') AS title20, lang, source
+          |  regexp_replace(substr(text, 1, 20), '["\\\n\r]', '', 'g') AS title20,
+          |  regexp_replace(lang, '["\\\n\r]', '', 'g') AS lang, source
           |  FROM documents),
-          |lines AS (
+          |lines0 AS (
           |  SELECT unnest([
           |    '<urn:doc:' || id || '> <http://purl.org/dc/terms/title> "' || title20 || '" .',
           |    '<urn:doc:' || id || '> <http://purl.org/dc/terms/language> "' || lang || '" .',
           |    '<urn:doc:' || id || '> <http://purl.org/dc/terms/source> <urn:src:' || source || '> .'
           |  ]) AS line FROM t),
+          |lines AS (SELECT line FROM lines0 WHERE line IS NOT NULL),
           |p AS (SELECT
           |    regexp_extract(line, '^<([^>]*)>', 1) AS subject,
           |    regexp_extract(line, '^<[^>]*>\s+<([^>]*)>', 1) AS predicate,

@@ -61,7 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.length match {
             case 1 => new BloomFilterAggregate(children.head)
             case 2 => new BloomFilterAggregate(children(0), children(1))
-            case _ => new BloomFilterAggregate(children(0), children(1), children(2))
+            case 3 => new BloomFilterAggregate(children(0), children(1), children(2))
+            case n =>
+              throw new IllegalArgumentException(
+                s"graft_bloom_agg expects 1-3 arguments (value, [estimatedItems, [numBits]]), got $n"
+              )
           }
         }
       )
@@ -73,11 +77,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
           "graft_might_contain"
         ),
-        (children: Seq[Expression]) =>
+        (children: Seq[Expression]) => {
+          if (children.length != 2)
+            throw new IllegalArgumentException(
+              s"graft_might_contain expects 2 arguments (bloom, value), got ${children.length}"
+            )
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
             children(0),
             children(1)
           )
+        }
       )
     )
     // Rewrite composed normalizeKey patterns to the fused kernel.

@@ -61,14 +61,20 @@ object NeardupStream {
       newDocs: DataFrame,
       clusteredCorpus: DataFrame,
       sink: (DataFrame, Long) => Unit
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    // Corpus-side index (capped band table + word sets) built and
+    // persisted ONCE — inside foreachBatch it would recompute the
+    // corpus MinHash signatures and stack a fresh persist per
+    // micro-batch, leaking cache over the stream's lifetime.
+    val index = graft.operators.LlmQueries8.neardupIndexOf(clusteredCorpus)
     newDocs.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(
-          graft.operators.LlmQueries8.neardupIncremental(batch, clusteredCorpus),
+          graft.operators.LlmQueries8.neardupIncrementalIndexed(batch, index),
           batchId
         )
       }
+  }
 }

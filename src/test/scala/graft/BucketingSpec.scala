@@ -10,24 +10,34 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSuite {
 
+  private def deleteRecursively(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(): Unit
+    }
+    go(new java.io.File(path))
+  }
+
   test("hive-partitioned corpus prunes partitions at the scan") {
     val dir = "/tmp/graft_partitioned_" + System.nanoTime()
-    Tables
-      .documents(spark, "/root/testdata/sf0.001")
-      .write
-      .mode("overwrite")
-      .partitionBy("lang")
-      .parquet(dir)
-    val read = spark.read.parquet(dir).filter(col("lang") === "en")
-    val physical = read.queryExecution.executedPlan.toString
-    // The lang predicate must land in PartitionFilters (pruned
-    // directories), not PushedFilters/post-scan filter over all data.
-    assert(physical.contains("PartitionFilters: [isnotnull(lang"), physical)
-    val expected = Tables
-      .documents(spark, "/root/testdata/sf0.001")
-      .filter(col("lang") === "en")
-      .count()
-    assert(read.count() == expected && expected > 0)
+    try {
+      Tables
+        .documents(spark, "/root/testdata/sf0.001")
+        .write
+        .mode("overwrite")
+        .partitionBy("lang")
+        .parquet(dir)
+      val read = spark.read.parquet(dir).filter(col("lang") === "en")
+      val physical = read.queryExecution.executedPlan.toString
+      // The lang predicate must land in PartitionFilters (pruned
+      // directories), not PushedFilters/post-scan filter over all data.
+      assert(physical.contains("PartitionFilters: [isnotnull(lang"), physical)
+      val expected = Tables
+        .documents(spark, "/root/testdata/sf0.001")
+        .filter(col("lang") === "en")
+        .count()
+      assert(read.count() == expected && expected > 0)
+    } finally deleteRecursively(dir)
   }
 
   test("bucketed-by-key corpus self-join plans no shuffle exchange") {
@@ -49,16 +59,20 @@ class BucketingSpec extends SparkSuite {
         .select(col("a.id"), col("b.id"), col("title_key"))
       val physical = joined.queryExecution.executedPlan.toString
       assert(!physical.contains("Exchange"), s"unexpected exchange in:\n$physical")
-      assert(joined.count() > 0)
-      // Same result as the unbucketed join (layout changes nothing).
+      // Row-level result equality with the unbucketed join (the layout
+      // must change nothing — count equality alone would pass a
+      // value-mangling write-path bug).
       val plain = keyed.as("a")
         .join(keyed.as("b"), "title_key")
         .filter(col("a.id") < col("b.id"))
         .select(col("a.id"), col("b.id"), col("title_key"))
-      assert(joined.count() == plain.count())
+      val got = joined.collect().map(_.toSeq).toSet
+      val want = plain.collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == want)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_recs")
+      deleteRecursively(dir)
     }
   }
 }
