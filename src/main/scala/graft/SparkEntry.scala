@@ -49,7 +49,8 @@ object SparkEntry {
       operators.PreviewQueries.all ++
       operators.MaintenanceQueries.all ++
       operators.RdfQueries.all ++
-      operators.BloomQueries.all
+      operators.BloomQueries.all ++
+      operators.OaiQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
