@@ -9,21 +9,26 @@ object LlmQueries3 {
 
   val all: Seq[Q] = Seq(
     Q(
-      // SimHash near-duplicates by pigeonhole banding: 32 bits split into 4
-      // segments of 8; any pair within Hamming distance 3 must agree on at
-      // least one full segment, so candidates come from a segment-equality
-      // join (bounded fanout) and are then verified exactly.
+      // SimHash near-duplicates by pigeonhole banding: 64 bits split into
+      // 4 segments of 16; any pair within Hamming distance 3 must agree
+      // on at least one full segment, so candidates come from a
+      // segment-equality join and are then verified exactly. 16-bit
+      // segments matter at scale: an 8-bit segment has only 256 buckets,
+      // so NATURAL segment skew crosses any bucket cap once the corpus
+      // reaches a few thousand documents and the cap starts costing
+      // recall (observed at sf0.1); 65,536 buckets per segment keeps the
+      // cap a true boilerplate-only guard.
       "docs_simhash_neardup",
       (s, d) => {
         val sh = LlmQueries
           .corpus(s, d)
-          .select(col("doc_id"), simhash(col("text"), 32).as("bits"))
+          .select(col("doc_id"), simhash(col("text"), 64).as("bits"))
         val segs = sh
           .select(
             col("doc_id"),
             col("bits"),
             posexplode(
-              array((0 until 4).map(i => substring(col("bits"), i * 8 + 1, 8)): _*)
+              array((0 until 4).map(i => substring(col("bits"), i * 16 + 1, 16)): _*)
             )
           )
           .select(col("doc_id"), col("bits"), col("pos").as("seg_idx"), col("col").as("seg"))
@@ -43,7 +48,7 @@ object LlmQueries3 {
         val b = capped.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"), col("seg_idx"), col("seg"))
         val hamming = size(
           filter(
-            sequence(lit(1), lit(32)),
+            sequence(lit(1), lit(64)),
             i => col("bits_a").substr(i, lit(1)) =!= col("bits_b").substr(i, lit(1))
           )
         )
@@ -68,12 +73,12 @@ object LlmQueries3 {
         s"""WITH $corpus,
            |n AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM corpus),
            |sh AS (SELECT doc_id,
-           |  array_to_string(list_transform(range(0, 32), b ->
+           |  array_to_string(list_transform(range(0, 64), b ->
            |    CASE WHEN list_sum(list_transform(ws, w -> ($bit) * 2 - 1)) >= 0
            |         THEN '1' ELSE '0' END), '') AS bits
            |  FROM n),
            |segs AS (SELECT doc_id, bits, unnest(generate_series(0, 3)) AS seg_idx,
-           |  [substr(bits,1,8), substr(bits,9,8), substr(bits,17,8), substr(bits,25,8)] AS seglist
+           |  [substr(bits,1,16), substr(bits,17,16), substr(bits,33,16), substr(bits,49,16)] AS seglist
            |  FROM sh),
            |sx AS (SELECT doc_id, bits, seg_idx, seglist[seg_idx + 1] AS seg FROM segs),
            |pairs AS (
@@ -82,9 +87,9 @@ object LlmQueries3 {
            |  GROUP BY 1, 2, 3, 4
            |)
            |SELECT doc_a, doc_b,
-           |  len(list_filter(range(1, 33), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) AS hamming
+           |  len(list_filter(range(1, 65), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) AS hamming
            |FROM pairs
-           |WHERE len(list_filter(range(1, 33), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) <= 3""".stripMargin
+           |WHERE len(list_filter(range(1, 65), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) <= 3""".stripMargin
       }
     ),
     Q(
