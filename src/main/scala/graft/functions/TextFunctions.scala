@@ -103,27 +103,48 @@ object TextFunctions {
     floor(hv / p).cast("int") % 2
   }
 
+  /** Bit `b` (0 = most significant) of an ALREADY-COMPUTED md5 hex
+    * string — the per-bit lambdas reference the hash, so the digest is
+    * computed once per word, not once per (word, bit).
+    */
+  private def hashBit(h: Column, b: Column): Column = {
+    val hv = hexVal(h, ((b - (b % 4)) / 4).cast("int") + 1)
+    val p = element_at(array(lit(8), lit(4), lit(2), lit(1)), (b % 4) + 1)
+    floor(hv / p).cast("int") % 2
+  }
+
   /** `bits`-bit SimHash over the document's words (with repetition as
     * weight): bit b is 1 iff the sum of (2*bit_b(word)-1) over words is
     * >= 0. Returned as a bit string for engine-portable comparison.
+    *
+    * The word hashes materialize ONCE behind a lambda binding — the
+    * per-bit lambdas each reopen their own scope, so without the
+    * binding codegen cannot unify the md5 calls across lambdas and a
+    * 64-bit hash of a 200-word doc would compute 12,800 digests
+    * instead of 200.
     */
-  def simhash(c: Column, bits: Int = 32): Column = {
-    val ws = words(c)
-    array_join(
+  def simhash(c: Column, bits: Int = 32): Column =
+    get(
       transform(
-        sequence(lit(0), lit(bits - 1)),
-        b => {
-          val s = aggregate(
-            ws,
-            lit(0),
-            (acc, w) => acc + (md5Bit(w, b) * 2 - 1)
+        array(transform(words(c), w => md5(w))),
+        hs =>
+          array_join(
+            transform(
+              sequence(lit(0), lit(bits - 1)),
+              b => {
+                val s = aggregate(
+                  hs,
+                  lit(0),
+                  (acc, h) => acc + (hashBit(h, b) * 2 - 1)
+                )
+                when(s >= 0, lit("1")).otherwise(lit("0"))
+              }
+            ),
+            ""
           )
-          when(s >= 0, lit("1")).otherwise(lit("0"))
-        }
       ),
-      ""
+      lit(0)
     )
-  }
 
   /** Winnowing-style document fingerprint: md5 over every `width`-char
     * window of the normalized text; exposes the global minimum and the

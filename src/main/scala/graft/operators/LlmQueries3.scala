@@ -9,55 +9,62 @@ object LlmQueries3 {
 
   val all: Seq[Q] = Seq(
     Q(
-      // SimHash near-duplicates by pigeonhole banding: 64 bits split into
-      // 4 segments of 16; any pair within Hamming distance 3 must agree
-      // on at least one full segment, so candidates come from a
-      // segment-equality join and are then verified exactly. 16-bit
-      // segments matter at scale: an 8-bit segment has only 256 buckets,
-      // so NATURAL segment skew crosses any bucket cap once the corpus
-      // reaches a few thousand documents and the cap starts costing
-      // recall (observed at sf0.1); 65,536 buckets per segment keeps the
-      // cap a true boilerplate-only guard.
+      // SimHash near-duplicates by pigeonhole banding on SEGMENT PAIRS:
+      // 64 bits split into 8 segments of 8; a pair within Hamming
+      // distance 6 has at least 2 intact segments, i.e. SOME pair (i,j)
+      // of segments matches exactly — so candidates come from an
+      // equi-join on the C(8,2)=28 concatenated segment-pair keys and
+      // are then verified exactly at <= 6 of 64 bits (the same ~90%
+      // bit-agreement sensitivity as the original 3-of-32 threshold; a
+      // bare 3-of-64 would silently tighten the bar and drop most true
+      // near-dups). The pair keys are 16 bits wide (65,536 buckets per
+      // combination), so natural segment skew stays far below the
+      // heavy-bucket cap — single 8-bit segments (256 buckets) saturate
+      // it from skew alone by a few thousand docs (observed at sf0.1).
       "docs_simhash_neardup",
       (s, d) => {
         val sh = LlmQueries
           .corpus(s, d)
           .select(col("doc_id"), simhash(col("text"), 64).as("bits"))
+        val combos = for {
+          i <- 0 until 8
+          j <- i + 1 until 8
+        } yield struct(
+          lit(i * 8 + j).as("combo"),
+          concat(
+            substring(col("bits"), i * 8 + 1, 8),
+            substring(col("bits"), j * 8 + 1, 8)
+          ).as("seg")
+        )
         val segs = sh
-          .select(
-            col("doc_id"),
-            col("bits"),
-            posexplode(
-              array((0 until 4).map(i => substring(col("bits"), i * 16 + 1, 16)): _*)
-            )
-          )
-          .select(col("doc_id"), col("bits"), col("pos").as("seg_idx"), col("col").as("seg"))
+          .select(col("doc_id"), col("bits"), explode(array(combos: _*)).as("c"))
+          .select(col("doc_id"), col("bits"), col("c.combo").as("combo"), col("c.seg").as("seg"))
           .persist()
-        // Heavy-segment guard (see LlmQueries.MaxBucketSize): a
-        // boilerplate-heavy corpus puts every copy's 4 segments in the
-        // same buckets, making the segment self-join quadratic in copy
-        // count. Capped via broadcast anti-join; never fires on the test
-        // corpus, so the oracle is unchanged.
+        // Heavy-bucket guard (see LlmQueries.MaxBucketSize): boilerplate
+        // corpora put every copy's segment pairs in the same buckets,
+        // making the self-join quadratic in copy count. Capped via
+        // broadcast anti-join; never fires on the test corpus, so the
+        // oracle is unchanged.
         val heavy = segs
-          .groupBy("seg_idx", "seg")
+          .groupBy("combo", "seg")
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") > LlmQueries.MaxBucketSize)
           .drop("__n")
-        val capped = segs.join(broadcast(heavy), Seq("seg_idx", "seg"), "left_anti")
-        val a = capped.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"), col("seg_idx"), col("seg"))
-        val b = capped.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"), col("seg_idx"), col("seg"))
+        val capped = segs.join(broadcast(heavy), Seq("combo", "seg"), "left_anti")
+        val a = capped.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"), col("combo"), col("seg"))
+        val b = capped.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"), col("combo"), col("seg"))
         val hamming = size(
           filter(
             sequence(lit(1), lit(64)),
             i => col("bits_a").substr(i, lit(1)) =!= col("bits_b").substr(i, lit(1))
           )
         )
-        a.join(b, Seq("seg_idx", "seg"))
+        a.join(b, Seq("combo", "seg"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
           .distinct()
           .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
-          .filter(col("hamming") <= 3)
+          .filter(col("hamming") <= 6)
       },
       Some {
         val corpus = """corpus AS (
@@ -77,19 +84,18 @@ object LlmQueries3 {
            |    CASE WHEN list_sum(list_transform(ws, w -> ($bit) * 2 - 1)) >= 0
            |         THEN '1' ELSE '0' END), '') AS bits
            |  FROM n),
-           |segs AS (SELECT doc_id, bits, unnest(generate_series(0, 3)) AS seg_idx,
-           |  [substr(bits,1,16), substr(bits,17,16), substr(bits,33,16), substr(bits,49,16)] AS seglist
-           |  FROM sh),
-           |sx AS (SELECT doc_id, bits, seg_idx, seglist[seg_idx + 1] AS seg FROM segs),
+           |sx AS (SELECT doc_id, bits, i * 8 + j AS combo,
+           |  substr(bits, cast(i * 8 + 1 as int), 8) || substr(bits, cast(j * 8 + 1 as int), 8) AS seg
+           |  FROM sh, range(0, 8) _i(i), range(0, 8) _j(j) WHERE i < j),
            |pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bits AS bits_a, b.bits AS bits_b
-           |  FROM sx a JOIN sx b ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+           |  FROM sx a JOIN sx b ON a.combo = b.combo AND a.seg = b.seg AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2, 3, 4
            |)
            |SELECT doc_a, doc_b,
            |  len(list_filter(range(1, 65), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) AS hamming
            |FROM pairs
-           |WHERE len(list_filter(range(1, 65), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) <= 3""".stripMargin
+           |WHERE len(list_filter(range(1, 65), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) <= 6""".stripMargin
       }
     ),
     Q(

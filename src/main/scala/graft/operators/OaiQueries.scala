@@ -35,11 +35,15 @@ object OaiQueries {
           lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
           lit("</datestamp></header>")
         )
+        // coalesce: a null lang must not null-propagate through concat
+        // and silently delete the whole record from its envelope.
         val recXml = concat(
           lit("<record>"),
           header,
           when(deleted, lit(""))
-            .otherwise(concat(lit("<metadata><lang>"), col("lang"), lit("</lang></metadata>"))),
+            .otherwise(
+              concat(lit("<metadata><lang>"), coalesce(col("lang"), lit("")), lit("</lang></metadata>"))
+            ),
           lit("</record>")
         )
         val envelopes = Tables
@@ -61,16 +65,19 @@ object OaiQueries {
           )
         val ids = xpath(col("xml"), lit("//record/header/identifier/text()"))
         val dates = xpath(col("xml"), lit("//record/header/datestamp/text()"))
-        // status lines up positionally only if EVERY record contributes
-        // an entry: read the per-record deleted flag by checking each
-        // header's status attribute through its identifier's position.
-        val langs = xpath(col("xml"), lit("//record/metadata/lang/text()"))
+        // Envelope-level counts only: //record/header/@status yields
+        // entries for DELETED records alone, so it does NOT align
+        // positionally with the identifier array — a per-record deleted
+        // flag must come from each header's own subtree, not from
+        // zipping these arrays. n_live is derived as total headers minus
+        // deleted headers (counting <metadata> nodes instead would
+        // undercount when a live record's payload is empty).
         val statuses = xpath(col("xml"), lit("//record/header/@status"))
         envelopes
           .select(
             col("envelope_id"),
             posexplode(arrays_zip(ids, dates)).as(Seq("pos", "z")),
-            size(langs).as("n_live"),
+            (size(ids) - size(statuses)).as("n_live"),
             size(statuses).as("n_deleted")
           )
           .select(
