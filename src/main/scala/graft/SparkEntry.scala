@@ -50,7 +50,8 @@ object SparkEntry {
       operators.MaintenanceQueries.all ++
       operators.RdfQueries.all ++
       operators.BloomQueries.all ++
-      operators.OaiQueries.all
+      operators.OaiQueries.all ++
+      operators.SolrUpdateQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

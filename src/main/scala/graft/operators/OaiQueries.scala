@@ -103,6 +103,108 @@ object OaiQueries {
           |  cast(env.n_deleted as int) AS n_deleted
           |FROM e JOIN env USING (envelope_id)""".stripMargin
       )
+    ),
+    Q(
+      // OAI-PMH provider list page (`Controller/OaiPmhProvider.php:243`
+      // listRecords + :594 getRecordSets): records filtered by the
+      // requested set's field constraints and the from/until datestamp
+      // range (short dates widen to 00:00:00 / 23:59:59), sorted by
+      // update time, offset by the resumption cursor, and capped at
+      // result_limit. The reference reads result_limit+1 records to
+      // decide whether more remain — mirrored here as one extra row
+      // carrying the resumption token `set|prefix|from|until|nextpos`
+      // (cursor ≙ the page's start offset). Deleted records emit a
+      // header with no metadata payload. Each emitted record also
+      // carries every set it belongs to (all sets whose constraints
+      // match). Ordering ties on the timestamp break by id — a
+      // deterministic refinement of the reference's store order. The
+      // row_number window is bounded by the page end, so Spark's
+      // rank-limit pushdown (WindowGroupLimit) pre-filters every
+      // partition to the first `position+limit+1` rows before the
+      // final ordered merge — cursor paging's intrinsic cost, and the
+      // scale path swaps the offset for a keyset predicate
+      // (`updated > last-seen`) with the same page shape.
+      "oai_provider_page",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val position = 200
+        val limit = 500
+        val fromS = "1995-01-01"
+        val untilS = "1996-12-31"
+        val o = Tables.orders(s, d)
+        val id = concat(lit("ord."), col("o_orderkey").cast("string"))
+        val inOpen = col("o_orderstatus") === "O"
+        val inUrgent = col("o_orderpriority") === "1-URGENT"
+        val filtered = o
+          .where(
+            inOpen &&
+              col("o_orderdate") >= lit(s"$fromS 00:00:00").cast("timestamp") &&
+              col("o_orderdate") <= lit(s"$untilS 23:59:59").cast("timestamp")
+          )
+          .select(
+            id.as("id"),
+            col("o_orderdate").as("updated"),
+            concat_ws(
+              "|",
+              when(inOpen, lit("open")),
+              when(inUrgent, lit("urgent")),
+              when(inOpen && inUrgent, lit("open_urgent"))
+            ).as("sets"),
+            (col("o_orderkey") % 13 === 0).as("deleted")
+          )
+        val w = Window.orderBy(col("updated"), col("id"))
+        val token =
+          s"open|oai_dc|$fromS|$untilS|${position + limit}"
+        filtered
+          .withColumn("row_index", row_number().over(w))
+          .where(col("row_index") > position && col("row_index") <= position + limit + 1)
+          .select(
+            col("row_index"),
+            when(col("row_index") === position + limit + 1, lit("token"))
+              .otherwise(lit("record")).as("row_type"),
+            when(col("row_index") === position + limit + 1, lit(null).cast("string"))
+              .otherwise(col("id")).as("id"),
+            when(col("row_index") === position + limit + 1, lit(null).cast("string"))
+              .otherwise(date_format(col("updated"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+              .as("datestamp"),
+            when(col("row_index") === position + limit + 1, lit(null).cast("string"))
+              .otherwise(col("sets")).as("sets"),
+            when(col("row_index") === position + limit + 1, lit(null).cast("boolean"))
+              .otherwise(col("deleted")).as("deleted"),
+            when(
+              col("row_index") === position + limit + 1 || col("deleted"),
+              lit(null).cast("string")
+            ).otherwise(
+              concat(lit("<oai_dc:dc><dc:identifier>"), col("id"), lit("</dc:identifier></oai_dc:dc>"))
+            ).as("metadata"),
+            when(col("row_index") === position + limit + 1, lit(token))
+              .otherwise(lit(null).cast("string")).as("resumption_token")
+          )
+      },
+      Some {
+        """WITH f AS (SELECT 'ord.' || cast(o_orderkey as varchar) AS id,
+          |  o_orderdate AS updated,
+          |  concat_ws('|', 'open',
+          |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END,
+          |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'open_urgent' END) AS sets,
+          |  (o_orderkey % 13 = 0) AS deleted
+          |  FROM orders
+          |  WHERE o_orderstatus = 'O'
+          |    AND o_orderdate >= timestamp '1995-01-01 00:00:00'
+          |    AND o_orderdate <= timestamp '1996-12-31 23:59:59'),
+          |r AS (SELECT *, row_number() OVER (ORDER BY updated, id) AS row_index FROM f)
+          |SELECT row_index,
+          |  (CASE WHEN row_index = 701 THEN 'token' ELSE 'record' END) AS row_type,
+          |  (CASE WHEN row_index = 701 THEN NULL ELSE id END) AS id,
+          |  (CASE WHEN row_index = 701 THEN NULL ELSE strftime(updated, '%Y-%m-%dT%H:%M:%SZ') END) AS datestamp,
+          |  (CASE WHEN row_index = 701 THEN NULL ELSE sets END) AS sets,
+          |  (CASE WHEN row_index = 701 THEN NULL ELSE deleted END) AS deleted,
+          |  (CASE WHEN row_index = 701 OR deleted THEN NULL
+          |        ELSE '<oai_dc:dc><dc:identifier>' || id || '</dc:identifier></oai_dc:dc>' END) AS metadata,
+          |  (CASE WHEN row_index = 701 THEN 'open|oai_dc|1995-01-01|1996-12-31|700' END) AS resumption_token
+          |FROM r
+          |WHERE row_index > 200 AND row_index <= 701""".stripMargin
+      }
     )
   )
 }
