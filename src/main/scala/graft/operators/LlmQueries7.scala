@@ -327,6 +327,43 @@ object LlmQueries7 {
     }
   )
 
+  private val splitAssign = Q(
+    // Deterministic train/val/test assignment — the split step every
+    // training-data pipeline needs: a stable hash of the document id
+    // (NOT row order, NOT random state) buckets each doc 0-255, and
+    // fixed bucket ranges carve the corpus 240/8/8 (93.75% / 3.125% /
+    // 3.125%). Re-running over a grown corpus never reassigns an
+    // existing doc (the hash ignores everything but the id), which is
+    // what keeps eval sets stable across corpus versions. Map-only,
+    // zero shuffle; the md5-hex-digit arithmetic matches the DuckDB
+    // oracle bit-for-bit (same idiom as docs_sample_stratified).
+    "docs_split_assign",
+    (s, d) => {
+      val hash = md5(col("doc_id").cast("string"))
+      def hexDigit(pos: Int) =
+        instr(lit("0123456789abcdef"), substring(hash, pos, 1)) - 1
+      val bucket = (hexDigit(31) * 16 + hexDigit(32)).cast("int")
+      docs(s, d).select(
+        col("doc_id"),
+        bucket.as("split_bucket"),
+        when(bucket < 240, lit("train"))
+          .when(bucket < 248, lit("val"))
+          .otherwise(lit("test"))
+          .as("split")
+      )
+    },
+    Some {
+      val bucket =
+        "cast((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 31, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1) as int)"
+      s"""SELECT doc_id, $bucket AS split_bucket,
+         |  (CASE WHEN $bucket < 240 THEN 'train'
+         |        WHEN $bucket < 248 THEN 'val' ELSE 'test' END) AS split
+         |FROM documents""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
-    Seq(htmlStrip, urlCanon, chunks, canonical, sampleStratified, sampleTemperature, ngramFreq)
+    Seq(htmlStrip, urlCanon, chunks, canonical, sampleStratified, sampleTemperature, ngramFreq,
+      splitAssign)
 }

@@ -13,15 +13,18 @@ import org.apache.spark.sql.functions._
   * payload, and decode/feature-extraction runs per-partition so codec
   * state is reused across rows.
   *
-  * IMAGE decode is REAL for the header slice: `multimodal_decode`
-  * synthesizes valid PNG and JPEG byte streams and parses
-  * width/height/bit-depth/channels back out of the raw bytes with
-  * [[graft.plans.ImageMetaExpr]] (PNG IHDR + JPEG SOF marker walk —
-  * public container formats, no codec library needed), with corrupt
-  * payloads quarantined per row. Full pixel decode and the audio/video
-  * codecs remain STUBBED (`decodeStub` — the container has no media
-  * libraries): a production deployment swaps the stub for a
-  * `mapPartitions` codec invocation with the same output schema.
+  * IMAGE and AUDIO decode are REAL for the header slice:
+  * `multimodal_decode` synthesizes valid PNG and JPEG byte streams and
+  * parses width/height/bit-depth/channels back out of the raw bytes with
+  * [[graft.plans.ImageMetaExpr]] (PNG IHDR + JPEG SOF marker walk, plus
+  * GIF screen descriptors and BMP info headers), and `multimodal_av_meta`
+  * walks RIFF/WAVE chunks with [[graft.plans.AudioMetaExpr]] (fmt +
+  * data chunk → channels/rate/bits/duration) — all public container
+  * formats, no codec library needed, corrupt payloads quarantined per
+  * row. Full pixel/sample decode and the video codecs remain STUBBED
+  * (`decodeStub` — the container has no media libraries): a production
+  * deployment swaps the stub for a `mapPartitions` codec invocation
+  * with the same output schema.
   */
 object Multimodal {
 
@@ -60,6 +63,58 @@ object Multimodal {
   /** Big-endian byte strings from an int column (PNG/JPEG dims). */
   private def be32(c: Column): Column = unhex(lpad(hex(c.cast("int")), 8, "0"))
   private def be16(c: Column): Column = unhex(lpad(hex(c.cast("int")), 4, "0"))
+
+  /** Little-endian byte strings (RIFF/GIF/BMP headers): byte-swap the
+    * big-endian hex. Non-negative values only.
+    */
+  private def le16(c: Column): Column = {
+    val h = lpad(hex(c.cast("int")), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le32(c: Column): Column = {
+    val h = lpad(hex(c.cast("int")), 8, "0")
+    unhex(
+      concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+    )
+  }
+
+  /** A valid WAV header probe: RIFF/WAVE + fmt (PCM) + an interposed
+    * LIST chunk (forces the chunk walk) + the data chunk HEADER — no
+    * payload bytes, the streaming-probe reality AudioMetaExpr documents.
+    */
+  def wavBytes(channels: Column, sampleRate: Column, bits: Column, dataSize: Column): Column = {
+    val blockAlign = channels * bits / lit(8)
+    val byteRate = sampleRate * blockAlign
+    concat(
+      lit("RIFF").cast("binary"), le32(lit(36) + dataSize), lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), le32(lit(16)),
+      le16(lit(1)), le16(channels), le32(sampleRate), le32(byteRate),
+      le16(blockAlign), le16(bits),
+      lit("LIST").cast("binary"), le32(lit(4)), lit("INFO").cast("binary"),
+      lit("data").cast("binary"), le32(dataSize)
+    )
+  }
+
+  /** GIF89a logical screen descriptor with the given dims and color
+    * resolution (bits per primary, 1-8).
+    */
+  def gifBytes(width: Column, height: Column, colorRes: Column): Column =
+    concat(
+      lit("GIF89a").cast("binary"),
+      le16(width), le16(height),
+      // packed: GCT flag set, color resolution − 1 in bits 4-6, GCT size 2
+      unhex(lpad(hex(lit(0x80) + ((colorRes - 1) * 16) + lit(2)), 2, "0")),
+      unhex(lit("0000")) // background index + aspect ratio
+    )
+
+  /** BMP file header + BITMAPINFOHEADER prefix (through bits-per-pixel). */
+  def bmpBytes(width: Column, height: Column, bpp: Column): Column =
+    concat(
+      lit("BM").cast("binary"),
+      le32(lit(54)), le32(lit(0)), le32(lit(54)), // file size, reserved, data offset
+      le32(lit(40)), le32(width), le32(height), // DIB size, dims
+      le16(lit(1)), le16(bpp) // planes, bits per pixel
+    )
 
   /** A minimal-but-valid PNG byte stream: signature + IHDR with the given
     * dims/color type + IEND. (CRCs are arbitrary — ImageMetaExpr parses
@@ -145,6 +200,100 @@ object Multimodal {
           |       ELSE ([1, 3, 4])[cast(doc_id % 3 + 1 as int)] END AS channels,
           |  (doc_id % 53 != 0) AS ok
           |FROM documents""".stripMargin
+      )
+    ),
+    Q(
+      // Real WAV/GIF/BMP header decode: media_id % 3 cycles the format,
+      // with every 53rd payload truncated to 9 bytes for the quarantine
+      // path. The WAV side walks RIFF chunks (fmt interposed with a LIST
+      // chunk) and derives duration from the data-chunk size and byte
+      // rate; the image side reads the GIF logical screen descriptor /
+      // BMP info header. Parameters derive from media_id div 3 so they
+      // decorrelate from the format selector. Oracle knows every field
+      // in closed form — producing them on the Spark side requires
+      // actually parsing the synthesized bytes.
+      "multimodal_av_meta",
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumn
+        import graft.plans.{AudioMetaExpr, ImageMetaExpr}
+        val id = col("media_id")
+        val q = (id / 3).cast("long")
+        val kind = id % 3
+        val ch = (q % 2 + 1).cast("int")
+        val rate = element_at(
+          array(lit(8000), lit(16000), lit(22050), lit(44100)),
+          (q % 4 + 1).cast("int")
+        )
+        val bits = element_at(array(lit(8), lit(16), lit(24)), (q % 3 + 1).cast("int"))
+        val dataSize = ((q % 1000 + 100) * 4).cast("int")
+        val gifW = (q % 320 + 16).cast("int")
+        val gifH = (q % 200 + 16).cast("int")
+        val colorRes = (q % 8 + 1).cast("int")
+        val bmpW = (q % 640 + 32).cast("int")
+        val bmpH = (q % 400 + 32).cast("int")
+        val bpp = element_at(array(lit(8), lit(24), lit(32)), (q % 3 + 1).cast("int"))
+        val payload = when(kind === 0, wavBytes(ch, rate, bits, dataSize))
+          .when(kind === 1, gifBytes(gifW, gifH, colorRes))
+          .otherwise(bmpBytes(bmpW, bmpH, bpp))
+        val media = mediaTable(s, d)
+          .select(
+            col("media_id"),
+            when(id % 53 === 0, substring(payload, 1, 9)).otherwise(payload).as("payload")
+          )
+        val withMeta = media.select(
+          col("media_id"),
+          GraftColumn.of(ImageMetaExpr(GraftColumn.exprOf(col("payload")))).as("img"),
+          GraftColumn.of(AudioMetaExpr(GraftColumn.exprOf(col("payload")))).as("aud")
+        )
+        val isWav = col("media_id") % 3 === 0
+        withMeta.select(
+          col("media_id"),
+          when(isWav, col("aud.format")).otherwise(col("img.format")).as("format"),
+          col("img.width").as("width"),
+          col("img.height").as("height"),
+          col("img.bit_depth").as("bit_depth"),
+          when(isWav, col("aud.channels")).otherwise(col("img.channels")).as("channels"),
+          col("aud.sample_rate").as("sample_rate"),
+          col("aud.bits_per_sample").as("bits_per_sample"),
+          col("aud.data_bytes").as("data_bytes"),
+          col("aud.duration_ms").as("duration_ms"),
+          when(isWav, col("aud.ok")).otherwise(col("img.ok")).as("ok")
+        )
+      },
+      Some(
+        """WITH t AS (SELECT doc_id AS media_id, doc_id // 3 AS q, doc_id % 3 AS kind,
+          |  doc_id % 53 = 0 AS trunc
+          |  FROM documents),
+          |p AS (SELECT *,
+          |  cast(q % 2 + 1 as int) AS ch,
+          |  ([8000, 16000, 22050, 44100])[cast(q % 4 + 1 as int)] AS rate,
+          |  ([8, 16, 24])[cast(q % 3 + 1 as int)] AS bits,
+          |  cast((q % 1000 + 100) * 4 as bigint) AS ds,
+          |  ([8, 24, 32])[cast(q % 3 + 1 as int)] AS bpp
+          |  FROM t)
+          |SELECT media_id,
+          |  (CASE WHEN trunc THEN 'unknown'
+          |        WHEN kind = 0 THEN 'wav' WHEN kind = 1 THEN 'gif' ELSE 'bmp' END) AS format,
+          |  (CASE WHEN trunc THEN NULL
+          |        WHEN kind = 1 THEN cast(q % 320 + 16 as int)
+          |        WHEN kind = 2 THEN cast(q % 640 + 32 as int) END) AS width,
+          |  (CASE WHEN trunc THEN NULL
+          |        WHEN kind = 1 THEN cast(q % 200 + 16 as int)
+          |        WHEN kind = 2 THEN cast(q % 400 + 32 as int) END) AS height,
+          |  (CASE WHEN trunc THEN NULL
+          |        WHEN kind = 1 THEN cast(q % 8 + 1 as int)
+          |        WHEN kind = 2 THEN cast(bpp as int) END) AS bit_depth,
+          |  (CASE WHEN trunc THEN NULL
+          |        WHEN kind = 0 THEN ch
+          |        WHEN kind = 1 THEN 1
+          |        ELSE (CASE bpp WHEN 8 THEN 1 WHEN 24 THEN 3 ELSE 4 END) END) AS channels,
+          |  (CASE WHEN trunc OR kind != 0 THEN NULL ELSE rate END) AS sample_rate,
+          |  (CASE WHEN trunc OR kind != 0 THEN NULL ELSE bits END) AS bits_per_sample,
+          |  (CASE WHEN trunc OR kind != 0 THEN NULL ELSE ds END) AS data_bytes,
+          |  (CASE WHEN trunc OR kind != 0 THEN NULL
+          |        ELSE ds * 1000 // (rate * ch * bits // 8) END) AS duration_ms,
+          |  NOT trunc AS ok
+          |FROM p""".stripMargin
       )
     ),
     Q(

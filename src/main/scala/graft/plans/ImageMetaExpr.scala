@@ -22,6 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    frame marker (FFC0–FFCF excluding the non-SOF C4/C8/CC), whose
   *    payload carries sample precision (1B), height (2B BE), width
   *    (2B BE) and component count (1B).
+  *  - GIF (CompuServe 87a/89a): signature then the logical screen
+  *    descriptor — LE width/height + packed color-resolution bits.
+  *  - BMP (Windows BITMAPINFOHEADER): `BM`, LE width/height at 18/22,
+  *    bits-per-pixel at 28.
   *
   * Anything else (or a truncated/corrupt payload) yields
   * `format='unknown', ok=false` — per-row quarantine, never a task
@@ -124,6 +128,39 @@ object ImageMetaExpr {
         }
       }
       fail
+    } else if (
+      b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+    ) {
+      // GIF87a/89a (CompuServe GSDF): logical screen descriptor at 6 —
+      // LE width, LE height, then the packed byte whose bits 4-6 carry
+      // color resolution − 1 (bits per primary). GIF is palette-indexed:
+      // channels = 1, same convention as PNG color type 3.
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w <= 0 || h <= 0) return fail
+      val colorRes = ((u8(b, 10) >> 4) & 7) + 1
+      row("gif", w, h, colorRes, 1)
+    } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+      // BMP (Windows BITMAPINFOHEADER): LE width at 18, LE height at 22
+      // (negative = top-down rows; dimensions are absolute), bits per
+      // pixel at 28. bit_depth reports the header's bpp field; channels
+      // follow the pixel layout (≤8 palette, 16/24 RGB, 32 RGBA).
+      val w = le32s(b, 18)
+      val h = math.abs(le32s(b, 22))
+      val bpp = le16(b, 28)
+      if (w <= 0 || h == 0) return fail
+      val channels = bpp match {
+        case 1 | 4 | 8 => 1
+        case 16 | 24   => 3
+        case 32        => 4
+        case _         => return fail
+      }
+      row("bmp", w, h, bpp, channels)
     } else fail
   }
+
+  @inline private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  @inline private def le32s(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
 }

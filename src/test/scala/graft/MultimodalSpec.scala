@@ -71,4 +71,72 @@ class MultimodalSpec extends SparkSuite {
       assert(r.isNullAt(1) && r.isNullAt(2))
     }
   }
+
+  test("real ImageIO GIF and BMP parse to their true dimensions") {
+    val gif = parse(encode(new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB), "gif"))
+    assert(gif.getString(0) == "gif")
+    assert(gif.getInt(1) == 37 && gif.getInt(2) == 21)
+    assert(gif.getInt(4) == 1 && gif.getBoolean(5)) // palette-indexed
+    val bmp = parse(encode(new BufferedImage(50, 40, BufferedImage.TYPE_INT_RGB), "bmp"))
+    assert(bmp.getString(0) == "bmp")
+    assert(bmp.getInt(1) == 50 && bmp.getInt(2) == 40)
+    assert(bmp.getInt(3) == 24 && bmp.getInt(4) == 3 && bmp.getBoolean(5))
+  }
+
+  test("top-down BMP (negative height) reports absolute dimensions") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bytes = "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(64) ++ le32(-32) ++ le16(1) ++ le16(24)
+    val r = parse(bytes)
+    assert(r.getString(0) == "bmp")
+    assert(r.getInt(1) == 64 && r.getInt(2) == 32 && r.getBoolean(5))
+  }
+
+  private def parseAudio(bytes: Array[Byte]) =
+    Seq(Tuple1(bytes))
+      .toDF("payload")
+      .select(GraftColumn.of(graft.plans.AudioMetaExpr(GraftColumn.exprOf(col("payload")))).as("m"))
+      .select(
+        "m.format", "m.channels", "m.sample_rate", "m.bits_per_sample",
+        "m.data_bytes", "m.duration_ms", "m.ok"
+      )
+      .collect()(0)
+
+  test("real javax.sound WAV parses to its true format and duration") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = 16000L // one second at 16 kHz
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val pcm = new java.io.ByteArrayInputStream(new Array[Byte]((frames * 4).toInt))
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(pcm, fmt, frames), AudioFileFormat.Type.WAVE, out)
+    val r = parseAudio(out.toByteArray)
+    assert(r.getString(0) == "wav")
+    assert(r.getInt(1) == 2 && r.getInt(2) == 16000 && r.getInt(3) == 16)
+    assert(r.getLong(4) == frames * 4)
+    assert(r.getLong(5) == 1000L && r.getBoolean(6))
+  }
+
+  test("WAV chunk walk honors odd-size padding and rejects non-PCM formats") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def fmtChunk(audioFormat: Int) =
+      "fmt ".getBytes ++ le32(16) ++ le16(audioFormat) ++ le16(1) ++ le32(8000) ++
+        le32(8000) ++ le16(1) ++ le16(8)
+    // An odd-size LIST chunk (3 bytes + 1 pad) sits between fmt and data;
+    // without word-alignment handling the walk lands mid-chunk and the
+    // data header is never found.
+    val odd = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      fmtChunk(1) ++
+      "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++
+      "data".getBytes ++ le32(4000)
+    val r = parseAudio(odd)
+    assert(r.getString(0) == "wav" && r.getBoolean(6))
+    assert(r.getLong(4) == 4000L && r.getLong(5) == 500L)
+    // MP3-in-RIFF (format code 85) is an extension we don't interpret
+    val mp3 = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      fmtChunk(85) ++ "data".getBytes ++ le32(4000)
+    val bad = parseAudio(mp3)
+    assert(bad.getString(0) == "unknown" && !bad.getBoolean(6))
+  }
 }
