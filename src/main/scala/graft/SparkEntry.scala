@@ -51,7 +51,8 @@ object SparkEntry {
       operators.RdfQueries.all ++
       operators.BloomQueries.all ++
       operators.OaiQueries.all ++
-      operators.SolrUpdateQueries.all
+      operators.SolrUpdateQueries.all ++
+      operators.Bpe.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

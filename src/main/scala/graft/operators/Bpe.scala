@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" — the public
+  * algorithm behind GPT-2/RoBERTa-style tokenizers). No counterpart in
+  * the reference; part of the LLM-pipeline surface.
+  *
+  * Shape per merge step: one map-side-combinable pair-count aggregation
+  * over the (vocab-bounded, NOT corpus-bounded) word table, a 1-row
+  * argmax, and a map-only greedy-left merge of that pair in every
+  * word's symbol array. The corpus is touched once (word counting);
+  * every iteration after that runs on the distinct-word table — the
+  * property that makes BPE trainable at 100 TB (vocab grows ~log with
+  * corpus size). The learned merge list is the model and lives on the
+  * driver, exactly like `KMeans.centroids`.
+  *
+  * `docs_bpe_merge_step` certifies ONE merge step against the DuckDB
+  * oracle (the `embed_kmeans_step` pattern); the full training loop is
+  * `train`, spec-covered (BpeSpec) since K chained argmaxes are not
+  * SQL-expressible without K unrolled CTE stages.
+  */
+object Bpe {
+
+  /** Greedy-left merge of the pair (a, b) in a symbol array — one
+    * `aggregate` fold, O(n) per word, codegen'd: append each symbol,
+    * collapsing it into `a||b` when the accumulator's last element is
+    * `a` and the incoming one is `b`. Left-to-right non-overlapping by
+    * construction (after a merge the last element is `a||b`, which only
+    * re-merges if it equals `a` itself — the run-parity behavior the
+    * oracle mirrors arithmetically).
+    */
+  def mergePair(symbols: Column, a: Column, b: Column): Column =
+    aggregate(
+      symbols,
+      lit(Array.empty[String]),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b)))
+        ).otherwise(concat(acc, array(x)))
+    )
+
+  /** Distinct-word table with counts and initial character symbols. */
+  def vocabOf(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+      .withColumn(
+        "syms",
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1)))
+      )
+
+  /** Corpus-weighted adjacent-pair counts over the current symbols
+    * (overlapping positions, the standard BPE count).
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(
+        col("f"),
+        explode(
+          zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b"))
+          )
+        ).as("p")
+      )
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("f").as("n"))
+
+  /** K merge steps; returns the learned merge list (the model). Ties
+    * break deterministically (count desc, then pair lexicographic).
+    * Each step's argmax is a 1-row collect — the model is driver-side
+    * by design; a production run checkpoints the vocab frame every few
+    * merges to keep the fold lineage shallow.
+    */
+  def train(vocab: DataFrame, k: Int): Seq[(String, String)] = {
+    var v = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val best = pairCounts(v)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        v = v.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+      }
+    }
+    merges.toSeq
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // One certified BPE merge step: count weighted adjacent pairs over
+      // the initial character symbols, pick the argmax (ties → smallest
+      // pair), merge it greedy-left in every word. The best pair rides a
+      // non-foldable constant-key broadcast equi-join (never a
+      // nested-loop). The oracle reproduces the greedy-left fold
+      // arithmetically: a merge position must match the pair AND — only
+      // when a = b, the one self-overlapping case — sit at an even
+      // offset within its run of `a`s.
+      "docs_bpe_merge_step",
+      (s, d) => {
+        val vocab = vocabOf(s, d)
+        val best = pairCounts(vocab)
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1)
+          // n - n + 1 on THIS side too: a lit(1) key would fold into the
+          // join condition and degrade the plan to a nested-loop join.
+          .select(
+            col("a").as("best_a"),
+            col("b").as("best_b"),
+            (col("n") - col("n") + 1).cast("int").as("__k")
+          )
+        vocab
+          // f - f + 1: stays non-foldable, so the join plans as a
+          // broadcast HASH join on the constant key (KMeans idiom).
+          .withColumn("__k", (col("f") - col("f") + 1).cast("int"))
+          .join(broadcast(best), "__k")
+          .select(
+            col("w"),
+            col("f"),
+            concat(col("best_a"), lit("+"), col("best_b")).as("best_pair"),
+            array_join(
+              mergePair(col("syms"), col("best_a"), col("best_b")),
+              " "
+            ).as("merged")
+          )
+      },
+      Some {
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        s"""WITH wf AS (
+           |  SELECT w, count(*) AS f
+           |  FROM (SELECT unnest(string_split($norm, ' ')) AS w FROM documents) _t
+           |  WHERE length(w) >= 2 GROUP BY w),
+           |pc AS (
+           |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, sum(f) AS n
+           |  FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf) _p
+           |  GROUP BY 1, 2),
+           |best AS (SELECT a, b FROM pc ORDER BY n DESC, a, b LIMIT 1),
+           |m AS (
+           |  SELECT w, f, a, b,
+           |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS chars
+           |  FROM wf CROSS JOIN best),
+           |k AS (
+           |  SELECT w, f, a, b, chars,
+           |    list_transform(range(1, len(chars)), i ->
+           |      chars[i] = a AND chars[i + 1] = b AND
+           |      (a != b OR
+           |       (i - 1 - coalesce(list_max(list_filter(range(1, i), j -> chars[j] != a)), 0)) % 2 = 0)
+           |    ) AS mask
+           |  FROM m)
+           |SELECT w, f, a || '+' || b AS best_pair,
+           |  array_to_string(
+           |    list_filter(
+           |      list_transform(range(1, len(chars) + 1), i ->
+           |        CASE WHEN i <= len(mask) AND mask[i] THEN a || b
+           |             WHEN i > 1 AND mask[i - 1] THEN NULL
+           |             ELSE chars[i] END),
+           |      x -> x IS NOT NULL),
+           |    ' ') AS merged
+           |FROM k""".stripMargin
+      }
+    )
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE training-loop behavior (the step query's oracle certifies one
+  * merge; these pin the loop and the greedy-left fold edge cases).
+  */
+class BpeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def vocab(rows: (String, Long)*) =
+    rows
+      .toDF("w", "f")
+      .withColumn(
+        "syms",
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1)))
+      )
+
+  test("train learns merges in corpus-frequency order with deterministic ties") {
+    val merges = Bpe.train(vocab("the" -> 10L, "then" -> 5L, "they" -> 3L, "he" -> 8L), 3)
+    // (h,e) appears 26×, then (t,he) 18×, then (the,n) 5×
+    assert(merges == Seq("h" -> "e", "t" -> "he", "the" -> "n"))
+  }
+
+  test("greedy-left self-pair merge collapses runs pairwise from the left") {
+    val df = vocab("aaaa" -> 1L, "aaa" -> 1L, "baab" -> 1L)
+      .select(col("w"), Bpe.mergePair(col("syms"), lit("a"), lit("a")).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+    assert(df("aaaa") == Seq("aa", "aa"))
+    assert(df("aaa") == Seq("aa", "a"))
+    assert(df("baab") == Seq("b", "aa", "b"))
+  }
+
+  test("merged symbols participate in later merges (multi-char pairs)") {
+    val df = vocab("abab" -> 1L)
+      .select(Bpe.mergePair(Bpe.mergePair(col("syms"), lit("a"), lit("b")), lit("ab"), lit("ab")))
+      .collect()(0)
+      .getSeq[String](0)
+    assert(df == Seq("abab"))
+  }
+
+  test("train stops when no pairs remain") {
+    // single two-char word: one merge exhausts every pair
+    val merges = Bpe.train(vocab("ab" -> 4L), 10)
+    assert(merges == Seq("a" -> "b"))
+  }
+}
