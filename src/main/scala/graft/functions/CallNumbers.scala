@@ -71,18 +71,26 @@ object CallNumbers {
   def deweySearchString(c: Column): Column =
     when(deweyValid(c), upper(regexp_replace(trim(c), " ", ""))).otherwise(lit(""))
 
-  /** DeweyCallNumber.php:165 getSortKey. */
+  /** DeweyCallNumber.php:165 getSortKey. The reference's suffix member
+    * is NEVER null after construction (the cutter regex's trailing group
+    * when a cutter matched, else the whole rest), so the suffix segment
+    * ALWAYS appends — including a trailing space when the prefix is
+    * non-empty and the suffix empty. The reference's own unit test pins
+    * this: getSortKey('1 .I39') = "11 I39 " (trailing space). Found by
+    * porting that test table (ReferenceParitySpec); previously this
+    * dropped the empty-suffix segment.
+    */
   def deweySortKey(c: Column): Column = {
     val base = concat(sortableString(deweyDigits(c)), deweyDecimal(c))
     val withCutter = when(
       deweyCutter(c) =!= "",
       concat(base, when(base =!= "", " ").otherwise(""), deweyCutter(c))
     ).otherwise(base)
-    val suffix = deweySuffix(c)
-    when(
-      suffix =!= "",
-      concat(withCutter, when(withCutter =!= "", " ").otherwise(""), sortableString(suffix))
-    ).otherwise(withCutter)
+    concat(
+      withCutter,
+      when(withCutter =!= "", " ").otherwise(""),
+      sortableString(deweySuffix(c))
+    )
   }
 
   private val LcRe = "^([a-zA-Z]+) *(?:(\\d+)(\\.\\d+)?)?(.*)$"

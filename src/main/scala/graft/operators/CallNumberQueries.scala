@@ -84,7 +84,7 @@ object CallNumberQueries {
            |w AS (SELECT *, (CASE WHEN cutter != '' THEN base || (CASE WHEN base != '' THEN ' ' ELSE '' END) || cutter ELSE base END) AS withcut FROM r)
            |SELECT p_partkey, callnum, valid, classification, cutter,
            |  (CASE WHEN valid THEN upper(replace(trim(callnum), ' ', '')) ELSE '' END) AS search_string,
-           |  (CASE WHEN suffix != '' THEN withcut || (CASE WHEN withcut != '' THEN ' ' ELSE '' END) || ${sortableSql("suffix")} ELSE withcut END) AS sort_key
+           |  withcut || (CASE WHEN withcut != '' THEN ' ' ELSE '' END) || coalesce(${sortableSql("suffix")}, '') AS sort_key
            |FROM w""".stripMargin
       }
     ),

@@ -272,9 +272,11 @@ object MarcSolrQueries2 {
     },
     Some {
       // The synthesized dewey values are pure "N" / "N.M" forms (no cutter
-      // or suffix), so the sort key reduces to len(digits)||digits||dec and
-      // the search string to the raw value; the general formulas are
-      // oracle-checked by dewey_callnum.
+      // or suffix), so the sort key reduces to len(digits)||digits||dec
+      // plus the reference's always-appended empty-suffix segment (a
+      // trailing space — DeweyCallNumber.php:165, pinned by its unit
+      // test) and the search string to the raw value; the general
+      // formulas are oracle-checked by dewey_callnum.
       def bucket(prec: Int) =
         s"lpad(cast(cast(floor(cast(lastd as double) / $prec) * $prec as bigint) as varchar), 3, '0')"
       s"""WITH t AS (SELECT p_partkey AS k,
@@ -326,7 +328,7 @@ object MarcSolrQueries2 {
          |  (CASE WHEN lastd = '' THEN '' ELSE ${bucket(1)} END) AS dewey_ones,
          |  lastd AS dewey_full,
          |  (CASE WHEN firstd = '' THEN ''
-         |        ELSE cast(length(string_split(firstd, '.')[1]) as varchar) || firstd END) AS dewey_sort,
+         |        ELSE cast(length(string_split(firstd, '.')[1]) as varchar) || firstd || ' ' END) AS dewey_sort,
          |  lastd AS dewey_raw,
          |  (CASE WHEN k % 2 = 0 THEN '(FI-NL)rec' || cast(k as varchar) ELSE 'rec' || cast(k as varchar) END) AS linking_id
          |FROM dd""".stripMargin

@@ -27,8 +27,11 @@ class CallNumbersSpec extends SparkSuite {
     assert(eval1(deweyClassification(col("x")), "004.16 A123x") == "004.16")
     assert(eval1(deweyCutter(col("x")), "004.16 .A123 rest") == "A123")
     assert(eval1(deweySearchString(col("x")), "004.16 A123") == "004.16A123")
-    // digits '004' -> '1004'; decimal '.16'; cutter 'A123'
-    assert(eval1(deweySortKey(col("x")), "004.16 .A123") == "1004.16 A123")
+    // digits '004' -> '1004'; decimal '.16'; cutter 'A123'; trailing
+    // space = the reference's always-appended (never-null) empty suffix
+    // segment (DeweyCallNumber.php:165, pinned by its own unit test —
+    // see ReferenceParitySpec).
+    assert(eval1(deweySortKey(col("x")), "004.16 .A123") == "1004.16 A123 ")
   }
 
   test("dewey precision buckets (getNumber)") {
