@@ -147,4 +147,81 @@ object FieldMapping {
       .when(size(cleaned) === 0, mappedEmptyResult)
       .otherwise(cleaned)
   }
+
+  /** One parsed `.map` file in full generality (FieldMapper.php
+    * readMappingFile): ordered entries whose targets may be multi-valued
+    * (the `key[] = v` accumulation syntax, exact or regexp), a `kind`
+    * (`normal` / `regexp` / `regexp-multi`), and the pseudo-entries. In
+    * the scalar [[Mapping]] model above a key maps to one value; real
+    * reference configs (e.g. the shipped rights.map) fan one match into
+    * several values, which is what this models.
+    */
+  final case class MapFile(
+      kind: String,
+      entries: Seq[(String, Seq[String])],
+      default: Option[String] = None,
+      empty: Option[String] = None,
+      emptyArray: Option[String] = None,
+      mappedEmpty: Option[String] = None
+  )
+
+  /** FieldMapper.php:224 mapValue for one scalar value, normalized to an
+    * array result (PHP returns scalar-or-array; every consumer splats).
+    *  - normal: exact entry ?? `##default` ?? identity — note NO
+    *    empty-input special case at this level (mapValue('') with a
+    *    default yields the default; the reference's own FieldMapperTest
+    *    pins this).
+    *  - regexp: the FIRST entry whose pattern matches yields its
+    *    targets, each applied as a `preg_replace`-style rewrite of the
+    *    value; no match → default ?? identity.
+    *  - regexp-multi: EVERY matching entry contributes its rewrites.
+    * Entries are plan-time config, so the whole evaluator compiles to a
+    * codegen'd when/array chain — no join, no UDF.
+    */
+  def mapOneValue(v: Column, f: MapFile): Column = {
+    val fallback = array(f.default.map(lit).getOrElse(v))
+    f.kind match {
+      case "normal" =>
+        f.entries.foldRight(fallback) { case ((k, targets), acc) =>
+          when(v === k, array(targets.map(lit): _*)).otherwise(acc)
+        }
+      case "regexp" =>
+        f.entries.foldRight(fallback) { case ((pat, targets), acc) =>
+          when(v.rlike(pat), array(targets.map(t => regexp_replace(v, pat, t)): _*))
+            .otherwise(acc)
+        }
+      case "regexp-multi" =>
+        val hits = flatten(
+          filter(
+            array(f.entries.map { case (pat, targets) =>
+              when(v.rlike(pat), array(targets.map(t => regexp_replace(v, pat, t)): _*))
+            }: _*),
+            x => x.isNotNull
+          )
+        )
+        when(size(hits) > 0, hits).otherwise(fallback)
+      case other => throw new IllegalArgumentException(s"unknown map kind $other")
+    }
+  }
+
+  /** FieldMapper.php:172 mapValues for one array-valued field: map each
+    * element through [[mapOneValue]], flatten, dedupe preserving first
+    * occurrence, drop values that mapped to '' — a non-empty input that
+    * maps away entirely becomes `##mappedempty(array)`, an empty/absent
+    * input `##empty`/`##emptyarray`. Map-only, codegen'd.
+    */
+  def mapFieldArray(arr: Column, f: MapFile): Column = {
+    val mapped = flatten(transform(arr, v => mapOneValue(v, f)))
+    val cleaned = filter(array_distinct(mapped), x => x =!= "")
+    val emptyResult = f.empty
+      .orElse(f.emptyArray)
+      .map(v => array(lit(v)))
+      .getOrElse(array().cast("array<string>"))
+    val mappedEmptyResult = f.mappedEmpty
+      .map(v => array(lit(v)))
+      .getOrElse(array().cast("array<string>"))
+    when(arr.isNull || size(arr) === 0, emptyResult)
+      .when(size(cleaned) === 0, mappedEmptyResult)
+      .otherwise(cleaned)
+  }
 }

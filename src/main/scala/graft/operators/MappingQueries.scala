@@ -137,6 +137,66 @@ object MappingQueries {
           |  ], x -> x != ''), '|'), ''), 'Unmapped') AS mapped_types
           |FROM part""".stripMargin
       )
+    ),
+    Q(
+      // Array-valued regexp mapping over an array field — the shipped
+      // rights.map shape (FieldMapper.php readMappingFile `key[] = v`
+      // accumulation + mapValues:172 array path): one matching pattern
+      // fans into several values, per-element results flatten, dedupe
+      // (first occurrence), '' drops, and a value set that maps away
+      // entirely becomes ##mappedemptyarray. Entries are plan-time
+      // config → a codegen'd when/array chain, no join, no shuffle.
+      "map_regexp_array",
+      (s, d) => {
+        val k = col("p_partkey")
+        val ks = k.cast("string")
+        val rights = array(
+          when(k % 3 === 0, concat(lit("CC BY ND "), ks))
+            .when(k % 3 === 1, concat(lit("CC-BY 4."), ks))
+            .otherwise(concat(lit("CC FOO "), ks)),
+          when(k % 5 === 0, lit("CC BY ND extra")).otherwise(concat(lit("restricted "), ks))
+        )
+        val f = FieldMapping.MapFile(
+          kind = "regexp",
+          entries = Seq(
+            "^CC[ -]*BY[ -]*ND.*" -> Seq("by", "nd"),
+            "^CC[ -]*BY[ .0-9]*$" -> Seq("by")
+          ),
+          default = Some(""),
+          mappedEmpty = Some("other")
+        )
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            array_join(rights, "|").as("rights_raw"),
+            array_join(FieldMapping.mapFieldArray(rights, f), "|").as("rights")
+          )
+      },
+      Some {
+        // Mirror: per element first-match → list of targets, flatten,
+        // order-preserving dedupe, drop '', empty → ['other'].
+        val mapOne = (v: String) =>
+          s"(CASE WHEN regexp_matches($v, '^CC[ -]*BY[ -]*ND.*') THEN ['by', 'nd'] " +
+            s"WHEN regexp_matches($v, '^CC[ -]*BY[ .0-9]*$$') THEN ['by'] ELSE [''] END)"
+        s"""WITH t AS (SELECT p_partkey,
+           |  [(CASE WHEN p_partkey % 3 = 0 THEN 'CC BY ND ' || cast(p_partkey as varchar)
+           |         WHEN p_partkey % 3 = 1 THEN 'CC-BY 4.' || cast(p_partkey as varchar)
+           |         ELSE 'CC FOO ' || cast(p_partkey as varchar) END),
+           |   (CASE WHEN p_partkey % 5 = 0 THEN 'CC BY ND extra'
+           |         ELSE 'restricted ' || cast(p_partkey as varchar) END)] AS rights
+           |  FROM part),
+           |m AS (SELECT p_partkey, rights,
+           |  flatten(list_transform(rights, v -> ${mapOne("v")})) AS mapped
+           |  FROM t),
+           |c AS (SELECT p_partkey, rights,
+           |  list_filter(list_filter(mapped, (x, i) -> list_position(mapped, x) = i), x -> x != '') AS cleaned
+           |  FROM m)
+           |SELECT p_partkey,
+           |  array_to_string(rights, '|') AS rights_raw,
+           |  (CASE WHEN len(cleaned) = 0 THEN 'other' ELSE array_to_string(cleaned, '|') END) AS rights
+           |FROM c""".stripMargin
+      }
     )
   )
 }

@@ -224,6 +224,127 @@ class ReferenceParitySpec extends SparkSuite {
     )
   }
 
+  private def evalArr(cases: Seq[(String, Seq[String])], f: Column => Column): Unit = {
+    val cols = cases.zipWithIndex.map { case ((in, _), i) => f(lit(in)).as(s"c$i") }
+    val row = spark.range(1).select(cols: _*).collect()(0)
+    cases.zipWithIndex.foreach { case ((in, expected), i) =>
+      assert(row.getSeq[String](i) == expected, s"input <$in>")
+    }
+  }
+
+  test("FieldMapperTest::testBasicMappingFile (building-basic.map)") {
+    import operators.FieldMapping._
+    val f = MapFile(
+      "normal",
+      Seq(
+        "val1" -> Seq("a/b"),
+        "val2" -> Seq(""),
+        "val3" -> Seq("a", "b"), // val3[] accumulation
+        "fi=val4" -> Seq("c")
+      ),
+      default = Some("def")
+    )
+    evalArr(
+      Seq(
+        "val1" -> Seq("a/b"),
+        "val2" -> Seq(""),
+        "val3" -> Seq("a", "b"),
+        "fi=val4" -> Seq("c"),
+        "val4" -> Seq("def"),
+        // mapValue applies ##default to an EMPTY value too (the
+        // empty-input ##empty handling lives one level up in mapValues)
+        "" -> Seq("def")
+      ),
+      v => mapOneValue(v, f)
+    )
+  }
+
+  test("FieldMapperTest::testRegexpMappingFile (building-regexp.map + no-default)") {
+    import operators.FieldMapping._
+    val entries = Seq(
+      "([a-z]+)(\\d)" -> Seq("$1/$2"),
+      "([a-z]+)" -> Seq("string"),
+      "^\\d+(.*)$" -> Seq("$1"),
+      "^FOO.*" -> Seq("BAR", "BAZ") // ^FOO.*[] accumulation
+    )
+    val withDefault = MapFile("regexp", entries, default = Some("def"))
+    evalArr(
+      Seq(
+        "val1" -> Seq("val/1"),
+        "val" -> Seq("string"),
+        "!21!" -> Seq("def"),
+        "21!" -> Seq("!"),
+        "21" -> Seq(""),
+        "FOO123" -> Seq("BAR", "BAZ")
+      ),
+      v => mapOneValue(v, withDefault)
+    )
+    val noDefault = MapFile("regexp", entries.take(3))
+    evalArr(
+      Seq(
+        "val1" -> Seq("val/1"),
+        "val" -> Seq("string"),
+        "!21!" -> Seq("!21!"), // identity when nothing matches and no default
+        "21!" -> Seq("!"),
+        "21" -> Seq("")
+      ),
+      v => mapOneValue(v, noDefault)
+    )
+  }
+
+  test("FieldMapperTest::testRegexpMultiMappingFile (building-regexp-multi.map)") {
+    import operators.FieldMapping._
+    val f = MapFile(
+      "regexp-multi",
+      Seq(
+        "([a-z]+)(\\d)" -> Seq("$1/$2"),
+        "([a-z]+)" -> Seq("string"),
+        "^\\d+(.*)$" -> Seq("$1")
+      ),
+      default = Some("def")
+    )
+    evalArr(
+      Seq(
+        // every matching pattern contributes; 'string1' keeps the
+        // unmatched digit (preg_replace rewrites the match in place)
+        "val1" -> Seq("val/1", "string1"),
+        "val" -> Seq("string"),
+        "!21!" -> Seq("def")
+      ),
+      v => mapOneValue(v, f)
+    )
+  }
+
+  test("FieldMapperTest::testMapValues + testMapValuesDefault (end-to-end)") {
+    import operators.FieldMapping._
+    val building = MapFile(
+      "normal",
+      Seq("A1" -> Seq("A"), "A2" -> Seq("A"), "B1" -> Seq("B"), "C1" -> Seq("")),
+      default = Some("DEF")
+    )
+    val rights = MapFile(
+      "regexp",
+      Seq(
+        "^CC[ -]*BY[ -]*ND.*" -> Seq("by", "nd"),
+        "^CC[ -]*BY[ .0-9]*$" -> Seq("by")
+      ),
+      default = Some(""),
+      mappedEmpty = Some("other")
+    )
+    def arr(vals: String*) = array(vals.map(lit): _*)
+    val row = spark
+      .range(1)
+      .select(
+        mapFieldArray(arr("A1", "B1"), building).as("b"),
+        mapFieldArray(arr("CC FOO", "CC BY ND"), rights).as("r1"),
+        mapFieldArray(arr("CC FOO", "CC BAR"), rights).as("r2")
+      )
+      .collect()(0)
+    assert(row.getSeq[String](0) == Seq("A", "B"))
+    assert(row.getSeq[String](1) == Seq("by", "nd"))
+    assert(row.getSeq[String](2) == Seq("other"))
+  }
+
   test("LcCallNumberTest::testCallNumber") {
     evalAll(
       Seq(
