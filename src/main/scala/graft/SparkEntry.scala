@@ -52,7 +52,8 @@ object SparkEntry {
       operators.BloomQueries.all ++
       operators.OaiQueries.all ++
       operators.SolrUpdateQueries.all ++
-      operators.Bpe.all
+      operators.Bpe.all ++
+      operators.Retrieval.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -102,7 +102,107 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Fixed merge table used by `docs_bpe_encode` — the shipped tokenizer
+    * model, exactly as a production pipeline ships the artifact `train`
+    * produced offline. Order is merge priority (Sennrich et al. apply
+    * merges in learned order at encode time); chained entries ((t,h) then
+    * (th,e)) exercise multi-char symbols.
+    */
+  val EncodeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h",
+    "th" -> "e",
+    "i" -> "n",
+    "a" -> "n",
+    "e" -> "r",
+    "o" -> "r",
+    "s" -> "t",
+    "a" -> "t",
+    "o" -> "n",
+    "e" -> "n",
+    "in" -> "d",
+    "an" -> "d",
+    "u" -> "e"
+  )
+
+  /** Sentinel wrapping each symbol on both sides. With every symbol slot
+    * rendered as `S sym S`, the pair (a,b) occurs iff the string contains
+    * `SaSSbS`, and one left-to-right non-overlapping literal replace of
+    * that pattern is EXACTLY the greedy-left merge pass — including run
+    * parity for a = b ("aaa" merges once) — because consecutive
+    * occurrences don't share sentinel characters. A single pass is also
+    * exhaustive: a replacement can't create a fresh (a,b) adjacency since
+    * `a+b` differs from both `a` and `b` (symbols are non-empty).
+    */
+  private val S = "\u0001"
+
+  /** BPE-encode one word with the fixed merge table: wrap initial
+    * characters in sentinels, apply each merge as one codegen'd string
+    * replace, split the survivors back out. Pure column expression — the
+    * encode cost is per-word and the whole query below is map-only (zero
+    * shuffles), the shape that tokenizes 100 TB embarrassingly parallel.
+    */
+  def encodeWord(w: Column): Column = {
+    val wrapped = array_join(
+      transform(
+        sequence(lit(1), length(w)),
+        i => concat(lit(S), w.substr(i, lit(1)), lit(S))
+      ),
+      ""
+    )
+    val merged = EncodeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      replace(acc, lit(S + a + S + S + b + S), lit(S + a + b + S))
+    }
+    split(merged.substr(lit(2), length(merged) - 2), S + S)
+  }
+
+  private def encodeMergeSql(wrapped: String): String =
+    EncodeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }
+
   val all: Seq[Q] = Seq(
+    Q(
+      // Tokenizer inference: apply the shipped merge table to every word
+      // of every document (Sennrich encode = merges in learned order,
+      // each one greedy-left pass, realized as sentinel-delimited string
+      // replaces). Map-only: per-doc token sequence + count with no
+      // shuffle at all. The DuckDB oracle replays the identical replace
+      // chain, so the greedy-left semantics are certified end-to-end.
+      "docs_bpe_encode",
+      (s, d) => {
+        val clean = regexp_replace(coalesce(col("text"), lit("")), S, "")
+        val ws = filter(words(clean), w => length(w) > 0)
+        val toks = flatten(transform(ws, w => encodeWord(w)))
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            array_join(toks, " ").as("tokens_str")
+          )
+      },
+      Some {
+        val norm =
+          "lower(trim(regexp_replace(replace(coalesce(text, ''), chr(1), ''), '\\s+', ' ', 'g')))"
+        val wrapped =
+          "array_to_string(list_transform(range(1, length(w) + 1), c -> chr(1) || substr(w, c, 1) || chr(1)), '')"
+        s"""WITH base AS (SELECT doc_id, $norm AS t FROM documents),
+           |wx AS (
+           |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+           |  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM base) _b),
+           |w AS (SELECT doc_id, i, ws[i] AS w FROM wx WHERE length(ws[i]) > 0),
+           |enc AS (SELECT doc_id, i, ${encodeMergeSql(wrapped)} AS m FROM w),
+           |tok AS (SELECT doc_id, i,
+           |  string_split(substr(m, 2, length(m) - 2), chr(1) || chr(1)) AS toks FROM enc),
+           |agg AS (
+           |  SELECT doc_id, cast(sum(len(toks)) AS bigint) AS n_tokens,
+           |    string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS tokens_str
+           |  FROM tok GROUP BY doc_id)
+           |SELECT b.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           |  coalesce(a.tokens_str, '') AS tokens_str
+           |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+      }
+    ),
     Q(
       // One certified BPE merge step: count weighted adjacent pairs over
       // the initial character symbols, pick the argmax (ties → smallest

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval / term-weighting operators for the LLM-pipeline
+  * surface: TF-IDF keyword extraction and BM25 ranked search (Robertson &
+  * Spärck Jones probabilistic relevance framework; BM25 constants k1=1.2,
+  * b=0.75 — the Okapi defaults). No counterpart in the reference (it
+  * delegates ranking to Solr); a data-curation pipeline needs both
+  * natively: TF-IDF feeds keyword/topic profiling, BM25 powers
+  * seed-query mining of a web corpus.
+  *
+  * Scale shape, both queries:
+  *  - tokenization is map-only;
+  *  - term statistics (document frequency) aggregate on the term — a
+  *    VOCAB-bounded key, not a corpus-bounded one, with map-side partial
+  *    aggregation;
+  *  - corpus-level scalars (N, total length) ride the 1-row
+  *    computed-key broadcast join (the `docs_lm_score` idiom — never a
+  *    cross join, never a driver collect);
+  *  - per-document ranking windows partition on doc/query id, so the
+  *    sort is per-group and bounded, never a global order-by.
+  *
+  * All scores are quantized to integer micro-units BEFORE comparison
+  * (`round(x*1e6)` as long) so the DuckDB oracle comparison never sits on
+  * a floating-point boundary — `ln` is the only libm call either engine
+  * makes, and it feeds the quantizer directly.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  private def tokens = filter(words(coalesce(col("text"), lit(""))), w => length(w) > 0)
+
+  private val NormSql =
+    "list_filter(string_split(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))), ' '), x -> length(x) > 0)"
+
+  /** Top-5 TF-IDF terms per document. idf = ln(N/df) over the whole
+    * corpus, tf = raw in-document count; score_mu = tf * round(idf*1e6)
+    * is integer-exact, so ranking (score desc, term asc) is
+    * deterministic across engines.
+    */
+  private val tfidf = Q(
+    "docs_tfidf",
+    (s, d) => {
+      val terms = docs(s, d).select(col("doc_id"), explode(tokens).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n"))
+      // Vocab-bounded dimension: term → integer micro-idf. The corpus
+      // count joins in via the non-foldable computed-key broadcast.
+      val idf = dfT
+        .withColumn("j", (col("df") - col("df") + 1).cast("int"))
+        .join(
+          broadcast(n.select((col("n") - col("n") + 1).cast("int").as("j"), col("n"))),
+          Seq("j")
+        )
+        .select(
+          col("term"),
+          round(log(col("n").cast("double") / col("df").cast("double")) * 1e6)
+            .cast("long")
+            .as("idf_mu")
+        )
+      val w = Window.partitionBy("doc_id").orderBy(col("score_mu").desc, col("term").asc)
+      tf.join(idf, "term")
+        .select(
+          col("doc_id"),
+          col("term"),
+          col("tf"),
+          (col("tf") * col("idf_mu")).as("score_mu")
+        )
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "term", "tf", "score_mu", "rank")
+    },
+    Some {
+      s"""WITH base AS (SELECT doc_id, $NormSql AS ws FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM base) _t GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |idf AS (
+         |  SELECT term,
+         |    cast(round(ln(cast(n.n AS double) / cast(df AS double)) * 1e6) AS bigint) AS idf_mu
+         |  FROM dfx, n),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_mu AS score_mu,
+         |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * idf.idf_mu DESC, tf.term) AS rank
+         |  FROM tf JOIN idf USING (term))
+         |SELECT doc_id, term, cast(tf AS bigint) AS tf,
+         |  cast(score_mu AS bigint) AS score_mu, cast(rank AS bigint) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    }
+  )
+
+  /** The query workload: tiny, rides along as a broadcast dimension. */
+  val SearchQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "stream", "window"),
+    2 -> Seq("hash", "join", "merge"),
+    3 -> Seq("vector", "query", "scan")
+  )
+
+  /** BM25 top-10 documents per query. Per matched (doc, term):
+    * score = idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), with
+    * idf = ln(1 + (N-df+0.5)/(df+0.5)). Each term's contribution is
+    * quantized to micro-units and the per-document score is an INTEGER
+    * sum — double summation order across terms never matters, so the
+    * result is engine- and partition-order-independent. Only the
+    * query-term postings (a broadcast-filtered sliver of the corpus)
+    * ever reach the scoring join.
+    */
+  private val bm25 = Q(
+    "docs_bm25_search",
+    (s, d) => {
+      import s.implicits._
+      val queryTerms = SearchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
+      val allTerms = queryTerms.map(_._2).distinct
+      val base = docs(s, d).select(col("doc_id"), tokens.as("ws"))
+      val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      // dl rides through the posting aggregation (it's functionally
+      // determined by doc_id), so no corpus-keyed join back is needed.
+      val tf = base
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("dl"),
+          explode(col("ws")).as("term")
+        )
+        .filter(col("term").isin(allTerms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val idf = tf
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .withColumn("j", (col("df") - col("df") + 1).cast("int"))
+        .join(
+          broadcast(
+            stats.select(
+              (col("n") - col("n") + 1).cast("int").as("j"),
+              col("n"),
+              col("sumdl")
+            )
+          ),
+          Seq("j")
+        )
+        .select(
+          col("term"),
+          col("n"),
+          col("sumdl"),
+          round(
+            log(
+              (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0
+            ) * 1e6
+          ).cast("long").as("idf_mu")
+        )
+      val q = queryTerms.toDF("query_id", "term")
+      val den =
+        col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl") * col("n")).cast("double") / col("sumdl").cast("double"))
+      val termScore = tf
+        .join(idf, "term")
+        .join(broadcast(q), "term")
+        .select(
+          col("query_id"),
+          col("doc_id"),
+          round(col("idf_mu") * ((col("tf") * lit(2.2)) / den)).cast("long").as("t_mu")
+        )
+      val w = Window.partitionBy("query_id").orderBy(col("score_mu").desc, col("doc_id").asc)
+      termScore
+        .groupBy("query_id", "doc_id")
+        .agg(sum("t_mu").as("score_mu"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+    },
+    Some {
+      val values = SearchQueries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      val inList = SearchQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, $NormSql AS ws FROM documents),
+         |dl AS (SELECT doc_id, cast(len(ws) AS bigint) AS dl FROM base),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM base) _t
+         |  WHERE term IN ($inList) GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT term,
+         |    cast(round(ln((cast(stats.n AS double) - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS bigint) AS idf_mu
+         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) _d, stats),
+         |q(query_id, term) AS (VALUES $values),
+         |ts AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    cast(round(idf.idf_mu * ((tf.tf * 2.2) /
+         |      (tf.tf + 1.2 * (0.25 + 0.75 *
+         |        cast(dl.dl * stats.n AS double) / cast(stats.sumdl AS double))))) AS bigint) AS t_mu
+         |  FROM tf
+         |  JOIN idf ON idf.term = tf.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN q ON q.term = tf.term, stats),
+         |sc AS (SELECT query_id, doc_id, sum(t_mu) AS score_mu FROM ts GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_mu DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT cast(query_id AS int) AS query_id, doc_id,
+         |  cast(score_mu AS bigint) AS score_mu, cast(rank AS bigint) AS rank
+         |FROM ranked WHERE rank <= 10""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(tfidf, bm25)
+}

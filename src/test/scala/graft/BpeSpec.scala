@@ -48,4 +48,28 @@ class BpeSpec extends SparkSuite {
     val merges = Bpe.train(vocab("ab" -> 4L), 10)
     assert(merges == Seq("a" -> "b"))
   }
+
+  test("encodeWord applies the shipped merges in priority order") {
+    val out = Seq("the", "then", "window", "x")
+      .toDF("w")
+      .select(col("w"), Bpe.encodeWord(col("w")).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+    // (t,h) then (th,e) chain into one symbol — multi-char merges fire.
+    assert(out("the") == Seq("the"))
+    assert(out("then") == Seq("the", "n"))
+    // (i,n) fires first, then (in,d) on the merged symbol.
+    assert(out("window") == Seq("w", "ind", "o", "w"))
+    assert(out("x") == Seq("x"))
+  }
+
+  test("encodeWord tokens concatenate back to the word (lossless)") {
+    val bad = Seq("stream", "anthracite", "queue", "sorting", "a")
+      .toDF("w")
+      .select(col("w"), array_join(Bpe.encodeWord(col("w")), "").as("glued"))
+      .collect()
+      .filter(r => r.getString(0) != r.getString(1))
+    assert(bad.isEmpty, bad.mkString(","))
+  }
 }
