@@ -214,5 +214,101 @@ object Retrieval {
     }
   )
 
-  val all: Seq[Q] = Seq(tfidf, bm25)
+  /** md5-derived token bucket 0..63 — the same hex-digit position-lookup
+    * construction as docs_sample_stratified, so both engines agree
+    * byte-for-byte.
+    */
+  private val BucketSpark =
+    "((instr('0123456789abcdef', substr(md5(term), 31, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substr(md5(term), 32, 1)) - 1)) % 64"
+  private val BucketDuck =
+    "((strpos('0123456789abcdef', substr(md5(term), 31, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(md5(term), 32, 1)) - 1)) % 64"
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by the log-likelihood ratio of a TARGET domain's hashed
+    * unigram model over the RAW corpus model — here target = the English
+    * slice, features = 64 md5 token buckets, add-1 smoothing. Documents
+    * that look like the target get positive weight; resampling by these
+    * weights shifts a 100 TB crawl toward the target distribution.
+    *
+    * Scale shape: the two n-gram models are 64-key aggregates with
+    * map-side combine; model totals ride the 1-row computed-key
+    * broadcast; the per-token model lookup is a 64-row broadcast join
+    * (map-side), so the only corpus shuffle is the final per-document
+    * sum on doc_id. Per-bucket llr is quantized to integer micro-units,
+    * making each document's weight an integer sum — engine- and
+    * partition-order-independent.
+    */
+  private val dsir = Q(
+    "docs_dsir_weight",
+    (s, d) => {
+      // explode_outer keeps empty documents (null term → null bucket →
+      // null llr), so no corpus-keyed join-back is needed for them.
+      val tok = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode_outer(tokens).as("term"))
+        .withColumn("bk", expr(BucketSpark))
+      val cr = tok.filter(col("term").isNotNull).groupBy("bk").agg(count(lit(1)).as("cr"))
+      val ct = tok
+        .filter(col("term").isNotNull && col("lang") === "en")
+        .groupBy("bk")
+        .agg(count(lit(1)).as("ct"))
+      val dim0 = cr
+        .join(ct, Seq("bk"), "left")
+        .select(col("bk"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val tot = dim0.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+      val dim = dim0
+        .withColumn("j", (col("cr") - col("cr") + 1).cast("int"))
+        .join(
+          broadcast(
+            tot.select((col("tr") - col("tr") + 1).cast("int").as("j"), col("tr"), col("tt"))
+          ),
+          Seq("j")
+        )
+        .select(
+          col("bk"),
+          // Double-first multiply: a long×long product of two corpus-scale
+          // token counts overflows at 100 TB (ANSI mode would throw);
+          // IEEE double multiply of the same operands is engine-exact.
+          round(
+            log(
+              ((col("ct") + 1).cast("double") * (col("tr") + 64).cast("double")) /
+                ((col("cr") + 1).cast("double") * (col("tt") + 64).cast("double"))
+            ) * 1e6
+          ).cast("long").as("llr_mu")
+        )
+      tok
+        .join(broadcast(dim), Seq("bk"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(col("term")).cast("long").as("n_tokens"),
+          coalesce(sum("llr_mu"), lit(0L)).cast("long").as("w_mu")
+        )
+    },
+    Some {
+      s"""WITH base AS (SELECT doc_id, lang, $NormSql AS ws FROM documents),
+         |tok AS (
+         |  SELECT doc_id, lang, term, $BucketDuck AS bk
+         |  FROM (SELECT doc_id, lang, unnest(ws) AS term FROM base) _t),
+         |cr AS (SELECT bk, count(*) AS cr FROM tok GROUP BY 1),
+         |ct AS (SELECT bk, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+         |dim AS (SELECT cr.bk, cr.cr, coalesce(ct.ct, 0) AS ct FROM cr LEFT JOIN ct USING (bk)),
+         |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dim),
+         |llr AS (
+         |  SELECT bk,
+         |    cast(round(ln((cast(ct + 1 AS double) * cast(tr + 64 AS double)) /
+         |      (cast(cr + 1 AS double) * cast(tt + 64 AS double))) * 1e6) AS bigint) AS llr_mu
+         |  FROM dim, tot),
+         |agg AS (
+         |  SELECT tok.doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |    cast(sum(llr.llr_mu) AS bigint) AS w_mu
+         |  FROM tok JOIN llr USING (bk) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.w_mu, 0) AS w_mu
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(tfidf, bm25, dsir)
 }

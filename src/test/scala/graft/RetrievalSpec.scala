@@ -39,6 +39,25 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("docs_dsir_weight covers every document exactly once, conserving tokens") {
+    val out = SparkEntry.queries("docs_dsir_weight")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.count())
+    assert(out.select(countDistinct(col("doc_id"))).head.getLong(0) == docs.count())
+    val totalOut = out.select(sum(col("n_tokens"))).head.getLong(0)
+    val totalIn = docs
+      .select(
+        explode(
+          filter(
+            graft.functions.TextFunctions.words(coalesce(col("text"), lit(""))),
+            w => length(w) > 0
+          )
+        )
+      )
+      .count()
+    assert(totalOut == totalIn, s"token mass $totalOut != $totalIn")
+  }
+
   test("bm25 favors the doc that repeats a rare query term, all else equal") {
     import spark.implicits._
     // Two equal-length docs; 'needle' appears twice in doc 1, once in
