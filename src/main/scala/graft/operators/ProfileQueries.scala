@@ -114,6 +114,25 @@ object ProfileQueries {
       val doc = Tables
         .part(s, d)
         .select(concat(lit("qdc"), k.cast("string")).as("record_id"), fields.as("fields"))
+      qdcSolrFrame(doc)
+    },
+    qdcOracle
+  )
+
+  /** The QDC toSolrArray derivation over any `(record_id, fields:
+    * array<struct<elem,typ,lang,val>>)` frame — shared between the
+    * registered query (synthesized field model) and ReferenceParitySpec,
+    * which feeds it the reference's own qdc1.xml fixture and compares
+    * against QdcTest.php's expected values. Format semantics follow
+    * `Qdc.php` getFormat:338 exactly: empty type attribute ≙ the
+    * `no_type` bucket, buckets collect first-wins, preferred types in
+    * order, else the first collected bucket, else Unknown.
+    */
+  def qdcSolrFrame(
+      doc: org.apache.spark.sql.DataFrame,
+      preferredFormatTypes: Seq[String] = Seq("media"),
+      excludedFormatTypes: Seq[String] = Seq("administrative")
+  ): org.apache.spark.sql.DataFrame = {
       val f = col("fields")
 
       val titles = ofElem(f, "title")
@@ -133,17 +152,20 @@ object ProfileQueries {
       // Format: drop excluded/empty types, bucket first-wins per type
       // attribute ('' → no_type), preferred buckets first, else the first
       // collected bucket, else Unknown.
-      val excludedTypes = Seq("administrative")
-      val preferredTypes = Seq("media")
+      def typAttr(t: Column): Column = {
+        val tt = trim(t.getField("typ"))
+        when(tt === "", "no_type").otherwise(tt)
+      }
       val types = filter(
         ofElem(f, "type"),
         t => trim(t.getField("val")) =!= "" &&
-          !t.getField("typ").isin(excludedTypes.map(lit(_)): _*)
+          !typAttr(t).isin(excludedFormatTypes.map(lit(_)): _*)
       )
-      val preferredHit = preferredTypes
-        .map(p => get(filter(types, t => t.getField("typ") === p), lit(0)).getField("val"))
-        .reduce(coalesce(_, _))
-      val format = coalesce(preferredHit, get(types, lit(0)).getField("val"), lit("Unknown"))
+      val preferredHit = preferredFormatTypes
+        .map(p => trim(get(filter(types, t => typAttr(t) === p), lit(0)).getField("val")))
+        .foldLeft(lit(null).cast("string"))(coalesce(_, _))
+      val format =
+        coalesce(preferredHit, trim(get(types, lit(0)).getField("val")), lit("Unknown"))
 
       def yearOf(arr: Column): Column = get(
         filter(
@@ -265,8 +287,9 @@ object ProfileQueries {
         col("urls"),
         col("publisher")
       )
-    },
-    Some {
+  }
+
+  private def qdcOracle: Option[String] = Some {
       val isbnB = "lpad(cast(p_partkey*7919 % 1000000000 as varchar), 9, '0')"
       s"""WITH base0 AS (
          |  SELECT p_partkey AS k, p_name AS name,
@@ -309,8 +332,7 @@ object ProfileQueries {
          |    || (CASE WHEN k % 2 = 0 THEN '' ELSE '|https://desc.ex/' || cast(k as varchar) END) AS urls,
          |  'House of ' || w[2] || ' Ltd.' AS publisher
          |FROM st3""".stripMargin
-    }
-  )
+  }
 
   private val lrmi = Q(
     "lrmi_extract",

@@ -363,4 +363,77 @@ class ReferenceParitySpec extends SparkSuite {
       .collect()(0)
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
   }
+
+  /** qdc1.xml parsed into the (elem, typ, lang, val) field model the same
+    * way Qdc.php's SimpleXML walk sees it: one entry per child element of
+    * the record root, `typ` = @type, `lang` = @lang, text content as val.
+    */
+  private lazy val qdc1Doc = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val dom = dbf
+      .newDocumentBuilder()
+      .parse(new java.io.File("/root/reference/tests/fixtures/Base/record/qdc1.xml"))
+    val kids = dom.getDocumentElement.getChildNodes
+    val rows = (0 until kids.getLength).map(kids.item).collect {
+      case e: org.w3c.dom.Element =>
+        (
+          Option(e.getLocalName).getOrElse(e.getTagName),
+          e.getAttribute("type"),
+          e.getAttribute("lang"),
+          e.getTextContent
+        )
+    }
+    val fieldExprs = rows.map { case (e, t, l, v) =>
+      struct(lit(e).as("elem"), lit(t).as("typ"), lit(l).as("lang"), lit(v).as("val"))
+    }
+    spark.range(1).select(lit("qdc1").as("record_id"), array(fieldExprs: _*).as("fields"))
+  }
+
+  test("QdcTest::testQdc1 — toSolrArray on the reference's own qdc1.xml fixture") {
+    // Expected values are QdcTest.php's $expected table for the getters
+    // our QDC surface models (title block, authors, format, year, ids,
+    // languages, urls, publisher, description). Reference-only fields
+    // (topic/allfields/ctrlnum/work keys) are outside qdc_extract's
+    // declared projection.
+    val row = graft.operators.ProfileQueries.qdcSolrFrame(qdc1Doc).collect()(0)
+    def s(n: String) = row.getAs[String](n)
+    assert(s("title") == "Urine : The potential, value chain and its sustainable management")
+    assert(s("title_short") == "Urine")
+    assert(s("title_sub") == "The potential, value chain and its sustainable management")
+    assert(s("title_alt") == "")
+    assert(s("title_sort") == "urine the potential value chain and its sustainable management")
+    assert(s("author") == "Viskari, Eeva-Liisa|Lehtoranta, Suvi|Malila, Riikka")
+    assert(s("author_sort") == "Viskari, Eeva-Liisa")
+    assert(s("author2") == "")
+    assert(s("format") == "Article")
+    assert(s("publish_year") == "2021")
+    assert(s("unique_ids") == "")
+    assert(s("isbns") == "")
+    assert(s("issns") == "2432-5058")
+    assert(s("dois") == "10.34416/svc.00029")
+    assert(s("langs") == "en")
+    assert(s("description") == "")
+    assert(s("contents") == "")
+    assert(s("urls") == "http://hdl.handle.net/10138/331330|https://doi.org/10.34416/svc.00029")
+    assert(s("publisher") == "Sanitation Project, Research Institute for Humanity and Nature")
+  }
+
+  test("QdcTest::testFormat — preferredFormatTypes driver-param table") {
+    for (
+      (pref, want) <- Seq(
+        "okm" -> "okm_type",
+        "okm,other" -> "okm_type",
+        "finna,other" -> "other_type",
+        "finna" -> "Article"
+      )
+    ) {
+      val fmt = graft.operators.ProfileQueries
+        .qdcSolrFrame(qdc1Doc, preferredFormatTypes = pref.split(",").toSeq)
+        .select("format")
+        .collect()(0)
+        .getString(0)
+      assert(fmt == want, s"preferredFormatTypes=$pref")
+    }
+  }
 }
