@@ -369,6 +369,18 @@ object ProfileQueries {
           materials.as("materials"),
           array(lit(" sv-FI")).as("in_language")
         )
+      lrmiSolrFrame(doc)
+    },
+    lrmiOracle
+  )
+
+  /** The LRMI toSolrArray derivation over any `(record_id, rawtitle,
+    * authors<kind,name>, about<name,id>, materials, in_language)` frame —
+    * shared between the registered query and ReferenceParitySpec's
+    * lrmi1.xml fixture run (`Record/Lrmi.php` getters; languages follow
+    * getLanguages:251 = material languages then inLanguage, uniqued).
+    */
+  def lrmiSolrFrame(doc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       def byKind(kind: String): Column =
         filter(
           transform(
@@ -391,9 +403,11 @@ object ProfileQueries {
         ),
         x => x.isNotNull
       )
-      val langs = filter(
-        transform(concat(col("materials"), col("in_language")), l => lower(trim(l))),
-        l => l.isNotNull && l =!= ""
+      val langs = array_distinct(
+        filter(
+          transform(concat(col("materials"), col("in_language")), l => lower(trim(l))),
+          l => l.isNotNull && l =!= ""
+        )
       )
       doc.select(
         col("record_id"),
@@ -407,8 +421,9 @@ object ProfileQueries {
         array_join(topicIds, "|").as("topic_ids"),
         array_join(langs, "|").as("langs")
       )
-    },
-    Some {
+  }
+
+  private def lrmiOracle: Option[String] = Some {
       s"""WITH base AS (
          |  SELECT c_custkey AS k, 'lrmi' || cast(c_custkey as varchar) AS record_id,
          |    (CASE WHEN c_custkey % 4 = 0 THEN 'Course ' || c_name || '.' ELSE 'Course ' || c_name END) AS rawtitle,
@@ -429,8 +444,7 @@ object ProfileQueries {
          |        ELSE 'http://ex.org/u/' || cast(k as varchar) END) AS topic_ids,
          |  'fi|' || (CASE WHEN k % 2 = 0 THEN 'en|' ELSE '' END) || 'sv-fi' AS langs
          |FROM st3""".stripMargin
-    }
-  )
+  }
 
   private val ese = Q(
     "ese_extract",

@@ -419,6 +419,62 @@ class ReferenceParitySpec extends SparkSuite {
     assert(s("publisher") == "Sanitation Project, Research Institute for Humanity and Nature")
   }
 
+  test("LrmiTest::testLrmi1 — toSolrArray on the reference's own lrmi1.xml fixture") {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val dom = dbf
+      .newDocumentBuilder()
+      .parse(new java.io.File("/root/reference/tests/fixtures/Base/record/lrmi1.xml"))
+    val root = dom.getDocumentElement
+    def elems(parent: org.w3c.dom.Element, name: String): Seq[org.w3c.dom.Element] = {
+      val kids = parent.getChildNodes
+      (0 until kids.getLength).map(kids.item).collect {
+        case e: org.w3c.dom.Element if e.getTagName == name => e
+      }
+    }
+    def text(parent: org.w3c.dom.Element, name: String): String =
+      elems(parent, name).headOption.map(_.getTextContent).getOrElse("")
+    val title = text(root, "title") // SimpleXML (string)$doc->title = first
+    val authors = elems(root, "author").flatMap { a =>
+      elems(a, "person").map(p => ("person", text(p, "name"))) ++
+        elems(a, "organization").map(o => ("org", text(o, "name")))
+    }
+    val about = elems(root, "about").flatMap(a =>
+      elems(a, "thing").map(t => (text(t, "name"), text(t, "identifier")))
+    )
+    val materialLangs = elems(root, "material").map(m => text(m, "inLanguage"))
+    val inLanguage = elems(root, "inLanguage").map(_.getTextContent)
+    val doc = spark
+      .range(1)
+      .select(
+        lit("lrmi1").as("record_id"),
+        lit(title).as("rawtitle"),
+        array(authors.map { case (k, n) =>
+          struct(lit(k).as("kind"), lit(n).as("name"))
+        }: _*).as("authors"),
+        array(about.map { case (n, i) =>
+          struct(lit(n).as("name"), lit(i).as("id"))
+        }: _*).as("about"),
+        array(materialLangs.map(lit(_)): _*).as("materials"),
+        array(inLanguage.map(lit(_)): _*).as("in_language")
+      )
+    val row = graft.operators.ProfileQueries.lrmiSolrFrame(doc).collect()(0)
+    def s(n: String) = row.getAs[String](n)
+    assert(s("title") == "Opetuksen ja oppimisen suunnittelu, Learning Design")
+    assert(s("title_sort") == "opetuksen ja oppimisen suunnittelu learning design")
+    assert(s("format") == "LearningMaterial")
+    assert(s("author") == "Koli, Hanne")
+    assert(s("author2") == "Koli, Hanne")
+    assert(s("author_corporate") == "")
+    assert(
+      s("topics") == "oppiminen|opetus|oppimisprosessi|oppimistehtävä|" +
+        "ohjaus (neuvonta ja opastus)|pedagogiikka|digipedagogiikka|oppimisympäristö"
+    )
+    // getLanguages: material languages first, then inLanguage, uniqued —
+    // [en, sv, fi] exactly as LrmiTest expects.
+    assert(s("langs") == "en|sv|fi")
+  }
+
   test("QdcTest::testFormat — preferredFormatTypes driver-param table") {
     for (
       (pref, want) <- Seq(
