@@ -180,6 +180,18 @@ object ProfileQueries2 {
           when(k % 2 === 0, lit("person")).otherwise(lit(null: String)).as("entity_type"),
           lit(" fi ").as("lang_code")
         )
+      eaccpfSolrFrame(doc)
+    },
+    eaccpfOracle
+  )
+
+  /** The EAC-CPF toSolrArray derivation over any `(record_id,
+    * parts<typ,val>, parallels<p1,p4>, dates<typ,std>, places<typ,entry>,
+    * occupations, funcs<typ,notes>, entity_type, lang_code)` frame —
+    * shared between the registered query and ReferenceParitySpec's
+    * eaccpf1.xml fixture run (`Record/Eaccpf.php` getters).
+    */
+  def eaccpfSolrFrame(doc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       def partOf(typ: String): Column =
         coalesce(
           get(
@@ -263,8 +275,9 @@ object ProfileQueries2 {
         activity.as("field_of_activity"),
         trim(col("lang_code")).as("language")
       )
-    },
-    Some {
+  }
+
+  private def eaccpfOracle: Option[String] = Some {
       s"""SELECT
          |  'eac' || cast(c_custkey as varchar) AS record_id,
          |  (CASE WHEN c_custkey % 2 = 0 THEN 'person' ELSE 'undefined' END) AS record_type,
@@ -284,8 +297,7 @@ object ProfileQueries2 {
          |  (CASE WHEN c_custkey % 9 = 0 THEN '' ELSE 'Note one. Note two' END) AS field_of_activity,
          |  'fi' AS language
          |FROM customer""".stripMargin
-    }
-  )
+  }
 
   private val PrimaryRelators = Seq("d02", "a00", "a03", "a06", "a50", "a99")
   private val SecondaryRelators = Seq("d01", "e01", "f01", "f02")

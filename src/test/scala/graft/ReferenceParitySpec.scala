@@ -475,6 +475,79 @@ class ReferenceParitySpec extends SparkSuite {
     assert(s("langs") == "en|sv|fi")
   }
 
+  test("EaccpfTest::testEaccpf1 — toSolrArray on the reference's own eaccpf1.xml fixture") {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val dom = dbf
+      .newDocumentBuilder()
+      .parse(new java.io.File("/root/reference/tests/fixtures/Base/record/eaccpf1.xml"))
+    val root = dom.getDocumentElement
+    def all(parent: org.w3c.dom.Element, name: String): Seq[org.w3c.dom.Element] = {
+      // descendant search in document order, like SimpleXML path walks
+      val l = parent.getElementsByTagName(name)
+      (0 until l.getLength).map(l.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    def kids(parent: org.w3c.dom.Element, name: String): Seq[org.w3c.dom.Element] = {
+      val k = parent.getChildNodes
+      (0 until k.getLength).map(k.item).collect {
+        case e: org.w3c.dom.Element if e.getTagName == name => e
+      }
+    }
+    val identity = all(root, "identity").head
+    val mainEntry = kids(identity, "nameEntry").head
+    val parts = kids(mainEntry, "part").map(p => (p.getAttribute("localType"), p.getTextContent))
+    val parallels = all(identity, "nameEntryParallel").flatMap(pe =>
+      kids(pe, "nameEntry").map { ne =>
+        val ps = kids(ne, "part").map(p => p.getAttribute("localType") -> p.getTextContent).toMap
+        (ps.getOrElse("TONI1", ""), ps.getOrElse("TONI4", ""))
+      }
+    )
+    val dates = all(root, "date").map(dt => (dt.getAttribute("localType"), dt.getAttribute("standardDate")))
+    val places = all(root, "place").map { p =>
+      (p.getAttribute("localType"), kids(p, "placeEntry").headOption.map(_.getTextContent).getOrElse(""))
+    }
+    val occupations = all(root, "occupation").map(o => kids(o, "term").head.getTextContent)
+    val funcs = all(root, "localDescription").map { ld =>
+      (ld.getAttribute("localType"), kids(ld, "citation").map(_.getTextContent))
+    }
+    val entityType = all(root, "entityType").head.getTextContent
+    val langCode = all(root, "language").head.getAttribute("languageCode")
+
+    val doc = spark
+      .range(1)
+      .select(
+        lit("eaccpf1").as("record_id"),
+        array(parts.map { case (t, v) => struct(lit(t).as("typ"), lit(v).as("val")) }: _*)
+          .as("parts"),
+        array(parallels.map { case (p1, p4) =>
+          struct(lit(p1).as("p1"), lit(p4).as("p4"))
+        }: _*).as("parallels"),
+        array(dates.map { case (t, sd) => struct(lit(t).as("typ"), lit(sd).as("std")) }: _*)
+          .as("dates"),
+        array(places.map { case (t, en) => struct(lit(t).as("typ"), lit(en).as("entry")) }: _*)
+          .as("places"),
+        array(occupations.map(lit(_)): _*).as("occupations"),
+        array(funcs.map { case (t, ns) =>
+          struct(lit(t).as("typ"), array(ns.map(lit(_)): _*).as("notes"))
+        }: _*).as("funcs"),
+        lit(entityType).as("entity_type"),
+        lit(langCode).as("lang_code")
+      )
+    val row = graft.operators.ProfileQueries2.eaccpfSolrFrame(doc).collect()(0)
+    def s(n: String) = row.getAs[String](n)
+    assert(s("record_type") == "person")
+    assert(s("heading") == "Sukunimi Etunimi")
+    assert(s("use_for") == "Toinensuku Toinennimi")
+    assert(s("birth_date") == "1950")
+    assert(s("death_date") == "2000")
+    assert(s("birth_place") == "Tampere")
+    assert(s("death_place") == "Joensuu")
+    assert(s("related_place") == "Helsinki|Oulu")
+    assert(s("occupation") == "runoilija|kirjailija")
+    assert(s("field_of_activity") == "")
+    assert(s("language") == "fin")
+  }
+
   test("QdcTest::testFormat — preferredFormatTypes driver-param table") {
     for (
       (pref, want) <- Seq(
