@@ -63,4 +63,22 @@ class TextVectorSpec extends SparkSuite {
     assert(eval1(languageId(col("x")), "el que de la y en los") == "es")
     assert(eval1(languageId(col("x")), "zzz qqq www") == "und")
   }
+
+  test("embed_semdedup drops every injected exact duplicate, keeps one representative") {
+    val rows = SparkEntry
+      .queries("embed_semdedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    // Injected exact copies (+200000) always have their lower-id original
+    // in the same cell at cosine 1 — none may survive.
+    val copies = rows.keys.filter(_ >= 200000)
+    assert(copies.nonEmpty)
+    copies.foreach(id => assert(!rows(id), s"exact copy $id was kept"))
+    // Their originals are kept unless an even-lower cell-mate duplicates
+    // them; at least one member of each exact pair must survive.
+    copies.foreach { id =>
+      assert(rows.contains(id - 200000), s"original of $id missing from output")
+    }
+  }
 }
