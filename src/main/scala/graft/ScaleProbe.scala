@@ -105,6 +105,31 @@ object ScaleProbe {
           .filter(!col("is_canonical"))
           .count()
         println(f"SCALE mode=cluster mult=$mult docs=$total merged=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "semskew" =>
+        // TRUE-duplicate skew for SemDeDup: base embeddings plus
+        // mult×2000 verbatim copies of one vector (distinct ids, same
+        // direction) — all copies land in ONE IVF cell at cosine 1.
+        // Uncapped, the within-cell join is (mult×2000)² pairs; the
+        // MaxBucketSize guard drops the mega-cell from pair generation,
+        // so time must stay linear in mult.
+        val base = Tables
+          .embeddings(spark, sfDir)
+          .select(
+            col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("vec")
+          )
+        val mega = base
+          .filter(col("vec_id") === 7)
+          .select(
+            explode(sequence(lit(0L), lit(mult * 2000L - 1))).as("r"),
+            col("vec")
+          )
+          .select((col("r") + 900000000L).as("vec_id"), col("vec"))
+        val big = base.union(mega)
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.LlmQueries5.semdedupOf(big).filter(!col("kept")).count()
+        println(f"SCALE mode=semskew mult=$mult vectors=$total dropped=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "kmeans" =>
         // One Lloyd step over an N×-replicated embedding corpus: the
         // aggregate key space stays K×D no matter the corpus size, so

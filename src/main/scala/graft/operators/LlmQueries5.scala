@@ -19,6 +19,40 @@ object LlmQueries5 {
 
   private val Threshold = 0.99
 
+  /** Core SemDeDup pass over any `(vec_id, vec: array<double>)` corpus:
+    * IVF-cell assignment, heavy-cell cap, lowest-id-wins within-cell
+    * cosine dedup. Shared by the `embed_semdedup` query and ScaleProbe's
+    * `semskew` mode (mega-cell of verbatim copies stays linear under the
+    * cap).
+    */
+  def semdedupOf(corpus0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val corpus = corpus0
+      .withColumn("cell", LlmQueries2.ivfCell(col("vec"), 8))
+      .persist()
+    val heavy = corpus
+      .groupBy("cell")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > LlmQueries.MaxBucketSize)
+      .drop("__n")
+    val capped = corpus.join(broadcast(heavy), Seq("cell"), "left_anti")
+    val a = capped.select(col("cell"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = capped.select(col("cell"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    val dups = a
+      .join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= Threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("__dup", lit(1))
+    corpus
+      .join(dups, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        col("__dup").isNull.as("kept")
+      )
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "embed_neardup",
@@ -123,33 +157,7 @@ object LlmQueries5 {
             (col("vec_id") + 100000).as("vec_id"),
             transform(col("vec"), x => x * lit(1.05) + lit(0.01)).as("vec")
           )
-        val corpus = base
-          .unionByName(exact)
-          .unionByName(near)
-          .withColumn("cell", LlmQueries2.ivfCell(col("vec"), 8))
-          .persist()
-        val heavy = corpus
-          .groupBy("cell")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > LlmQueries.MaxBucketSize)
-          .drop("__n")
-        val capped = corpus.join(broadcast(heavy), Seq("cell"), "left_anti")
-        val a = capped.select(col("cell"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
-        val b = capped.select(col("cell"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
-        val dups = a
-          .join(b, Seq("cell"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(cosine(col("vec_a"), col("vec_b")) >= Threshold)
-          .select(col("id_b").as("vec_id"))
-          .distinct()
-          .withColumn("__dup", lit(1))
-        corpus
-          .join(dups, Seq("vec_id"), "left")
-          .select(
-            col("vec_id"),
-            col("cell").cast("long").as("cell"),
-            col("__dup").isNull.as("kept")
-          )
+        semdedupOf(base.unionByName(exact).unionByName(near))
       },
       Some {
         val weight =
