@@ -156,4 +156,49 @@ class SourcesSpec extends SparkSuite {
     assert(f == Seq(MarcInJson.Field("300", "", "", "ill. map", Nil)))
     assert(MarcInJson.parse(MarcInJson.build(l, f)) == ((l, f)))
   }
+
+  test("MARCXML round trip survives XML metacharacters and unicode in values") {
+    // The escaping path (& < > " ') is what the alphanumeric generator
+    // never reaches; property-generate hostile values explicitly.
+    val hostile = Gen.listOfN(
+      4,
+      for {
+        tag <- Gen.oneOf("001", "245", "650")
+        code <- Gen.oneOf("a", "b")
+        v <- Gen.listOfN(12, Gen.oneOf(Gen.oneOf('&', '<', '>', '"', '\''),
+          Gen.alphaNumChar, Gen.oneOf('ä', 'ö', 'é', '中'))).map(_.mkString)
+      } yield Subfield(tag, if (tag < "010") "" else code, v)
+    )
+    (1L to 30L).flatMap(i => hostile.apply(Gen.Parameters.default, Seed(i))).foreach { fields =>
+      val parsed = MarcXml.parse(MarcXml.build(fields))
+      val expected = fields.filter(_.tag < "010") ++ fields.filter(_.tag >= "010")
+      assert(parsed == expected, fields.toString)
+    }
+  }
+
+  test("BPE encodeWord is lossless for arbitrary words (property)") {
+    import spark.implicits._
+    val wordGen = Gen.listOfN(14, Gen.oneOf(Gen.alphaLowerChar, Gen.oneOf('ä', 'ö', '-'))).map(_.mkString)
+    val words = (1L to 150L).flatMap(i => wordGen.apply(Gen.Parameters.default, Seed(i)))
+    val bad = words
+      .toDF("w")
+      .select(col("w"), array_join(graft.operators.Bpe.encodeWord(col("w")), "").as("glued"))
+      .collect()
+      .filter(r => r.getString(0) != r.getString(1))
+    assert(bad.isEmpty, bad.take(5).mkString(","))
+  }
+
+  test("normalizeKey is idempotent (property)") {
+    import spark.implicits._
+    import graft.functions.MetadataFunctions.normalizeKey
+    val strGen = Gen.asciiPrintableStr
+    val inputs = (1L to 120L)
+      .flatMap(i => strGen.apply(Gen.Parameters.default.withSize(24), Seed(i)))
+    val bad = inputs
+      .toDF("x")
+      .select(normalizeKey(col("x")).as("k1"), normalizeKey(normalizeKey(col("x"))).as("k2"))
+      .collect()
+      .filter(r => r.getString(0) != r.getString(1))
+    assert(bad.isEmpty, bad.take(5).mkString(","))
+  }
 }
