@@ -141,7 +141,7 @@ object Bpe {
     * encode cost is per-word and the whole query below is map-only (zero
     * shuffles), the shape that tokenizes 100 TB embarrassingly parallel.
     */
-  def encodeWord(w: Column): Column = {
+  def encodeWord(w: Column, merges: Seq[(String, String)] = EncodeMerges): Column = {
     val wrapped = array_join(
       transform(
         sequence(lit(1), length(w)),
@@ -149,7 +149,7 @@ object Bpe {
       ),
       ""
     )
-    val merged = EncodeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+    val merged = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
       replace(acc, lit(S + a + S + S + b + S), lit(S + a + b + S))
     }
     split(merged.substr(lit(2), length(merged) - 2), S + S)

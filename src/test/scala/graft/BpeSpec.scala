@@ -64,6 +64,24 @@ class BpeSpec extends SparkSuite {
     assert(out("x") == Seq("x"))
   }
 
+  test("train → encodeWord closes the loop: learned merges drive encoding") {
+    // Train on a tiny corpus, then encode with the LEARNED merge list —
+    // the production path (train offline, ship the artifact, encode at
+    // scale). First merge (h,e) must collapse everywhere it applies.
+    val merges = Bpe.train(vocab("the" -> 10L, "then" -> 5L, "they" -> 3L, "he" -> 8L), 3)
+    val out = Seq("he", "the", "hex", "then")
+      .toDF("w")
+      .select(col("w"), Bpe.encodeWord(col("w"), merges).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+    // learned: (h,e), (t,he), (the,n)
+    assert(out("he") == Seq("he"))
+    assert(out("the") == Seq("the"))
+    assert(out("hex") == Seq("he", "x"))
+    assert(out("then") == Seq("then"))
+  }
+
   test("encodeWord tokens concatenate back to the word (lossless)") {
     val bad = Seq("stream", "anthracite", "queue", "sorting", "a")
       .toDF("w")
