@@ -53,7 +53,8 @@ object SparkEntry {
       operators.OaiQueries.all ++
       operators.SolrUpdateQueries.all ++
       operators.Bpe.all ++
-      operators.Retrieval.all
+      operators.Retrieval.all ++
+      operators.CurationQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,339 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the reference's record surface: the
+  * named Gopher quality-rule set (Rae et al. 2021, "Scaling Language
+  * Models", Appendix A), exact duplicated-substring span detection
+  * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  * Better" — the ExactSubstr dedup), CCNet-style per-language
+  * perplexity bucketing (Wenzek et al. 2020), and a composed
+  * filter-chain attrition funnel (the per-stage kept/dropped report
+  * every production curation run emits).
+  *
+  * Scale shapes:
+  *  - Gopher rules are map-only (zero shuffles): every rule is an
+  *    integer comparison over per-document token statistics. All
+  *    thresholds are evaluated in INTEGER arithmetic (e.g. mean word
+  *    length in [3,10] is `3*n <= chars && chars <= 10*n`), so no
+  *    float boundary can flip a flag between engines — and at scale no
+  *    division sits in the hot loop.
+  *  - Duplicate-span detection explodes fixed-length character grams
+  *    (G=40, stride 1 here; production at 100 TB uses stride S anchors,
+  *    which detect every duplicated span of length >= G+S-1 at 1/S the
+  *    row count). The gram aggregate keys on gram content (bounded by
+  *    distinct content, map-side combined); the join back to positions
+  *    is fact-to-unique-dimension (never quadratic — a boilerplate gram
+  *    with 10^6 occurrences contributes 10^6 rows, not 10^12). Interval
+  *    merging is a per-document gaps-and-islands window — partitioned
+  *    on doc_id, bounded by document length, never a global sort.
+  *  - Perplexity bucketing is the docs_lm_score unigram shape (two
+  *    vocab-bounded aggregates + a 1-row broadcast total) plus one
+  *    per-language window; scores are rounded BEFORE ranking and ties
+  *    break on doc_id, so head/middle/tail cuts (integer-arithmetic
+  *    3/7/10 deciles) are deterministic across engines and partitions.
+  *  - The filter chain is one map-only conditional aggregation for the
+  *    predicate stages plus one content-hash aggregate for the exact
+  *    -dedup stage; output is O(stages) rows.
+  */
+object CurationQueries {
+
+  private val G = 40
+
+  /** Gopher stopword list (Rae et al. 2021 rule 8). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-rule boolean flags of the Gopher quality heuristics. A
+    * production filter keeps rows where `pass`; emitting the flags
+    * instead makes per-rule attrition observable (and testable).
+    */
+  private val gopherRules = Q(
+    "docs_gopher_rules",
+    (s, d) => {
+      val t = coalesce(col("text"), lit(""))
+      val ws = words(t)
+      val nw = size(ws)
+      // Sum of word lengths = normalized length minus separators.
+      val wl = length(array_join(ws, ""))
+      val lines = split(t, "\n")
+      val nl = size(lines)
+      val bulletLines = size(
+        filter(
+          lines,
+          l => l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")
+        )
+      )
+      val ellLines = size(filter(lines, l => l.endsWith("...")))
+      val alphaWords = size(filter(ws, w => w.rlike("\\p{L}")))
+      val hashes = length(t) - length(regexp_replace(t, "#", ""))
+      val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+      val stops = size(array_intersect(ws, array(GopherStops.map(lit): _*)))
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          nw.cast("long").as("n_words"),
+          (nw >= 50 && nw <= 100000).as("word_count_ok"),
+          (wl >= nw * 3 && wl <= nw * 10).as("mean_word_len_ok"),
+          ((hashes + ellipses) * 10 < nw).as("symbol_ratio_ok"),
+          (bulletLines * 10 <= nl * 9).as("bullet_ok"),
+          (ellLines * 10 <= nl * 3).as("ellipsis_ok"),
+          (alphaWords * 5 >= nw * 4).as("alpha_ok"),
+          (stops >= 2).as("stopwords_ok")
+        )
+        .withColumn(
+          "pass",
+          col("word_count_ok") && col("mean_word_len_ok") &&
+            col("symbol_ratio_ok") && col("bullet_ok") && col("ellipsis_ok") &&
+            col("alpha_ok") && col("stopwords_ok")
+        )
+    },
+    Some {
+      val ws = "string_split(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')"
+      val stops = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, coalesce(text, '') AS t, $ws AS ws,
+         |    string_split(coalesce(text, ''), chr(10)) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ws) AS nw,
+         |    length(array_to_string(ws, '')) AS wl,
+         |    len(lines) AS nl,
+         |    len(list_filter(lines, l -> starts_with(l, chr(8226)) OR starts_with(l, '- ') OR starts_with(l, '* '))) AS bl,
+         |    len(list_filter(lines, l -> ends_with(l, '...'))) AS el,
+         |    len(list_filter(ws, w -> regexp_matches(w, '\\p{L}'))) AS aw,
+         |    length(t) - length(regexp_replace(t, '#', '', 'g')) AS hashes,
+         |    (length(t) - length(replace(t, '...', ''))) // 3 AS ellipses,
+         |    len(list_intersect(ws, $stops)) AS stops
+         |  FROM base)
+         |SELECT doc_id, cast(nw AS bigint) AS n_words,
+         |  nw >= 50 AND nw <= 100000 AS word_count_ok,
+         |  wl >= nw * 3 AND wl <= nw * 10 AS mean_word_len_ok,
+         |  (hashes + ellipses) * 10 < nw AS symbol_ratio_ok,
+         |  bl * 10 <= nl * 9 AS bullet_ok,
+         |  el * 10 <= nl * 3 AS ellipsis_ok,
+         |  aw * 5 >= nw * 4 AS alpha_ok,
+         |  stops >= 2 AS stopwords_ok,
+         |  (nw >= 50 AND nw <= 100000) AND (wl >= nw * 3 AND wl <= nw * 10)
+         |    AND ((hashes + ellipses) * 10 < nw) AND (bl * 10 <= nl * 9)
+         |    AND (el * 10 <= nl * 3) AND (aw * 5 >= nw * 4) AND (stops >= 2) AS pass
+         |FROM m""".stripMargin
+    }
+  )
+
+  /** Merged spans of every character gram (length G) that occurs more
+    * than once anywhere in the corpus — the regions ExactSubstr dedup
+    * would cut. Runs over the duplicate-planted corpus so exact copies
+    * surface as whole-document spans and near-copies as shared
+    * prefixes.
+    */
+  private val duplicateSpans = Q(
+    "docs_duplicate_spans",
+    (s, d) => {
+      val corpus = LlmQueries.corpus(s, d)
+      // Docs shorter than G contribute no grams; filtering up front also
+      // dodges the descending-sequence(1,0) trap on short texts.
+      val grams = corpus
+        .filter(length(col("text")) >= G)
+        .select(
+          col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (G - 1))).as("pos"),
+          col("text")
+        )
+        .select(col("doc_id"), col("pos"), col("text").substr(col("pos"), lit(G)).as("g"))
+      val dup = grams.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+      val occ = grams
+        .join(dup, Seq("g"))
+        .select(col("doc_id"), col("pos"), (col("pos") + (G - 1)).as("e"))
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val prevMax =
+        max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+      val isl = occ
+        .withColumn(
+          "ni",
+          when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L)
+        )
+        .withColumn(
+          "island",
+          sum(col("ni")).over(byPos.rowsBetween(Window.unboundedPreceding, 0))
+        )
+      isl
+        .groupBy("doc_id", "island")
+        .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+        .select(
+          col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          (col("span_end") - col("span_start") + 1).cast("long").as("span_len")
+        )
+    },
+    Some {
+      s"""WITH ${LlmQueries.CorpusSql},
+         |grams AS (
+         |  SELECT doc_id, pos, substr(text, pos, $G) AS g
+         |  FROM (
+         |    SELECT doc_id, text, unnest(range(1, length(text) - ${G - 2})) AS pos
+         |    FROM corpus WHERE length(text) >= $G) _g),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+         |occ AS (
+         |  SELECT doc_id, pos, pos + ${G - 1} AS e FROM grams JOIN dup USING (g)),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN max(e) OVER wprev IS NULL OR pos > max(e) OVER wprev + 1
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM occ
+         |  WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl2 AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl)
+         |SELECT doc_id,
+         |  cast(min(pos) AS bigint) AS span_start,
+         |  cast(max(e) AS bigint) AS span_end,
+         |  cast(max(e) - min(pos) + 1 AS bigint) AS span_len
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin
+    }
+  )
+
+  /** CCNet head/middle/tail buckets per language: rank documents by a
+    * corpus-trained unigram log-probability (higher = more typical) and
+    * cut at the 30th/70th percentile WITHIN each language, so no
+    * language's distribution dominates another's cutoffs. Cuts use
+    * integer arithmetic (`10*rn <= 3*n`) over a pre-rounded score with
+    * doc_id tie-breaks — deterministic across engines.
+    */
+  private val pplBuckets = Q(
+    "docs_ppl_buckets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+      val ntot = uni.agg(sum(col("cu")).as("nt"))
+      val scored = toks
+        .join(uni, Seq("w"))
+        .withColumn("j", (col("cu") - col("cu") + 1).cast("int"))
+        .join(
+          broadcast(ntot.select((col("nt") - col("nt") + 1).cast("int").as("j"), col("nt"))),
+          Seq("j")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+          round(avg(log(col("cu").cast("double") / col("nt").cast("double"))), 4)
+            .as("score")
+        )
+      val byLang = Window.partitionBy("lang")
+      val rn = row_number().over(byLang.orderBy(col("score").desc, col("doc_id").asc))
+      val n = count(lit(1)).over(byLang)
+      scored
+        .withColumn("rn", rn)
+        .withColumn("n", n)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("score"),
+          when(col("rn") * 10 <= col("n") * 3, "head")
+            .when(col("rn") * 10 <= col("n") * 7, "middle")
+            .otherwise("tail")
+            .as("bucket")
+        )
+    },
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(string_split($norm, ' ')) AS w FROM documents),
+         |u AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+         |nt AS (SELECT sum(cu) AS nt FROM u),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    round(avg(ln(cast(cu AS double) / cast(nt.nt AS double))), 4) AS score
+         |  FROM toks JOIN u USING (w) CROSS JOIN nt
+         |  GROUP BY doc_id, lang),
+         |ranked AS (
+         |  SELECT doc_id, lang, score,
+         |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored)
+         |SELECT doc_id, lang, score,
+         |  CASE WHEN rn * 10 <= n * 3 THEN 'head'
+         |       WHEN rn * 10 <= n * 7 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ranked""".stripMargin
+    }
+  )
+
+  /** Attrition funnel over the duplicate-planted corpus: document count
+    * surviving each cumulative stage (word count, mean word length,
+    * stopword presence, exact dedup). The report every curation run
+    * logs; stages reuse the integer-arithmetic rule forms above.
+    */
+  private val filterChain = Q(
+    "docs_filter_chain",
+    (s, d) => {
+      val corpus = LlmQueries.corpus(s, d)
+      val ws = words(col("text"))
+      val nw = size(ws)
+      val wl = length(array_join(ws, ""))
+      val base = corpus.select(
+        col("doc_id"),
+        col("text"),
+        (nw >= 50 && nw <= 100000).as("f2"),
+        (wl >= nw * 3 && wl <= nw * 10).as("f3"),
+        (size(array_intersect(ws, array(GopherStops.map(lit): _*))) >= 1).as("f4")
+      )
+      val counts = base.agg(
+        count(lit(1)).as("c1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("f2") && col("f3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("f2") && col("f3") && col("f4"), 1L).otherwise(0L)).as("c4")
+      )
+      val uniq = base
+        .filter(col("f2") && col("f3") && col("f4"))
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep"))
+        .agg(count(lit(1)).as("c5"))
+      counts
+        .selectExpr(
+          "stack(4, 1L, 'input', c1, 2L, 'word_count', c2, " +
+            "3L, 'mean_word_len', c3, 4L, 'stopwords', c4) AS (stage_idx, stage, n_docs)"
+        )
+        .unionAll(
+          uniq.select(lit(5L).as("stage_idx"), lit("exact_unique").as("stage"), col("c5").as("n_docs"))
+        )
+    },
+    Some {
+      val ws = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+      val stops = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH ${LlmQueries.CorpusSql},
+         |base AS (
+         |  SELECT doc_id, text,
+         |    len($ws) >= 50 AND len($ws) <= 100000 AS f2,
+         |    length(array_to_string($ws, '')) >= len($ws) * 3
+         |      AND length(array_to_string($ws, '')) <= len($ws) * 10 AS f3,
+         |    len(list_intersect($ws, $stops)) >= 1 AS f4
+         |  FROM corpus),
+         |c AS (
+         |  SELECT count(*) AS c1,
+         |    sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS c2,
+         |    sum(CASE WHEN f2 AND f3 THEN 1 ELSE 0 END) AS c3,
+         |    sum(CASE WHEN f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS c4
+         |  FROM base),
+         |d AS (
+         |  SELECT count(DISTINCT md5(text)) AS c5 FROM base WHERE f2 AND f3 AND f4)
+         |SELECT cast(stage_idx AS bigint) AS stage_idx, stage, cast(n_docs AS bigint) AS n_docs FROM (
+         |  SELECT 1 AS stage_idx, 'input' AS stage, c1 AS n_docs FROM c
+         |  UNION ALL SELECT 2, 'word_count', c2 FROM c
+         |  UNION ALL SELECT 3, 'mean_word_len', c3 FROM c
+         |  UNION ALL SELECT 4, 'stopwords', c4 FROM c
+         |  UNION ALL SELECT 5, 'exact_unique', c5 FROM d) _s""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(gopherRules, duplicateSpans, pplBuckets, filterChain)
+}
