@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every line with `[info] `, which made Bench's single JSON
+// metric line unparseable to the driver (BENCH_r01..r05 all have
+// `parsed: null`). StdoutOutput lets the forked JVM inherit stdout.
+// Unscoped: delegation makes this reach run AND runMain fork options.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

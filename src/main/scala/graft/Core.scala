@@ -31,7 +31,7 @@ object Tables {
     * them as timestamps natively, this is a no-op.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -39,6 +39,12 @@ object Tables {
         // nanos (values >> 2^53) by up to ±128 ns and land on the wrong
         // microsecond near boundaries.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet micros with isAdjustedToUTC=false read as TIMESTAMP_NTZ,
+        // which time-arithmetic functions (unix_micros, window) reject.
+        // The session timezone is pinned to UTC, so the cast reinterprets
+        // the same wall-clock instant — identical to DuckDB's naive read.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -255,7 +255,13 @@ object XslTransform {
           col("doc_id"),
           xpath_string(col("out_xml"), lit("//field[@name='id']")).as("id_field"),
           xpath_string(col("out_xml"), lit("//field[@name='language']")).as("language"),
-          xpath(col("out_xml"), lit("//field[@name='title']/text()")).as("titles"),
+          // Serialized (not ArrayType): the driver's canonical sort/hash
+          // cannot order array cells (round-5 harness crash); a delimited
+          // string carries the same multi-value evidence and is hashable.
+          array_join(
+            xpath(col("out_xml"), lit("//field[@name='title']/text()")),
+            "\u001f"
+          ).as("titles"),
           size(xpath(col("out_xml"), lit("//field"))).as("n_fields")
         )
       },
@@ -263,7 +269,7 @@ object XslTransform {
         """SELECT doc_id,
           |  cast(doc_id as varchar) AS id_field,
           |  lang AS language,
-          |  [substr(text, 1, 30), source] AS titles,
+          |  substr(text, 1, 30) || chr(31) || source AS titles,
           |  4 AS n_fields
           |FROM documents""".stripMargin
       )

@@ -78,7 +78,10 @@ def main():
             f"{src}:{f.name}={f.type}"
             for src, tbl in (("spark", sdf), ("oracle", odf))
             for f in tbl.schema
-            if "decimal" in str(f.type) or "timestamp" in str(f.type)
+            # list/struct: the driver's pandas sort_values crashes on
+            # unhashable array cells (round-5 xsl_solr_array) — serialize
+            # such columns to strings in the query instead.
+            if any(t in str(f.type) for t in ("decimal", "timestamp", "list", "struct"))
         ]
         if risky:
             print(f"FAIL {name}: driver-unsafe output types {risky}")
