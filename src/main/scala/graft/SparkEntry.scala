@@ -54,7 +54,9 @@ object SparkEntry {
       operators.SolrUpdateQueries.all ++
       operators.Bpe.all ++
       operators.Retrieval.all ++
-      operators.CurationQueries.all
+      operators.CurationQueries.all ++
+      operators.JoinQueries.all ++
+      operators.LayoutQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators an analytics engine needs that Spark has no
+  * built-in operator for: the as-of join (each fact row matched to the
+  * latest earlier row of another stream) and the bounded interval join
+  * (all pairs within a time band). Both are implemented as SHUFFLE-SAFE
+  * compositions — no theta-join, no BroadcastNestedLoop, no per-key
+  * collect — so the plan that runs here is the plan you'd run at 100 TB.
+  *
+  * As-of: the classic union-tag construction. Tag both sides, union,
+  * ONE window over (key, time) carrying the last left-side value
+  * forward with `last(..., ignoreNulls)` over an unbounded-preceding
+  * frame, then keep the right-side rows. One shuffle on the key, one
+  * per-partition sort, zero joins — at scale this beats a range join
+  * because the window never materializes candidate pairs. Equivalent
+  * semantics to DuckDB's ASOF JOIN (backward, inclusive) with a total
+  * (ts, event_id) order making ties deterministic.
+  *
+  * Interval: band the time axis at the window width W. A probe row at
+  * time t can only match build rows in bucket floor(t/W) or the one
+  * before, so exploding the probe side to those two buckets turns the
+  * inequality predicate into an EQUI-join on (key, bucket) + a residual
+  * range filter. Each build row lives in exactly one bucket, so no
+  * dedup pass is needed. The shuffle keys on (user, bucket) — bounded
+  * fanout 2×, sort-merge-joinable, AQE-skew-splittable; a naive
+  * `a.join(b, a("ts") between ...)` would plan BroadcastNestedLoop and
+  * die at scale.
+  */
+object JoinQueries {
+
+  private val SessionWindowUs = 1800000000L // 30 min in microseconds
+
+  /** Events with an integer microsecond epoch + deterministic order key. */
+  private def evts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+
+  private val asof = Q(
+    "events_asof_join",
+    (s, d) => {
+      val e = evts(s, d)
+      // Union-tag: clicks carry their payload, purchases carry null; a
+      // single ordered window then drags the latest click forward. The
+      // current row is inside the frame but never matches itself (a
+      // purchase's click-payload is null), giving backward-inclusive
+      // as-of semantics under the total (ts, event_id) order.
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      val clickUs = when(col("event_type") === "click", col("us"))
+      e.filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_event_id", last(clickId, ignoreNulls = true).over(w))
+        .withColumn("click_us", last(clickUs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_event_id"),
+          (col("us") - col("click_us")).as("gap_us")
+        )
+    },
+    Some(
+      """WITH cp AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER w AS click_event_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS click_us
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  click_event_id, us - click_us AS gap_us
+        |FROM cp WHERE event_type = 'purchase'""".stripMargin
+    ),
+    bench = false
+  )
+
+  private val interval = Q(
+    "events_interval_join",
+    (s, d) => {
+      val e = evts(s, d)
+      val clicks = e
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id"),
+          col("event_id").as("click_event_id"),
+          col("us").as("click_us"),
+          // `div` (integral): epoch micros are positive, so this is the
+          // floor bucket; `/` would be a double division.
+          expr(s"us div ${SessionWindowUs}L").as("bucket")
+        )
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("event_id").as("purchase_event_id"),
+          col("us").as("purchase_us"),
+          explode(
+            array(
+              expr(s"us div ${SessionWindowUs}L") - 1,
+              expr(s"us div ${SessionWindowUs}L")
+            )
+          ).as("bucket")
+        )
+      purchases
+        .join(clicks, Seq("user_id", "bucket"))
+        // Half-open band [t-W, t): the click strictly precedes the
+        // purchase but within the 30-minute attribution window.
+        .filter(
+          col("click_us") >= col("purchase_us") - SessionWindowUs &&
+            col("click_us") < col("purchase_us")
+        )
+        .select(
+          col("user_id"),
+          col("purchase_event_id"),
+          col("click_event_id"),
+          (col("purchase_us") - col("click_us")).as("gap_us")
+        )
+    },
+    Some(
+      s"""SELECT p.user_id, p.event_id AS purchase_event_id,
+         |  c.event_id AS click_event_id,
+         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         |FROM events p
+         |JOIN events c ON c.user_id = p.user_id
+         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - $SessionWindowUs
+         |  AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin
+    ),
+    bench = false
+  )
+
+  val all: Seq[Q] = Seq(asof, interval)
+}
