@@ -56,7 +56,8 @@ object SparkEntry {
       operators.Retrieval.all ++
       operators.CurationQueries.all ++
       operators.JoinQueries.all ++
-      operators.LayoutQueries.all
+      operators.LayoutQueries.all ++
+      operators.Classifier.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — distributed full-batch logistic
+  * regression over hashed bag-of-words features, then corpus-wide
+  * scoring. This is the quality-filtering shape modern pretraining
+  * pipelines use (a small linear classifier scores every document and a
+  * threshold or sampling pass keeps the high end); the heuristic
+  * `docs_quality` rules are its hand-written cousin. Label here: the
+  * document's language flag (en vs rest) — a stand-in for any binary
+  * curation label (high/low quality, toxic/clean, domain match) carried
+  * the same way. 256 hash buckets bound the model size; a production
+  * deployment widens to 2^18 buckets with the same shapes.
+  *
+  * Features are CENTERED by the global bucket shares (x_b − M_b/M).
+  * This is not cosmetic: raw bucket frequencies sum to 1, so any
+  * uniform or corpus-mean component of the weight vector acts as a
+  * second intercept scaled by the learning rate — measured on this
+  * corpus, every uncentered variant saturated the sigmoid on one side
+  * within two iterations. Centering zeroes that drift exactly in
+  * integer arithmetic, and needs only the 256 global bucket masses — a
+  * bounded aggregate computed once.
+  *
+  * Training is Lloyd-style: K full-batch gradient-descent iterations,
+  * each ONE map pass over the feature frame plus 256-key aggregates —
+  * the [[KMeans.step]] scale shape. The corpus is never shuffled after
+  * the feature frame is built:
+  *  - the feature frame (doc → sorted (bucket, count) pairs, built once
+  *    and persisted) is corpus-sized but map-only to score;
+  *  - the weight vector, the global-mass dot product, and the residual
+  *    sum each collapse to a 1-row frame joined in on a computed
+  *    constant key (BroadcastHashJoin — never a nested loop);
+  *  - gradients key on 256 buckets + 1 bias: bounded, map-side
+  *    combined, independent of corpus size. The centering correction
+  *    (Σrmu · M_b) needs no corpus pass at all.
+  *
+  * Engine determinism (what lets a DuckDB oracle certify TRAINING, not
+  * just inference): all state is integer micro-units. The logit is an
+  * integer; the only libm call is one exp() on that integer-determined
+  * argument, immediately re-quantized (`round(…*1e6)` → long), so a
+  * sub-ulp libm difference must land within 5e-7 of a rounding
+  * boundary to matter. Integer division truncates toward zero in BOTH
+  * engines (verified: Spark `div` and DuckDB `//` give -7÷2 = -3), and
+  * both round half away from zero.
+  */
+object Classifier {
+
+  /** Hash buckets (model width). */
+  private val B = 256
+
+  /** Training iterations. */
+  private val K = 3
+
+  /** Bias learning rate: w0 -= (LrBias * Σr) div N. */
+  private val LrBias = 4L
+
+  /** Bucket learning rate — larger because centered features are small
+    * (|x_b − m_b| ~ 1/B): chosen by sweep; 8192 separates the classes
+    * without saturating.
+    */
+  private val LrW = 8192L
+
+  /** md5 hex-digit bucket 0..255 — the docs_dsir_weight construction
+    * widened to two full hex digits, identical in both engines.
+    */
+  private val BucketSpark =
+    "((instr('0123456789abcdef', substr(md5(term), 31, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substr(md5(term), 32, 1)) - 1)) % $B"
+  private val BucketDuck =
+    "((strpos('0123456789abcdef', substr(md5(term), 31, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(md5(term), 32, 1)) - 1)) % $B"
+
+  /** Per-document (y, n, pairs) feature frame; pairs sorted by bucket. */
+  private def features(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cnts = docs
+      .select(col("doc_id"), explode(Retrieval.tokens).as("term"))
+      .withColumn("bk", expr(BucketSpark))
+      .groupBy("doc_id", "bk")
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = cnts
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("bk"), col("cnt")))).as("pairs"),
+        sum("cnt").as("n")
+      )
+    docs
+      .select(
+        col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")
+      )
+      .join(pairs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("y"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("pairs"), array().cast("array<struct<bk:int,cnt:bigint>>")).as("pairs")
+      )
+  }
+
+  /** Global per-bucket token masses (bk, mb) — B rows, computed once. */
+  private def massOf(docf: DataFrame): DataFrame =
+    docf
+      .select(explode(col("pairs")).as("p"))
+      .groupBy(col("p.bk").as("bk"))
+      .agg(sum(col("p.cnt")).as("mb"))
+
+  /** The model between iterations: bias + B bucket weights, all integer
+    * micro-units. 257 longs — MODEL state, not data; collecting it per
+    * iteration is the documented Lloyd-loop pattern ([[KMeans]]), and
+    * embedding it back as a literal array keeps every iteration's plan
+    * FLAT. (A fully lazy weight chain re-expands the previous iteration
+    * at each of its four use sites: 4^K plan copies — measured at seven
+    * minutes for K=3 on 500 documents, all of it catalyst/job overhead.)
+    */
+  private final case class Model(biasMu: Long, wMu: Array[Long]) {
+    /** Σ_b w_b·M_b div M — the centering term, exact driver integers
+      * (JVM `/` truncates toward zero like Spark `div` / DuckDB `//`).
+      */
+    def wdotDivM(mass: Map[Int, Long], mTot: Long): Long = {
+      var dot = 0L
+      for ((bk, mb) <- mass) dot += wMu(bk) * mb
+      dot / mTot
+    }
+  }
+
+  /** Integer logit + quantized sigmoid residual for every document.
+    * lmu = bias + (Σ_b w_b·cnt_b) div n − (Σ_b w_b·M_b) div M. The
+    * weight vector rides into the plan as ONE literal array — map-only,
+    * no join at all.
+    */
+  private def scoredOf(
+      docf: DataFrame,
+      m: Model,
+      mass: Map[Int, Long],
+      mTot: Long
+  ): DataFrame = {
+    val warr = typedLit(m.wMu.toSeq)
+    docf
+      .withColumn(
+        "s",
+        aggregate(
+          col("pairs"),
+          lit(0L),
+          (acc, p) =>
+            acc + element_at(warr, (p.getField("bk") + 1).cast("int")) *
+              p.getField("cnt")
+        )
+      )
+      .withColumn(
+        "lmu",
+        lit(m.biasMu) +
+          when(col("n") > 0, expr("s div n")).otherwise(lit(0L)) -
+          lit(m.wdotDivM(mass, mTot))
+      )
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-(col("lmu") / lit(1e6)))))
+      .withColumn("rmu", round((col("p") - col("y")) * 1e6).cast("long"))
+  }
+
+  /** One full-batch GD iteration: aggregate centered gradients (256
+    * bucket keys + bias), collect them, update the model in the driver.
+    * Centered gradient: g_b = Σ_docs (rmu·cnt_b) div n − (Σrmu · M_b) div M.
+    */
+  private def iterate(
+      docf: DataFrame,
+      m: Model,
+      mass: Map[Int, Long],
+      mTot: Long,
+      nDocs: Long
+  ): Model = {
+    val scored = scoredOf(docf, m, mass, mTot)
+    val rows = scored
+      .select(col("rmu"), col("n"), explode_outer(col("pairs")).as("p"))
+      .groupBy(coalesce(col("p.bk"), lit(-1)).as("b"))
+      .agg(
+        sum(expr("coalesce((rmu * p.cnt) div greatest(n, 1L), 0L)")).as("graw"),
+        count(lit(1)).as("cnt")
+      )
+      .collect()
+    val graw = rows.map(r => r.getAs[Int]("b") -> r.getAs[Long]("graw")).toMap
+    // Σrmu needs each doc once, not once per pair — separate tiny agg.
+    val rsum = scored.agg(sum("rmu")).collect()(0).getLong(0)
+    val newW = Array.tabulate(B) { bk =>
+      val g = graw.getOrElse(bk, 0L) - (rsum * mass.getOrElse(bk, 0L)) / mTot
+      m.wMu(bk) - (LrW * g) / nDocs
+    }
+    Model(m.biasMu - (LrBias * rsum) / nDocs, newW)
+  }
+
+  /** DuckDB oracle replaying the identical K iterations. */
+  private def oracleSql: String = {
+    val score = (w: String, out: String) =>
+      s"""${out}_wdot AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(w.w_mu * m.mb), 0) AS BIGINT) AS wdot
+         |  FROM mass m JOIN $w w ON w.b = m.bk),
+         |$out AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, f.n,
+         |    (SELECT w_mu FROM $w WHERE b = -1) +
+         |      CASE WHEN f.n > 0 THEN sc.s // f.n ELSE 0 END -
+         |      (SELECT wdot FROM ${out}_wdot) // (SELECT mt FROM mtot) AS lmu
+         |  FROM docf f
+         |  JOIN (SELECT f2.doc_id, CAST(coalesce(sum(w.w_mu * c.cnt), 0) AS BIGINT) AS s
+         |        FROM docf f2
+         |        LEFT JOIN cnts c ON c.doc_id = f2.doc_id
+         |        LEFT JOIN $w w ON w.b = c.bk
+         |        GROUP BY 1) sc ON sc.doc_id = f.doc_id)""".stripMargin
+    val resid = (l: String, out: String) =>
+      s"""$out AS MATERIALIZED (
+         |  SELECT doc_id, y, n,
+         |    CAST(round((1.0 / (1.0 + exp(-(lmu / 1000000.0))) - y) * 1000000) AS BIGINT) AS rmu
+         |  FROM $l)""".stripMargin
+    val update = (w: String, r: String, out: String) =>
+      s"""$out AS MATERIALIZED (
+         |  SELECT w.b,
+         |    CAST(w.w_mu - ((CASE WHEN w.b = -1 THEN $LrBias ELSE $LrW END) *
+         |      coalesce(g.g_mu, 0)) // (SELECT nd FROM nrow) AS BIGINT) AS w_mu
+         |  FROM $w w
+         |  LEFT JOIN (
+         |    SELECT c.bk AS b,
+         |      CAST(sum((r.rmu * c.cnt) // greatest(r.n, 1)) AS BIGINT) -
+         |        ((SELECT CAST(sum(rmu) AS BIGINT) FROM $r) * any_value(m.mb)) //
+         |          (SELECT mt FROM mtot) AS g_mu
+         |    FROM $r r JOIN cnts c USING (doc_id) JOIN mass m ON m.bk = c.bk
+         |    GROUP BY c.bk
+         |    UNION ALL SELECT -1, CAST(sum(rmu) AS BIGINT) FROM $r) g USING (b))""".stripMargin
+
+    val iters = (1 to K)
+      .map { k =>
+        Seq(
+          score(s"w${k - 1}", s"l$k"),
+          resid(s"l$k", s"r$k"),
+          update(s"w${k - 1}", s"r$k", s"w$k")
+        ).mkString(",\n")
+      }
+      .mkString(",\n")
+
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, term, $BucketDuck AS bk
+       |  FROM (SELECT doc_id, unnest(${Retrieval.NormSql}) AS term FROM documents) _t),
+       |cnts AS MATERIALIZED (SELECT doc_id, bk, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM cnts GROUP BY 1),
+       |docf AS MATERIALIZED (
+       |  SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    coalesce(dl.n, 0) AS n
+       |  FROM documents d LEFT JOIN dl USING (doc_id)),
+       |mass AS MATERIALIZED (SELECT bk, CAST(sum(cnt) AS BIGINT) AS mb FROM cnts GROUP BY 1),
+       |mtot AS MATERIALIZED (SELECT CAST(sum(mb) AS BIGINT) AS mt FROM mass),
+       |nrow AS MATERIALIZED (SELECT count(*) AS nd FROM docf),
+       |w0 AS MATERIALIZED (SELECT CAST(b AS INT) AS b, CAST(0 AS BIGINT) AS w_mu FROM range(-1, $B) t(b)),
+       |$iters,
+       |${score(s"w$K", "lf")}
+       |SELECT doc_id, y, n AS n_tokens,
+       |  CAST(round(1000000.0 / (1.0 + exp(-(lmu / 1000000.0)))) AS BIGINT) AS p_mu
+       |FROM lf""".stripMargin
+  }
+
+  private val classifier = Q(
+    "docs_classifier_score",
+    (s, d) => {
+      val docf = features(s, d).persist()
+      // Bounded model configuration resolved up front (mirrors reading
+      // table statistics): 256 bucket masses + the doc count.
+      val massRows = massOf(docf).collect()
+      val mass = massRows
+        .map(r => r.getAs[Int]("bk") -> r.getAs[Long]("mb"))
+        .toMap
+      val mTot = math.max(mass.values.sum, 1L)
+      val nDocs = math.max(docf.count(), 1L)
+      val w0 = Model(0L, Array.fill(B)(0L))
+      val wK = (1 to K).foldLeft(w0)((m, _) => iterate(docf, m, mass, mTot, nDocs))
+      scoredOf(docf, wK, mass, mTot)
+        .select(
+          col("doc_id"),
+          col("y"),
+          col("n").as("n_tokens"),
+          round(lit(1e6) / (lit(1.0) + exp(-(col("lmu") / lit(1e6))))).cast("long").as("p_mu")
+        )
+    },
+    Some(oracleSql),
+    bench = false
+  )
+
+  val all: Seq[Q] = Seq(classifier)
+}

@@ -35,9 +35,9 @@ object Retrieval {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
-  private def tokens = filter(words(coalesce(col("text"), lit(""))), w => length(w) > 0)
+  private[operators] def tokens = filter(words(coalesce(col("text"), lit(""))), w => length(w) > 0)
 
-  private val NormSql =
+  private[operators] val NormSql =
     "list_filter(string_split(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))), ' '), x -> length(x) > 0)"
 
   /** Top-5 TF-IDF terms per document. idf = ln(N/df) over the whole
@@ -218,10 +218,10 @@ object Retrieval {
     * construction as docs_sample_stratified, so both engines agree
     * byte-for-byte.
     */
-  private val BucketSpark =
+  private[operators] val BucketSpark =
     "((instr('0123456789abcdef', substr(md5(term), 31, 1)) - 1) * 16 + " +
       "(instr('0123456789abcdef', substr(md5(term), 32, 1)) - 1)) % 64"
-  private val BucketDuck =
+  private[operators] val BucketDuck =
     "((strpos('0123456789abcdef', substr(md5(term), 31, 1)) - 1) * 16 + " +
       "(strpos('0123456789abcdef', substr(md5(term), 32, 1)) - 1)) % 64"
 
