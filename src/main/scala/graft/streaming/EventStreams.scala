@@ -102,6 +102,48 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Stream-stream interval join — the streaming twin of the
+    * `events_interval_join` batch query: every click attributed to a
+    * later purchase of the same user within the 30-minute window.
+    * Watermarks on BOTH sides plus the two-sided time-range predicate
+    * are what let Spark bound the join state: a click can be dropped
+    * from state once the watermark passes its ts + 30 min, a purchase
+    * once matched candidates are exhausted. Without the range condition
+    * the state store grows forever; with it, state per key is O(events
+    * in the window) and the operator runs indefinitely at production
+    * volume — same micro-batch shuffle on user_id as the batch
+    * equi-join on (user, bucket).
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user_id"),
+        col("event_id").as("click_event_id"),
+        col("ts").as("click_ts")
+      )
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts")
+      )
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(
+      c,
+      col("c_user_id") === col("p_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") < col("purchase_ts")
+    ).select(
+      col("p_user_id").as("user_id"),
+      col("purchase_event_id"),
+      col("click_event_id"),
+      (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us")
+    )
+  }
+
   /** Wire a parquet-directory source through the streaming operators — the
     * production entry point (`readStream` → transform → `writeStream`).
     */

@@ -113,4 +113,37 @@ class StreamingSpec extends SparkSuite {
       assert(rows.contains((2L, 1L, 1L, 5.0)), rows.toString)
     } finally q.stop()
   }
+
+  test("intervalJoinStream matches the batch twin's half-open band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 0.0), // exactly 30 min before -> included
+      Event(2, ts(15), 7, "click", 0.0), // 15 min before -> included
+      Event(3, ts(30), 7, "purchase", 0.0),
+      Event(4, ts(30), 7, "click", 0.0), // same instant -> excluded
+      Event(5, ts(15), 8, "click", 0.0) // other user -> excluded
+    )
+    val df = input.toDF()
+    val q = EventStreams
+      .intervalJoinStream(df, df)
+      .writeStream
+      .format("memory")
+      .queryName("ivj_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark
+        .table("ivj_out")
+        .collect()
+        .map(r =>
+          (r.getAs[Long]("purchase_event_id"), r.getAs[Long]("click_event_id"),
+            r.getAs[Long]("gap_us"))
+        )
+        .toSet
+      assert(rows == Set((3L, 1L, 1800000000L), (3L, 2L, 900000000L)))
+    } finally q.stop()
+  }
 }
