@@ -146,6 +146,46 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = operators.KMeans.step(big, seeds).count()
         println(f"SCALE mode=kmeans mult=$mult vectors=$total cells_x_dims=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "joins" =>
+        // Temporal joins over an N×-replicated events table with DISJOINT
+        // user spaces per replica: window partitions and (user, bucket)
+        // join blocks keep their base size, so time must track the scan
+        // (linear). A superlinear curve would mean the shuffle or sort is
+        // global rather than per-key.
+        val base = operators.JoinQueries
+          .evts(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("us"))
+        val big = (0 until mult)
+          .map { i =>
+            if (i == 0) base
+            else base.withColumn("user_id", col("user_id") + i * 1000000L)
+          }
+          .reduce(_ union _)
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val nA = operators.JoinQueries.asofOf(big).count()
+        val t1 = System.nanoTime()
+        val nI = operators.JoinQueries.intervalOf(big).count()
+        val t2 = System.nanoTime()
+        println(
+          f"SCALE mode=joins mult=$mult events=$total asof=$nA (${(t1 - t0) / 1e9}%.1f s) interval=$nI (${(t2 - t1) / 1e9}%.1f s)"
+        )
+      case "classifier" =>
+        // Full K-iteration training + scoring over an N×-replicated
+        // corpus (disjoint doc ids, same text/labels): gradients key on
+        // 256 buckets regardless of corpus size, the feature frame is
+        // map-only to score — time must track the scan, linearly.
+        val base = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+        val big = (0 until mult)
+          .map { i =>
+            if (i == 0) base
+            else base.withColumn("doc_id", col("doc_id") + i * 10000000L)
+          }
+          .reduce(_ union _)
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.Classifier.scoreOf(big).filter(col("p_mu") > 500000L).count()
+        println(f"SCALE mode=classifier mult=$mult docs=$total high=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "incr" =>
         // Incremental mode: a FIXED batch against an N×-growing clustered
         // corpus — the production shape (daily delta vs full history).

@@ -74,8 +74,7 @@ object Classifier {
       s"(strpos('0123456789abcdef', substr(md5(term), 32, 1)) - 1)) % $B"
 
   /** Per-document (y, n, pairs) feature frame; pairs sorted by bucket. */
-  private def features(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def features(docs: DataFrame): DataFrame = {
     val cnts = docs
       .select(col("doc_id"), explode(Retrieval.tokens).as("term"))
       .withColumn("bk", expr(BucketSpark))
@@ -257,10 +256,11 @@ object Classifier {
        |FROM lf""".stripMargin
   }
 
-  private val classifier = Q(
-    "docs_classifier_score",
-    (s, d) => {
-      val docf = features(s, d).persist()
+  /** Train K iterations + score: the full operator over any documents
+    * frame carrying (doc_id, text, lang).
+    */
+  def scoreOf(docs: DataFrame): DataFrame = {
+      val docf = features(docs).persist()
       // Bounded model configuration resolved up front (mirrors reading
       // table statistics): 256 bucket masses + the doc count.
       val massRows = massOf(docf).collect()
@@ -278,7 +278,11 @@ object Classifier {
           col("n").as("n_tokens"),
           round(lit(1e6) / (lit(1.0) + exp(-(col("lmu") / lit(1e6))))).cast("long").as("p_mu")
         )
-    },
+  }
+
+  private val classifier = Q(
+    "docs_classifier_score",
+    (s, d) => scoreOf(Tables.documents(s, d)),
     Some(oracleSql),
     bench = false
   )

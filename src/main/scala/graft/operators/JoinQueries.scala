@@ -36,36 +36,79 @@ object JoinQueries {
   private val SessionWindowUs = 1800000000L // 30 min in microseconds
 
   /** Events with an integer microsecond epoch + deterministic order key. */
-  private def evts(s: SparkSession, d: String): DataFrame =
+  def evts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+
+  /** As-of core over an events frame carrying (event_id, ts, user_id,
+    * event_type, us). Union-tag: clicks carry their payload, purchases
+    * carry null; a single ordered window then drags the latest click
+    * forward. The current row is inside the frame but never matches
+    * itself (a purchase's click-payload is null), giving
+    * backward-inclusive as-of semantics under the total (ts, event_id)
+    * order.
+    */
+  def asofOf(e: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickUs = when(col("event_type") === "click", col("us"))
+    e.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_event_id", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("click_us", last(clickUs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("click_event_id"),
+        (col("us") - col("click_us")).as("gap_us")
+      )
+  }
+
+  /** Interval core: every (purchase, click) pair of the same user with
+    * the click in the half-open 30-minute band before the purchase.
+    */
+  def intervalOf(e: DataFrame): DataFrame = {
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_event_id"),
+        col("us").as("click_us"),
+        expr(s"us div ${SessionWindowUs}L").as("bucket")
+      )
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        col("us").as("purchase_us"),
+        explode(
+          array(
+            expr(s"us div ${SessionWindowUs}L") - 1,
+            expr(s"us div ${SessionWindowUs}L")
+          )
+        ).as("bucket")
+      )
+    purchases
+      .join(clicks, Seq("user_id", "bucket"))
+      .filter(
+        col("click_us") >= col("purchase_us") - SessionWindowUs &&
+          col("click_us") < col("purchase_us")
+      )
+      .select(
+        col("user_id"),
+        col("purchase_event_id"),
+        col("click_event_id"),
+        (col("purchase_us") - col("click_us")).as("gap_us")
+      )
+  }
 
   private val asof = Q(
     "events_asof_join",
-    (s, d) => {
-      val e = evts(s, d)
-      // Union-tag: clicks carry their payload, purchases carry null; a
-      // single ordered window then drags the latest click forward. The
-      // current row is inside the frame but never matches itself (a
-      // purchase's click-payload is null), giving backward-inclusive
-      // as-of semantics under the total (ts, event_id) order.
-      val w = Window
-        .partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val clickId = when(col("event_type") === "click", col("event_id"))
-      val clickUs = when(col("event_type") === "click", col("us"))
-      e.filter(col("event_type").isin("click", "purchase"))
-        .withColumn("click_event_id", last(clickId, ignoreNulls = true).over(w))
-        .withColumn("click_us", last(clickUs, ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(
-          col("event_id"),
-          col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
-          col("click_event_id"),
-          (col("us") - col("click_us")).as("gap_us")
-        )
-    },
+    (s, d) => asofOf(evts(s, d)),
     Some(
       """WITH cp AS (
         |  SELECT event_id, user_id, ts, epoch_us(ts) AS us, event_type,
@@ -87,46 +130,7 @@ object JoinQueries {
 
   private val interval = Q(
     "events_interval_join",
-    (s, d) => {
-      val e = evts(s, d)
-      val clicks = e
-        .filter(col("event_type") === "click")
-        .select(
-          col("user_id"),
-          col("event_id").as("click_event_id"),
-          col("us").as("click_us"),
-          // `div` (integral): epoch micros are positive, so this is the
-          // floor bucket; `/` would be a double division.
-          expr(s"us div ${SessionWindowUs}L").as("bucket")
-        )
-      val purchases = e
-        .filter(col("event_type") === "purchase")
-        .select(
-          col("user_id"),
-          col("event_id").as("purchase_event_id"),
-          col("us").as("purchase_us"),
-          explode(
-            array(
-              expr(s"us div ${SessionWindowUs}L") - 1,
-              expr(s"us div ${SessionWindowUs}L")
-            )
-          ).as("bucket")
-        )
-      purchases
-        .join(clicks, Seq("user_id", "bucket"))
-        // Half-open band [t-W, t): the click strictly precedes the
-        // purchase but within the 30-minute attribution window.
-        .filter(
-          col("click_us") >= col("purchase_us") - SessionWindowUs &&
-            col("click_us") < col("purchase_us")
-        )
-        .select(
-          col("user_id"),
-          col("purchase_event_id"),
-          col("click_event_id"),
-          (col("purchase_us") - col("click_us")).as("gap_us")
-        )
-    },
+    (s, d) => intervalOf(evts(s, d)),
     Some(
       s"""SELECT p.user_id, p.event_id AS purchase_event_id,
          |  c.event_id AS click_event_id,
