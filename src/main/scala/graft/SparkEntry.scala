@@ -57,7 +57,8 @@ object SparkEntry {
       operators.CurationQueries.all ++
       operators.JoinQueries.all ++
       operators.LayoutQueries.all ++
-      operators.Classifier.all
+      operators.Classifier.all ++
+      operators.SequenceQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

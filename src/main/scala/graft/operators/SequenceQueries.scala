@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels, cohort retention, and
+  * trailing-window features — the behavioral-analytics query family a
+  * production events pipeline runs daily.
+  *
+  * Scale shapes:
+  *  - Funnel: three chained user-keyed aggregates (min matching time per
+  *    stage, each conditioned on the previous stage's time). Every
+  *    shuffle keys on user_id; no collect_list of a user's history ever
+  *    materializes, so a power user with 10^7 events costs aggregation,
+  *    not memory. Stage times are integer micros — cross-engine exact.
+  *  - Retention: first-activity day per user (user-keyed aggregate) ⋈
+  *    distinct activity days (user-keyed aggregate), then a count on
+  *    (cohort_day, offset) — a key space bounded by days², not users.
+  *  - Trailing features: ONE range-frame window per user over integer
+  *    microseconds. A range frame includes every row tied on the order
+  *    key, so ties cannot reorder results; the windowed sum runs on
+  *    decimal and is final-cast to double (partition-order independent,
+  *    driver-hash safe).
+  */
+object SequenceQueries {
+
+  private val HourUs = 3600000000L
+
+  private def evts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+
+  /** Ordered signup → click → purchase funnel: the stage each user
+    * reached, with the time each stage completed. Strictly-later
+    * ordering between stages.
+    */
+  def funnelOf(e: DataFrame): DataFrame = {
+    val s1 = e
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("us").as("t1"))
+    val s2 = e
+      .filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id")
+      .agg(min("us").as("t2"))
+    val s3 = e
+      .filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id")
+      .agg(min("us").as("t3"))
+    e.select("user_id")
+      .distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        (when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0)).as("stage"),
+        coalesce(col("t1"), lit(-1L)).as("t1_us"),
+        coalesce(col("t2"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3"), lit(-1L)).as("t3_us")
+      )
+  }
+
+  private val funnel = Q(
+    "events_funnel",
+    (s, d) => funnelOf(evts(s, d)),
+    Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  coalesce(t1, -1) AS t1_us, coalesce(t2, -1) AS t2_us,
+        |  coalesce(t3, -1) AS t3_us
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin
+    )
+  )
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort_day, day_offset), how many of that cohort were active.
+    */
+  def retentionOf(e: DataFrame): DataFrame = {
+    val days = e
+      .select(col("user_id"), expr("us div 86400000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days
+      .join(cohort, Seq("user_id"))
+      .groupBy(
+        col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset")
+      )
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val retention = Q(
+    "events_retention",
+    (s, d) => retentionOf(evts(s, d)),
+    Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM days JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
+    )
+  )
+
+  /** Per-event trailing-1-hour activity features for the same user:
+    * event count and value sum over (t − 1h, t] including ties.
+    */
+  def trailingOf(e: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("us")
+      .rangeBetween(-(HourUs - 1), Window.currentRow)
+    e.select(
+      col("event_id"),
+      col("user_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_value_1h")
+    )
+  }
+
+  private val trailing = Q(
+    "events_trailing_features",
+    (s, d) => trailingOf(evts(s, d)),
+    Some(
+      s"""SELECT event_id, user_id,
+         |  count(*) OVER w AS n_1h,
+         |  cast(sum(cast(value AS decimal(18,2))) OVER w AS double) AS sum_value_1h
+         |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events) e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us
+         |             RANGE BETWEEN ${HourUs - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(funnel, retention, trailing)
+}
