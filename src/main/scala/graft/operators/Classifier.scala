@@ -190,7 +190,7 @@ object Classifier {
   }
 
   /** DuckDB oracle replaying the identical K iterations. */
-  private def oracleSql: String = {
+  private def oracleSql(tail: String): String = {
     val score = (w: String, out: String) =>
       s"""${out}_wdot AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(w.w_mu * m.mb), 0) AS BIGINT) AS wdot
@@ -251,41 +251,71 @@ object Classifier {
        |w0 AS MATERIALIZED (SELECT CAST(b AS INT) AS b, CAST(0 AS BIGINT) AS w_mu FROM range(-1, $B) t(b)),
        |$iters,
        |${score(s"w$K", "lf")}
-       |SELECT doc_id, y, n AS n_tokens,
-       |  CAST(round(1000000.0 / (1.0 + exp(-(lmu / 1000000.0)))) AS BIGINT) AS p_mu
-       |FROM lf""".stripMargin
+       |$tail""".stripMargin
+  }
+
+  private def scoreTail: String =
+    """SELECT doc_id, y, n AS n_tokens,
+      |  CAST(round(1000000.0 / (1.0 + exp(-(lmu / 1000000.0)))) AS BIGINT) AS p_mu
+      |FROM lf""".stripMargin
+
+  private def weightsTail: String =
+    s"""SELECT b, w_mu FROM w$K"""
+
+  /** Run the K training iterations over a documents frame; returns the
+    * persisted feature frame, the model configuration, and the model.
+    */
+  private def train(docs: DataFrame): (DataFrame, Map[Int, Long], Long, Model) = {
+    val docf = features(docs).persist()
+    // Bounded model configuration resolved up front (mirrors reading
+    // table statistics): 256 bucket masses + the doc count.
+    val mass = massOf(docf)
+      .collect()
+      .map(r => r.getAs[Int]("bk") -> r.getAs[Long]("mb"))
+      .toMap
+    val mTot = math.max(mass.values.sum, 1L)
+    val nDocs = math.max(docf.count(), 1L)
+    val w0 = Model(0L, Array.fill(B)(0L))
+    val wK = (1 to K).foldLeft(w0)((m, _) => iterate(docf, m, mass, mTot, nDocs))
+    (docf, mass, mTot, wK)
   }
 
   /** Train K iterations + score: the full operator over any documents
     * frame carrying (doc_id, text, lang).
     */
   def scoreOf(docs: DataFrame): DataFrame = {
-      val docf = features(docs).persist()
-      // Bounded model configuration resolved up front (mirrors reading
-      // table statistics): 256 bucket masses + the doc count.
-      val massRows = massOf(docf).collect()
-      val mass = massRows
-        .map(r => r.getAs[Int]("bk") -> r.getAs[Long]("mb"))
-        .toMap
-      val mTot = math.max(mass.values.sum, 1L)
-      val nDocs = math.max(docf.count(), 1L)
-      val w0 = Model(0L, Array.fill(B)(0L))
-      val wK = (1 to K).foldLeft(w0)((m, _) => iterate(docf, m, mass, mTot, nDocs))
-      scoredOf(docf, wK, mass, mTot)
-        .select(
-          col("doc_id"),
-          col("y"),
-          col("n").as("n_tokens"),
-          round(lit(1e6) / (lit(1.0) + exp(-(col("lmu") / lit(1e6))))).cast("long").as("p_mu")
-        )
+    val (docf, mass, mTot, wK) = train(docs)
+    scoredOf(docf, wK, mass, mTot)
+      .select(
+        col("doc_id"),
+        col("y"),
+        col("n").as("n_tokens"),
+        round(lit(1e6) / (lit(1.0) + exp(-(col("lmu") / lit(1e6))))).cast("long").as("p_mu")
+      )
   }
 
   private val classifier = Q(
     "docs_classifier_score",
     (s, d) => scoreOf(Tables.documents(s, d)),
-    Some(oracleSql),
+    Some(oracleSql(scoreTail)),
     bench = false
   )
 
-  val all: Seq[Q] = Seq(classifier)
+  /** The trained model itself as rows — the oracle replays training and
+    * must land on the SAME 257 integers, certifying every gradient step
+    * (a score mismatch could hide in sigmoid plateaus; weights cannot).
+    */
+  private val weights = Q(
+    "docs_classifier_weights",
+    (s, d) => {
+      val (_, _, _, wK) = train(Tables.documents(s, d))
+      import s.implicits._
+      ((-1, wK.biasMu) +: wK.wMu.zipWithIndex.map { case (w, b) => (b, w) }.toSeq)
+        .toDF("b", "w_mu")
+    },
+    Some(oracleSql(weightsTail)),
+    bench = false
+  )
+
+  val all: Seq[Q] = Seq(classifier, weights)
 }
