@@ -259,8 +259,13 @@ object MetadataFunctions {
       when(length(s1) >= 3, substring(s1, -3, 1))
         .otherwise(substring(s1, 1, 1))
     val lastWord = regexp_extract(s1, "([^ ]*)\\.$", 1)
+    // PHP is_numeric (MetadataUtils.php:609): decimals and exponents also
+    // keep their trailing period ("909.4." stays intact — the reference's
+    // own marc_dewey fixture pins this). Configured abbreviation lists
+    // (Site/abbreviations) are deployment config, not modeled here.
+    val numericRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
     val dropPeriod = s1.endsWith(".") && thirdFromEnd =!= " " &&
-      !lastWord.rlike("^[0-9]+$")
+      !lastWord.rlike(numericRe)
     val s2 = when(dropPeriod, s1.substr(lit(1), length(s1) - 1)).otherwise(s1)
     val s3 = when(s2.endsWith(". -"), s2.substr(lit(1), length(s2) - 3))
       .otherwise(s2)

@@ -84,7 +84,7 @@ object MetadataQueries {
        |${p}2 AS (SELECT *,
        |  CASE WHEN ends_with(${p}_s1, '.')
        |        AND (CASE WHEN length(${p}_s1) >= 3 THEN substr(${p}_s1, length(${p}_s1)-2, 1) ELSE substr(${p}_s1,1,1) END) != ' '
-       |        AND NOT regexp_matches(regexp_extract(${p}_s1, '([^ ]*)\\.$$', 1), '^[0-9]+$$')
+       |        AND NOT regexp_matches(regexp_extract(${p}_s1, '([^ ]*)\\.$$', 1), '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$$')
        |       THEN substr(${p}_s1, 1, length(${p}_s1)-1) ELSE ${p}_s1 END AS ${p}_s2 FROM ${p}1),
        |${p}3 AS (SELECT *,
        |  CASE WHEN ends_with(${p}_s2, '. -') THEN substr(${p}_s2, 1, length(${p}_s2)-3) ELSE ${p}_s2 END AS ${p}_s3 FROM ${p}2),
