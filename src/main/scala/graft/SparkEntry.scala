@@ -41,6 +41,7 @@ object SparkEntry {
       operators.MarcHostQueries.all ++
       operators.MergePolicyQueries.all ++
       operators.MarcSolrQueries.all ++
+      operators.MarcToSolrQueries.all ++
       operators.MarcSolrQueries2.all ++
       operators.MarcEditQueries.all ++
       operators.EnrichQueries.all ++

@@ -338,6 +338,23 @@ object MetadataFunctions {
     when(stripped === "", c).otherwise(stripped)
   }
 
+  /** [[stripTrailingPunctuation]] behind a [[bindOnce]] let-binding: the
+    * strip formula references its input ~100× through its staged
+    * sub-expressions, so applying it directly to a large tree multiplies
+    * that tree into the plan. Use at call sites whose input is not
+    * already a cheap attribute/lambda variable.
+    */
+  def stripTrailingPunctuationBound(c: Column): Column =
+    bindOnce(c)(stripTrailingPunctuation)
+
+  /** Bound form of [[stripTrailingPunctuationPreserve]] (same reason). */
+  def stripTrailingPunctuationPreserveBound(c: Column): Column =
+    bindOnce(c) { cb =>
+      bindOnce(stripTrailingPunctuation(cb)) { sb =>
+        when(sb === "", cb).otherwise(sb)
+      }
+    }
+
   /** Replace punctuation runs with a single space; if the result is empty,
     * return the original. Reference: MetadataUtils.php:535 `stripPunctuation`
     * (default pattern `[\t\p{P}=´`” ̈]+`, which includes the space).

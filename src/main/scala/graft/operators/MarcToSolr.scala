@@ -162,7 +162,8 @@ object MarcToSolr {
       ),
       " "
     )
-    if (strip) when(joined =!= "", MF.stripTrailingPunctuation(joined)).otherwise(E)
+    if (strip)
+      MF.bindOnce(joined)(j => when(j =!= "", MF.stripTrailingPunctuation(j)).otherwise(E))
     else joined
   }
 
@@ -204,7 +205,7 @@ object MarcToSolr {
           )
           val t =
             when(altTerms =!= "", concat(terms, lit(" "), altTerms)).otherwise(terms)
-          MF.stripTrailingPunctuation(trim(t))
+          MF.stripTrailingPunctuationBound(trim(t))
         }
       )
       val rels = transform(
@@ -261,17 +262,17 @@ object MarcToSolr {
         if (forFiling) lower(MF.stripPunctuation(built)) else built
       when(f.isNull, lit(null)).otherwise(processed)
     }
-    val v245 = raw("245")
-    val v240 = raw("240")
-    val c245 = MF.stripTrailingPunctuation(v245)
-    val c240 = MF.stripTrailingPunctuation(v240)
-    coalesce(
-      nullif(c245, E),
-      nullif(c240, E),
-      nullif(v245, E),
-      nullif(v240, E),
-      E
-    )
+    MF.bindOnce(raw("245")) { v245 =>
+      MF.bindOnce(raw("240")) { v240 =>
+        coalesce(
+          nullif(MF.stripTrailingPunctuation(v245), E),
+          nullif(MF.stripTrailingPunctuation(v240), E),
+          nullif(v245, E),
+          nullif(v240, E),
+          E
+        )
+      }
+    }
   }
 
   // ------------------------------------------------------------ geo / etc
@@ -490,10 +491,10 @@ object MarcToSolr {
       )
     )
 
-    val titleShort245 = MF.stripTrailingPunctuationPreserve(
+    val titleShort245 = MF.stripTrailingPunctuationPreserveBound(
       fieldSubfields(fields, "245", Seq("a"), strip = false)
     )
-    val titleFull245 = MF.stripTrailingPunctuationPreserve(
+    val titleFull245 = MF.stripTrailingPunctuationPreserveBound(
       fieldSubfields(
         fields,
         "245",
@@ -502,17 +503,20 @@ object MarcToSolr {
       )
     )
     // 240 fallback when 245$a is missing (Marc.php:423)
-    val titleShort = when(titleShort245 =!= "", titleShort245)
-      .otherwise(fieldSubfields(fields, "240", Seq("a", "n", "p")))
-    val titleFull = when(titleShort245 =!= "", titleFull245)
-      .otherwise(fieldSubfields(fields, "240", Seq.empty))
+    val (titleShort, titleFull) = {
+      val bound = (f: Column => Column) => MF.bindOnce(titleShort245)(f)
+      (
+        bound(ts => when(ts =!= "", ts).otherwise(fieldSubfields(fields, "240", Seq("a", "n", "p")))),
+        bound(ts => when(ts =!= "", titleFull245).otherwise(fieldSubfields(fields, "240", Seq.empty)))
+      )
+    }
 
     val pub260 = specVals(fields, Seq(B("260", "b")))
     val first264i1 = get(filter(flds(fields, "264"), f => f("i2") === "1"), lit(0))
     val publisher = when(size(pub260) > 0, pub260)
       .when(
         first264i1.isNotNull,
-        array(MF.stripTrailingPunctuation(subFirst(first264i1, "b")))
+        array(MF.stripTrailingPunctuationBound(subFirst(first264i1, "b")))
       )
       .otherwise(array().cast("array<string>"))
 
@@ -952,13 +956,19 @@ object MarcToSolr {
             )
         )
       )
-    when(
-      m("wk_has_work"),
-      concat(
-        keysFor(m("wk_titles"), m("wk_authors")),
-        keysFor(m("wk_titles_alt"), m("wk_authors_alt"))
-      )
-    ).otherwise(array().cast("array<string>"))
+    // The title/author derivations are sizable HOF trees; bind each once
+    // (titles doubles as the has-work gate).
+    MF.bindOnce(struct(
+      m("wk_titles").as("t"),
+      m("wk_authors").as("a"),
+      m("wk_titles_alt").as("ta"),
+      m("wk_authors_alt").as("aa")
+    )) { w =>
+      when(
+        size(w("t")) > 0,
+        concat(keysFor(w("t"), w("a")), keysFor(w("ta"), w("aa")))
+      ).otherwise(array().cast("array<string>"))
+    }
   }
 
   // ------------------------------------------------------------ uniqueIDs

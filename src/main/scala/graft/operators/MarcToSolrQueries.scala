@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.operators.MetadataQueries.{nkSql, stripPunctSql}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Driver-gate certification for the [[MarcToSolr]] assembly: synthesized
+  * full-fidelity MARC records (leader + 008 + 100/700/245/264/650/852
+  * fields with indicators) are built as nested literals from `part`, run
+  * through the REAL `solrColumns`/`workKeys` projections, and the DuckDB
+  * oracle replays the arithmetic over the same flat synthesis. The
+  * record shapes mirror the reference's own fixtures (one field per
+  * tag, ISBD punctuation in the data), so every wiring step — non-filing
+  * indicators, relator gating, 008 slicing, format decision, work-key
+  * fan-out — is hash-checked by the driver, while full general-shape
+  * parity is covered by MarcFixtureSpec on the reference fixtures.
+  */
+object MarcToSolrQueries {
+
+  private def sub(c: String, v: Column) =
+    struct(lit(c).as("c"), v.as("v"))
+  private def fld(tag: String, i1: Column, i2: Column, subs: Column*) =
+    struct(
+      lit(tag).as("tag"),
+      i1.as("i1"),
+      i2.as("i2"),
+      array(subs: _*).as("subs")
+    )
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "marc_tosolr_assembly",
+      (s, d) => {
+        val k = col("p_partkey")
+        val e = lit("")
+
+        // Leader: rt 'e' (Map) every 7th record, else 'a' with bl 'm'
+        // (Book) — the exact fixture leaders.
+        val rt = when(k % 7 === 0, lit("e")).otherwise(lit("a"))
+        val leader = concat(lit("00000c"), rt, lit("m a22000004i 4500"))
+
+        val year = (lit(1900) + (k % 120)).cast("string")
+        val lang = element_at(array(lit("fin"), lit("eng"), lit("swe")), (k % 3 + 1).cast("int"))
+        val ill = when(k % 3 === 0, lit("a")).otherwise(lit(" "))
+        // 008: pos 7-10 year, 18 illustration code, 35-37 language.
+        // Positions (0-based): 7-10 year, 18 illustration, 35-37 language.
+        val f008 = concat(
+          lit("140327s"),
+          year,
+          lit("    fi "),
+          ill,
+          lit("                "),
+          lang,
+          lit(" d")
+        )
+        val controls = array(
+          struct(lit("001").as("tag"), concat(lit("rec"), k.cast("string")).as("v")),
+          struct(lit("008").as("tag"), f008.as("v"))
+        )
+
+        val theA = concat(
+          when(k % 4 === 0, lit("The ")).otherwise(e),
+          lit("Title "),
+          (k % 100).cast("string")
+        )
+        val hasB = k % 2 === 1
+        val bVal = concat(lit("Subtitle "), (k % 10).cast("string"))
+        val ind2 = when(k % 4 === 0, lit("4")).otherwise(lit("0"))
+        val f245 = fld(
+          "245",
+          lit("1"),
+          ind2,
+          sub("a", theA),
+          sub("b", when(hasB, bVal).otherwise(e)),
+          sub("c", concat(lit("By Author "), (k % 30).cast("string")))
+        )
+        // A '' subfield value is the PHP empty-string case the spec
+        // evaluator skips; keep it only when populated.
+        val f245clean = when(
+          hasB,
+          f245
+        ).otherwise(
+          fld(
+            "245",
+            lit("1"),
+            ind2,
+            sub("a", theA),
+            sub("c", concat(lit("By Author "), (k % 30).cast("string")))
+          )
+        )
+
+        val author100 = concat(lit("Author, Name "), (k % 50).cast("string"))
+        val hasRelator = k % 5 === 0
+        val f100 = when(
+          hasRelator,
+          fld("100", lit("1"), lit(" "), sub("a", author100), sub("e", lit("kirjoittaja.")))
+        ).otherwise(fld("100", lit("1"), lit(" "), sub("a", author100)))
+
+        val has700 = k % 3 === 0
+        val author700 = concat(lit("Second, Author "), (k % 20).cast("string"))
+        val f700 = fld("700", lit("1"), lit(" "), sub("a", author700))
+
+        val f264 = fld(
+          "264",
+          lit(" "),
+          lit("1"),
+          sub("b", concat(lit("Publisher "), (k % 15).cast("string"), lit(","))),
+          sub(
+            "c",
+            when(k % 2 === 0, concat(lit("9999 ["), year, lit("?]")))
+              .otherwise(concat(year, lit(".")))
+          )
+        )
+
+        val topic1 = concat(lit("topic"), (k % 20).cast("string"))
+        val hasEra = k % 6 === 0
+        val f650a = when(
+          hasEra,
+          fld("650", lit(" "), lit("7"), sub("a", topic1), sub("y", lit("1500-1800")))
+        ).otherwise(fld("650", lit(" "), lit("7"), sub("a", topic1)))
+
+        val f852 = fld(
+          "852",
+          lit("8"),
+          lit(" "),
+          sub("b", concat(lit("B"), (k % 9).cast("string")))
+        )
+
+        val fields0 = array(f245clean, f100, f264, f650a, f852)
+        val fieldsCol = when(has700, concat(fields0, array(f700))).otherwise(fields0)
+
+        // Stage the record synthesis into its own projection: solrColumns
+        // references `fields` hundreds of times, and substituting the
+        // whole literal-construction tree at each site blows the plan up
+        // exponentially (the PLANS.md staged-select/bindOnce house rule).
+        val records = Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            leader.as("leader"),
+            controls.as("controls"),
+            fieldsCol.as("fields")
+          )
+        val solr = MarcToSolr
+          .solrColumns(col("leader"), col("controls"), col("fields"))
+          .toMap
+        val keys = MarcToSolr.workKeys(col("fields"))
+
+        records
+          .select(
+            col("p_partkey"),
+            solr("title").as("title"),
+            solr("title_sort").as("title_sort"),
+            solr("title_full").as("title_full"),
+            array_join(solr("author"), "|").as("author_csv"),
+            array_join(solr("author2"), "|").as("author2_csv"),
+            array_join(solr("author2_role"), "|").as("author2_role_csv"),
+            solr("author_sort").as("author_sort"),
+            array_join(solr("language"), "|").as("language_csv"),
+            solr("publishDateSort").as("publish_date_sort"),
+            array_join(solr("publisher"), "|").as("publisher_csv"),
+            array_join(solr("topic"), "|").as("topic_csv"),
+            array_join(solr("era_facet"), "|").as("era_facet_csv"),
+            array_join(solr("building"), "|").as("building_csv"),
+            solr("illustrated").as("illustrated"),
+            array_join(solr("format"), "|").as("format_csv"),
+            array_join(keys, "|").as("work_keys_csv")
+          )
+      },
+      Some {
+        val title0 =
+          "(CASE WHEN k % 2 = 1 THEN a245 || ' : ' || b245 ELSE a245 END)"
+        val titleC = s"($title0 || ' ' || c245)"
+        // title_full joins raw subfields with plain spaces (no ISBD seps).
+        val fullRaw =
+          "(a245 || (CASE WHEN k % 2 = 1 THEN ' ' || b245 ELSE '' END) || ' ' || c245)"
+        // Non-filing strip for filing forms (ind2=4 on 'The ' rows).
+        val titleCStrip = s"(CASE WHEN k % 4 = 0 THEN substr($titleC, 5) ELSE $titleC END)"
+        val wkTitle = "(CASE WHEN k % 2 = 1 THEN a245 || ' ' || b245 ELSE a245 END)"
+        val wkTitleStrip = s"(CASE WHEN k % 4 = 0 THEN substr($wkTitle, 5) ELSE $wkTitle END)"
+        s"""WITH base AS (
+           |  SELECT p_partkey AS k,
+           |    (CASE WHEN p_partkey % 4 = 0 THEN 'The ' ELSE '' END)
+           |      || 'Title ' || cast(p_partkey % 100 as varchar) AS a245,
+           |    'Subtitle ' || cast(p_partkey % 10 as varchar) AS b245,
+           |    'By Author ' || cast(p_partkey % 30 as varchar) AS c245,
+           |    'Author, Name ' || cast(p_partkey % 50 as varchar) AS a100,
+           |    'Second, Author ' || cast(p_partkey % 20 as varchar) AS a700,
+           |    cast(1900 + p_partkey % 120 as varchar) AS yr,
+           |    (['fin','eng','swe'])[cast(p_partkey % 3 + 1 as int)] AS lang,
+           |    'topic' || cast(p_partkey % 20 as varchar) AS topic1
+           |  FROM part),
+           |t AS (
+           |  SELECT *,
+           |    $title0 AS title_raw,
+           |    lower(${stripPunctSql(titleCStrip)}) AS title_sort,
+           |    $fullRaw AS title_full_raw,
+           |    $wkTitleStrip AS wk_t1,
+           |    $wkTitle AS wk_t2,
+           |    (k % 5 = 0) AS has_rel,
+           |    (k % 3 = 0) AS has700
+           |  FROM base)
+           |SELECT k AS p_partkey,
+           |  title_raw AS title,
+           |  title_sort,
+           |  title_full_raw AS title_full,
+           |  (CASE WHEN has_rel THEN '' ELSE a100 END) AS author_csv,
+           |  (CASE WHEN has_rel AND has700 THEN a100 || '|' || a700
+           |        WHEN has_rel THEN a100
+           |        WHEN has700 THEN a700
+           |        ELSE '' END) AS author2_csv,
+           |  (CASE WHEN has_rel AND has700 THEN 'kirjoittaja|'
+           |        WHEN has_rel THEN 'kirjoittaja'
+           |        WHEN has700 THEN ''
+           |        ELSE '' END) AS author2_role_csv,
+           |  a100 AS author_sort,
+           |  lang AS language_csv,
+           |  yr AS publish_date_sort,
+           |  'Publisher ' || cast(k % 15 as varchar) AS publisher_csv,
+           |  topic1 || (CASE WHEN k % 6 = 0 THEN ' 1500-1800' ELSE '' END) AS topic_csv,
+           |  (CASE WHEN k % 6 = 0 THEN '1500-1800' ELSE '' END) AS era_facet_csv,
+           |  'B' || cast(k % 9 as varchar) AS building_csv,
+           |  (CASE WHEN k % 7 != 0 AND k % 3 = 0 THEN 'Illustrated'
+           |        ELSE 'Not Illustrated' END) AS illustrated,
+           |  (CASE WHEN k % 7 = 0 THEN 'Map' ELSE 'Book' END) AS format_csv,
+           |  (CASE WHEN k % 4 = 0
+           |        THEN 'AT ' || ${nkSql("a100")} || ' ' || ${nkSql("wk_t1")}
+           |          || (CASE WHEN has700 THEN '|AT ' || ${nkSql("a700")} || ' ' || ${nkSql("wk_t1")} ELSE '' END)
+           |          || '|AT ' || ${nkSql("a100")} || ' ' || ${nkSql("wk_t2")}
+           |          || (CASE WHEN has700 THEN '|AT ' || ${nkSql("a700")} || ' ' || ${nkSql("wk_t2")} ELSE '' END)
+           |        ELSE 'AT ' || ${nkSql("a100")} || ' ' || ${nkSql("wk_t1")}
+           |          || (CASE WHEN has700 THEN '|AT ' || ${nkSql("a700")} || ' ' || ${nkSql("wk_t1")} ELSE '' END)
+           |        END) AS work_keys_csv
+           |FROM t ORDER BY p_partkey""".stripMargin
+      }
+    )
+  )
+}

@@ -23,13 +23,41 @@ object SolrUpdateQueries {
     * `op src dst [match="..."] [default="..."]`; a slash-wrapped match
     * is a regex over the values, anything else an exact value.
     */
-  private final case class FieldRule(
+  final case class FieldRule(
       op: String, // copy | move | delete
       src: String,
       dst: Option[String],
       matchSpec: Option[String],
       default: Option[String]
   )
+
+  /** parseFieldRules (SolrUpdater.php:2440): `op src [dst] [match="..."]
+    * [default="..."] [positional default words...]` — quoted match/default
+    * params first, any unquoted remainder becomes the default (the
+    * config-file shorthand the reference's own tests use).
+    */
+  def parseRule(ruleStr: String): FieldRule = {
+    val parts = scala.collection.mutable.Queue(ruleStr.split(" ").toIndexedSeq: _*)
+    val op = parts.dequeue()
+    require(Set("copy", "move", "delete").contains(op), s"bad rule op: $op")
+    val src = parts.dequeue()
+    val dst = if (op != "delete") Some(parts.dequeue()) else None
+    var rest = parts.mkString(" ")
+    var matchSpec: Option[String] = None
+    var default: Option[String] = None
+    val P = """^(match|default)="([^"]*)"\s*""".r
+    var m = P.findFirstMatchIn(rest)
+    while (m.isDefined) {
+      val g = m.get
+      if (g.group(1) == "match") matchSpec = Some(g.group(2))
+      else default = Some(g.group(2))
+      rest = rest.substring(g.matched.length)
+      m = P.findFirstMatchIn(rest)
+    }
+    val extra = rest.trim
+    if (extra.nonEmpty && default.isEmpty) default = Some(extra)
+    FieldRule(op, src, dst, matchSpec, default)
+  }
 
   /** Apply the rule chain to a document modeled as field-name →
     * nullable array column (null ≙ the PHP key being unset). Field
@@ -47,7 +75,7 @@ object SolrUpdateQueries {
     *    src (PHP array_diff — order-preserving, so `filter` rather than
     *    Spark's deduping array_except); without a match they unset src.
     */
-  private def applyFieldRules(
+  def applyFieldRules(
       doc: Map[String, Column],
       rules: Seq[FieldRule]
   ): Map[String, Column] =
@@ -110,7 +138,7 @@ object SolrUpdateQueries {
     * are static per query, so resolution happens at plan build and the
     * trim compiles to a plain substring.
     */
-  private def maxLenFor(field: String, limits: Seq[(String, Int)]): Option[Int] = {
+  def maxLenFor(field: String, limits: Seq[(String, Int)]): Option[Int] = {
     val exact = limits.collectFirst { case (k, v) if k == field => v }
     val wild = limits.collectFirst {
       case (k, v)
@@ -136,7 +164,7 @@ object SolrUpdateQueries {
     * fields unset, survivors deduped preserving first occurrence
     * (array_values(array_unique)). `fullrecord` is exempt.
     */
-  private def normalizeField(
+  def normalizeField(
       field: String,
       values: Column,
       limits: Seq[(String, Int)]
