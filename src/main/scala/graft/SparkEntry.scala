@@ -42,6 +42,7 @@ object SparkEntry {
       operators.MergePolicyQueries.all ++
       operators.MarcSolrQueries.all ++
       operators.MarcToSolrQueries.all ++
+      operators.LidoToSolrQueries.all ++
       operators.MarcSolrQueries2.all ++
       operators.MarcEditQueries.all ++
       operators.EnrichQueries.all ++
@@ -56,6 +57,7 @@ object SparkEntry {
       operators.Bpe.all ++
       operators.Retrieval.all ++
       operators.CurationQueries.all ++
+      operators.CurationQueries2.all ++
       operators.JoinQueries.all ++
       operators.LayoutQueries.all ++
       operators.Classifier.all ++

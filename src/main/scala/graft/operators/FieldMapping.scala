@@ -204,6 +204,31 @@ object FieldMapping {
     }
   }
 
+  /** FieldMapper.php mapValue's predefined-hierarchy branch (:226):
+    * level i of the value maps through mapping-file index i (falling
+    * back to index 0 — per-level files come from configs like
+    * `building_mapping[] = building.map` + `building_sub.map,regexp`),
+    * the per-level results flatten into one '/'-joined string, and a
+    * level that maps to scalar '' STOPS the walk (deeper levels
+    * dropped). The reference's own PreviewCreatorTest pins all four
+    * branch outcomes.
+    */
+  def mapHierarchyValue(pair: Column, files: Seq[MapFile]): Column = {
+    val maxLevels = files.length
+    var parts: Column = array().cast("array<string>")
+    var stopped: Column = lit(false)
+    for (i <- 0 until maxLevels) {
+      val f = files(i)
+      val mapped = mapOneValue(coalesce(get(pair, lit(i)), lit("")), f)
+      val exists = size(pair) > i
+      val isEmptyScalar = size(mapped) === 1 && get(mapped, lit(0)) === ""
+      parts = when(!stopped && exists && !isEmptyScalar, concat(parts, mapped))
+        .otherwise(parts)
+      stopped = stopped || (exists && isEmptyScalar)
+    }
+    array_join(parts, "/")
+  }
+
   /** FieldMapper.php:172 mapValues for one array-valued field: map each
     * element through [[mapOneValue]], flatten, dedupe preserving first
     * occurrence, drop values that mapped to '' — a non-empty input that

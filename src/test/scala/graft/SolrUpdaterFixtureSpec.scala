@@ -169,4 +169,59 @@ class SolrUpdaterFixtureSpec extends SparkSuite {
     assert(row.getAs[String]("title_short").length == 30)
     assert(row.getAs[String]("title_sort").length == 40)
   }
+
+  /** PreviewCreatorTest::testBuilding: holdings_record.xml 852 $b/$c
+    * location pairs (subLocationInBuilding=c) mapped through the
+    * per-level building.map (exact, ##default DEF) + building_sub.map
+    * (regexp, empty-rewrite stop) chain — every hierarchy-mapping
+    * branch: plain map, mapped sub, sub mapped away, level-0 mapped
+    * away (drops the value), default + sub.
+    */
+  test("PreviewCreatorTest::testBuilding — hierarchical building mapping") {
+    import graft.operators.FieldMapping
+    import org.apache.spark.sql.functions._
+    val df = recDf2("/root/reference/tests/fixtures/Base/Solr/holdings_record.xml")
+    val buildingMap = FieldMapping.MapFile(
+      "normal",
+      Seq("A1" -> Seq("A"), "A2" -> Seq("A"), "B1" -> Seq("B"), "C1" -> Seq("")),
+      default = Some("DEF")
+    )
+    val subMap = FieldMapping.MapFile(
+      "regexp",
+      Seq("^(\\d)$" -> Seq("$1"), "(.+)" -> Seq(""))
+    )
+    val pairs = transform(
+      filter(
+        MarcToSolr.flds(col("fields"), "852"),
+        f => MarcToSolr.subFirst(f, "b") =!= ""
+      ),
+      f =>
+        filter(
+          array(MarcToSolr.subFirst(f, "b"), MarcToSolr.subFirst(f, "c")),
+          v => v =!= ""
+        )
+    )
+    val mapped = transform(
+      pairs,
+      p => FieldMapping.mapHierarchyValue(p, Seq(buildingMap, subMap))
+    )
+    val building = filter(array_distinct(mapped), v => v =!= "")
+    val got = df
+      .select(building.as("building"))
+      .collect()(0)
+      .getAs[scala.collection.Seq[String]]("building")
+      .toSeq
+    assert(got == Seq("B", "A/2", "A", "DEF/2"), got)
+  }
+
+  private def recDf2(path: String): DataFrame = {
+    val xml = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"
+    )
+    val rec = MarcXmlFull.parseCollection(xml).head
+    val session = spark
+    import session.implicits._
+    Seq(rec).toDF()
+  }
 }
