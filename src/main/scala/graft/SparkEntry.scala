@@ -58,6 +58,7 @@ object SparkEntry {
       operators.Retrieval.all ++
       operators.CurationQueries.all ++
       operators.CurationQueries2.all ++
+      operators.MixtureQueries.all ++
       operators.JoinQueries.all ++
       operators.LayoutQueries.all ++
       operators.Classifier.all ++
