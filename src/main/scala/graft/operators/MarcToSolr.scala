@@ -971,6 +971,73 @@ object MarcToSolr {
     }
   }
 
+  // ------------------------------------------------- holdings normalization
+
+  /** Marc.php normalize() (:1368) — the Koha/Alma item→holdings
+    * conversion: 952 item fields group by the
+    * branch//c//h//o//8 key (first-occurrence order, later items
+    * overwrite content — identical by construction since the content IS
+    * the key), each group becomes one holdings 952 with `$9 = 1` when
+    * ANY member item is available. Availability: Alma = `$1 == '1'`;
+    * Koha = none of $0/$1/$4/$q present AND not-for-loan status `$7` in
+    * {'0','1'}. `useHome` switches the branch subfield to `$a`
+    * (kohaUseHomeBranch).
+    */
+  def normalizeHoldings(
+      fields: Column,
+      alma: Boolean,
+      useHome: Boolean = false
+  ): Column = {
+    val branchCode = if (useHome && !alma) "a" else "b"
+    def keyOf(f: Column): Column =
+      concat_ws(
+        "//",
+        subFirst(f, branchCode),
+        subFirst(f, "c"),
+        subFirst(f, "h"),
+        subFirst(f, "o"),
+        subFirst(f, "8")
+      )
+    def availableItem(f: Column): Column =
+      if (alma) subFirst(f, "1") === "1"
+      else {
+        val marked = Seq("0", "1", "4", "q").map(c => subFirst(f, c) =!= "")
+        val st = subFirst(f, "7")
+        !marked.reduce(_ || _) && (st === "0" || st === "1")
+      }
+    val items = flds(fields, "952")
+    val keys = array_distinct(transform(items, keyOf(_)))
+    val holdings = transform(
+      keys,
+      k => {
+        val members = filter(items, f => keyOf(f) === k)
+        val first = get(members, lit(0))
+        val avail = exists(members, availableItem(_))
+        val subs0 = filter(
+          array(
+            struct(lit("b").as("c"), subFirst(first, branchCode).as("v")),
+            struct(lit("c").as("c"), subFirst(first, "c").as("v")),
+            struct(lit("h").as("c"), subFirst(first, "h").as("v")),
+            struct(lit("o").as("c"), subFirst(first, "o").as("v")),
+            struct(lit("8").as("c"), subFirst(first, "8").as("v"))
+          ),
+          s => s("v") =!= "" || s("c") === "b"
+        )
+        val subs = when(
+          avail,
+          concat(subs0, array(struct(lit("9").as("c"), lit("1").as("v"))))
+        ).otherwise(subs0)
+        struct(
+          lit("952").as("tag"),
+          lit(" ").as("i1"),
+          lit(" ").as("i2"),
+          subs.as("subs")
+        )
+      }
+    )
+    concat(filter(fields, f => f("tag") =!= "952"), holdings)
+  }
+
   // ------------------------------------------------------------ uniqueIDs
 
   /** getUniqueIDs (Marc.php:887). The `(nucmc)$lccn` value reproduces

@@ -600,6 +600,75 @@ class MarcFixtureSpec extends SparkSuite {
     assert(rowRows(row, "wk_analytical").isEmpty)
   }
 
+  /** Marc.php normalize() (:1368) Koha/Alma holdings conversion —
+    * self-authored branch coverage traced from the PHP (no reference
+    * unit test exists for this path): grouping + first-occurrence
+    * order, Alma `$1` availability, Koha marked-subfield vetoes and
+    * the not-for-loan status gate, kohaUseHomeBranch.
+    */
+  test("Marc normalize() — Koha/Alma 952 holdings conversion") {
+    import graft.sources.MarcXmlFull.{Field, Subf}
+    def item(subs: (String, String)*) =
+      Field("952", " ", " ", subs.map { case (c, v) => Subf(c, v) })
+    val rec = MarcXmlFull.Rec(
+      "ldr",
+      Seq.empty,
+      Seq(
+        item("a" -> "HOME1", "b" -> "BR1", "c" -> "LOC1", "7" -> "0"),
+        item("a" -> "HOME1", "b" -> "BR1", "c" -> "LOC1", "q" -> "2020-01-01"),
+        item("a" -> "HOME2", "b" -> "BR2", "c" -> "LOC2", "1" -> "1"),
+        Field("245", "1", "0", Seq(Subf("a", "T")))
+      )
+    )
+    val session = spark
+    import session.implicits._
+    val df = Seq(rec).toDF()
+
+    def holdings(c: org.apache.spark.sql.Column) =
+      df.select(c.as("f")).collect()(0).getAs[scala.collection.Seq[Row]]("f")
+        .filter(_.getAs[String]("tag") == "952")
+        .map(f =>
+          f.getAs[scala.collection.Seq[Row]]("subs")
+            .map(sf => (sf.getAs[String]("c"), sf.getAs[String]("v")))
+            .toList
+        )
+        .toList
+
+    // Koha: items group by branch+loc; group BR1/LOC1 has an available
+    // item ($7='0', no vetoes) AND a vetoed one ($q due date) → $9=1
+    // because ANY member is available. BR2/LOC2 has only $1='1' which in
+    // KOHA vocabulary means LOST → unavailable.
+    val koha = holdings(
+      MarcToSolr.normalizeHoldings(col("fields"), alma = false)
+    )
+    assert(
+      koha == List(
+        List("b" -> "BR1", "c" -> "LOC1", "9" -> "1"),
+        List("b" -> "BR2", "c" -> "LOC2")
+      ),
+      koha
+    )
+
+    // Alma: availability is exactly $1 == '1' → only BR2/LOC2 available.
+    val alma = holdings(
+      MarcToSolr.normalizeHoldings(col("fields"), alma = true)
+    )
+    assert(
+      alma == List(
+        List("b" -> "BR1", "c" -> "LOC1"),
+        List("b" -> "BR2", "c" -> "LOC2", "9" -> "1")
+      ),
+      alma
+    )
+
+    // kohaUseHomeBranch: the grouping key and the emitted branch come
+    // from $a, but the subfield stays 'b'.
+    val home = holdings(
+      MarcToSolr.normalizeHoldings(col("fields"), alma = false, useHome = true)
+    )
+    assert(home.map(_.head) == List("b" -> "HOME1", "b" -> "HOME2"), home)
+  }
+
   test("MarcTest::testGetWorkIdentificationData — marc_analytical.xml (7xx ind2=2)") {
     val row = workRow("marc_analytical.xml")
     assert(
