@@ -92,10 +92,23 @@ object MarcToSolrQueries {
 
         val author100 = concat(lit("Author, Name "), (k % 50).cast("string"))
         val hasRelator = k % 5 === 0
+        // Alternate-script twin via 880 $6 linkage on every 4th record:
+        // exercises the GET_BOTH occurrence matching under the oracle
+        // (the author name strings gain the linked form).
+        val hasAlt = k % 4 === 1
+        val altAuthor = concat(lit("Alt Author "), (k % 25).cast("string"))
         val f100 = when(
+          hasRelator && hasAlt,
+          fld("100", lit("1"), lit(" "), sub("a", author100),
+            sub("e", lit("kirjoittaja.")), sub("6", lit("880-01")))
+        ).when(
           hasRelator,
           fld("100", lit("1"), lit(" "), sub("a", author100), sub("e", lit("kirjoittaja.")))
+        ).when(
+          hasAlt,
+          fld("100", lit("1"), lit(" "), sub("a", author100), sub("6", lit("880-01")))
         ).otherwise(fld("100", lit("1"), lit(" "), sub("a", author100)))
+        val f880 = fld("880", lit("1"), lit(" "), sub("6", lit("100-01")), sub("a", altAuthor))
 
         val has700 = k % 3 === 0
         val author700 = concat(lit("Second, Author "), (k % 20).cast("string"))
@@ -128,7 +141,8 @@ object MarcToSolrQueries {
         )
 
         val fields0 = array(f245clean, f100, f264, f650a, f852)
-        val fieldsCol = when(has700, concat(fields0, array(f700))).otherwise(fields0)
+        val fields1 = when(has700, concat(fields0, array(f700))).otherwise(fields0)
+        val fieldsCol = when(hasAlt, concat(fields1, array(f880))).otherwise(fields1)
 
         // Stage the record synthesis into its own projection: solrColumns
         // references `fields` hundreds of times, and substituting the
@@ -186,6 +200,9 @@ object MarcToSolrQueries {
            |    'Subtitle ' || cast(p_partkey % 10 as varchar) AS b245,
            |    'By Author ' || cast(p_partkey % 30 as varchar) AS c245,
            |    'Author, Name ' || cast(p_partkey % 50 as varchar) AS a100,
+           |    'Author, Name ' || cast(p_partkey % 50 as varchar)
+           |      || (CASE WHEN p_partkey % 4 = 1
+           |          THEN ' Alt Author ' || cast(p_partkey % 25 as varchar) ELSE '' END) AS a100x,
            |    'Second, Author ' || cast(p_partkey % 20 as varchar) AS a700,
            |    cast(1900 + p_partkey % 120 as varchar) AS yr,
            |    (['fin','eng','swe'])[cast(p_partkey % 3 + 1 as int)] AS lang,
@@ -205,16 +222,16 @@ object MarcToSolrQueries {
            |  title_raw AS title,
            |  title_sort,
            |  title_full_raw AS title_full,
-           |  (CASE WHEN has_rel THEN '' ELSE a100 END) AS author_csv,
-           |  (CASE WHEN has_rel AND has700 THEN a100 || '|' || a700
-           |        WHEN has_rel THEN a100
+           |  (CASE WHEN has_rel THEN '' ELSE a100x END) AS author_csv,
+           |  (CASE WHEN has_rel AND has700 THEN a100x || '|' || a700
+           |        WHEN has_rel THEN a100x
            |        WHEN has700 THEN a700
            |        ELSE '' END) AS author2_csv,
            |  (CASE WHEN has_rel AND has700 THEN 'kirjoittaja|'
            |        WHEN has_rel THEN 'kirjoittaja'
            |        WHEN has700 THEN ''
            |        ELSE '' END) AS author2_role_csv,
-           |  a100 AS author_sort,
+           |  a100x AS author_sort,
            |  lang AS language_csv,
            |  yr AS publish_date_sort,
            |  'Publisher ' || cast(k % 15 as varchar) AS publisher_csv,
