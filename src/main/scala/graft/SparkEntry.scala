@@ -59,6 +59,7 @@ object SparkEntry {
       operators.CurationQueries.all ++
       operators.CurationQueries2.all ++
       operators.MixtureQueries.all ++
+      operators.MixtureQueries2.all ++
       operators.JoinQueries.all ++
       operators.LayoutQueries.all ++
       operators.Classifier.all ++
