@@ -60,6 +60,7 @@ object SparkEntry {
       operators.CurationQueries2.all ++
       operators.MixtureQueries.all ++
       operators.MixtureQueries2.all ++
+      operators.MixtureQueries3.all ++
       operators.JoinQueries.all ++
       operators.LayoutQueries.all ++
       operators.Classifier.all ++
