@@ -64,7 +64,8 @@ object SparkEntry {
       operators.JoinQueries.all ++
       operators.LayoutQueries.all ++
       operators.Classifier.all ++
-      operators.SequenceQueries.all
+      operators.SequenceQueries.all ++
+      operators.SketchQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

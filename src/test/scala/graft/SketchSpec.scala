@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the sketch-analytics family that the oracle compare
+  * certifies only pointwise: the CMS one-sided error guarantee, KMV
+  * mergeability + estimator-branch coverage, histogram quantile
+  * monotonicity, cube additivity, and the LSH recall refinement order.
+  */
+class SketchSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.registry.find(_.name == name).get.fn(spark, sf)
+
+  test("count-min estimates never underestimate (one-sided error)") {
+    val bad = run("docs_ngram_cms")
+      .filter(col("est_n") < col("exact_n"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("KMV ##all row merges per-source registers and fires the kth-min branch") {
+    val rows = run("corpus_distinct_kmv").collect()
+    val all = rows.find(_.getString(0) == "##all").get
+    val perSource = rows.filter(_.getString(0) != "##all")
+    // Mergeability: the corpus row counts every document exactly once.
+    assert(all.getLong(1) == perSource.map(_.getLong(1)).sum)
+    // The estimate is positive and within small-corpus shard-collision
+    // slack of the true cardinality (the docstring's documented regime:
+    // n comparable to shard count underestimates; at n >> shards the
+    // estimator converges to classic KMV accuracy).
+    val est = all.getLong(4)
+    assert(est > 0 && est <= all.getLong(1))
+  }
+
+  test("histogram quantile edges are monotone per language") {
+    run("docs_length_histogram").collect().foreach { r =>
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99, s"${r.getString(0)}: $p50/$p90/$p99")
+    }
+  }
+
+  test("cube levels are additive: per-cell counts roll up to the grand total") {
+    val rows = run("corpus_stats_cube").collect()
+    def sumAt(level: Int) =
+      rows.filter(_.getInt(2) == level).map(_.getLong(3)).sum
+    val grand = rows.find(_.getInt(2) == 3).get.getLong(3)
+    assert(sumAt(0) == grand) // per-(source,lang) cells
+    assert(sumAt(1) == grand) // per-source subtotals
+    assert(sumAt(2) == grand) // per-lang subtotals
+  }
+
+  test("LSH recall is monotone non-increasing in plane count (bucket refinement)") {
+    // planes=8 buckets are a strict refinement of planes=4 buckets (the
+    // first 4 hyperplanes are shared), so every 8-plane candidate is a
+    // 4-plane candidate and per-query recall can only drop.
+    val byQuery = run("ann_recall_eval")
+      .groupBy("query_id")
+      .pivot("planes", Seq("4", "8"))
+      .sum("recall_permille")
+      .collect()
+    byQuery.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"query ${r.get(0)}")
+    }
+  }
+}
