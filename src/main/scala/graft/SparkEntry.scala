@@ -65,7 +65,8 @@ object SparkEntry {
       operators.LayoutQueries.all ++
       operators.Classifier.all ++
       operators.SequenceQueries.all ++
-      operators.SketchQueries.all
+      operators.SketchQueries.all ++
+      operators.GraphQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components (which the dedup
+  * pipeline already carries): weighted PageRank by fixed-iteration power
+  * method (Page et al. 1999).
+  *
+  * Determinism discipline: rank mass lives in integer micro-units and
+  * every division is integer floor division, so per-node ranks are exact
+  * longs — a float PageRank would sum incoming contributions in
+  * partition order and never reproduce bit-for-bit across engines or
+  * even across Spark runs. Long sums ARE order-independent.
+  *
+  * Scale shape: each iteration is one equi-join of the rank table with
+  * the edge table on `src` (both shuffled on the same key, so AQE reuses
+  * the exchange across iterations) plus one bounded aggregation on
+  * `dst`. K is fixed, so the whole plan is K bounded-key shuffles — the
+  * standard distributed PageRank; nothing is ever collected to the
+  * driver and no adjacency list needs to fit in memory.
+  */
+object GraphQueries {
+
+  private val BaseMicro = 1000000L // initial per-node rank mass
+  private val Iterations = 3
+
+  /** One power-method step: r'(v) = (1−d)·base + d·Σ_{u→v} r(u)·w/W(u),
+    * damping d = 0.85, all in integer micro-units. `edges` must carry
+    * (src, dst, w, totw) with totw = Σ w over src.
+    */
+  def pagerankStep(ranks: DataFrame, edges: DataFrame): DataFrame =
+    edges
+      .join(ranks, Seq("src"))
+      .select(col("dst"), expr("(rank_micro * w) div totw").as("contrib"))
+      .groupBy("dst")
+      .agg(sum(col("contrib")).as("c"))
+      .select(
+        col("dst").as("src"),
+        (lit(BaseMicro * 15 / 100) + expr("(c * 85) div 100")).as("rank_micro")
+      )
+
+  /** Fixed-iteration weighted PageRank over an edge list (src, dst, w).
+    * Every node must have out-edges (callers symmetrize); dangling-node
+    * redistribution is therefore unnecessary.
+    */
+  def pagerank(edgeList: DataFrame, iters: Int = Iterations): DataFrame = {
+    val totw = edgeList.groupBy("src").agg(sum(col("w")).as("totw"))
+    val edges = edgeList.join(totw, Seq("src"))
+    val r0 = edges.select(col("src")).distinct().withColumn("rank_micro", lit(BaseMicro))
+    (1 to iters).foldLeft(r0)((r, _) => pagerankStep(r, edges))
+  }
+
+  /** The customer↔supplier trade graph: an edge per (customer, supplier)
+    * pair weighted by their lineitem count, symmetrized so rank flows
+    * both directions of the bipartite graph. High-rank suppliers are
+    * those trading heavily with high-rank customers — the standard
+    * importance propagation.
+    */
+  private val pagerankQ = Q(
+    "graph_pagerank",
+    (s, d) => {
+      val raw = Tables
+        .lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .groupBy(
+          concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")
+        )
+        .agg(count(lit(1)).as("w"))
+      val sym = raw.unionByName(
+        raw.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+      )
+      pagerank(sym).select(col("src").as("node_id"), col("rank_micro"))
+    },
+    Some {
+      val iter = (t: Int) =>
+        s"""r$t AS (
+           |  SELECT e.dst AS node,
+           |    150000 + (sum((r.rank_micro * e.w) // e.totw) * 85) // 100 AS rank_micro
+           |  FROM e JOIN r${t - 1} r ON e.src = r.node
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH raw AS (
+         |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, count(*) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT * FROM raw UNION ALL SELECT dst AS src, src AS dst, w FROM raw),
+         |tw AS (SELECT src, sum(w) AS totw FROM sym GROUP BY 1),
+         |e AS (SELECT sym.src, sym.dst, sym.w, tw.totw FROM sym JOIN tw ON sym.src = tw.src),
+         |r0 AS (SELECT DISTINCT src AS node, cast(${BaseMicro} as bigint) AS rank_micro FROM e),
+         |${(1 to Iterations).map(iter).mkString(",\n")}
+         |SELECT node AS node_id, cast(rank_micro as bigint) AS rank_micro FROM r$Iterations""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(pagerankQ)
+}
