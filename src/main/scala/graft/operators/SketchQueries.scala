@@ -43,7 +43,7 @@ object SketchQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
   /** 48-bit uniform hash of a string column: md5 hex prefix as a long. */
-  private def hash48(c: Column): Column =
+  private[graft] def hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   private val Hash48Space = 281474976710656L // 2^48
@@ -52,7 +52,7 @@ object SketchQueries {
   // KMV distinct sketch
   // ---------------------------------------------------------------------
 
-  private val KmvShards = 256
+  private[graft] val KmvShards = 256
   private val KmvK = 64
 
   /** Sharded KMV: stage 1 reduces each (source, shard) to its minimum
@@ -142,11 +142,11 @@ object SketchQueries {
   // Count-min sketch
   // ---------------------------------------------------------------------
 
-  private val CmsDepth = 4
-  private val CmsWidth = 1024
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
 
   /** Word 3-grams of the document text (the docs_ngram_freq vocabulary). */
-  private def gramsOf(text: Column): Column = {
+  private[graft] def gramsOf(text: Column): Column = {
     val tokens = split(coalesce(text, lit("")), " ")
     transform(
       sequence(lit(0), greatest(size(tokens) - 3, lit(0))),
@@ -157,7 +157,7 @@ object SketchQueries {
   /** CMS row-r bucket of a gram: an independent hash per row via the
     * `r:` prefix, reduced mod the sketch width.
     */
-  private def cmsBucket(r: Column, gram: Column): Column =
+  private[graft] def cmsBucket(r: Column, gram: Column): Column =
     hash48(concat(r.cast("string"), lit(":"), gram)) % CmsWidth
 
   /** Count-min sketch build + point queries. The sketch build explodes
