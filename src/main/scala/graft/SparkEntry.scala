@@ -66,7 +66,9 @@ object SparkEntry {
       operators.Classifier.all ++
       operators.SequenceQueries.all ++
       operators.SketchQueries.all ++
-      operators.GraphQueries.all
+      operators.GraphQueries.all ++
+      operators.IncrementalQueries.all ++
+      operators.ClusterTopics.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
