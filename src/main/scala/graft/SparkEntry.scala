@@ -68,7 +68,8 @@ object SparkEntry {
       operators.SketchQueries.all ++
       operators.GraphQueries.all ++
       operators.IncrementalQueries.all ++
-      operators.ClusterTopics.all
+      operators.ClusterTopics.all ++
+      operators.MultiProbe.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

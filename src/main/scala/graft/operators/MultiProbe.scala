@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-probe sign-LSH (Lv et al. 2007, "Multi-Probe LSH"): probe the
+  * query's own bucket PLUS every Hamming-1 neighbor (one sign bit
+  * flipped). A vector whose projection sits near a hyperplane falls on
+  * the wrong side for one bit; probing the flipped bucket recovers it,
+  * buying recall WITHOUT coarsening the index (fewer planes would grow
+  * every bucket for every query; multi-probe pays planes+1 bounded probe
+  * keys per query only). `ann_recall_multiprobe` certifies the lift
+  * against the same ground truth as `ann_recall_eval`'s planes=8 rows.
+  *
+  * Scale shape: index side unchanged (one bucket per vector, shuffled
+  * once); query side explodes to planes+1 probe keys then equi-joins —
+  * fanout ×9 on the (small) query side, never on the corpus.
+  */
+object MultiProbe {
+
+  private val Planes = 8
+  private val TopK = 5
+  private val NQueries = 10
+
+  /** The query bucket plus its `planes` Hamming-1 flips. */
+  private def probeKeys(bucket: Column): Column =
+    concat(
+      array(bucket),
+      transform(
+        sequence(lit(0), lit(Planes - 1)),
+        p =>
+          concat(
+            bucket.substr(lit(1), p),
+            when(bucket.substr(p + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+            bucket.substr(p + 2, lit(Planes))
+          )
+      )
+    )
+
+  private def scored(base: DataFrame, queries: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    base
+      .join(queries, col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("score")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  private def duckBucket = {
+    val weight =
+      "(strpos('0123456789abcdef', substr(md5(cast(p as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
+    s"array_to_string(list_transform(range(0, $Planes), p -> CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), dd -> (cast(embedding as double[]))[dd] * $weight)) >= 0 THEN '1' ELSE '0' END), '')"
+  }
+
+  private val duckProbes =
+    s"list_prepend(bucket, list_transform(range(1, $Planes + 1), p -> " +
+      "substr(bucket, 1, p - 1) || " +
+      "(CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) || " +
+      s"substr(bucket, p + 1, $Planes)))"
+
+  private val annMultiprobe = Q(
+    "ann_lsh_multiprobe",
+    (s, d) => {
+      val base = Tables
+        .embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), signLshBucket(col("embedding"), Planes).as("bucket"))
+      val queries = base
+        .filter(col("vec_id") < NQueries)
+        .select(
+          col("vec_id").as("query_id"),
+          col("embedding").as("qvec"),
+          explode(probeKeys(col("bucket"))).as("probe")
+        )
+      scored(base, queries)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    },
+    Some(
+      s"""WITH b AS (SELECT vec_id, cast(embedding as double[]) AS vec, $duckBucket AS bucket FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, vec AS qvec, unnest($duckProbes) AS probe
+         |  FROM b WHERE vec_id < $NQueries),
+         |cand AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.qvec, e.vec) /
+         |          (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) AS score
+         |  FROM b e JOIN q ON e.bucket = q.probe AND e.vec_id != q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= $TopK""".stripMargin
+    )
+  )
+
+  /** Recall@5 of the multi-probe path against the same brute-force ground
+    * truth as ann_recall_eval — read the two side by side for the
+    * multi-probe lift at identical index cost (planes=8: single-probe
+    * averaged 80‰ at sf0.01).
+    */
+  private val recallMultiprobe = Q(
+    "ann_recall_multiprobe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"), col("embedding"), signLshBucket(col("embedding"), Planes).as("bucket"))
+      val truthQ = emb
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val wT = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+      val truth = emb
+        .join(broadcast(truthQ), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          round(cosine(col("qvec"), col("embedding")), 6).as("score")
+        )
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"))
+      val queries = base
+        .filter(col("vec_id") < NQueries)
+        .select(
+          col("vec_id").as("query_id"),
+          col("embedding").as("qvec"),
+          explode(probeKeys(col("bucket"))).as("probe")
+        )
+      val approx = scored(base, queries)
+        .select(col("query_id"), col("neighbor_id").as("approx_id"))
+      truth
+        .join(
+          approx,
+          truth("query_id") === approx("query_id") && truth("neighbor_id") === approx("approx_id"),
+          "left"
+        )
+        .groupBy(truth("query_id").as("query_id"))
+        .agg(count(lit(1)).as("k"), count(col("approx_id")).as("n_overlap"))
+        .select(
+          col("query_id"),
+          col("k"),
+          col("n_overlap"),
+          (col("n_overlap") * 1000 / col("k")).cast("long").as("recall_permille")
+        )
+    },
+    Some(
+      s"""WITH b AS (SELECT vec_id, cast(embedding as double[]) AS vec, $duckBucket AS bucket FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_dot_product(q.vec, e.vec) /
+         |              (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) DESC,
+         |        e.vec_id) AS rank
+         |    FROM b e JOIN b q ON q.vec_id < $NQueries AND e.vec_id != q.vec_id) _t
+         |  WHERE rank <= $TopK),
+         |q AS (
+         |  SELECT vec_id AS query_id, vec AS qvec, unnest($duckProbes) AS probe
+         |  FROM b WHERE vec_id < $NQueries),
+         |approx AS (
+         |  SELECT query_id, neighbor_id AS approx_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        round(list_dot_product(q.qvec, e.vec) /
+         |              (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) DESC,
+         |        e.vec_id) AS rank
+         |    FROM b e JOIN q ON e.bucket = q.probe AND e.vec_id != q.query_id) _a
+         |  WHERE rank <= $TopK)
+         |SELECT t.query_id, cast(count(*) as bigint) AS k,
+         |  cast(count(a.approx_id) as bigint) AS n_overlap,
+         |  cast(count(a.approx_id) * 1000 / count(*) as bigint) AS recall_permille
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.approx_id
+         |GROUP BY 1""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(annMultiprobe, recallMultiprobe)
+}

@@ -65,4 +65,18 @@ class SketchSpec extends SparkSuite {
       assert(r.getLong(1) >= r.getLong(2), s"query ${r.get(0)}")
     }
   }
+
+  test("multi-probe recall dominates single-probe at the same plane count") {
+    // The multi-probe candidate set contains the query's own bucket, so
+    // per-query recall can only improve on ann_recall_eval's planes=8 rows.
+    val single = run("ann_recall_eval")
+      .filter(col("planes") === 8)
+      .select("query_id", "recall_permille")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    run("ann_recall_multiprobe").collect().foreach { r =>
+      assert(r.getLong(3) >= single(r.getLong(0)), s"query ${r.getLong(0)}")
+    }
+  }
 }
