@@ -47,7 +47,13 @@ object GraphQueries {
     */
   def pagerank(edgeList: DataFrame, iters: Int = Iterations): DataFrame = {
     val totw = edgeList.groupBy("src").agg(sum(col("w")).as("totw"))
-    val edges = edgeList.join(totw, Seq("src"))
+    // The edge table is read once per iteration (plus the r0 derivation):
+    // persist it, or the lazy plan re-derives the upstream joins K+2
+    // times — at 100 TB that is K+2 full scans of the fact tables.
+    // (Verify/Bench clear the cache after each query.)
+    val edges = edgeList
+      .join(totw, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r0 = edges.select(col("src")).distinct().withColumn("rank_micro", lit(BaseMicro))
     (1 to iters).foldLeft(r0)((r, _) => pagerankStep(r, edges))
   }
