@@ -211,6 +211,41 @@ object ScaleProbe {
           .filter(col("dedup_id").isNotNull)
           .count()
         println(f"SCALE mode=incr mult=$mult corpus=$total batch=2000 matched=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "pagerank" =>
+        // Edge growth with constant degree structure: each replica is a
+        // disjoint copy of the trade graph (node-id prefix bijection), so
+        // iteration joins grow linearly in edges and the rank table grows
+        // linearly in nodes — no component ever spans replicas.
+        val raw = Tables
+          .lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(
+            Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey")
+          )
+          .groupBy(
+            concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst")
+          )
+          .agg(count(lit(1)).as("w"))
+        val sym = raw.unionByName(
+          raw.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+        )
+        val big = (0 until mult)
+          .map { i =>
+            if (i == 0) sym
+            else
+              sym.select(
+                concat(lit(s"x$i."), col("src")).as("src"),
+                concat(lit(s"x$i."), col("dst")).as("dst"),
+                col("w")
+              )
+          }
+          .reduce(_ union _)
+        val edges = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.GraphQueries.pagerank(big).count()
+        println(f"SCALE mode=pagerank mult=$mult edges=$edges nodes=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case _ =>
         val base = DedupQueries.records(spark, sfDir)
         // Replicas must be disjoint in ALL dedup keys (title + isbn), not
