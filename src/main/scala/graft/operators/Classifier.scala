@@ -317,5 +317,48 @@ object Classifier {
     bench = false
   )
 
-  val all: Seq[Q] = Seq(classifier, weights)
+  /** Reliability diagram — the post-training eval every deployed quality
+    * classifier needs: decile-bucketed predicted probability vs observed
+    * positive rate. A calibrated model has obs_permille tracking the
+    * bucket's mean prediction; systematic gaps mean the score threshold
+    * chosen for filtering does not mean what it claims. One bounded
+    * 10-key aggregate over the scored table; integer per-mille / micro
+    * units end to end.
+    */
+  private val calibration = Q(
+    "docs_classifier_calibration",
+    (s, d) => {
+      scoreOf(Tables.documents(s, d))
+        .select(least(expr("p_mu div 100000"), lit(9L)).as("bucket"), col("y"), col("p_mu"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          sum(col("p_mu")).as("sp")
+        )
+        .select(
+          col("bucket"),
+          col("n"),
+          col("n_pos").cast("long").as("n_pos"),
+          expr("(n_pos * 1000) div n").as("obs_permille"),
+          expr("sp div n").as("pred_mu_mean")
+        )
+    },
+    Some(
+      oracleSql(
+        """SELECT least(p_mu // 100000, 9) AS bucket,
+          |  cast(count(*) as bigint) AS n,
+          |  cast(sum(y) as bigint) AS n_pos,
+          |  cast((sum(y) * 1000) // count(*) as bigint) AS obs_permille,
+          |  cast(sum(p_mu) // count(*) as bigint) AS pred_mu_mean
+          |FROM (
+          |  SELECT y, CAST(round(1000000.0 / (1.0 + exp(-(lmu / 1000000.0)))) AS BIGINT) AS p_mu
+          |  FROM lf) _p
+          |GROUP BY 1""".stripMargin
+      )
+    ),
+    bench = false
+  )
+
+  val all: Seq[Q] = Seq(classifier, weights, calibration)
 }

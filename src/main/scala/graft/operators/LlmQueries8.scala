@@ -28,6 +28,27 @@ object LlmQueries8 {
 
   private val SeqLen = 2048
 
+  /** Greedy sequential packing assignment: docs keyed to (lang, bucket,
+    * seq_id) by the cumulative-token prefix within their writer bucket.
+    * Shared by docs_pack_sequences (sequence rollup) and
+    * docs_shard_manifest (shard rollup); keeps `text` so downstream
+    * rollups can fingerprint content.
+    */
+  private[operators] def packedDocs(docs: DataFrame): DataFrame = {
+    val nTokens = size(split(coalesce(col("text"), lit("")), " ")).cast("bigint")
+    val bucket = expr(
+      "cast((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1) % 4 as bigint)"
+    )
+    val w = Window
+      .partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("text"), col("lang"), nTokens.as("n_tokens"), bucket.as("bucket"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_before") / SeqLen))
+  }
+
   /** Near-duplicate CLUSTERS: the composition the per-pair operators
     * build toward — MinHash-LSH candidate pairs, Jaccard verification at
     * `minJaccard`, then connected components via the same min-label
@@ -201,28 +222,15 @@ object LlmQueries8 {
   val all: Seq[Q] = Seq(
     Q(
       "docs_pack_sequences",
-      (s, d) => {
-        val nTokens = size(split(coalesce(col("text"), lit("")), " ")).cast("bigint")
-        val bucket = expr(
-          "cast((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1) % 4 as bigint)"
-        )
-        val w = Window
-          .partitionBy(col("lang"), col("bucket"))
-          .orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables
-          .documents(s, d)
-          .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"), bucket.as("bucket"))
-          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .withColumn("seq_id", floor(col("cum_before") / SeqLen))
+      (s, d) =>
+        packedDocs(Tables.documents(s, d))
           .groupBy(col("lang"), col("bucket"), col("seq_id"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("seq_tokens"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc")
-          )
-      },
+          ),
       Some {
         s"""WITH t AS (SELECT doc_id, lang,
            |  cast(len(string_split(coalesce(text, ''), ' ')) as bigint) AS n_tokens,
@@ -240,6 +248,49 @@ object LlmQueries8 {
            |FROM x GROUP BY 1, 2, 3""".stripMargin
       },
       bench = true
+    ),
+    Q(
+      // The dataloader-facing artifact: packed sequences grouped into
+      // 16-sequence shards with doc/token totals and an ORDER-INDEPENDENT
+      // content fingerprint (sum of 48-bit text hashes — commutative long
+      // addition, so the checksum is reproducible under any partitioning;
+      // ≤ a few thousand docs/shard keeps the sum far from overflow).
+      // Re-running the manifest after a reindex and diffing checksums is
+      // the corpus-drift check; at 100 TB the rollup rides the same
+      // bounded writer-bucket windows as the packing itself.
+      "docs_shard_manifest",
+      (s, d) =>
+        packedDocs(Tables.documents(s, d))
+          .withColumn("shard_id", expr("seq_id div 16"))
+          .groupBy(col("lang"), col("bucket"), col("shard_id"))
+          .agg(
+            countDistinct(col("seq_id")).as("n_seqs"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            sum(
+              conv(substring(md5(coalesce(col("text"), lit(""))), 1, 12), 16, 10).cast("long")
+            ).as("content_sum")
+          ),
+      Some {
+        s"""WITH t AS (SELECT doc_id, text, lang,
+           |  cast(len(string_split(coalesce(text, ''), ' ')) as bigint) AS n_tokens,
+           |  cast((instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1) % 4 as bigint) AS bucket
+           |  FROM documents),
+           |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+           |    PARTITION BY lang, bucket ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
+           |x AS (SELECT *, cast(floor(cum_before / $SeqLen.0) as bigint) AS seq_id FROM c)
+           |SELECT lang, bucket, seq_id // 16 AS shard_id,
+           |  cast(count(DISTINCT seq_id) as bigint) AS n_seqs,
+           |  count(*) AS n_docs,
+           |  cast(sum(n_tokens) as bigint) AS n_tokens,
+           |  min(doc_id) AS first_doc,
+           |  max(doc_id) AS last_doc,
+           |  cast(sum(('0x' || substr(md5(coalesce(text, '')), 1, 12))::bigint) as bigint) AS content_sum
+           |FROM x GROUP BY 1, 2, 3""".stripMargin
+      }
     ),
     Q(
       // Incremental assignment fixture: the corpus is the
