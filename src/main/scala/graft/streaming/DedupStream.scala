@@ -29,14 +29,21 @@ object DedupStream {
   /** Wire a streaming batch source into incremental dedup; `sink` receives
     * each micro-batch's (id, dedup_id) assignment rows.
     */
+  /** `trigger` defaults to the production drain mode (AvailableNow:
+    * process the backlog, then stop). Long-lived deployments — and the
+    * specs, which enqueue data AFTER `start()` and would race an
+    * AvailableNow query's terminate-on-empty — pass a continuous
+    * micro-batch trigger instead.
+    */
   def incremental(
       newRecords: DataFrame,
       clusteredCorpus: DataFrame,
-      sink: (DataFrame, Long) => Unit
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()
   ): DataStreamWriter[Row] =
     newRecords.writeStream
       .outputMode("update")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(Dedup.dedupIncremental(batch, clusteredCorpus), batchId)
       }
@@ -57,10 +64,14 @@ object NeardupStream {
   /** `sink` receives each micro-batch's (doc_id, cluster_id, is_new)
     * assignment rows.
     */
+  /** `trigger`: as in [[DedupStream.incremental]] — AvailableNow drain
+    * by default, continuous micro-batch for long-lived runs and specs.
+    */
   def incremental(
       newDocs: DataFrame,
       clusteredCorpus: DataFrame,
-      sink: (DataFrame, Long) => Unit
+      sink: (DataFrame, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()
   ): DataStreamWriter[Row] = {
     // Corpus-side index (capped band table + word sets) built and
     // persisted ONCE — inside foreachBatch it would recompute the
@@ -69,7 +80,7 @@ object NeardupStream {
     val index = graft.operators.LlmQueries8.neardupIndexOf(clusteredCorpus)
     newDocs.writeStream
       .outputMode("update")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(
           graft.operators.LlmQueries8.neardupIncrementalIndexed(batch, index),

@@ -53,6 +53,11 @@ class DedupStreamSpec extends SparkSuite {
     val (first, second) = all.splitAt(all.length / 2)
     val input = MemoryStream[DedupStreamRec]
     val got = mutable.Map[String, Option[String]]()
+    // Continuous micro-batch trigger: data is enqueued after start(), and
+    // the default AvailableNow trigger would race — an empty first poll
+    // terminates the query before addData lands (seen under parallel
+    // suite load). processAllAvailable after EACH addData also pins the
+    // two-micro-batch replay the test is about.
     val q = DedupStream
       .incremental(
         input.toDF(),
@@ -60,11 +65,13 @@ class DedupStreamSpec extends SparkSuite {
         (out, _) =>
           out.collect().foreach(r => got.synchronized {
             got(r.getString(0)) = Option(r.getString(1))
-          })
+          }),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
       )
       .start()
     try {
       input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
       input.addData(second.toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()

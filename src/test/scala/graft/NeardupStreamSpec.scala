@@ -49,6 +49,11 @@ class NeardupStreamSpec extends SparkSuite {
     val (first, second) = all.splitAt(all.length / 2)
     val input = MemoryStream[NeardupStreamDoc]
     val got = mutable.Map[Long, (Long, Boolean)]()
+    // Continuous micro-batch trigger: data is enqueued after start(), and
+    // the default AvailableNow trigger would race — an empty first poll
+    // terminates the query before addData lands (seen under parallel
+    // suite load). processAllAvailable after EACH addData also pins the
+    // two-micro-batch replay the test is about.
     val q = NeardupStream
       .incremental(
         input.toDF(),
@@ -56,11 +61,13 @@ class NeardupStreamSpec extends SparkSuite {
         (out, _) =>
           out.collect().foreach(r => got.synchronized {
             got(r.getLong(0)) = (r.getLong(1), r.getBoolean(2))
-          })
+          }),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
       )
       .start()
     try {
       input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
       input.addData(second.toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()

@@ -32,12 +32,15 @@ class PlanSpec extends SparkSuite {
         .toString
         .contains("BroadcastNestedLoopJoin")
     }
-    // knn_cosine IS the documented brute-force baseline; ann_recall_eval
-    // computes brute-force ground truth over the deliberately small eval
-    // query sample (the corpus side of its approximate path stays a
-    // bucketed equi-join).
+    // knn_cosine IS the documented brute-force baseline; the two recall
+    // evals compute brute-force ground truth over the deliberately small
+    // eval query sample (the corpus side of their approximate paths stays
+    // a bucketed equi-join).
     assert(
-      offenders.map(_.name).toSet.subsetOf(Set("knn_cosine", "ann_recall_eval")),
+      offenders
+        .map(_.name)
+        .toSet
+        .subsetOf(Set("knn_cosine", "ann_recall_eval", "ann_recall_multiprobe")),
       offenders.map(_.name).mkString(",")
     )
   }
