@@ -69,7 +69,8 @@ object SparkEntry {
       operators.GraphQueries.all ++
       operators.IncrementalQueries.all ++
       operators.ClusterTopics.all ++
-      operators.MultiProbe.all
+      operators.MultiProbe.all ++
+      operators.AnomalyQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
