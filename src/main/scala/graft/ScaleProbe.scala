@@ -211,6 +211,84 @@ object ScaleProbe {
           .filter(col("dedup_id").isNotNull)
           .count()
         println(f"SCALE mode=incr mult=$mult corpus=$total batch=2000 matched=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "skewjoin" =>
+        // AQE skew-join demonstration: a fact table where ~30% of rows
+        // share ONE join key (the boilerplate-host shape), sort-merge
+        // joined to its key dimension. With AQE skew handling the hot
+        // partition is split into parallel sub-joins; without it, one
+        // task carries the whole hot key. Thresholds are lowered so the
+        // sf0.1 hot partition qualifies (production defaults are sized
+        // for real-cluster partitions).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        val li = Tables
+          .lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        val factBase = li.withColumn(
+          "k",
+          when(col("l_orderkey") % 10 < 6, lit(0L)).otherwise(col("l_orderkey"))
+        )
+        // mult replicates fact ROWS at the SAME keys — the hot partition
+        // grows mult×, the dim stays fixed.
+        val fact = (0 until mult).map(_ => factBase).reduce(_ unionByName _)
+        // Dim construction matters twice over: (a) deriving it from
+        // `fact` makes the k-Exchange canonically identical on both
+        // sides, and a ReusedExchange consumer suppresses
+        // OptimizeSkewedJoin (splitting would change the partitioning
+        // the other consumer depends on); (b) a distinct()/aggregate
+        // sitting between the join and the dim's shuffle ALSO defeats
+        // the rule — its pattern matches only Sort-over-shuffle-stage
+        // children. So: a different source table, already key-unique
+        // (cold orderkeys + one literal hot row), no aggregate.
+        val dim = Tables
+          .orders(spark, sfDir)
+          .filter(col("o_orderkey") % 10 >= 6)
+          .select(col("o_orderkey").as("k"))
+          .unionByName(spark.range(1).select(lit(0L).as("k")))
+          .withColumn("info", md5(col("k").cast("string")))
+        def runJoin(): (Double, String) = {
+          val joined = fact
+            .join(dim, Seq("k"))
+            .groupBy(col("k") % 1000)
+            .agg(sum(col("l_quantity")).cast("double").as("s"), count(lit(1)).as("n"))
+          val t0 = System.nanoTime()
+          // collect (tiny post-agg result) through THIS Dataset's
+          // queryExecution so the inspected plan is the FINAL adaptive
+          // plan (a separate write re-plans from scratch and reports the
+          // pre-execution skeleton without AQEShuffleRead nodes).
+          joined.collect()
+          val t = (System.nanoTime() - t0) / 1e9
+          val plan = joined.queryExecution.executedPlan.toString
+          val mark =
+            plan.linesIterator
+              .filter(_.contains("AQEShuffleRead"))
+              .take(2)
+              .mkString("; ")
+              .trim match {
+              case "" => "no-aqe-read"
+              case m  => m
+            }
+          (t, mark)
+        }
+        if (sys.env.contains("SKEW_DEBUG")) {
+          val joined = fact
+            .join(dim, Seq("k"))
+            .groupBy(col("k") % 1000)
+            .agg(sum(col("l_quantity")).cast("double").as("s"), count(lit(1)).as("n"))
+          joined.collect()
+          println(joined.queryExecution.executedPlan.toString)
+        }
+        runJoin() // untimed warmup (JVM/codegen) so the A/B is plan-only
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (tOff, _) = runJoin()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val (tOn, mark) = runJoin()
+        println(
+          f"SCALE mode=skewjoin mult=$mult rows=${fact.count()} aqe_off=$tOff%.1f s aqe_on=$tOn%.1f s ($mark)"
+        )
       case "pagerank" =>
         // Edge growth with constant degree structure: each replica is a
         // disjoint copy of the trade graph (node-id prefix bijection), so
