@@ -212,7 +212,7 @@ object ScaleProbe {
           .count()
         println(f"SCALE mode=incr mult=$mult corpus=$total batch=2000 matched=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "skewjoin" =>
-        // AQE skew-join demonstration: a fact table where ~30% of rows
+        // AQE skew-join demonstration: a fact table where ~60% of rows
         // share ONE join key (the boilerplate-host shape), sort-merge
         // joined to its key dimension. With AQE skew handling the hot
         // partition is split into parallel sub-joins; without it, one
@@ -249,11 +249,12 @@ object ScaleProbe {
           .select(col("o_orderkey").as("k"))
           .unionByName(spark.range(1).select(lit(0L).as("k")))
           .withColumn("info", md5(col("k").cast("string")))
-        def runJoin(): (Double, String) = {
-          val joined = fact
-            .join(dim, Seq("k"))
+        def skewJoined(f: DataFrame, dm: DataFrame): DataFrame =
+          f.join(dm, Seq("k"))
             .groupBy(col("k") % 1000)
             .agg(sum(col("l_quantity")).cast("double").as("s"), count(lit(1)).as("n"))
+        def runJoin(): (Double, String) = {
+          val joined = skewJoined(fact, dim)
           val t0 = System.nanoTime()
           // collect (tiny post-agg result) through THIS Dataset's
           // queryExecution so the inspected plan is the FINAL adaptive
@@ -274,20 +275,20 @@ object ScaleProbe {
           (t, mark)
         }
         if (sys.env.contains("SKEW_DEBUG")) {
-          val joined = fact
-            .join(dim, Seq("k"))
-            .groupBy(col("k") % 1000)
-            .agg(sum(col("l_quantity")).cast("double").as("s"), count(lit(1)).as("n"))
-          joined.collect()
-          println(joined.queryExecution.executedPlan.toString)
+          val dbg = skewJoined(fact, dim)
+          dbg.collect()
+          println(dbg.queryExecution.executedPlan.toString)
         }
+        // Count the replicated fact ONCE, before the timed A/B — a count
+        // in the println would append another full mult-way scan.
+        val factRows = fact.count()
         runJoin() // untimed warmup (JVM/codegen) so the A/B is plan-only
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         val (tOff, _) = runJoin()
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         val (tOn, mark) = runJoin()
         println(
-          f"SCALE mode=skewjoin mult=$mult rows=${fact.count()} aqe_off=$tOff%.1f s aqe_on=$tOn%.1f s ($mark)"
+          f"SCALE mode=skewjoin mult=$mult rows=$factRows aqe_off=$tOff%.1f s aqe_on=$tOn%.1f s ($mark)"
         )
       case "pagerank" =>
         // Edge growth with constant degree structure: each replica is a

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * deviations (= 4·MAD) — and the 3σ-analogue gate `|n−med| > 3·MAD`
   * becomes `2·dev2 > 3·mad4` with no fraction ever materialized.
   *
+  * MAD-collapse guard: a near-constant series (the most common HEALTHY
+  * shape) has MAD = 0, and the bare rule would then flag every day with
+  * any deviation at all. The standard Hampel fallback is a minimum
+  * scale: the effective threshold is `max(3·MAD, 5% of median)`, i.e.
+  * `2·dev2 > greatest(3·mad4, med2 div 5)` in the doubled units
+  * (med2 div 5 = 2·(median/10) → dev > median/10 when MAD collapses).
+  *
   * Scale shape: the raw stream reduces to (type, day) counts in one
   * bounded-key aggregate with map-side combine; the median/MAD passes
   * sort a ≤days-sized collected array per type (bounded by the
@@ -22,17 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object AnomalyQueries {
 
-  private val anomalyMad = Q(
-    "events_anomaly_mad",
-    (s, d) => {
-      val daily = Tables
-        .events(s, d)
-        .groupBy(
-          col("event_type"),
-          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day")
-        )
-        .agg(count(lit(1)).as("n"))
-      val med = daily
+  /** The Hampel gate over a pre-counted (event_type, day, n) frame —
+    * exposed so the MAD-collapse fallback is spec-testable on hand
+    * series the corpus fixture doesn't produce.
+    */
+  def madFlags(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val med = daily
         .groupBy("event_type")
         .agg(sort_array(collect_list(col("n"))).as("ms"))
         .select(
@@ -60,9 +62,22 @@ object AnomalyQueries {
           col("med2"),
           col("dev2"),
           col("mad4"),
-          (col("dev2") * 2 > col("mad4") * 3).as("is_anomaly")
+          (col("dev2") * 2 > greatest(col("mad4") * 3, expr("med2 div 5"))).as("is_anomaly")
         )
-    },
+  }
+
+  private val anomalyMad = Q(
+    "events_anomaly_mad",
+    (s, d) =>
+      madFlags(
+        Tables
+          .events(s, d)
+          .groupBy(
+            col("event_type"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day")
+          )
+          .agg(count(lit(1)).as("n"))
+      ),
     Some(
       """WITH daily AS (
         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -82,7 +97,7 @@ object AnomalyQueries {
         |SELECT dev.event_type, day, cast(n as bigint) AS n,
         |  cast(med2 as bigint) AS med2, cast(dev2 as bigint) AS dev2,
         |  cast(mad4 as bigint) AS mad4,
-        |  dev2 * 2 > mad4 * 3 AS is_anomaly
+        |  dev2 * 2 > greatest(mad4 * 3, med2 // 5) AS is_anomaly
         |FROM dev JOIN mad ON dev.event_type = mad.event_type""".stripMargin
     )
   )

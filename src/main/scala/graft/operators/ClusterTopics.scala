@@ -27,11 +27,16 @@ object ClusterTopics {
       val cells = Tables
         .embeddings(s, d)
         .select(col("vec_id"), LlmQueries2.ivfCell(col("embedding"), Cells).as("cell"))
+      // Two aggregates read `terms`; Spark does not deduplicate common
+      // subplans, so without the persist the documents⋈cells join and
+      // the explode run twice (same re-derivation the PageRank edge
+      // table hit). Verify/Bench clear the cache per query.
       val terms = Tables
         .documents(s, d)
         .join(cells, col("doc_id") === col("vec_id"))
         .select(col("cell"), explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
         .filter(length(col("term")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inCell = terms.groupBy("cell", "term").agg(count(lit(1)).as("n_cell"))
       val global = terms.groupBy("term").agg(count(lit(1)).as("n_global"))
       val lift = inCell

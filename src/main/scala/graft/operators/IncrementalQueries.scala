@@ -25,7 +25,6 @@ object IncrementalQueries {
 
   private val Shards = 64
   private val K = 16
-  private val Space = 281474976710656L // 2^48
 
   private val partialMerge = Q(
     "events_partial_merge",
@@ -36,9 +35,7 @@ object IncrementalQueries {
           date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
           col("event_type"),
           col("value"),
-          conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
-            .cast("long")
-            .as("uh")
+          SketchQueries.hash48(col("user_id").cast("string")).as("uh")
         )
       // Daily partial states (what a production job writes per partition).
       val scalarPartials = ev
@@ -69,10 +66,7 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n_shards"), sort_array(collect_list(col("minh"))).as("ms"))
         .select(
           col("event_type"),
-          when(
-            col("n_shards") >= K && element_at(col("ms"), K) > 0,
-            expr(s"${(K - 1).toLong * Space}L div element_at(ms, $K)")
-          ).otherwise(col("n_shards")).as("est_users")
+          SketchQueries.kmvEstimate("ms", col("n_shards"), K).as("est_users")
         )
       scalars.join(users, Seq("event_type"))
     },
@@ -102,7 +96,7 @@ object IncrementalQueries {
          |  FROM rm GROUP BY 1)
          |SELECT sc.event_type, n_days, n_events, sum_value, min_value, max_value,
          |  (CASE WHEN n_shards >= $K AND ms[$K] > 0
-         |        THEN ${(K - 1).toLong * Space} // ms[$K]
+         |        THEN ${(K - 1).toLong * SketchQueries.Hash48Space} // ms[$K]
          |        ELSE cast(n_shards as bigint) END) AS est_users
          |FROM sc JOIN us ON sc.event_type = us.event_type""".stripMargin
     )

@@ -40,24 +40,19 @@ object MultiProbe {
       )
     )
 
-  private def scored(base: DataFrame, queries: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    base
-      .join(queries, col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("vec_id").as("neighbor_id"),
-        round(cosine(col("qvec"), col("embedding")), 6).as("score")
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-  }
+  private def scored(base: DataFrame, queries: DataFrame): DataFrame =
+    AnnEval.topK(
+      base
+        .join(queries, col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          round(cosine(col("qvec"), col("embedding")), 6).as("score")
+        ),
+      TopK
+    )
 
-  private def duckBucket = {
-    val weight =
-      "(strpos('0123456789abcdef', substr(md5(cast(p as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
-    s"array_to_string(list_transform(range(0, $Planes), p -> CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), dd -> (cast(embedding as double[]))[dd] * $weight)) >= 0 THEN '1' ELSE '0' END), '')"
-  }
+  private def duckBucket = AnnEval.duckBucket(Planes)
 
   private val duckProbes =
     s"list_prepend(bucket, list_transform(range(1, $Planes + 1), p -> " +
@@ -108,20 +103,7 @@ object MultiProbe {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val base = emb.select(col("vec_id"), col("embedding"), signLshBucket(col("embedding"), Planes).as("bucket"))
-      val truthQ = emb
-        .filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val wT = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-      val truth = emb
-        .join(broadcast(truthQ), col("vec_id") =!= col("query_id"))
-        .select(
-          col("query_id"),
-          col("vec_id").as("neighbor_id"),
-          round(cosine(col("qvec"), col("embedding")), 6).as("score")
-        )
-        .withColumn("rank", row_number().over(wT))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = AnnEval.truthTopK(emb, NQueries, TopK)
       val queries = base
         .filter(col("vec_id") < NQueries)
         .select(
@@ -131,20 +113,7 @@ object MultiProbe {
         )
       val approx = scored(base, queries)
         .select(col("query_id"), col("neighbor_id").as("approx_id"))
-      truth
-        .join(
-          approx,
-          truth("query_id") === approx("query_id") && truth("neighbor_id") === approx("approx_id"),
-          "left"
-        )
-        .groupBy(truth("query_id").as("query_id"))
-        .agg(count(lit(1)).as("k"), count(col("approx_id")).as("n_overlap"))
-        .select(
-          col("query_id"),
-          col("k"),
-          col("n_overlap"),
-          (col("n_overlap") * 1000 / col("k")).cast("long").as("recall_permille")
-        )
+      AnnEval.recallOf(truth, approx)
     },
     Some(
       s"""WITH b AS (SELECT vec_id, cast(embedding as double[]) AS vec, $duckBucket AS bucket FROM embeddings),

@@ -46,7 +46,22 @@ object SketchQueries {
   private[graft] def hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
-  private val Hash48Space = 281474976710656L // 2^48
+  private[graft] val Hash48Space = 281474976710656L // 2^48
+
+  /** KMV cardinality estimate from a sorted register array column named
+    * `msName` (the name is embedded in a SQL `div` expression — Column
+    * API has no integer division): `(k−1)·2^48 div ms[k]` when ≥k
+    * registers exist and the k-th is positive, else the register count
+    * itself. Shared by corpus_distinct_kmv and events_partial_merge so
+    * the estimator branch lives in exactly one place.
+    */
+  private[graft] def kmvEstimate(msName: String, nShards: Column, k: Int): Column = {
+    val kth = when(nShards >= k, element_at(col(msName), k))
+    when(
+      kth > 0,
+      expr(s"${(k - 1).toLong * Hash48Space}L div element_at($msName, $k)")
+    ).otherwise(nShards.cast("long"))
+  }
 
   // ---------------------------------------------------------------------
   // KMV distinct sketch
@@ -99,16 +114,9 @@ object SketchQueries {
         .select(
           col("source"),
           col("n_rows"),
-          col("n_shards").cast("long").as("n_shards"), {
-            val kth = when(col("n_shards") >= KmvK, element_at(col("ms"), KmvK))
-            kth.as("kth_min")
-          }, {
-            val kth = when(col("n_shards") >= KmvK, element_at(col("ms"), KmvK))
-            when(
-              kth.isNotNull && kth > 0,
-              expr(s"${(KmvK - 1).toLong * Hash48Space}L div element_at(ms, $KmvK)")
-            ).otherwise(col("n_shards").cast("long")).as("est_distinct")
-          }
+          col("n_shards").cast("long").as("n_shards"),
+          when(col("n_shards") >= KmvK, element_at(col("ms"), KmvK)).as("kth_min"),
+          kmvEstimate("ms", col("n_shards"), KmvK).as("est_distinct")
         )
     },
     Some(
@@ -174,8 +182,12 @@ object SketchQueries {
   private val ngramCms = Q(
     "docs_ngram_cms",
     (s, d) => {
+      // Three consumers (sketch cells, probe set, exact counts) read the
+      // exploded gram corpus; persist it or each re-runs the scan+explode
+      // (Spark deduplicates exchanges, not common subplans).
       val corpus = docs(s, d)
         .select(col("doc_id"), explode(gramsOf(col("text"))).as("gram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cells = corpus
         .select(
           explode(
@@ -362,22 +374,7 @@ object SketchQueries {
     "ann_recall_eval",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      def topk(cand: DataFrame): DataFrame = {
-        val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-        cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= RecallK)
-      }
-      val queriesPlain = emb
-        .filter(col("vec_id") < RecallQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val truth = topk(
-        emb
-          .join(broadcast(queriesPlain), col("vec_id") =!= col("query_id"))
-          .select(
-            col("query_id"),
-            col("vec_id").as("neighbor_id"),
-            round(cosine(col("qvec"), col("embedding")), 6).as("score")
-          )
-      ).select(col("query_id"), col("neighbor_id"))
+      val truth = AnnEval.truthTopK(emb, RecallQueries, RecallK)
       def evalPlanes(planes: Int): DataFrame = {
         val base = emb.select(
           col("vec_id"),
@@ -387,38 +384,26 @@ object SketchQueries {
         val queries = base
           .filter(col("vec_id") < RecallQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket").as("qbucket"))
-        val approx = topk(
-          base
-            .join(queries, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-            .select(
-              col("query_id"),
-              col("vec_id").as("neighbor_id"),
-              round(cosine(col("qvec"), col("embedding")), 6).as("score")
-            )
-        ).select(col("query_id"), col("neighbor_id").as("approx_id"))
-        truth
-          .join(
-            approx,
-            truth("query_id") === approx("query_id") && truth("neighbor_id") === approx("approx_id"),
-            "left"
+        val approx = AnnEval
+          .topK(
+            base
+              .join(queries, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+              .select(
+                col("query_id"),
+                col("vec_id").as("neighbor_id"),
+                round(cosine(col("qvec"), col("embedding")), 6).as("score")
+              ),
+            RecallK
           )
-          .groupBy(truth("query_id").as("query_id"))
-          .agg(count(lit(1)).as("k"), count(col("approx_id")).as("n_overlap"))
-          .select(
-            lit(planes).as("planes"),
-            col("query_id"),
-            col("k"),
-            col("n_overlap"),
-            (col("n_overlap") * 1000 / col("k")).cast("long").as("recall_permille")
-          )
+          .select(col("query_id"), col("neighbor_id").as("approx_id"))
+        AnnEval
+          .recallOf(truth, approx)
+          .select(lit(planes).as("planes"), col("query_id"), col("k"), col("n_overlap"), col("recall_permille"))
       }
       RecallPlaneSweep.map(evalPlanes).reduce(_ unionByName _)
     },
     Some {
-      val weight =
-        "(strpos('0123456789abcdef', substr(md5(cast(p as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
-      def bucket(planes: Int) =
-        s"array_to_string(list_transform(range(0, $planes), p -> CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), dd -> (cast(embedding as double[]))[dd] * $weight)) >= 0 THEN '1' ELSE '0' END), '')"
+      def bucket(planes: Int) = AnnEval.duckBucket(planes)
       val perPlanes = RecallPlaneSweep
         .map { planes =>
           s"""(SELECT $planes AS planes, t.query_id, cast(count(*) as bigint) AS k,

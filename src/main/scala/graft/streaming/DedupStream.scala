@@ -27,13 +27,11 @@ import org.apache.spark.sql.Row
 object DedupStream {
 
   /** Wire a streaming batch source into incremental dedup; `sink` receives
-    * each micro-batch's (id, dedup_id) assignment rows.
-    */
-  /** `trigger` defaults to the production drain mode (AvailableNow:
-    * process the backlog, then stop). Long-lived deployments — and the
-    * specs, which enqueue data AFTER `start()` and would race an
-    * AvailableNow query's terminate-on-empty — pass a continuous
-    * micro-batch trigger instead.
+    * each micro-batch's (id, dedup_id) assignment rows. `trigger`
+    * defaults to the production drain mode (AvailableNow: process the
+    * backlog, then stop); long-lived deployments — and the specs, which
+    * enqueue data AFTER `start()` and would race an AvailableNow query's
+    * terminate-on-empty — pass a continuous micro-batch trigger instead.
     */
   def incremental(
       newRecords: DataFrame,
@@ -62,10 +60,9 @@ object DedupStream {
 object NeardupStream {
 
   /** `sink` receives each micro-batch's (doc_id, cluster_id, is_new)
-    * assignment rows.
-    */
-  /** `trigger`: as in [[DedupStream.incremental]] — AvailableNow drain
-    * by default, continuous micro-batch for long-lived runs and specs.
+    * assignment rows; `trigger` as in [[DedupStream.incremental]] —
+    * AvailableNow drain by default, continuous micro-batch for
+    * long-lived runs and specs.
     */
   def incremental(
       newDocs: DataFrame,
