@@ -70,7 +70,9 @@ object SparkEntry {
       operators.IncrementalQueries.all ++
       operators.ClusterTopics.all ++
       operators.MultiProbe.all ++
-      operators.AnomalyQueries.all
+      operators.AnomalyQueries.all ++
+      operators.SourceOverlap.all ++
+      operators.QualitySampling.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -50,7 +50,7 @@ object LlmQueries {
       |  SELECT doc_id + 200000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 5
       |)""".stripMargin
 
-  private def normSql(x: String) =
+  private[operators] def normSql(x: String) =
     s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
 
   /** Shingles + two-hash MinHash signature + band hashes in DuckDB. */
