@@ -157,7 +157,67 @@ object ImageMetaExpr {
         case _         => return fail
       }
       row("bmp", w, h, bpp, channels)
+    } else if (
+      b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+    ) {
+      parseTiff(b, littleEndian = b(0) == 'I')
     } else fail
+  }
+
+  /** TIFF 6.0 baseline: endian-tagged header, IFD offset at byte 4, then
+    * 12-byte IFD entries (tag, type, count, value-or-offset). Width/
+    * height from tags 256/257 (SHORT or LONG), bit depth from the first
+    * BitsPerSample value (tag 258 — inline when count==1, dereferenced
+    * when the value field holds an offset), channels from
+    * SamplesPerPixel (tag 277, default 1). Every read is bounds-checked;
+    * malformed structures return the not-an-image row, never throw.
+    */
+  private def parseTiff(b: Array[Byte], littleEndian: Boolean): InternalRow = {
+    @inline def r16(i: Int): Int = if (littleEndian) le16(b, i) else be16(b, i)
+    @inline def r32(i: Int): Long =
+      if (littleEndian) le32s(b, i) & 0xffffffffL else be32(b, i)
+    def entryValue(off: Int): Long = {
+      // Returns the first value of a SHORT/LONG entry, or -1 if unusable.
+      val tpe = r16(off + 2)
+      val count = r32(off + 4)
+      if (count < 1) return -1
+      tpe match {
+        case 3 => // SHORT: count<=2 fits inline; otherwise value field is an offset
+          if (count <= 2) r16(off + 8)
+          else {
+            val p = r32(off + 8)
+            if (p + 2 > b.length) -1 else r16(p.toInt)
+          }
+        case 4 =>
+          if (count == 1) r32(off + 8)
+          else {
+            val p = r32(off + 8)
+            if (p + 4 > b.length) -1 else r32(p.toInt)
+          }
+        case _ => -1
+      }
+    }
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return fail
+    val n = r16(ifd.toInt)
+    var (w, h, depth, ch) = (-1L, -1L, 8L, 1L)
+    var e = 0
+    while (e < n) {
+      val off = ifd.toInt + 2 + e * 12
+      if (off + 12 > b.length) return fail
+      r16(off) match {
+        case 256 => w = entryValue(off)
+        case 257 => h = entryValue(off)
+        case 258 => depth = entryValue(off)
+        case 277 => ch = entryValue(off)
+        case _   => ()
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue || depth <= 0 || ch <= 0) fail
+    else row("tiff", w.toInt, h.toInt, depth.toInt, ch.toInt)
   }
 
   @inline private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)

@@ -30,6 +30,27 @@ class MultimodalSpec extends SparkSuite {
     out.toByteArray
   }
 
+  test("real ImageIO TIFF parses to its true dimensions (both endian cases via JDK writer)") {
+    // JDK 9+ ships a TIFF ImageIO plugin; its output is the real-encoder
+    // validation the other formats get. Gray vs RGB exercises
+    // SamplesPerPixel and BitsPerSample dereferencing.
+    val rgb = parse(encode(new BufferedImage(61, 29, BufferedImage.TYPE_INT_RGB), "tiff"))
+    assert(rgb.getString(0) == "tiff", rgb.toString)
+    assert(rgb.getInt(1) == 61 && rgb.getInt(2) == 29)
+    assert(rgb.getInt(3) == 8 && rgb.getInt(4) == 3 && rgb.getBoolean(5))
+    val gray = parse(encode(new BufferedImage(7, 9, BufferedImage.TYPE_BYTE_GRAY), "tiff"))
+    assert(gray.getString(0) == "tiff")
+    assert(gray.getInt(1) == 7 && gray.getInt(2) == 9 && gray.getInt(4) == 1)
+  }
+
+  test("truncated TIFF structures fail closed") {
+    val tiff = encode(new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB), "tiff")
+    for (bad <- Seq(tiff.take(6), tiff.take(9))) {
+      val r = parse(bad)
+      assert(!r.getBoolean(5), s"len=${bad.length}")
+    }
+  }
+
   test("real ImageIO PNG parses to its true dimensions") {
     val img = new BufferedImage(123, 45, BufferedImage.TYPE_INT_RGB)
     val r = parse(encode(img, "png"))
