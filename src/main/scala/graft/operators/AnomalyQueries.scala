@@ -102,5 +102,95 @@ object AnomalyQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(anomalyMad)
+  /** One-sided CUSUM drift detection (Page 1954) — the sustained-level-
+    * shift complement to the MAD rule's point anomalies: a 20% elevation
+    * lasting a week never trips a 3·MAD gate but accumulates in the
+    * CUSUM. The recursion S_t = max(0, S_{t-1} + x_t) looks
+    * window-inexpressible, but the prefix-min identity
+    * `S_t = P_t − min(0, min_{k≤t} P_k)` (P = running sum of slack-
+    * adjusted deviations) turns it into two ordinary cumulative windows
+    * — so the operator distributes exactly like any windowed aggregate,
+    * ≤window-sized partitions per type. Units are the MAD rule's doubled
+    * integers; the scale floor `eff4 = max(mad4, med2 div 10)` (5% of
+    * the median) guards MAD collapse, slack is eff4/2 (half the robust
+    * σ-analogue), and drift flags when S exceeds 2.5× the robust scale
+    * (`2·S₂ > 5·eff4`).
+    */
+  def cusumDrift(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = madFlags(daily).select(
+      col("event_type"),
+      col("day"),
+      col("n"),
+      col("med2"),
+      greatest(col("mad4"), expr("med2 div 10")).as("eff4")
+    )
+    val x2 = col("n") * 2 - col("med2") - expr("eff4 div 2")
+    val wCum = Window
+      .partitionBy("event_type")
+      .orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withP = base.withColumn("p2", sum(x2).over(wCum))
+    withP
+      .withColumn("s2", col("p2") - least(lit(0L), min(col("p2")).over(wCum)))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n"),
+        col("p2"),
+        col("s2"),
+        (col("s2") * 2 > col("eff4") * 5).as("drift_up")
+      )
+  }
+
+  private val cusumQ = Q(
+    "events_cusum_drift",
+    (s, d) =>
+      cusumDrift(
+        Tables
+          .events(s, d)
+          .groupBy(
+            col("event_type"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day")
+          )
+          .agg(count(lit(1)).as("n"))
+      ),
+    Some(
+      """WITH daily AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type,
+        |    ms[(len(ms) + 1) // 2] + ms[len(ms) // 2 + 1] AS med2
+        |  FROM (SELECT event_type, list_sort(list(n)) AS ms FROM daily GROUP BY 1) _m),
+        |dev AS (
+        |  SELECT daily.event_type, day, n, med2, abs(n * 2 - med2) AS dev2
+        |  FROM daily JOIN med ON daily.event_type = med.event_type),
+        |mad AS (
+        |  SELECT event_type,
+        |    ds[(len(ds) + 1) // 2] + ds[len(ds) // 2 + 1] AS mad4
+        |  FROM (SELECT event_type, list_sort(list(dev2)) AS ds FROM dev GROUP BY 1) _d),
+        |base AS (
+        |  SELECT dev.event_type, day, n, med2,
+        |    greatest(mad4, med2 // 10) AS eff4
+        |  FROM dev JOIN mad ON dev.event_type = mad.event_type),
+        |p AS (
+        |  SELECT *, sum(n * 2 - med2 - eff4 // 2) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p2
+        |  FROM base),
+        |sq AS (
+        |  SELECT *, p2 - least(0, min(p2) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s2
+        |  FROM p)
+        |SELECT event_type, day, cast(n as bigint) AS n,
+        |  cast(p2 as bigint) AS p2, cast(s2 as bigint) AS s2,
+        |  s2 * 2 > eff4 * 5 AS drift_up
+        |FROM sq""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(anomalyMad, cusumQ)
 }

@@ -33,6 +33,39 @@ class AnomalySpec extends SparkSuite {
     assert(f.count(_._2) == 1)
   }
 
+  private def drift(series: Seq[Long]): Seq[(String, Boolean)] = {
+    import spark.implicits._
+    val daily = series.zipWithIndex
+      .map { case (n, i) => ("t", f"2024-01-${i + 1}%02d", n) }
+      .toDF("event_type", "day", "n")
+    AnomalyQueries
+      .cusumDrift(daily)
+      .orderBy("day")
+      .collect()
+      .map(r => r.getString(1) -> r.getBoolean(5))
+      .toSeq
+  }
+
+  test("CUSUM flags a sustained 20% elevation the MAD point rule misses") {
+    // Ten days at +9% after twenty stable days: each elevated day sits
+    // under the point rule's 10%-of-median floor (so events_anomaly_mad
+    // stays quiet), but ~8 doubled units/day accumulate in the CUSUM and
+    // cross the 2.5x-scale decision interval mid-run. (The stable
+    // majority matters: median statistics tolerate <50% contamination.)
+    val stable = Seq[Long](100, 101, 99, 100, 102, 98, 100, 101, 99, 100,
+      100, 101, 99, 100, 102, 98, 100, 101, 99, 100)
+    val series = stable ++ Seq.fill(10)(109L)
+    assert(flags(series).values.count(identity) == 0, "point rule should stay quiet")
+    val d = drift(series)
+    assert(d.take(20).forall(!_._2), d.toString) // quiet through the stable stretch
+    assert(d.exists(_._2), "sustained elevation never flagged")
+  }
+
+  test("CUSUM stays quiet on a stable series and resets after a dip") {
+    val d = drift(Seq[Long](100, 101, 99, 100, 102, 98, 100, 101, 99, 100))
+    assert(d.forall(!_._2))
+  }
+
   test("normal variation inside 3*MAD does not flag; an outlier beyond it does") {
     val f = flags(Seq(95, 100, 105, 98, 102, 97, 103, 250))
     assert(f("2024-01-08"))
