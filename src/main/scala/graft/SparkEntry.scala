@@ -72,7 +72,8 @@ object SparkEntry {
       operators.MultiProbe.all ++
       operators.AnomalyQueries.all ++
       operators.SourceOverlap.all ++
-      operators.QualitySampling.all
+      operators.QualitySampling.all ++
+      operators.ContainmentQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
