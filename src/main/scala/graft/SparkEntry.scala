@@ -73,7 +73,8 @@ object SparkEntry {
       operators.AnomalyQueries.all ++
       operators.SourceOverlap.all ++
       operators.QualitySampling.all ++
-      operators.ContainmentQueries.all
+      operators.ContainmentQueries.all ++
+      operators.EvalQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Operator-quality evaluations — measuring the engine's own heuristic
+  * operators against ground truth the corpus carries:
+  *
+  *   - `docs_langid_confusion`: the language-ID heuristic's confusion
+  *     matrix against the labeled `lang` column, plus per-true-language
+  *     accuracy — the table that decides whether the stopword sets need
+  *     another language before anyone trusts `docs_langid` gating.
+  *   - `docs_dedup_eval`: precision/recall of the LSH+Jaccard near-dup
+  *     pair detection against the corpus's INJECTED duplicate pairs
+  *     (`+100000` verbatim, `+200000` tail-append — constructed labels,
+  *     so the measurement is exact). The eval that sizes recall lost to
+  *     banding before a 100 TB dedup run is trusted.
+  *
+  * Both reduce to bounded aggregates (languages², one row); integer
+  * per-mille metrics.
+  */
+object EvalQueries {
+
+  private val langidConfusion = Q(
+    "docs_langid_confusion",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(col("lang").as("true_lang"), languageId(col("text")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n")),
+    Some {
+      // The docs_langid oracle's prediction expression verbatim (highest
+      // stopword-hit count, set-order tiebreak, zero hits → 'und'),
+      // aggregated to the matrix.
+      val hits = StopwordSets.map { case (lang, set) =>
+        val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> s"len(list_intersect(string_split(${LlmQueries.normSql("text")}, ' '), $arr))"
+      }
+      val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
+      val chain = hits
+        .map { case (lang, h) => s"WHEN $h = mx AND mx > 0 THEN '$lang'" }
+        .mkString(" ")
+      s"""WITH t AS (SELECT lang, text, $maxExpr AS mx FROM documents)
+         |SELECT lang AS true_lang, (CASE $chain ELSE 'und' END) AS pred_lang,
+         |  cast(count(*) as bigint) AS n
+         |FROM t GROUP BY 1, 2""".stripMargin
+    }
+  )
+
+  private val dedupEval = Q(
+    "docs_dedup_eval",
+    (s, d) => {
+      // Labeled truth: every injected near-copy forms exactly one
+      // expected pair with its base document.
+      val base = Tables.documents(s, d).select(col("doc_id"))
+      val expected = base
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000).as("doc_b"))
+        .unionByName(
+          base
+            .filter(col("doc_id") % 10 === 5)
+            .select(col("doc_id").as("doc_a"), (col("doc_id") + 200000).as("doc_b"))
+        )
+      val found = LlmQueries.minhashPairsOf(LlmQueries.corpus(s, d))
+      val hit = found.join(expected, Seq("doc_a", "doc_b"))
+      val nExpected = expected.agg(count(lit(1)).as("n_expected"))
+      val nFound = found.agg(count(lit(1)).as("n_found"))
+      val nHit = hit.agg(count(lit(1)).as("n_hit"))
+      // Three 1-row frames joined on a constant key: a bounded scalar
+      // assembly, not a data join.
+      nExpected
+        .withColumn("j", lit(1))
+        .join(nFound.withColumn("j", lit(1)), Seq("j"))
+        .join(nHit.withColumn("j", lit(1)), Seq("j"))
+        .select(
+          col("n_expected"),
+          col("n_found"),
+          col("n_hit"),
+          expr("(n_hit * 1000) div n_expected").as("recall_permille"),
+          expr("(n_hit * 1000) div n_found").as("precision_permille")
+        )
+    },
+    Some(
+      s"""WITH ${LlmQueries.CorpusSql}, ${LlmQueries.SigSql},
+         |expected AS (
+         |  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id % 10 = 5),
+         |agg AS (
+         |  SELECT
+         |    (SELECT count(*) FROM expected) AS n_expected,
+         |    (SELECT count(*) FROM pairs) AS n_found,
+         |    (SELECT count(*) FROM pairs p JOIN expected e
+         |       ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b) AS n_hit)
+         |SELECT cast(n_expected as bigint) AS n_expected,
+         |  cast(n_found as bigint) AS n_found,
+         |  cast(n_hit as bigint) AS n_hit,
+         |  cast((n_hit * 1000) // n_expected as bigint) AS recall_permille,
+         |  cast((n_hit * 1000) // n_found as bigint) AS precision_permille
+         |FROM agg""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(langidConfusion, dedupEval)
+}
