@@ -69,11 +69,15 @@ object EvalQueries {
       val nFound = found.agg(count(lit(1)).as("n_found"))
       val nHit = hit.agg(count(lit(1)).as("n_hit"))
       // Three 1-row frames joined on a constant key: a bounded scalar
-      // assembly, not a data join.
-      nExpected
-        .withColumn("j", lit(1))
-        .join(nFound.withColumn("j", lit(1)), Seq("j"))
-        .join(nHit.withColumn("j", lit(1)), Seq("j"))
+      // assembly, not a data join. The key must be NON-foldable
+      // (`c − c + 1`, the docs_sample_temperature idiom) — a literal key
+      // constant-folds the equality away and Catalyst plans a
+      // nested-loop cross, tripping PlanSpec's BNLJ guard.
+      def keyed(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.withColumn("j", (col(c) - col(c) + 1).cast("int"))
+      keyed(nExpected, "n_expected")
+        .join(keyed(nFound, "n_found"), Seq("j"))
+        .join(keyed(nHit, "n_hit"), Seq("j"))
         .select(
           col("n_expected"),
           col("n_found"),
