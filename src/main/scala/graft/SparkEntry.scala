@@ -74,7 +74,9 @@ object SparkEntry {
       operators.SourceOverlap.all ++
       operators.QualitySampling.all ++
       operators.ContainmentQueries.all ++
-      operators.EvalQueries.all
+      operators.EvalQueries.all ++
+      operators.PivotQueries.all ++
+      operators.DimAblation.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -40,7 +40,9 @@ class PlanSpec extends SparkSuite {
       offenders
         .map(_.name)
         .toSet
-        .subsetOf(Set("knn_cosine", "ann_recall_eval", "ann_recall_multiprobe")),
+        .subsetOf(
+          Set("knn_cosine", "ann_recall_eval", "ann_recall_multiprobe", "ann_recall_dims")
+        ),
       offenders.map(_.name).mkString(",")
     )
   }
