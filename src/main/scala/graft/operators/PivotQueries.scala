@@ -36,5 +36,37 @@ object PivotQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(pivotLangs)
+  /** The inverse reshape: wide→long via `unpivot` (melt), round-tripping
+    * the pivoted report back to tidy rows. Zero-count cells are dropped
+    * on both engines so the long form carries only observed pairs —
+    * at scale an unpivot multiplies rows by the column count, and
+    * filtering the empties BEFORE downstream joins is the difference
+    * between a tidy table and columns×rows of nulls.
+    */
+  private val unpivotLangs = Q(
+    "corpus_unpivot_langs",
+    (s, d) => {
+      val wide = Tables
+        .documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Langs)
+        .agg(count(lit(1)))
+        .na
+        .fill(0L, Langs)
+      wide
+        .unpivot(
+          Array(col("source")),
+          Langs.map(l => col(l)).toArray,
+          "lang",
+          "n_docs"
+        )
+        .filter(col("n_docs") > 0)
+    },
+    Some(
+      """SELECT source, lang, cast(count(*) as bigint) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(pivotLangs, unpivotLangs)
 }
