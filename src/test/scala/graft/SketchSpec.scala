@@ -66,6 +66,36 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("shard-manifest checksums sum to the corpus hash total under any partitioning") {
+    // The order-independence claim, tested: the shard checksums must
+    // reconcile with a direct corpus hash sum computed over a DIFFERENT
+    // input partitioning (long addition commutes; a concat-based
+    // fingerprint would fail this reconciliation).
+    import org.apache.spark.sql.functions._
+    val manifestTotal = run("docs_shard_manifest").collect().map(_.getLong(8)).sum
+    val direct = Tables
+      .documents(spark, sf)
+      .repartition(7)
+      .agg(sum(graft.operators.SketchQueries.hash48(coalesce(col("text"), lit("")))))
+      .collect()(0)
+      .getLong(0)
+    assert(manifestTotal == direct)
+  }
+
+  test("containment dominates Jaccard on every candidate pair") {
+    // C(A,B) = |∩|/min-side ≥ |∩|/|A∪B| = Jaccard, always; a per-pair
+    // violation would mean the two operators disagree on the
+    // intersection they claim to share.
+    val rows = run("docs_containment_pairs").collect()
+    rows.foreach { r =>
+      val (inter, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val jaccardMicro = inter * 1000000L / (na + nb - inter)
+      val contMax = math.max(r.getLong(5), r.getLong(6))
+      assert(contMax >= jaccardMicro, s"pair ${r.getLong(0)}-${r.getLong(1)}")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("multi-probe recall dominates single-probe at the same plane count") {
     // The multi-probe candidate set contains the query's own bucket, so
     // per-query recall can only improve on ann_recall_eval's planes=8 rows.
