@@ -64,5 +64,56 @@ object ContainmentQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(containmentPairs)
+  /** Pair forensics: for each LSH candidate pair, the shared/unique
+    * token-segment counts per side — the "WHY is this a near-dup"
+    * explanation a curation reviewer reads before trusting a dedup
+    * sweep (all-shared → verbatim copy; shared-prefix + unique-tail →
+    * template with insertions). Segments are 8-token windows at 8-token
+    * stride (the fingerprint granularity); counts are exact set
+    * arithmetic on md5 segment hashes.
+    */
+  private val pairDiff = Q(
+    "docs_pair_diff",
+    (s, d) => {
+      val segsOf = {
+        val tokens = split(coalesce(col("text"), lit("")), " ")
+        array_distinct(
+          transform(
+            sequence(lit(0), greatest(floor((size(tokens) - 1) / 8).cast("int"), lit(0))),
+            i => md5(concat_ws(" ", slice(tokens, i * 8 + 1, lit(8))))
+          )
+        )
+      }
+      val segs = LlmQueries.corpus(s, d).select(col("doc_id"), segsOf.as("segs"))
+      LlmQueries
+        .minhashPairsOf(LlmQueries.corpus(s, d))
+        .join(segs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("segs", "sa"), Seq("doc_a"))
+        .join(segs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("segs", "sb"), Seq("doc_b"))
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_shared"),
+          size(array_except(col("sa"), col("sb"))).cast("long").as("n_only_a"),
+          size(array_except(col("sb"), col("sa"))).cast("long").as("n_only_b")
+        )
+    },
+    Some(
+      s"""WITH ${LlmQueries.CorpusSql}, ${LlmQueries.SigSql},
+         |tkx AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tokens FROM corpus),
+         |segsets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest((len(tokens) - 1) // 8, 0) + 1),
+         |    i -> md5(array_to_string(tokens[i*8+1 : i*8+8], ' ')))) AS segs
+         |  FROM tkx)
+         |SELECT p.doc_a, p.doc_b,
+         |  cast(len(list_intersect(a.segs, b.segs)) as bigint) AS n_shared,
+         |  cast(len(list_filter(a.segs, x -> NOT list_contains(b.segs, x))) as bigint) AS n_only_a,
+         |  cast(len(list_filter(b.segs, x -> NOT list_contains(a.segs, x))) as bigint) AS n_only_b
+         |FROM pairs p
+         |JOIN segsets a ON p.doc_a = a.doc_id
+         |JOIN segsets b ON p.doc_b = b.doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(containmentPairs, pairDiff)
 }
