@@ -31,17 +31,9 @@ object EvalQueries {
         .groupBy("true_lang", "pred_lang")
         .agg(count(lit(1)).as("n")),
     Some {
-      // The docs_langid oracle's prediction expression verbatim (highest
-      // stopword-hit count, set-order tiebreak, zero hits → 'und'),
-      // aggregated to the matrix.
-      val hits = StopwordSets.map { case (lang, set) =>
-        val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
-        lang -> s"len(list_intersect(string_split(${LlmQueries.normSql("text")}, ' '), $arr))"
-      }
-      val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
-      val chain = hits
-        .map { case (lang, h) => s"WHEN $h = mx AND mx > 0 THEN '$lang'" }
-        .mkString(" ")
+      // The docs_langid oracle's shared prediction expression, aggregated
+      // to the matrix.
+      val (maxExpr, chain) = LlmQueries.langidPredDuck
       s"""WITH t AS (SELECT lang, text, $maxExpr AS mx FROM documents)
          |SELECT lang AS true_lang, (CASE $chain ELSE 'und' END) AS pred_lang,
          |  cast(count(*) as bigint) AS n

@@ -53,6 +53,23 @@ object LlmQueries {
   private[operators] def normSql(x: String) =
     s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
 
+  /** DuckDB mirror of `TextFunctions.languageId` — (max-hits expression,
+    * CASE chain over an `mx` alias). ONE definition shared by the
+    * docs_langid oracle and the confusion-matrix eval so the two SQL
+    * mirrors cannot drift from each other when the heuristic changes.
+    */
+  private[operators] def langidPredDuck: (String, String) = {
+    val hits = graft.functions.TextFunctions.StopwordSets.map { case (lang, set) =>
+      val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_intersect(string_split(${normSql("text")}, ' '), $arr))"
+    }
+    val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val chain = hits
+      .map { case (lang, h) => s"WHEN $h = mx AND mx > 0 THEN '$lang'" }
+      .mkString(" ")
+    (maxExpr, chain)
+  }
+
   /** Shingles + two-hash MinHash signature + band hashes in DuckDB. */
   private[operators] val SigSql: String = {
     val shing =
@@ -277,14 +294,7 @@ object LlmQueries {
             languageId(col("text")).as("pred_lang")
           ),
       Some {
-        val hits = StopwordSets.map { case (lang, set) =>
-          val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
-          lang -> s"len(list_intersect(string_split(${normSql("text")}, ' '), $arr))"
-        }
-        val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
-        val chain = hits
-          .map { case (lang, h) => s"WHEN $h = mx AND mx > 0 THEN '$lang'" }
-          .mkString(" ")
+        val (maxExpr, chain) = langidPredDuck
         s"""WITH t AS (SELECT doc_id, lang, text, $maxExpr AS mx FROM documents)
            |SELECT doc_id, lang, (CASE $chain ELSE 'und' END) AS pred_lang FROM t""".stripMargin
       }

@@ -15,17 +15,22 @@ object PivotQueries {
 
   private val Langs = Seq("de", "en", "es", "fr", "zh")
 
+  /** The wide source×language frame both queries reshape — one
+    * definition so the unpivot round-trips exactly the table the pivot
+    * publishes.
+    */
+  private def wide(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables
+      .documents(s, d)
+      .groupBy("source")
+      .pivot("lang", Langs)
+      .agg(count(lit(1)))
+      .na
+      .fill(0L, Langs)
+
   private val pivotLangs = Q(
     "corpus_pivot_langs",
-    (s, d) =>
-      Tables
-        .documents(s, d)
-        .groupBy("source")
-        .pivot("lang", Langs)
-        .agg(count(lit(1)))
-        .na
-        .fill(0L, Langs)
-        .select(col("source") +: Langs.map(l => col(l).as(s"n_$l")): _*),
+    (s, d) => wide(s, d).select(col("source") +: Langs.map(l => col(l).as(s"n_$l")): _*),
     Some {
       val cols = Langs
         .map(l => s"cast(count(*) FILTER (lang = '$l') as bigint) AS n_$l")
@@ -45,26 +50,23 @@ object PivotQueries {
     */
   private val unpivotLangs = Q(
     "corpus_unpivot_langs",
-    (s, d) => {
-      val wide = Tables
-        .documents(s, d)
-        .groupBy("source")
-        .pivot("lang", Langs)
-        .agg(count(lit(1)))
-        .na
-        .fill(0L, Langs)
-      wide
+    (s, d) =>
+      wide(s, d)
         .unpivot(
           Array(col("source")),
           Langs.map(l => col(l)).toArray,
           "lang",
           "n_docs"
         )
-        .filter(col("n_docs") > 0)
-    },
+        .filter(col("n_docs") > 0),
     Some(
-      """SELECT source, lang, cast(count(*) as bigint) AS n_docs
-        |FROM documents GROUP BY 1, 2""".stripMargin
+      // Pinned to the same lang universe as the Spark pivot values — an
+      // unrestricted GROUP BY would emit rows for any future 6th fixture
+      // language that the 5-column unpivot can never produce.
+      s"""SELECT source, lang, cast(count(*) as bigint) AS n_docs
+         |FROM documents
+         |WHERE lang IN (${Langs.map(l => s"'$l'").mkString(", ")})
+         |GROUP BY 1, 2""".stripMargin
     )
   )
 

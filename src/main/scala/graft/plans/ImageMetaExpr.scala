@@ -216,7 +216,13 @@ object ImageMetaExpr {
       }
       e += 1
     }
-    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue || depth <= 0 || ch <= 0) fail
+    // depth/ch need the same Int guard as w/h: a LONG-typed tag value
+    // >= 2^31 would wrap negative through toInt and emit an ok=true row
+    // with a negative bit depth.
+    if (
+      w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+      depth <= 0 || ch <= 0 || depth > Int.MaxValue || ch > Int.MaxValue
+    ) fail
     else row("tiff", w.toInt, h.toInt, depth.toInt, ch.toInt)
   }
 

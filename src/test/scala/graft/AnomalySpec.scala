@@ -61,9 +61,22 @@ class AnomalySpec extends SparkSuite {
     assert(d.exists(_._2), "sustained elevation never flagged")
   }
 
-  test("CUSUM stays quiet on a stable series and resets after a dip") {
+  test("CUSUM stays quiet on a stable series") {
     val d = drift(Seq[Long](100, 101, 99, 100, 102, 98, 100, 101, 99, 100))
     assert(d.forall(!_._2))
+  }
+
+  test("CUSUM accumulates from day one and decays after the elevation ends") {
+    // Exercises the least(0, min P) clamp directly: eight elevated days
+    // FIRST mean the running prefix min is POSITIVE, so the clamp must
+    // hold S = P (flag days 7-9 exactly, by hand: +8/day elevated,
+    // −10/day stable, threshold S > 50); without the clamp S = P − P₁
+    // and day 7 would not flag. The post-elevation decay (flag gone by
+    // day 10) is the reset half.
+    val series = Seq.fill(8)(109L) ++ Seq.fill(22)(100L)
+    val d = drift(series)
+    val flagged = d.filter(_._2).map(_._1).toSet
+    assert(flagged == Set("2024-01-07", "2024-01-08", "2024-01-09"), d.toString)
   }
 
   test("normal variation inside 3*MAD does not flag; an outlier beyond it does") {
