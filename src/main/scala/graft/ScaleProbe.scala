@@ -10,9 +10,12 @@ import graft.operators.{Dedup, DedupQueries, LlmQueries, LlmQueries6}
   *
   * Modes: `dedup` (record dedup pipeline), `minhash` (LSH candidate
   * generation), `segdedup` (segment-level dedup), `cluster` (near-dup
-  * clustering), `kmeans`, `incr` (incremental dedup), and the
+  * clustering), `kmeans`, `incr` (incremental dedup), `bpe` (full
+  * training loop, mult = K — lineage-truncation flatness), and the
   * true-skew pair `skewpairs`/`skewcluster` (shared-text mega-duplicate
   * corpus — probes bucket skew rather than distinct-content growth).
+  * Every run appends a `SCALE-MEM` line (cumulative shuffle spill +
+  * peak per-task execution memory) — the memory axis of the probe.
   * Usage: `runMain graft.ScaleProbe [mode] [mult]`.
   */
 object ScaleProbe {
@@ -24,6 +27,24 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = "/root/testdata/sf0.1"
+
+    // Memory axis of the scale probe: cumulative shuffle spill and the
+    // per-task execution-memory peak across the whole run, so the N×
+    // sweeps report whether memory pressure grows with the corpus (it
+    // must NOT for the bounded-state operators) alongside wall time.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          peakTaskMem.updateAndGet(v => math.max(v, m.peakExecutionMemory))
+        }
+      }
+    })
 
     /** Documents replicated with every replica's shingles/segments made
       * disjoint: a per-replica suffix on EVERY word renames the whole
@@ -290,6 +311,21 @@ object ScaleProbe {
         println(
           f"SCALE mode=skewjoin mult=$mult rows=$factRows aqe_off=$tOff%.1f s aqe_on=$tOn%.1f s ($mark)"
         )
+      case "bpe" =>
+        // Full BPE training-loop probe: `mult` IS the merge count K here.
+        // Per-merge cost must be flat in K (total time linear): without
+        // the localCheckpoint discipline in Bpe.train, iteration k
+        // re-executes all k−1 prior merge folds, so doubling K would
+        // ~quadruple the time. Sweep K = 48 / 96 / 192 and compare.
+        val k = math.max(mult, 8)
+        val vocab = operators.Bpe.vocabOf(spark, sfDir).localCheckpoint(true)
+        val nWords = vocab.count()
+        val t0 = System.nanoTime()
+        val merges = operators.Bpe.train(vocab, k)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(
+          f"SCALE mode=bpe k=$k vocab_words=$nWords merges=${merges.size} time=$t%.1f s per_merge=${t / math.max(merges.size, 1)}%.3f s"
+        )
       case "pagerank" =>
         // Edge growth with constant degree structure: each replica is a
         // disjoint copy of the trade graph (node-id prefix bijection), so
@@ -348,6 +384,12 @@ object ScaleProbe {
         val n = Dedup.dedupRecords(big).filter(col("dedup_id").isNotNull).count()
         println(f"SCALE mode=dedup mult=$mult records=$total clustered=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // Listener events are delivered async; a short drain keeps the
+    // telemetry line complete without touching private bus APIs.
+    Thread.sleep(500)
+    println(
+      f"SCALE-MEM mode=$mode mult=$mult spill_mem_mb=${spillMem.get / 1048576}%d spill_disk_mb=${spillDisk.get / 1048576}%d peak_task_exec_mb=${peakTaskMem.get / 1048576}%d"
+    )
     spark.stop()
   }
 }

@@ -42,6 +42,7 @@ object SparkEntry {
       operators.MergePolicyQueries.all ++
       operators.MarcSolrQueries.all ++
       operators.MarcToSolrQueries.all ++
+      operators.ForwardToSolrQueries.all ++
       operators.LidoToSolrQueries.all ++
       operators.MarcSolrQueries2.all ++
       operators.MarcEditQueries.all ++

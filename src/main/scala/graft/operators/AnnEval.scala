@@ -59,7 +59,7 @@ private[operators] object AnnEval {
         col("query_id"),
         col("k"),
         col("n_overlap"),
-        (col("n_overlap") * 1000 / col("k")).cast("long").as("recall_permille")
+        expr("(n_overlap * 1000) div k").as("recall_permille")
       )
 
   /** DuckDB hyperplane weight for (plane `p`, 1-based dim `dd`) — must

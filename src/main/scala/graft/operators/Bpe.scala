@@ -80,11 +80,24 @@ object Bpe {
   /** K merge steps; returns the learned merge list (the model). Ties
     * break deterministically (count desc, then pair lexicographic).
     * Each step's argmax is a 1-row collect — the model is driver-side
-    * by design; a production run checkpoints the vocab frame every few
-    * merges to keep the fold lineage shallow.
+    * by design.
+    *
+    * Lineage discipline: without truncation, iteration k's
+    * `pairCounts(v)` action re-executes all k−1 prior merge folds from
+    * the base vocab — O(K²) total work and a K-deep Catalyst plan. So
+    * every `checkpointEvery` merges the vocab frame is eagerly
+    * `localCheckpoint`ed (materialized symbols, lineage cut) and the
+    * PREVIOUS checkpoint's blocks are released, keeping at most one
+    * vocab-sized copy resident and per-merge cost flat in K (ScaleProbe
+    * `bpe` mode certifies the flat curve at K=192).
     */
-  def train(vocab: DataFrame, k: Int): Seq[(String, String)] = {
+  def train(vocab: DataFrame, k: Int, checkpointEvery: Int = 10): Seq[(String, String)] = {
     var v = vocab
+    // The RDD backing the live checkpoint, so its blocks can be freed
+    // once the next eager checkpoint has materialized past it.
+    // (Dataset.unpersist only clears cacheManager entries, not
+    // localCheckpoint blocks — the RDD handle is the real release.)
+    var ckptRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     for (_ <- 1 to k if !done) {
@@ -97,8 +110,18 @@ object Bpe {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
         v = v.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+        if (merges.size % checkpointEvery == 0) {
+          val ck = v.localCheckpoint(true)
+          ckptRdd.foreach(_.unpersist(blocking = false))
+          ckptRdd = ck.queryExecution.logical match {
+            case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+            case _                                            => None
+          }
+          v = ck
+        }
       }
     }
+    ckptRdd.foreach(_.unpersist(blocking = false))
     merges.toSeq
   }
 

@@ -56,7 +56,7 @@ object DimAblation {
         .map { dims =>
           s"""(SELECT $dims AS dims, t.query_id, cast(count(*) as bigint) AS k,
              |  cast(count(a.approx_id) as bigint) AS n_overlap,
-             |  cast(count(a.approx_id) * 1000 / count(*) as bigint) AS recall_permille
+             |  cast(count(a.approx_id) * 1000 // count(*) as bigint) AS recall_permille
              |FROM truth t LEFT JOIN (
              |  SELECT query_id, neighbor_id AS approx_id FROM (
              |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

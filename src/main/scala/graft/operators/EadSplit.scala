@@ -114,6 +114,349 @@ object EadSplitter {
   }
 }
 
+/** EAD3 archive splitting (reference: Splitter/Ead3.php — the subclass
+  * overrides on top of Splitter/Ead.php that the base [[EadSplitter]]
+  * does not model):
+  *
+  *  - `unitIdLabel`-gated unit-id selection (Ead3.php:57,:82): the
+  *    archive id is the first archdesc unitid with an `identifier`
+  *    attribute whose `label` matches the configured value, falling
+  *    back to the first with an identifier (:111); each record's unit
+  *    id is the first LABEL-MATCHING identifier that differs from the
+  *    archive id — matching ids equal to the archive id are kept only
+  *    if nothing else matches (:162 — the `!= archiveId` scan), then
+  *    the first-identifier fallback, then `<archive>_<position>`.
+  *  - `nonInheritedFields` did exclusion (:65,:213-223): ancestor did
+  *    content is merged into each record nearest-ancestor-first with
+  *    dao/daoset (or a configured list) excluded, and an element name
+  *    already present never overwritten (appendXML merge semantics —
+  *    own fields win, then the nearest ancestor's).
+  *  - parent ids come from the parent's OWN generated id (:230 — the
+  *    add-data round trip), parent titles fall back unittitle → label
+  *    attribute → parent id (:247-259), with the configured unit-id
+  *    text prefix (:261, getParentUnitId:330).
+  *  - the add-data parent chain (:270-290): each record carries its
+  *    direct parent plus every series/subseries ancestor above it —
+  *    the PHP accumulates these by copying the parent's add-data.
+  *
+  * Spark-native shape: ancestor chains are computed by POINTER
+  * DOUBLING over the (node, parent) edges — ceil(log2(maxDepth))
+  * self-equi-joins instead of a per-record tree walk, so a 100 TB
+  * corpus of archives resolves full chains in 4 shuffles (EAD nesting
+  * is bounded by the c01..c12 tag convention). Everything else is one
+  * window (document-order sequence) and hash equi-joins on
+  * (archive, node) — no recursion, no driver-side state.
+  */
+object Ead3Splitter {
+
+  import org.apache.spark.sql.Column
+
+  val DefaultNonInherited: Seq[String] = Seq("dao", "daoset")
+  private val ChainLevels = Seq("series", "subseries")
+
+  /** Empty array with the element type of `arr` (slice of length 0). */
+  private def emptyLike(arr: Column): Column = slice(arr, lit(1), lit(0))
+
+  /** First-occurrence-by-name fold — appendXML's merge-with-same-name
+    * semantics over the flattened (name, value) field model.
+    */
+  private def firstWinsByName(fields: Column): Column =
+    aggregate(
+      fields,
+      emptyLike(fields),
+      (acc, x) =>
+        when(exists(acc, y => y("name") === x("name")), acc)
+          .otherwise(concat(acc, array(x)))
+    )
+
+  /** The per-record unit id selection (Ead3.php getNextRecord:141-176),
+    * minus the position fallback (null when no identifier exists).
+    */
+  private def unitIdOf(us: Column, unitIdLabel: Option[String], archiveId: Column): Column = {
+    val withIdent = filter(us, u => u("identifier") =!= "")
+    val ids = transform(withIdent, u => u("identifier"))
+    val matched = unitIdLabel match {
+      case None    => ids
+      case Some(l) => transform(filter(withIdent, u => u("label") === l), u => u("identifier"))
+    }
+    val nonArch = filter(matched, i => i =!= archiveId)
+    coalesce(
+      get(nonArch, lit(0)),
+      when(size(matched) > 0, archiveId),
+      get(ids, lit(0))
+    )
+  }
+
+  /** The archive-level id selection (Ead3.php setData:101-117): first
+    * label-matching identifier, else the first identifier.
+    */
+  def archiveIdOf(us: Column, unitIdLabel: Option[String]): Column = {
+    val withIdent = filter(us, u => u("identifier") =!= "")
+    val ids = transform(withIdent, u => u("identifier"))
+    val byLabel = unitIdLabel match {
+      case None    => get(ids, lit(0))
+      case Some(l) => get(transform(filter(withIdent, u => u("label") === l), u => u("identifier")), lit(0))
+    }
+    coalesce(byLabel, get(ids, lit(0)), lit(""))
+  }
+
+  /** Split EAD3 archives + components into flat records.
+    *
+    * `archives`: archive_key, unit_ids array<struct<identifier,label>>,
+    * archive_title, did_fields array<struct<name,value>>, bibliography,
+    * access_restrict.
+    * `components`: archive_key, node_key (structural id), parent_key
+    * (null = direct child of the dsc), unit_ids, unit_id_text (text
+    * content of the first unitid, used for the parent-title prefix),
+    * level, title, title_label, ord (document position), did_fields,
+    * access_restrict (own, '' when absent).
+    */
+  def splitArchive(
+      archives: DataFrame,
+      components: DataFrame,
+      unitIdLabel: Option[String] = None,
+      nonInherited: Seq[String] = DefaultNonInherited,
+      prependParentTitleWithUnitId: Boolean = false,
+      maxDepth: Int = 12
+  ): DataFrame = {
+    val arch = archives.select(
+      col("archive_key"),
+      archiveIdOf(col("unit_ids"), unitIdLabel).as("archive_id"),
+      col("archive_title"),
+      col("did_fields").as("arch_did"),
+      col("bibliography").as("arch_bib"),
+      col("access_restrict").as("arch_access")
+    )
+
+    // Document-order positions (currentPos) count the archdesc root as 1.
+    val rootRows = arch.select(
+      col("archive_key"),
+      lit("__root__").as("node_key"),
+      lit(null).cast("string").as("parent_key"),
+      emptyLike(
+        array(struct(lit("").as("identifier"), lit("").as("label")))
+      ).as("unit_ids"),
+      lit("").as("unit_id_text"),
+      lit("archdesc").as("level"),
+      col("archive_title").as("title"),
+      lit("").as("title_label"),
+      lit(-1L).as("ord"),
+      col("arch_did").as("did_fields"),
+      col("arch_access").as("access_restrict"),
+      lit(true).as("is_root")
+    )
+    val childRows = components
+      .withColumn("ord", col("ord").cast("long"))
+      .withColumn("is_root", lit(false))
+    val ordered = rootRows
+      .unionByName(childRows)
+      .withColumn(
+        "pos",
+        row_number().over(Window.partitionBy("archive_key").orderBy("ord", "node_key"))
+      )
+      .join(arch, Seq("archive_key"))
+
+    // Generated record ids (the add-data identifier): archive id for the
+    // root and for components whose selected unit id IS the archive id;
+    // `<archive>_<pos>` when no identifier exists at all.
+    val unitId = unitIdOf(col("unit_ids"), unitIdLabel, col("archive_id"))
+    val recs = ordered.withColumn(
+      "record_id",
+      when(col("is_root"), col("archive_id"))
+        .when(unitId.isNull, concat(col("archive_id"), lit("_"), col("pos").cast("string")))
+        .when(unitId === col("archive_id"), col("archive_id"))
+        .otherwise(concat(col("archive_id"), lit("_"), unitId))
+    )
+
+    // Ancestor chains, bottom-up (nearest first), by pointer doubling:
+    // chain_k holds the ancestors within 2^k steps and jump_k the 2^k-th
+    // ancestor; each round composes with itself. The root is not in the
+    // edge set — chains stop at the dsc's direct children.
+    val rounds = math.max(1, math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
+    var cur = components.select(
+      col("archive_key"),
+      col("node_key"),
+      col("parent_key").as("jump"),
+      when(col("parent_key").isNull, emptyLike(array(lit(""))))
+        .otherwise(array(col("parent_key"))).as("chain")
+    )
+    for (_ <- 1 to rounds) {
+      val o = cur.select(
+        col("archive_key").as("o_archive"),
+        col("node_key").as("o_key"),
+        col("jump").as("o_jump"),
+        col("chain").as("o_chain")
+      )
+      cur = cur
+        .join(
+          o,
+          cur("archive_key") === o("o_archive") && cur("jump") === o("o_key"),
+          "left"
+        )
+        .select(
+          cur("archive_key"),
+          cur("node_key"),
+          o("o_jump").as("jump"),
+          when(o("o_chain").isNull, cur("chain"))
+            .otherwise(concat(cur("chain"), o("o_chain"))).as("chain")
+        )
+    }
+
+    // Decorate each chain entry with the ancestor's generated id, title
+    // fallback chain, and level: explode, one equi-join, re-collect in
+    // chain order.
+    val parentTitleOf: Column => Column = rid => {
+      val base = coalesce(
+        when(col("a_title") =!= "", col("a_title")),
+        when(col("a_title_label") =!= "", col("a_title_label")),
+        rid
+      )
+      if (prependParentTitleWithUnitId)
+        when(col("a_uit") =!= "", concat(col("a_uit"), lit(" "), base)).otherwise(base)
+      else base
+    }
+    val ancInfo = recs
+      .filter(!col("is_root"))
+      .select(
+        col("archive_key").as("a_archive"),
+        col("node_key").as("a_key"),
+        col("record_id").as("a_rid"),
+        col("level").as("a_level"),
+        col("title").as("a_title"),
+        col("title_label").as("a_title_label"),
+        col("unit_id_text").as("a_uit"),
+        col("did_fields").as("a_did")
+      )
+      .withColumn("a_ptitle", parentTitleOf(col("a_rid")))
+    val chains = cur
+      .select(col("archive_key"), col("node_key"), posexplode(col("chain")).as(Seq("cpos", "ckey")))
+      .join(
+        ancInfo,
+        col("archive_key") === col("a_archive") && col("ckey") === col("a_key")
+      )
+      .groupBy(col("archive_key"), col("node_key"))
+      .agg(
+        array_sort(
+          collect_list(
+            struct(
+              col("cpos"),
+              col("a_rid").as("rid"),
+              col("a_ptitle").as("ptitle"),
+              col("a_level").as("lvl"),
+              col("a_did").as("did")
+            )
+          )
+        ).as("anc")
+      )
+
+    val withChain = recs
+      .join(chains, Seq("archive_key", "node_key"), "left")
+      .withColumn(
+        "anc",
+        coalesce(
+          col("anc"),
+          emptyLike(
+            array(
+              struct(
+                lit(0).as("cpos"),
+                lit("").as("rid"),
+                lit("").as("ptitle"),
+                lit("").as("lvl"),
+                col("did_fields").as("did")
+              )
+            )
+          )
+        )
+      )
+
+    // add-data parent list: the direct parent plus every series/subseries
+    // ancestor above it (the PHP accumulates exactly this by copying the
+    // parent's add-data parent elements).
+    val chainEntries = concat(
+      slice(col("anc"), lit(1), lit(1)),
+      filter(
+        slice(col("anc"), lit(2), greatest(size(col("anc")) - 1, lit(0))),
+        a => a("lvl").isin(ChainLevels: _*)
+      )
+    )
+    val firstAnc = get(col("anc"), lit(0))
+
+    // Inherited did content: own fields, then each ancestor's
+    // nearest-first, then the archdesc's — nonInherited names excluded
+    // from everything inherited, first occurrence of a name wins.
+    val inheritedDids = firstWinsByName(
+      concat(
+        col("did_fields"),
+        filter(
+          concat(flatten(transform(col("anc"), a => a("did"))), col("arch_did")),
+          f => !f("name").isin(nonInherited: _*)
+        )
+      )
+    )
+
+    def inheritRecordLevel(name: String, own: Column, archVal: Column): Column =
+      if (nonInherited.contains(name)) when(own =!= "", own).otherwise(lit(""))
+      else when(own =!= "", own).otherwise(archVal)
+
+    withChain.select(
+      col("record_id"),
+      col("level"),
+      col("title"),
+      when(col("is_root"), lit(""))
+        .when(size(col("anc")) > 0, firstAnc("rid"))
+        .otherwise(col("archive_id"))
+        .as("parent_id"),
+      when(col("is_root"), lit(""))
+        .when(size(col("anc")) > 0, firstAnc("ptitle"))
+        .otherwise(col("archive_title"))
+        .as("parent_title"),
+      when(col("is_root"), lit(""))
+        .when(size(col("anc")) > 0, firstAnc("lvl"))
+        .otherwise(lit("archive"))
+        .as("parent_level"),
+      when(col("is_root"), lit(""))
+        .otherwise(
+          array_join(
+            transform(
+              when(size(col("anc")) > 0, chainEntries).otherwise(
+                array(
+                  struct(
+                    lit(0).as("cpos"),
+                    col("archive_id").as("rid"),
+                    col("archive_title").as("ptitle"),
+                    lit("archive").as("lvl"),
+                    emptyLike(col("did_fields")).as("did")
+                  )
+                )
+              ),
+              a => concat_ws("~", a("rid"), a("ptitle"), a("lvl"))
+            ),
+            "|"
+          )
+        )
+        .as("parent_chain_csv"),
+      col("archive_id"),
+      col("archive_title"),
+      lpad(col("pos").cast("string"), 7, "0").as("sequence"),
+      array_join(
+        transform(
+          when(col("is_root"), col("did_fields")).otherwise(inheritedDids),
+          f => concat(f("name"), lit("="), f("value"))
+        ),
+        "|"
+      ).as("did_csv"),
+      when(col("is_root"), col("access_restrict"))
+        .otherwise(
+          inheritRecordLevel("accessrestrict", col("access_restrict"), col("arch_access"))
+        )
+        .as("access_restrict"),
+      when(col("is_root"), col("arch_bib"))
+        .otherwise(inheritRecordLevel("bibliography", lit(""), col("arch_bib")))
+        .as("bibliography")
+    )
+  }
+}
+
 /** EAD3 record extraction (reference: Record/Ead3.php toSolrArray:125).
   *
   * Distinctives vs the EAD split (above) and the other profiles:

@@ -251,6 +251,98 @@ object MarcToSolrQueries {
            |        END) AS work_keys_csv
            |FROM t ORDER BY p_partkey""".stripMargin
       }
+    ),
+    Q(
+      // Koha/Alma holdings normalization (Marc.php:1368) under the
+      // driver gate: synthesized 952 item fields collapse to per-location
+      // holdings in all three modes — Koha (branch $b, lost-marker +
+      // status availability), Koha home-branch ($a grouping), and Alma
+      // ($1 = '1' availability) — with the available-marker subfield $9
+      // appended exactly as the reference does. Item shapes make every
+      // branch reachable: shared vs distinct grouping keys (even/odd k),
+      // lost markers every 5th record, status codes cycling k % 4.
+      "marc_holdings_norm",
+      (s, d) => {
+        val k = col("p_partkey")
+        val f245 = fld("245", lit("1"), lit("0"), sub("a", concat(lit("T"), k.cast("string"))))
+        val aHome = concat(lit("A"), (k % 2).cast("string"))
+        val b = concat(lit("B"), (k % 3).cast("string"))
+        val c1 = concat(lit("C"), (k % 2).cast("string"))
+        val h = concat(lit("H"), (k % 5).cast("string"))
+        def item(subs: Column*) = fld("952", lit(" "), lit(" "), subs: _*)
+        val item1k = item(
+          sub("a", aHome),
+          sub("b", b),
+          sub("c", c1),
+          sub("h", h),
+          sub("7", (k % 4).cast("string")),
+          sub("0", when(k % 5 === 0, lit("L")).otherwise(lit("")))
+        )
+        val item2k = item(
+          sub("a", lit("A1")),
+          sub("b", b),
+          sub("c", when(k % 2 === 0, lit("C0")).otherwise(lit("D"))),
+          sub("h", h),
+          sub("7", lit("0"))
+        )
+        val kohaFields = array(f245, item1k, item2k)
+        val item1a = item(
+          sub("b", b),
+          sub("c", c1),
+          sub("h", h),
+          sub("1", when(k % 3 === 0, lit("1")).otherwise(lit("0")))
+        )
+        val item2a = item(sub("b", b), sub("c", lit("D2")), sub("h", h), sub("1", lit("0")))
+        val almaFields = array(f245, item1a, item2a)
+        def render(fields: Column): Column = array_join(
+          transform(
+            MarcToSolr.flds(fields, "952"),
+            f => array_join(transform(f("subs"), x => concat(x("c"), lit("="), x("v"))), ",")
+          ),
+          "|"
+        )
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            render(MarcToSolr.normalizeHoldings(kohaFields, alma = false)).as("holdings_koha"),
+            render(MarcToSolr.normalizeHoldings(kohaFields, alma = false, useHome = true))
+              .as("holdings_home"),
+            render(MarcToSolr.normalizeHoldings(almaFields, alma = true)).as("holdings_alma"),
+            size(MarcToSolr.normalizeHoldings(kohaFields, alma = false)).cast("long").as("n_fields")
+          )
+      },
+      Some {
+        // avail1: item 1 is available when no lost marker (k % 5) and the
+        // status code is 0/1 (k % 4 < 2). Item 2 is always available in
+        // Koha mode and never in Alma mode.
+        s"""WITH base AS (
+           |  SELECT p_partkey AS k,
+           |    'A' || cast(p_partkey % 2 as varchar) AS ahome,
+           |    'B' || cast(p_partkey % 3 as varchar) AS b,
+           |    'C' || cast(p_partkey % 2 as varchar) AS c1,
+           |    'H' || cast(p_partkey % 5 as varchar) AS h,
+           |    (p_partkey % 5 != 0 AND p_partkey % 4 < 2) AS avail1
+           |  FROM part)
+           |SELECT k AS p_partkey,
+           |  (CASE WHEN k % 2 = 0
+           |    THEN 'b=' || b || ',c=C0,h=' || h || ',9=1'
+           |    ELSE 'b=' || b || ',c=C1,h=' || h
+           |      || (CASE WHEN avail1 THEN ',9=1' ELSE '' END)
+           |      || '|b=' || b || ',c=D,h=' || h || ',9=1'
+           |    END) AS holdings_koha,
+           |  (CASE WHEN k % 2 = 0
+           |    THEN 'b=A0,c=C0,h=' || h || (CASE WHEN avail1 THEN ',9=1' ELSE '' END)
+           |      || '|b=A1,c=C0,h=' || h || ',9=1'
+           |    ELSE 'b=A1,c=C1,h=' || h || (CASE WHEN avail1 THEN ',9=1' ELSE '' END)
+           |      || '|b=A1,c=D,h=' || h || ',9=1'
+           |    END) AS holdings_home,
+           |  'b=' || b || ',c=' || c1 || ',h=' || h
+           |    || (CASE WHEN k % 3 = 0 THEN ',9=1' ELSE '' END)
+           |    || '|b=' || b || ',c=D2,h=' || h AS holdings_alma,
+           |  cast(CASE WHEN k % 2 = 0 THEN 2 ELSE 3 END as bigint) AS n_fields
+           |FROM base ORDER BY k""".stripMargin
+      }
     )
   )
 }

@@ -140,7 +140,7 @@ object MultiProbe {
          |  WHERE rank <= $TopK)
          |SELECT t.query_id, cast(count(*) as bigint) AS k,
          |  cast(count(a.approx_id) as bigint) AS n_overlap,
-         |  cast(count(a.approx_id) * 1000 / count(*) as bigint) AS recall_permille
+         |  cast(count(a.approx_id) * 1000 // count(*) as bigint) AS recall_permille
          |FROM truth t LEFT JOIN approx a
          |  ON t.query_id = a.query_id AND t.neighbor_id = a.approx_id
          |GROUP BY 1""".stripMargin

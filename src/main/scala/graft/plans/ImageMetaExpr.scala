@@ -118,7 +118,13 @@ object ImageMetaExpr {
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
           if (j + 8 >= b.length) return fail
-          return row("jpeg", be16(b, j + 6), be16(b, j + 4), u8(b, j + 3), u8(b, j + 8))
+          // T.81 allows Y=0 in the frame header (real height deferred to a
+          // DNL marker); without scanning for DNL the dimensions are
+          // unknown, so fail closed like every other format branch.
+          val sofW = be16(b, j + 6)
+          val sofH = be16(b, j + 4)
+          if (sofW <= 0 || sofH <= 0) return fail
+          return row("jpeg", sofW, sofH, u8(b, j + 3), u8(b, j + 8))
         }
         // Standalone markers (TEM, RSTn, SOI/EOI) carry no length field.
         if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i = j + 1
@@ -146,6 +152,12 @@ object ImageMetaExpr {
       // (negative = top-down rows; dimensions are absolute), bits per
       // pixel at 28. bit_depth reports the header's bpp field; channels
       // follow the pixel layout (≤8 palette, 16/24 RGB, 32 RGBA).
+      // The DIB header size at 14 gates the layout: a BITMAPCOREHEADER
+      // (OS/2, size 12) has 16-bit fields at different offsets and would
+      // parse to garbage here, so only INFOHEADER-compatible sizes pass.
+      val dibSize = le32s(b, 14)
+      if (dibSize != 40 && dibSize != 52 && dibSize != 56 && dibSize != 108 && dibSize != 124)
+        return fail
       val w = le32s(b, 18)
       val h = math.abs(le32s(b, 22))
       val bpp = le16(b, 28)

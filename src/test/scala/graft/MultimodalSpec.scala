@@ -114,6 +114,37 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getInt(1) == 64 && r.getInt(2) == 32 && r.getBoolean(5))
   }
 
+  test("OS/2 BITMAPCOREHEADER and unknown DIB sizes fail closed") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // A valid BITMAPCOREHEADER (size 12, 16-bit w/h at 18/20, bpp at 24)
+    // would misparse under INFOHEADER offsets — the size gate must reject it.
+    val core = "BM".getBytes ++ le32(26) ++ le32(0) ++ le32(26) ++
+      le32(12) ++ le16(64) ++ le16(32) ++ le16(1) ++ le16(24) ++ new Array[Byte](8)
+    val r = parse(core)
+    assert(r.getString(0) == "unknown" && !r.getBoolean(5))
+    val weird = "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(99) ++ le32(64) ++ le32(32) ++ le16(1) ++ le16(24)
+    val r2 = parse(weird)
+    assert(r2.getString(0) == "unknown" && !r2.getBoolean(5))
+    // V5 header (124) is INFOHEADER-compatible and still parses.
+    val v5 = "BM".getBytes ++ le32(138) ++ le32(0) ++ le32(138) ++
+      le32(124) ++ le32(64) ++ le32(32) ++ le16(1) ++ le16(24)
+    val r3 = parse(v5)
+    assert(r3.getString(0) == "bmp" && r3.getInt(1) == 64 && r3.getBoolean(5))
+  }
+
+  test("JPEG SOF with zero height (DNL-deferred, T.81) fails closed") {
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Same frame as the fill-byte test but Y=0000 in the SOF header.
+    val zeroH =
+      "FFD8" + "FFE000104A46494600010100000100010000" +
+        "FFC0001108" + "0000" + "0040" + "03011100021101031101" + "FFD9"
+    val r = parse(hex(zeroH))
+    assert(r.getString(0) == "unknown" && !r.getBoolean(5))
+  }
+
   private def parseAudio(bytes: Array[Byte]) =
     Seq(Tuple1(bytes))
       .toDF("payload")
