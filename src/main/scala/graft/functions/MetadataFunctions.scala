@@ -234,16 +234,20 @@ object MetadataFunctions {
   def stripLeadingArticle(
       c: Column,
       articles: Seq[String] = DefaultArticles
-  ): Column = {
-    val lowered = lower(c)
-    val chain = articles.foldLeft(when(lit(false), lowered)) { (acc, art) =>
-      acc.when(
-        substring(lowered, 1, art.length) === art,
-        lowered.substr(lit(art.length + 1), length(lowered))
-      )
+  ): Column =
+    // The article chain references the lowered input ~3x per article;
+    // binding it keeps the tree additive in |c| instead of ~22x |c| —
+    // load-bearing for the full-assembly plans (createSortTitle squares
+    // this factor without the bind).
+    bindOnce(lower(c)) { lowered =>
+      val chain = articles.foldLeft(when(lit(false), lowered)) { (acc, art) =>
+        acc.when(
+          substring(lowered, 1, art.length) === art,
+          lowered.substr(lit(art.length + 1), length(lowered))
+        )
+      }
+      chain.otherwise(lowered)
     }
-    chain.otherwise(lowered)
-  }
 
   /** Strip trailing spaces/punctuation with the reference's special cases:
     * keep a period after an initial/abbreviation-like token, drop a trailing
@@ -252,32 +256,38 @@ object MetadataFunctions {
     * `additional=""` and an empty abbreviation list; the numeric check is a
     * digits-only test rather than PHP's `is_numeric`).
     */
-  def stripTrailingPunctuation(c: Column): Column = {
-    val s1 = rtrim(c, " /:;,=([")
-    // PHP substr($str,-3,1) clamps the start to 0 for short strings.
-    val thirdFromEnd =
-      when(length(s1) >= 3, substring(s1, -3, 1))
-        .otherwise(substring(s1, 1, 1))
-    val lastWord = regexp_extract(s1, "([^ ]*)\\.$", 1)
-    // PHP is_numeric (MetadataUtils.php:609): decimals and exponents also
-    // keep their trailing period ("909.4." stays intact — the reference's
-    // own marc_dewey fixture pins this). Configured abbreviation lists
-    // (Site/abbreviations) are deployment config, not modeled here.
-    val numericRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
-    val dropPeriod = s1.endsWith(".") && thirdFromEnd =!= " " &&
-      !lastWord.rlike(numericRe)
-    val s2 = when(dropPeriod, s1.substr(lit(1), length(s1) - 1)).otherwise(s1)
-    val s3 = when(s2.endsWith(". -"), s2.substr(lit(1), length(s2) - 3))
-      .otherwise(s2)
-    val s4 = when(
-      s3.endsWith(")") && !s3.contains("("),
-      s3.substr(lit(1), length(s3) - 1)
-    ).when(
-      s3.endsWith("]") && !s3.contains("["),
-      s3.substr(lit(1), length(s3) - 1)
-    ).otherwise(s3)
-    s4
-  }
+  def stripTrailingPunctuation(c: Column): Column =
+    // Each stage references its predecessor several times; unbound, the
+    // chain multiplies to ~200 references of the input (9 x 3 x 7). The
+    // per-stage binds keep the tree ~70 nodes + |c| — the difference
+    // between a shippable full-assembly plan and a multi-MiB one.
+    bindOnce(rtrim(c, " /:;,=([")) { s1 =>
+      // PHP substr($str,-3,1) clamps the start to 0 for short strings.
+      val thirdFromEnd =
+        when(length(s1) >= 3, substring(s1, -3, 1))
+          .otherwise(substring(s1, 1, 1))
+      val lastWord = regexp_extract(s1, "([^ ]*)\\.$", 1)
+      // PHP is_numeric (MetadataUtils.php:609): decimals and exponents also
+      // keep their trailing period ("909.4." stays intact — the reference's
+      // own marc_dewey fixture pins this). Configured abbreviation lists
+      // (Site/abbreviations) are deployment config, not modeled here.
+      val numericRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+      val dropPeriod = s1.endsWith(".") && thirdFromEnd =!= " " &&
+        !lastWord.rlike(numericRe)
+      bindOnce(when(dropPeriod, s1.substr(lit(1), length(s1) - 1)).otherwise(s1)) { s2 =>
+        bindOnce(
+          when(s2.endsWith(". -"), s2.substr(lit(1), length(s2) - 3)).otherwise(s2)
+        ) { s3 =>
+          when(
+            s3.endsWith(")") && !s3.contains("("),
+            s3.substr(lit(1), length(s3) - 1)
+          ).when(
+            s3.endsWith("]") && !s3.contains("["),
+            s3.substr(lit(1), length(s3) - 1)
+          ).otherwise(s3)
+        }
+      }
+    }
 
   /** Strip leading spaces/punctuation; a punctuation-only string is
     * preserved (the reference's `preservePunctuationOnly` defaults to true
@@ -359,22 +369,25 @@ object MetadataFunctions {
     * return the original. Reference: MetadataUtils.php:535 `stripPunctuation`
     * (default pattern `[\t\p{P}=´`” ̈]+`, which includes the space).
     */
-  def stripPunctuation(c: Column): Column = {
-    val r = trim(regexp_replace(c, "[\\t\\p{P}=´`” ̈]+", " "))
-    when(r === "", c).otherwise(r)
-  }
+  def stripPunctuation(c: Column): Column =
+    bindOnce(c) { cb =>
+      bindOnce(trim(regexp_replace(cb, "[\\t\\p{P}=´`” ̈]+", " "))) { r =>
+        when(r === "", cb).otherwise(r)
+      }
+    }
 
   /** Sort title: strip article, strip punctuation, re-strip article if the
     * first character changed, lowercase. Reference: MetadataUtils.php:698.
     */
-  def createSortTitle(c: Column): Column = {
-    val t1 = stripLeadingArticle(c)
-    val start = substring(t1, 1, 1)
-    val t2 = stripPunctuation(t1)
-    val t3 = when(substring(t2, 1, 1) =!= start, stripLeadingArticle(t2))
-      .otherwise(t2)
-    lower(t3)
-  }
+  def createSortTitle(c: Column): Column =
+    bindOnce(stripLeadingArticle(c)) { t1 =>
+      val start = substring(t1, 1, 1)
+      bindOnce(stripPunctuation(t1)) { t2 =>
+        val t3 = when(substring(t2, 1, 1) =!= start, stripLeadingArticle(t2))
+          .otherwise(t2)
+        lower(t3)
+      }
+    }
 
   /** Fuzzy author comparison: exact match; both >= 6 chars; full prefix
     * match; or word-by-word where the first word must match exactly and

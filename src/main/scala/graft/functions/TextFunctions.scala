@@ -87,6 +87,31 @@ object TextFunctions {
       )
     }: _*)
 
+  /** Drop-one-row multi-probe band keys: for every band, `rows` partial
+    * hashes each omitting one signature position, tagged (band_id,
+    * drop_pos) so the key spaces stay disjoint. Two documents whose
+    * signatures disagree on exactly one minhash within a band still
+    * collide on the partial key that drops that position — the banding
+    * analogue of Lv et al.'s multi-probe (hash-valued keys have no
+    * "adjacent bucket" to probe, so the probe set is the subset lattice
+    * one level down). Recall rises at the cost of shorter keys (rows−1
+    * hashes), i.e. more accidental collisions — the certified trade in
+    * `docs_dedup_eval_multiprobe`.
+    */
+  def lshProbeBands(sig: Column, bands: Int, rows: Int): Column =
+    array((for { b <- 0 until bands; r <- 0 until rows } yield struct(
+      lit(b).as("band_id"),
+      lit(r).as("drop_pos"),
+      md5(
+        concat_ws(
+          "|",
+          (0 until rows)
+            .filter(_ != r)
+            .map(q => element_at(sig, b * rows + q + 1).cast("string")): _*
+        )
+      ).as("p_hash")
+    )): _*)
+
   /** Hex-char numeric value (0-15) of position `pos` (1-based) in an md5
     * hex string.
     */

@@ -193,6 +193,35 @@ object DedupQueries {
       bench = true
     ),
     Q(
+      // The same pipeline over the bucketed stored layout: the exploded
+      // blocking-key frame is written ONCE bucketed by (kind, key) — on
+      // the first call, i.e. the bench's untimed warmup — and the timed
+      // passes read it back with the candidate self-join and heavy-key
+      // aggregate consuming the stored hash partitioning (zero Exchange,
+      // BucketingSpec-asserted). Identical output to dedup_records, same
+      // oracle; the bench delta vs dedup_records IS the shuffle the
+      // bucketed layout amortizes into the write.
+      "dedup_records_bucketed",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        Dedup
+          .dedupRecordsBucketed(
+            records(s, d),
+            table = s"graft_dedup_keys$tag",
+            path = s"/tmp/graft_bucketed$tag/dedup_keys"
+          )
+          .select("id", "dedup_id")
+      },
+      Some(
+        s"""WITH $recordsSql, $edgesSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id)
+           |SELECT r.id, l.dedup_id FROM recs r LEFT JOIN labels l ON r.id = l.id""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
       // Deletion maintenance (reference: DedupHandler.php
       // removeFromDedupRecord:139): delete every 9th source-b record and
       // every 18th source-a record (so some groups lose one member and

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -837,6 +837,238 @@ object Ead3Queries {
 object EadQueries {
 
   val all: Seq[Q] = Seq(
+    Q(
+      // EAD3 splitter overrides under the oracle gate (Splitter/Ead3.php):
+      // a three-deep hierarchy (series s0 -> subseries b -> items;
+      // series s1 -> items) synthesized per `orders` archive, with unitid
+      // shapes that force every selection branch — a 'tech'-labeled decoy
+      // archdesc id (label gating), a series whose FIRST matching id IS
+      // the archive id (the != archiveId scan), an identifier-less series
+      // (position-fallback ids, which then surface in its children's
+      // parent pointers), and items resolved via the label-match vs
+      // first-identifier fallback. Inheritance exercises dao exclusion
+      // (own dao kept, inherited dropped), nearest-ancestor-first
+      // first-wins merge (physloc), parent-title fallback chains
+      // (unittitle -> label -> id) with the unit-id-text prefix, and the
+      // series/subseries add-data parent chain.
+      "ead3_split",
+      (s, d) => {
+        def uid(i: Column, l: Column) = struct(i.as("identifier"), l.as("label"))
+        def didf(n: String, v: Column) = struct(lit(n).as("name"), v.as("value"))
+        val o = col("o_orderkey").cast("string")
+        val archives = Tables
+          .orders(s, d)
+          .select(
+            concat(lit("a"), o).as("archive_key"),
+            array(
+              uid(concat(lit("arx"), o), lit("tech")),
+              uid(concat(lit("ar"), o), lit("main"))
+            ).as("unit_ids"),
+            concat(lit("Archive "), o).as("archive_title"),
+            array(
+              didf("scopecontent", concat(lit("Arch scope "), o)),
+              didf("dao", concat(lit("http://arch/"), o))
+            ).as("did_fields"),
+            when(col("o_orderkey") % 2 === 0, concat(lit("Bib "), o))
+              .otherwise(lit("")).as("bibliography"),
+            when(col("o_orderstatus") === "F", lit("restricted"))
+              .otherwise(lit("")).as("access_restrict")
+          )
+        val archBase = Tables.orders(s, d).select(col("o_orderkey"))
+        def comp(
+            nk: Column,
+            pk: Column,
+            us: Column,
+            uit: Column,
+            level: String,
+            title: Column,
+            titleLabel: Column,
+            ord: Column,
+            did: Column,
+            access: Column
+        ) = Seq(
+          concat(lit("a"), o).as("archive_key"),
+          nk.as("node_key"),
+          pk.as("parent_key"),
+          us.as("unit_ids"),
+          uit.as("unit_id_text"),
+          lit(level).as("level"),
+          title.as("title"),
+          titleLabel.as("title_label"),
+          ord.as("ord"),
+          did.as("did_fields"),
+          access.as("access_restrict")
+        )
+        val e = lit("")
+        val s0 = archBase.select(
+          comp(
+            lit("s0"),
+            lit(null).cast("string"),
+            array(uid(concat(lit("ar"), o), lit("main")), uid(concat(lit("s0-"), o), lit("main"))),
+            concat(lit("SA"), o),
+            "series",
+            lit("Series A"),
+            e,
+            lit(0L),
+            array(didf("physloc", concat(lit("Row "), o)), didf("langmaterial", lit("fi"))),
+            e
+          ): _*
+        )
+        val b = archBase.select(
+          comp(
+            lit("b"),
+            lit("s0"),
+            array(uid(concat(lit("b"), o), lit("main"))),
+            concat(lit("BX"), o),
+            "subseries",
+            when(col("o_orderkey") % 2 === 0, lit("Box")).otherwise(e),
+            e,
+            lit(500L),
+            array(didf("physloc", concat(lit("Shelf "), o)), didf("dao", concat(lit("http://b/"), o))),
+            e
+          ): _*
+        )
+        val s1 = archBase.select(
+          comp(
+            lit("s1"),
+            lit(null).cast("string"),
+            array(uid(e, lit("main"))),
+            concat(lit("SB"), o),
+            "series",
+            e,
+            lit("Lbl B"),
+            lit(2000L),
+            array(didf("physloc", concat(lit("Attic "), o))),
+            when(col("o_orderkey") % 3 === 0, lit("series-closed")).otherwise(e)
+          ): _*
+        )
+        val li = Tables
+          .lineitem(s, d)
+          .withColumn("o_orderkey", col("l_orderkey"))
+        def items(g: Int, parent: String, ordBase: Long) = li
+          .filter(col("l_linenumber") % 2 === g)
+          .select(
+            comp(
+              concat(
+                lit("i"), col("l_linenumber").cast("string"),
+                lit("p"), col("l_partkey").cast("string"),
+                lit("s"), col("l_suppkey").cast("string")
+              ),
+              lit(parent),
+              array(
+                uid(
+                  concat(
+                    lit("i"), col("l_linenumber").cast("string"),
+                    lit("p"), col("l_partkey").cast("string"),
+                    lit("s"), col("l_suppkey").cast("string")
+                  ),
+                  when(col("l_linenumber") % 3 === 0, lit("main")).otherwise(lit("tech"))
+                )
+              ),
+              e,
+              "item",
+              concat(lit("Item "), col("l_partkey").cast("string")),
+              e,
+              lit(ordBase) + col("l_linenumber"),
+              array(didf("unittitle", concat(lit("Item "), col("l_partkey").cast("string")))),
+              e
+            ): _*
+          )
+        val components = s0
+          .unionByName(b)
+          .unionByName(s1)
+          .unionByName(items(0, "b", 1000L))
+          .unionByName(items(1, "s1", 3000L))
+        Ead3Splitter.splitArchive(
+          archives,
+          components,
+          unitIdLabel = Some("main"),
+          prependParentTitleWithUnitId = true
+        )
+      },
+      Some(
+        """WITH arch AS (
+          |  SELECT o_orderkey AS o, 'a' || cast(o_orderkey as varchar) AS ak,
+          |    'ar' || cast(o_orderkey as varchar) AS aid,
+          |    'Archive ' || cast(o_orderkey as varchar) AS atitle,
+          |    (CASE WHEN o_orderstatus = 'F' THEN 'restricted' ELSE '' END) AS aaccess,
+          |    (CASE WHEN o_orderkey % 2 = 0 THEN 'Bib ' || cast(o_orderkey as varchar) ELSE '' END) AS abib
+          |  FROM orders),
+          |li AS (
+          |  SELECT 'a' || cast(l_orderkey as varchar) AS ak, l_orderkey AS o,
+          |    l_linenumber AS ln, l_partkey AS pk, l_suppkey AS sk, l_linenumber % 2 AS g
+          |  FROM lineitem),
+          |comp AS (
+          |  SELECT ak, o, '__root__' AS nk, 'root' AS typ, -1 AS ord, cast(NULL as bigint) AS pk FROM arch
+          |  UNION ALL SELECT ak, o, 's0', 'series', 0, NULL FROM arch
+          |  UNION ALL SELECT ak, o, 'b', 'sub', 500, NULL FROM arch
+          |  UNION ALL SELECT ak, o, 's1', 'series1', 2000, NULL FROM arch
+          |  UNION ALL SELECT ak, o,
+          |    'i' || cast(ln as varchar) || 'p' || cast(pk as varchar) || 's' || cast(sk as varchar),
+          |    (CASE WHEN g = 0 THEN 'item0' ELSE 'item1' END),
+          |    (CASE WHEN g = 0 THEN 1000 + ln ELSE 3000 + ln END), pk
+          |  FROM li),
+          |seqd AS (
+          |  SELECT *, row_number() OVER (PARTITION BY ak ORDER BY ord, nk) AS pos FROM comp),
+          |wide AS (
+          |  SELECT s.o, s.nk, s.typ, s.pk, s.pos, a.aid, a.atitle, a.aaccess, a.abib,
+          |    cast(s.o as varchar) AS ov,
+          |    max(CASE WHEN s.typ = 'series1' THEN s.pos END) OVER (PARTITION BY s.ak) AS pos_s1
+          |  FROM seqd s JOIN arch a ON s.ak = a.ak)
+          |SELECT
+          |  (CASE typ WHEN 'root' THEN aid
+          |    WHEN 'series' THEN aid || '_s0-' || ov
+          |    WHEN 'sub' THEN aid || '_b' || ov
+          |    WHEN 'series1' THEN aid || '_' || cast(pos as varchar)
+          |    ELSE aid || '_' || nk END) AS record_id,
+          |  (CASE typ WHEN 'root' THEN 'archdesc' WHEN 'series' THEN 'series'
+          |    WHEN 'series1' THEN 'series' WHEN 'sub' THEN 'subseries' ELSE 'item' END) AS level,
+          |  (CASE typ WHEN 'root' THEN atitle WHEN 'series' THEN 'Series A'
+          |    WHEN 'sub' THEN (CASE WHEN o % 2 = 0 THEN 'Box' ELSE '' END)
+          |    WHEN 'series1' THEN ''
+          |    ELSE 'Item ' || cast(pk as varchar) END) AS title,
+          |  (CASE typ WHEN 'root' THEN ''
+          |    WHEN 'series' THEN aid WHEN 'series1' THEN aid
+          |    WHEN 'sub' THEN aid || '_s0-' || ov
+          |    WHEN 'item0' THEN aid || '_b' || ov
+          |    ELSE aid || '_' || cast(pos_s1 as varchar) END) AS parent_id,
+          |  (CASE typ WHEN 'root' THEN ''
+          |    WHEN 'series' THEN atitle WHEN 'series1' THEN atitle
+          |    WHEN 'sub' THEN 'SA' || ov || ' Series A'
+          |    WHEN 'item0' THEN 'BX' || ov || ' ' ||
+          |      (CASE WHEN o % 2 = 0 THEN 'Box' ELSE aid || '_b' || ov END)
+          |    ELSE 'SB' || ov || ' Lbl B' END) AS parent_title,
+          |  (CASE typ WHEN 'root' THEN ''
+          |    WHEN 'series' THEN 'archive' WHEN 'series1' THEN 'archive'
+          |    WHEN 'sub' THEN 'series' WHEN 'item0' THEN 'subseries'
+          |    ELSE 'series' END) AS parent_level,
+          |  (CASE typ WHEN 'root' THEN ''
+          |    WHEN 'series' THEN aid || '~' || atitle || '~archive'
+          |    WHEN 'series1' THEN aid || '~' || atitle || '~archive'
+          |    WHEN 'sub' THEN aid || '_s0-' || ov || '~SA' || ov || ' Series A~series'
+          |    WHEN 'item0' THEN aid || '_b' || ov || '~BX' || ov || ' ' ||
+          |      (CASE WHEN o % 2 = 0 THEN 'Box' ELSE aid || '_b' || ov END)
+          |      || '~subseries|' || aid || '_s0-' || ov || '~SA' || ov || ' Series A~series'
+          |    ELSE aid || '_' || cast(pos_s1 as varchar) || '~SB' || ov || ' Lbl B~series' END)
+          |    AS parent_chain_csv,
+          |  aid AS archive_id,
+          |  atitle AS archive_title,
+          |  lpad(cast(pos as varchar), 7, '0') AS sequence,
+          |  (CASE typ WHEN 'root' THEN 'scopecontent=Arch scope ' || ov || '|dao=http://arch/' || ov
+          |    WHEN 'series' THEN 'physloc=Row ' || ov || '|langmaterial=fi|scopecontent=Arch scope ' || ov
+          |    WHEN 'sub' THEN 'physloc=Shelf ' || ov || '|dao=http://b/' || ov
+          |      || '|langmaterial=fi|scopecontent=Arch scope ' || ov
+          |    WHEN 'series1' THEN 'physloc=Attic ' || ov || '|scopecontent=Arch scope ' || ov
+          |    WHEN 'item0' THEN 'unittitle=Item ' || cast(pk as varchar) || '|physloc=Shelf ' || ov
+          |      || '|langmaterial=fi|scopecontent=Arch scope ' || ov
+          |    ELSE 'unittitle=Item ' || cast(pk as varchar) || '|physloc=Attic ' || ov
+          |      || '|scopecontent=Arch scope ' || ov END) AS did_csv,
+          |  (CASE WHEN typ = 'series1' AND o % 3 = 0 THEN 'series-closed' ELSE aaccess END)
+          |    AS access_restrict,
+          |  abib AS bibliography
+          |FROM wide""".stripMargin
+      )
+    ),
     Q(
       "ead_split",
       (s, d) => {

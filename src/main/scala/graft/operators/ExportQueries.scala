@@ -16,20 +16,45 @@ object ExportQueries {
     * `getSuppressed` (note: the PHP tests the slash-wrapping on the
     * *value* rather than the filter — an evident inversion, since the
     * suppressOnField config documents the filter as `/regex/` or
-    * `value1|value2`; this implements the documented semantics).
+    * `value1|value2`; the default implements the documented semantics).
+    *
+    * `referenceCompat = true` reproduces the PHP's actual behavior
+    * bug-for-bug, for clean parity diffs against a live RecordManager:
+    * the slash test runs on each VALUE — a slash-wrapped value is
+    * preg_match'ed against the filter (no match when the filter is not a
+    * valid delimited pattern, as preg_match errors there), every other
+    * value is compared against the exploded pipe list — so a `/regex/`
+    * filter never regex-fires on ordinary values.
     */
-  def suppressMatch(values: org.apache.spark.sql.Column, filterSpec: String) = {
+  def suppressMatch(
+      values: org.apache.spark.sql.Column,
+      filterSpec: String,
+      referenceCompat: Boolean = false
+  ) = {
     val RegexSpec = "(?s)^/(.*)/([a-zA-Z]*)$".r
-    filterSpec match {
-      // "/" alone is not a regex spec (PHP preg_match would error and
-      // treat it as no match); require both delimiters to be present.
+    // "/" alone is not a regex spec (PHP preg_match would error and
+    // treat it as no match); require both delimiters to be present.
+    val pattern: Option[String] = filterSpec match {
       case RegexSpec(body, flags) if filterSpec.length >= 2 =>
         val inline = flags.filter("imsxu".contains(_))
-        val pattern = if (inline.isEmpty) body else s"(?$inline)$body"
-        exists(values, v => v.rlike(pattern))
-      case _ =>
-        exists(values, v => v.isin(filterSpec.split("\\|").toSeq: _*))
+        Some(if (inline.isEmpty) body else s"(?$inline)$body")
+      case _ => None
     }
+    val exact = filterSpec.split("\\|").toSeq
+    if (referenceCompat)
+      exists(
+        values,
+        v =>
+          when(
+            v.startsWith("/") && v.endsWith("/"),
+            pattern.map(p => v.rlike(p)).getOrElse(lit(false))
+          ).otherwise(v.isin(exact: _*))
+      )
+    else
+      pattern match {
+        case Some(p) => exists(values, v => v.rlike(p))
+        case None    => exists(values, v => v.isin(exact: _*))
+      }
   }
 
   val all: Seq[Q] = Seq(

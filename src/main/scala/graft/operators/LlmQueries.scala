@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   private val MinhashK = 12
-  private val Bands = 4
-  private val Rows = 3
+  private[operators] val Bands = 4
+  private[operators] val Rows = 3
 
   /** documents + injected duplicates: every 10th doc repeated verbatim
     * (id+100000) and every (10th+5) doc with a tail perturbation
@@ -176,6 +176,42 @@ object LlmQueries {
     * heavy-bucket diagnostic). The cap never fires on the test corpus, so
     * the oracle needs no mirror of it.
     */
+  /** Multi-probe candidate pairs: the drop-one-row partial-band keys of
+    * [[graft.functions.TextFunctions.lshProbeBands]] instead of the full
+    * band hashes. A full-band collision implies collision on every
+    * partial key, so (heavy-bucket caps aside) this candidate set is a
+    * SUPERSET of [[minhashPairsOf]]'s — the recall-vs-precision trade is
+    * certified by `docs_dedup_eval_multiprobe`. Same scale shape: one
+    * persisted exploded key table, broadcast heavy-bucket cap (partial
+    * keys are shorter, so the cap matters MORE here), one equi-self-join.
+    */
+  def minhashProbePairsOf(docs: DataFrame, maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    import graft.plans.MinHashSigExpr
+    val sig = docs.select(
+      col("doc_id"),
+      GraftColumn
+        .of(MinHashSigExpr(GraftColumn.exprOf(col("text")), MinhashK, 3))
+        .as("sig")
+    )
+    val pt = sig
+      .select(col("doc_id"), explode(lshProbeBands(col("sig"), Bands, Rows)).as("e"))
+      .select(col("doc_id"), col("e.band_id"), col("e.drop_pos"), col("e.p_hash"))
+      .persist()
+    val heavy = pt
+      .groupBy("band_id", "drop_pos", "p_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select("band_id", "drop_pos", "p_hash")
+    val capped = pt.join(broadcast(heavy), Seq("band_id", "drop_pos", "p_hash"), "left_anti")
+    val b1 = capped.select(col("doc_id").as("doc_a"), col("band_id"), col("drop_pos"), col("p_hash"))
+    val b2 = capped.select(col("doc_id").as("doc_b"), col("band_id"), col("drop_pos"), col("p_hash"))
+    b1.join(b2, Seq("band_id", "drop_pos", "p_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   def minhashPairsOf(docs: DataFrame, maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val bandTable = bandTableOf(docs)
     val capped = bandTable.join(

@@ -34,6 +34,32 @@ object CountNodes {
         }
       case _ => println("opt top not project: " + opt.getClass)
     }
+    // Duplicate-subtree census over the whole optimized plan: the
+    // factoring targets are big subtrees appearing >1 time (potential
+    // saving = size * (count - 1)).
+    val counts = scala.collection.mutable.Map.empty[String, (Int, Int, String)]
+    def size(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+      var n = 0; e.foreach(_ => n += 1); n
+    }
+    opt.foreach { node =>
+      node.expressions.foreach { top =>
+        top.foreach { e =>
+          val s = size(e)
+          if (s >= 150) {
+            val k = e.canonicalized.toString
+            val (c, _, _) = counts.getOrElse(k, (0, s, ""))
+            counts(k) = (c + 1, s, e.toString.take(140))
+          }
+        }
+      }
+    }
+    counts.toSeq
+      .filter(_._2._1 > 1)
+      .sortBy { case (_, (c, s, _)) => -(s * (c - 1)) }
+      .take(25)
+      .foreach { case (_, (c, s, repr)) =>
+        println(f"DUP count=$c%3d size=$s%6d saving=${s * (c - 1)}%7d  $repr")
+      }
     spark.stop()
   }
 }

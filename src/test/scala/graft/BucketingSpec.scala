@@ -75,4 +75,44 @@ class BucketingSpec extends SparkSuite {
       deleteRecursively(dir)
     }
   }
+
+  test("dedupRecordsBucketed: exchange-free candidate join, identical output") {
+    val dir = "/tmp/graft_bucketed_dedup_" + System.nanoTime()
+    val table = "graft_bucketed_dedup_spec"
+    val records = DedupQueries.records(spark, "/root/testdata/sf0.001")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // First call writes the bucketed exploded-key layout...
+      val bucketed = Dedup
+        .dedupRecordsBucketed(records, table, dir)
+        .select("id", "dedup_id")
+      // ...and the candidate-edge subplan over the stored table must plan
+      // with NO shuffle exchange anywhere before the final pair distinct:
+      // both self-join sides and the heavy-key aggregate consume the
+      // stored (kind, key) bucketing.
+      val edges =
+        Dedup.edgesFromExploded(Bucketing.readBucketed(spark, table), opaquePredicate = true)
+      val physical = edges.queryExecution.executedPlan.toString
+      val exchanges = physical.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")
+      )
+      assert(exchanges == 1, s"want only the pair-distinct exchange, got $exchanges:\n$physical")
+      // The single shuffle sits at the top of the printed tree (the
+      // distinct over result pairs), ABOVE the first scan — i.e. no
+      // Exchange anywhere below the self-join.
+      val scanIdx = physical.indexOf("Scan")
+      val exchangeIdx = physical.indexOf("Exchange hashpartitioning")
+      assert(exchangeIdx >= 0 && scanIdx > exchangeIdx, physical)
+      // Identical output to the unbucketed pipeline.
+      val plain = Dedup.dedupRecords(records).select("id", "dedup_id")
+      val got = bucketed.collect().map(_.toSeq).toSet
+      val want = plain.collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      deleteRecursively(dir)
+    }
+  }
 }

@@ -169,4 +169,34 @@ class MetadataFunctionsSpec extends SparkSuite {
         "Example hyphen-ated jatkuu loppu-"
     )
   }
+
+  test("suppressMatch: documented semantics vs referenceCompat bug-for-bug") {
+    import graft.operators.ExportQueries.suppressMatch
+    val s = spark
+    import s.implicits._
+    def run(values: Seq[String], filter: String, compat: Boolean): Boolean =
+      Seq(Tuple1(values))
+        .toDF("vals")
+        .select(suppressMatch(col("vals"), filter, compat).as("m"))
+        .head()
+        .getBoolean(0)
+    // Documented mode: a /regex/ filter regex-matches ordinary values.
+    assert(run(Seq("Electronic resource"), "/^Electronic/", compat = false))
+    assert(!run(Seq("Book"), "/^Electronic/", compat = false))
+    assert(run(Seq("deleted"), "deleted|hidden", compat = false))
+    // referenceCompat (AbstractRecord.php:455): the slash test runs on
+    // the VALUE, so the same regex filter never fires on ordinary values
+    // -- they fall through to the exploded-pipe comparison...
+    assert(!run(Seq("Electronic resource"), "/^Electronic/", compat = true))
+    // ...while a slash-wrapped VALUE is preg_match'ed against the filter.
+    assert(run(Seq("/Electronic thing/"), "/^.Electronic/", compat = true))
+    // A slash-wrapped value with a non-regex filter: preg_match errors in
+    // PHP (logged, no match), and the pipe list is never consulted.
+    assert(!run(Seq("/deleted/"), "deleted|/deleted/", compat = true))
+    // The pipe path itself behaves identically in both modes.
+    assert(run(Seq("hidden"), "deleted|hidden", compat = true))
+    // Degenerate '/' value takes the regex path in compat mode (PHP
+    // str_starts_with/str_ends_with are both true for the 1-char value).
+    assert(!run(Seq("/"), "x|y", compat = true))
+  }
 }

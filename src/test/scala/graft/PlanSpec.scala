@@ -56,19 +56,17 @@ class PlanSpec extends SparkSuite {
     // optimized plan's total expression-node count — large enough to
     // allow the ~300-node strip chains over cheap attributes, small
     // enough to catch a big tree multiplied through one.
+    // No per-query exceptions: the round-7 stage-binding of the strip
+    // combinators (stripTrailingPunctuation / stripLeadingArticle /
+    // stripPunctuation / createSortTitle now bind each internal stage)
+    // took the largest plan — marc_tosolr_assembly, the full toSolrArray
+    // surface — from ~78k nodes to ~30k, so the global cap holds
+    // everywhere.
     val limit = 60000
-    // marc_tosolr_assembly materializes the ENTIRE Marc toSolrArray
-    // surface (~50 Solr fields) as one certified projection; after the
-    // bindOnce pass it sits at ~77k nodes / ~5 MiB task binary —
-    // measured acceptable for the one complete-surface query, and the
-    // raised cap still catches a strip-chain regression (which
-    // multiplies 10-100×, not 1.3×).
-    val perQueryLimit = Map("marc_tosolr_assembly" -> 100000)
     SparkEntry.registry.foreach { q =>
-      val lim = perQueryLimit.getOrElse(q.name, limit)
       val plan = q.fn(spark, sf).queryExecution.optimizedPlan
       val nodes = plan.map(p => p.expressions.map(e => e.collect { case x => x }.size).sum).sum
-      assert(nodes <= lim, s"${q.name} optimized plan has $nodes expression nodes (> $lim)")
+      assert(nodes <= limit, s"${q.name} optimized plan has $nodes expression nodes (> $limit)")
     }
   }
 
