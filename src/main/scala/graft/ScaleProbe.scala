@@ -317,8 +317,29 @@ object ScaleProbe {
         // the localCheckpoint discipline in Bpe.train, iteration k
         // re-executes all k−1 prior merge folds, so doubling K would
         // ~quadruple the time. Sweep K = 48 / 96 / 192 and compare.
+        // The synthetic corpus's own vocabulary is ~30 words (too small
+        // to carry per-merge scan cost), so the probe trains on a
+        // 100k-word md5-derived vocabulary: 20 distinct 8-hex "words"
+        // per document — real fold work every iteration, and enough
+        // pair diversity that merges never exhaust below K=192.
         val k = math.max(mult, 8)
-        val vocab = operators.Bpe.vocabOf(spark, sfDir).localCheckpoint(true)
+        val vocab = Tables
+          .documents(spark, sfDir)
+          .select(explode(sequence(lit(0), lit(19))).as("i"), col("doc_id"))
+          .select(
+            substring(
+              md5(concat(col("doc_id").cast("string"), lit(":"), col("i").cast("string"))),
+              1,
+              8
+            ).as("w")
+          )
+          .groupBy("w")
+          .agg(count(lit(1)).as("f"))
+          .withColumn(
+            "syms",
+            transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1)))
+          )
+          .localCheckpoint(true)
         val nWords = vocab.count()
         val t0 = System.nanoTime()
         val merges = operators.Bpe.train(vocab, k)

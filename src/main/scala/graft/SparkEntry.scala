@@ -58,6 +58,7 @@ object SparkEntry {
       operators.Bpe.all ++
       operators.Retrieval.all ++
       operators.CurationQueries.all ++
+      operators.RepetitionQueries.all ++
       operators.CurationQueries2.all ++
       operators.MixtureQueries.all ++
       operators.MixtureQueries2.all ++

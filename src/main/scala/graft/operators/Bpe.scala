@@ -185,6 +185,66 @@ object Bpe {
 
   val all: Seq[Q] = Seq(
     Q(
+      // The FULL training loop under the oracle gate: 8 merges over the
+      // corpus vocabulary with checkpointEvery=3 so the lineage-truncation
+      // path itself runs under the driver's hash check. The oracle unrolls
+      // the 8 chained argmax/merge stages as generated CTEs, each
+      // replaying the greedy-left fold arithmetically (the
+      // docs_bpe_merge_step mask generalized from characters to the
+      // evolving multi-char symbol arrays). Certifies order, tie-breaks,
+      // and the checkpointed Spark loop end-to-end.
+      "docs_bpe_train",
+      (s, d) => {
+        val merges = train(vocabOf(s, d), 8, checkpointEvery = 3)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("step", "a", "b")
+      },
+      Some {
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        val k = 8
+        val stages = (0 until k)
+          .map { i =>
+            s"""pc$i AS (
+               |  SELECT syms[p] AS a, syms[p + 1] AS b, sum(f) AS n
+               |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS p FROM v$i) _p$i
+               |  GROUP BY 1, 2),
+               |best$i AS (SELECT a, b FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
+               |m$i AS (
+               |  SELECT w, f, a, b, syms,
+               |    list_transform(range(1, len(syms)), p ->
+               |      syms[p] = a AND syms[p + 1] = b AND
+               |      (a != b OR
+               |       (p - 1 - coalesce(list_max(list_filter(range(1, p), j -> syms[j] != a)), 0)) % 2 = 0)
+               |    ) AS mask
+               |  FROM v$i CROSS JOIN best$i),
+               |v${i + 1} AS (
+               |  SELECT w, f,
+               |    list_filter(
+               |      list_transform(range(1, len(syms) + 1), p ->
+               |        CASE WHEN p <= len(mask) AND mask[p] THEN a || b
+               |             WHEN p > 1 AND mask[p - 1] THEN NULL
+               |             ELSE syms[p] END),
+               |      x -> x IS NOT NULL) AS syms
+               |  FROM m$i)""".stripMargin
+          }
+          .mkString(",\n")
+        val out = (0 until k)
+          .map(i => s"SELECT ${i + 1} AS step, a, b FROM best$i")
+          .mkString(" UNION ALL ")
+        s"""WITH wf AS (
+           |  SELECT w, count(*) AS f
+           |  FROM (SELECT unnest(string_split($norm, ' ')) AS w FROM documents) _t
+           |  WHERE length(w) >= 2 GROUP BY w),
+           |v0 AS (
+           |  SELECT w, f, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+           |  FROM wf),
+           |$stages
+           |SELECT cast(step as int) AS step, a, b FROM ($out) _u""".stripMargin
+      }
+    ),
+    Q(
       // Tokenizer inference: apply the shipped merge table to every word
       // of every document (Sennrich encode = merges in learned order,
       // each one greedy-left pass, realized as sentinel-delimited string

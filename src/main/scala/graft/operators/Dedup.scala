@@ -423,6 +423,60 @@ object Dedup {
     batchKeyed.select("id").join(matched, Seq("id"), "left")
   }
 
+  /** [[dedupIncremental]] over a BUCKETED stored corpus — the production
+    * daily-delta shape at 100 TB: the clustered corpus's exploded
+    * blocking-key frame (including `dedup_id`) is written once bucketed
+    * by (kind, key); each incremental run shuffles ONLY the delta to the
+    * corpus's stored partitioning, and the corpus branch of the
+    * candidate join plans with zero Exchange (BucketingSpec asserts two
+    * exchanges total: the delta side and the per-id aggregate). Same
+    * candidate set as [[dedupIncremental]] — its two per-key joins
+    * collapse into one (kind, key) join over the exploded layout — and
+    * the same corpus-side heavy-key cap; output is identical, so the
+    * same oracle certifies it.
+    */
+  def dedupIncrementalBucketed(
+      batch: DataFrame,
+      clustered: DataFrame,
+      table: String,
+      path: String,
+      nBuckets: Int = 32
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Bucketing.writeBucketed(
+        explodeBlockKeys(withKeys(clustered)),
+        Seq("__block_kind", "__block_key"),
+        nBuckets,
+        table,
+        path
+      )
+    }
+    val corpus = graft.sources.Bucketing.readBucketed(spark, table)
+    val heavy = corpus
+      .groupBy("__block_kind", "__block_key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > MaxBlockSize)
+      .select("__block_kind", "__block_key")
+    val capped = corpus.join(broadcast(heavy), Seq("__block_kind", "__block_key"), "left_anti")
+    val batchE = explodeBlockKeys(withKeys(batch))
+    val left = batchE.columns.foldLeft(batchE)((d, c) => d.withColumnRenamed(c, c + "_1"))
+    val right = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
+    val matched = left
+      .join(
+        right,
+        col("__block_kind_1") === col("__block_kind_2") &&
+          col("__block_key_1") === col("__block_key_2") &&
+          col("source_id_1") =!= col("source_id_2")
+      )
+      // Opaque so the veto equalities stay out of the join keys and the
+      // stored (kind, key) bucketing keeps satisfying the corpus side.
+      .filter(when(matchPredicate, lit(true)).otherwise(lit(false)))
+      .groupBy(col("id_1").as("id"))
+      .agg(min(col("dedup_id_2")).as("dedup_id"))
+    batch.select("id").join(matched, Seq("id"), "left")
+  }
+
   /** Deletion maintenance of a clustered corpus (reference:
     * DedupHandler.php removeFromDedupRecord:139): deleted records leave
     * their dedup group; a group left with fewer than two members

@@ -292,6 +292,45 @@ object DedupQueries {
       )
     ),
     Q(
+      // The incremental daily-delta path over the bucketed stored corpus:
+      // corpus exploded keys (with dedup_id) written once bucketed by
+      // (kind, key); only the delta shuffles to match. Identical output
+      // to dedup_incremental, same oracle.
+      "dedup_incremental_bucketed",
+      (s, d) => {
+        val recs = records(s, d)
+        val clustered = Dedup
+          .dedupRecords(recs)
+          .filter(col("dedup_id").isNotNull)
+          .join(recs, Seq("id"))
+          .persist()
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        Dedup.dedupIncrementalBucketed(
+          batchRecords(s, d),
+          clustered,
+          table = s"graft_dedup_corpus$tag",
+          path = s"/tmp/graft_bucketed$tag/dedup_corpus"
+        )
+      },
+      Some(
+        s"""WITH $recordsSql, $edgesSql, $batchSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id),
+           |corpusk AS (SELECT r.*, l.dedup_id FROM recs r JOIN labels l ON r.id = l.id),
+           |matched AS (
+           |  SELECT r1.id AS id, min(r2.dedup_id) AS dedup_id
+           |  FROM batchk r1 JOIN corpusk r2
+           |    ON ((r1.title_key != '' AND r1.title_key = r2.title_key)
+           |        OR (r1.isbn_key != '' AND r1.isbn_key = r2.isbn_key))
+           |      AND r1.source_id != r2.source_id
+           |  WHERE $matchSql
+           |  GROUP BY r1.id
+           |)
+           |SELECT b.id, m.dedup_id FROM batchk b LEFT JOIN matched m ON b.id = m.id""".stripMargin
+      )
+    ),
+    Q(
       "dedup_merged",
       (s, d) => {
         val recs = records(s, d)

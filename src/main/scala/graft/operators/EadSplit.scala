@@ -273,13 +273,18 @@ object Ead3Splitter {
     // ancestor; each round composes with itself. The root is not in the
     // edge set — chains stop at the dsc's direct children.
     val rounds = math.max(1, math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
-    var cur = components.select(
-      col("archive_key"),
-      col("node_key"),
-      col("parent_key").as("jump"),
-      when(col("parent_key").isNull, emptyLike(array(lit(""))))
-        .otherwise(array(col("parent_key"))).as("chain")
-    )
+    // One edge row per node key: duplicate node_key rows (possible in
+    // degenerate inputs) would otherwise double every chain entry they
+    // appear in through the explode/re-collect below.
+    var cur = components
+      .select(
+        col("archive_key"),
+        col("node_key"),
+        col("parent_key").as("jump"),
+        when(col("parent_key").isNull, emptyLike(array(lit(""))))
+          .otherwise(array(col("parent_key"))).as("chain")
+      )
+      .dropDuplicates("archive_key", "node_key")
     for (_ <- 1 to rounds) {
       val o = cur.select(
         col("archive_key").as("o_archive"),
@@ -328,6 +333,9 @@ object Ead3Splitter {
         col("did_fields").as("a_did")
       )
       .withColumn("a_ptitle", parentTitleOf(col("a_rid")))
+      // Same duplicate-key guard as the edge seed: an ancestor key must
+      // decorate each chain entry exactly once.
+      .dropDuplicates("a_archive", "a_key")
     val chains = cur
       .select(col("archive_key"), col("node_key"), posexplode(col("chain")).as(Seq("cpos", "ckey")))
       .join(

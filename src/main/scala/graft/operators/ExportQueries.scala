@@ -150,6 +150,56 @@ object ExportQueries {
       }
     ),
     Q(
+      // The referenceCompat suppression mode under the oracle gate
+      // (AbstractRecord.php:455 bug-for-bug): the /regex/ filter never
+      // fires on ordinary values — 'Electronic Book' falls through to the
+      // exploded-pipe comparison and stays unsuppressed — while
+      // slash-WRAPPED values are preg_match'ed against the filter
+      // ('/Electronic archive/' matches, '/Paper archive/' does not).
+      "records_suppressed_compat",
+      (s, d) => {
+        val k = col("p_partkey")
+        val fmt1 = when(k % 7 === 0, lit("Electronic Book")).otherwise(lit("Book"))
+        val fmt2 = when(k % 3 === 0, lit("/Electronic archive/"))
+          .when(k % 3 === 1, lit("/Paper archive/"))
+          .otherwise(lit(""))
+        val status = when(k % 5 === 0, lit("deleted")).otherwise(lit("active"))
+        val formats = filter(array(fmt1, fmt2), v => v =!= "")
+        val byFormat = suppressMatch(formats, "/^.?Electronic/", referenceCompat = true)
+        val byStatus = suppressMatch(array(status), "deleted|hidden", referenceCompat = true)
+        Tables
+          .part(s, d)
+          .select(
+            concat(lit("part."), k.cast("string")).as("record_id"),
+            array_join(formats, "|").as("format"),
+            status.as("status"),
+            (byFormat || byStatus).as("suppressed"),
+            when(byFormat, lit("format"))
+              .when(byStatus, lit("status"))
+              .otherwise(lit("")).as("suppressed_by")
+          )
+      },
+      Some {
+        s"""WITH t AS (SELECT p_partkey AS k,
+           |  (CASE WHEN p_partkey % 7 = 0 THEN 'Electronic Book' ELSE 'Book' END) AS fmt1,
+           |  (CASE WHEN p_partkey % 3 = 0 THEN '/Electronic archive/'
+           |        WHEN p_partkey % 3 = 1 THEN '/Paper archive/' ELSE '' END) AS fmt2,
+           |  (CASE WHEN p_partkey % 5 = 0 THEN 'deleted' ELSE 'active' END) AS st
+           |  FROM part),
+           |f AS (SELECT k, fmt1, fmt2, st,
+           |  (fmt2 != '' AND substr(fmt2, 1, 1) = '/' AND substr(fmt2, length(fmt2), 1) = '/'
+           |   AND regexp_matches(fmt2, '^.?Electronic')) AS by_format,
+           |  st IN ('deleted', 'hidden') AS by_status
+           |  FROM t)
+           |SELECT 'part.' || cast(k as varchar) AS record_id,
+           |  (CASE WHEN fmt2 != '' THEN fmt1 || '|' || fmt2 ELSE fmt1 END) AS format,
+           |  st AS status,
+           |  (by_format OR by_status) AS suppressed,
+           |  (CASE WHEN by_format THEN 'format' WHEN by_status THEN 'status' ELSE '' END) AS suppressed_by
+           |FROM f""".stripMargin
+      }
+    ),
+    Q(
       // Full-text enrichment shaping (reference: Record/FullTextTrait.php:88
       // getFullTextfields): xpath-collected fragments joined with ' ', then
       // the line-break de-hyphenation fixup (:124). The HTTP fetch branch is

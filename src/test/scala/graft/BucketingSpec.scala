@@ -115,4 +115,42 @@ class BucketingSpec extends SparkSuite {
       deleteRecursively(dir)
     }
   }
+
+  test("dedupIncrementalBucketed: only the delta shuffles, identical output") {
+    val dir = "/tmp/graft_bucketed_incr_" + System.nanoTime()
+    val table = "graft_bucketed_incr_spec"
+    val records = DedupQueries.records(spark, "/root/testdata/sf0.001")
+    val clustered = Dedup
+      .dedupRecords(records)
+      .filter(col("dedup_id").isNotNull)
+      .join(records, Seq("id"))
+      .persist()
+    val batch = records.limit(500)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Dedup.dedupIncrementalBucketed(batch, clustered, table, dir)
+      val physical = bucketed.queryExecution.executedPlan.toString
+      // The corpus scan must come back bucketed...
+      assert(physical.contains("Bucketed: true"), physical)
+      // ...and the candidate join + aggregate region must carry exactly
+      // two shuffles: the DELTA side aligning to the corpus bucketing
+      // and the per-id aggregate. (The final left join against batch ids
+      // adds its own id-key exchanges; scope the count to the subplan.)
+      val matchedRegion = physical.substring(0, physical.indexOf("Bucketed: true"))
+      val exchanges = matchedRegion.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("__block_")
+      )
+      assert(exchanges == 1, s"want exactly the delta-side key exchange, got $exchanges:\n$physical")
+      // Identical output to the unbucketed incremental path.
+      val got = bucketed.collect().map(_.toSeq).toSet
+      val want = Dedup.dedupIncremental(batch, clustered).collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      clustered.unpersist()
+      deleteRecursively(dir)
+    }
+  }
 }

@@ -110,4 +110,63 @@ class CurationSpec extends SparkSuite {
     assert(counts.head == operators.LlmQueries.corpus(spark, sf).count())
     assert(counts.last > 0)
   }
+
+  test("docs_gopher_repetition: hand-built documents pin each metric") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = spark
+    // Stand-in documents frame with the same (doc_id, text) contract;
+    // run the metric expressions through the registered query by writing
+    // a scratch parquet dir shaped like the documents table.
+    val dir = "/tmp/graft_rep_spec_" + System.nanoTime()
+    val schema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType))
+    )
+    val rows = Seq(
+      // 0: four lines, two identical pairs -> dup_line 500 permille.
+      Row(0L, "aaa\nbbb\naaa\nbbb"),
+      // 1: 'spam ham' repeated 5x -> the top 2-gram ('spam ham' or the
+      //    wraparound 'ham spam') dominates; 5-grams repeat too.
+      Row(1L, "spam ham spam ham spam ham spam ham spam ham"),
+      // 2: clean prose, all lines and grams unique.
+      Row(2L, "one two three four five six seven\neight nine ten eleven"),
+      // 3: empty.
+      Row(3L, "")
+    )
+    s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+      .write
+      .mode("overwrite")
+      .parquet(dir + "/documents.parquet")
+    try {
+      val m = SparkEntry
+        .queries("docs_gopher_repetition")(s, dir)
+        .collect()
+        .map(r => r.getLong(0) -> r)
+        .toMap
+      val d0 = m(0L)
+      assert(d0.getAs[Long]("dup_line_permille") == 500L)
+      assert(d0.getAs[Long]("dup_line_char_permille") == 500L)
+      val d1 = m(1L)
+      // 10 words, 9 two-grams: 5x 'spam ham' (len 8) + 4x 'ham spam';
+      // top covers 40 of 44 chars -> 909 permille. Duplicated 5-grams:
+      // 3x len-22 + 3x len-21 = 129 of 44 -> overlap-counted 2931.
+      assert(d1.getAs[Long]("top2gram_char_permille") == 909L)
+      assert(d1.getAs[Long]("dup5gram_char_permille") == 2931L)
+      assert(!d1.getAs[Boolean]("pass"))
+      val d2 = m(2L)
+      assert(d2.getAs[Long]("dup_line_permille") == 0L)
+      // Longest unique 2-gram 'seven eight' (11 of 55 chars) sits exactly
+      // ON the 200-permille threshold -- and <= passes it.
+      assert(d2.getAs[Long]("top2gram_char_permille") == 200L)
+      assert(d2.getAs[Boolean]("pass"))
+      val d3 = m(3L)
+      assert(d3.getAs[Long]("dup_line_permille") == 0L)
+      assert(d3.getAs[Boolean]("pass"))
+    } finally {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(go)); f.delete(): Unit
+      }
+      go(new java.io.File(dir))
+    }
+  }
 }
