@@ -146,6 +146,15 @@ object EadSplitter {
   * is bounded by the c01..c12 tag convention). Everything else is one
   * window (document-order sequence) and hash equi-joins on
   * (archive, node) — no recursion, no driver-side state.
+  *
+  * Model boundary: `parent_key` must reference another RECORD node
+  * (or be null for the dsc's direct children). The reference's corner
+  * where a record's direct parent is a level-less NON-record `<c>`
+  * element (Ead3.php:236-247 then generates a parent id from that
+  * node's did without label gating) is not representable in the
+  * flattened model — the upstream flattener assigns such children the
+  * nearest record ancestor, which is also what the reference's own
+  * fixtures exercise.
   */
 object Ead3Splitter {
 
