@@ -269,18 +269,28 @@ object Ead3Splitter {
     // root and for components whose selected unit id IS the archive id;
     // `<archive>_<pos>` when no identifier exists at all.
     val unitId = unitIdOf(col("unit_ids"), unitIdLabel, col("archive_id"))
+    // Persisted: feeds the ancestor-decoration join AND the final
+    // record-grain select, and its lineage carries the window + arch
+    // join (plus whatever synthesis produced the inputs).
     val recs = ordered.withColumn(
       "record_id",
       when(col("is_root"), col("archive_id"))
         .when(unitId.isNull, concat(col("archive_id"), lit("_"), col("pos").cast("string")))
         .when(unitId === col("archive_id"), col("archive_id"))
         .otherwise(concat(col("archive_id"), lit("_"), unitId))
-    )
+    ).persist()
 
     // Ancestor chains, bottom-up (nearest first), by pointer doubling:
     // chain_k holds the ancestors within 2^k steps and jump_k the 2^k-th
     // ancestor; each round composes with itself. The root is not in the
     // edge set — chains stop at the dsc's direct children.
+    //
+    // Every round is PERSISTED: round k joins round k−1 to itself, so an
+    // unpersisted loop re-derives the edge seed 2^rounds times (the
+    // first .explain showed 16 redundant scans of the component source).
+    // With the lazy persist each round materializes once and both join
+    // sides read the cache; callers release via spark.catalog.clearCache
+    // (the bandTableOf convention — Verify/Bench already do).
     val rounds = math.max(1, math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
     // One edge row per node key: duplicate node_key rows (possible in
     // degenerate inputs) would otherwise double every chain entry they
@@ -294,6 +304,7 @@ object Ead3Splitter {
           .otherwise(array(col("parent_key"))).as("chain")
       )
       .dropDuplicates("archive_key", "node_key")
+      .persist()
     for (_ <- 1 to rounds) {
       val o = cur.select(
         col("archive_key").as("o_archive"),
@@ -314,6 +325,7 @@ object Ead3Splitter {
           when(o("o_chain").isNull, cur("chain"))
             .otherwise(concat(cur("chain"), o("o_chain"))).as("chain")
         )
+        .persist()
     }
 
     // Decorate each chain entry with the ancestor's generated id, title
