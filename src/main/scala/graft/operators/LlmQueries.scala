@@ -58,10 +58,15 @@ object LlmQueries {
     * docs_langid oracle and the confusion-matrix eval so the two SQL
     * mirrors cannot drift from each other when the heuristic changes.
     */
-  private[operators] def langidPredDuck: (String, String) = {
+  private[operators] def langidPredDuck: (String, String) = langidPredDuckOn("text")
+
+  /** [[langidPredDuck]] over an arbitrary column/expression (the
+    * per-paragraph query scores exploded lines, not `text`).
+    */
+  private[operators] def langidPredDuckOn(colName: String): (String, String) = {
     val hits = graft.functions.TextFunctions.StopwordSets.map { case (lang, set) =>
       val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
-      lang -> s"len(list_intersect(string_split(${normSql("text")}, ' '), $arr))"
+      lang -> s"len(list_intersect(string_split(${normSql(colName)}, ' '), $arr))"
     }
     val maxExpr = s"greatest(${hits.map(_._2).mkString(", ")})"
     val chain = hits
@@ -333,6 +338,81 @@ object LlmQueries {
         val (maxExpr, chain) = langidPredDuck
         s"""WITH t AS (SELECT doc_id, lang, text, $maxExpr AS mx FROM documents)
            |SELECT doc_id, lang, (CASE $chain ELSE 'und' END) AS pred_lang FROM t""".stripMargin
+      }
+    ),
+    Q(
+      // Per-paragraph language ID + per-document majority rollup (the
+      // CCNet shape — Wenzek et al. 2020 segment at newline level, score
+      // each segment, and route/flag mixed-language documents): explode
+      // non-empty lines, languageId each, majority by (count desc, lang
+      // asc) with the dominant fraction in exact per-mille; is_mixed
+      // flags documents whose majority covers under 700 permille of
+      // paragraphs. Scale shape: line explode then a (doc_id, lang)
+      // aggregation — bounded keys, map-side combinable — and two
+      // per-doc windows over the tiny counts table.
+      "docs_langid_paragraphs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d)
+        val lines =
+          filter(split(coalesce(col("text"), lit("")), "\n"), l => trim(l) =!= "")
+        val counts = base
+          .select(col("doc_id"), explode(lines).as("para"))
+          .select(col("doc_id"), languageId(col("para")).as("lang"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n"))
+        val byDoc = Window.partitionBy("doc_id")
+        val rank = Window.partitionBy("doc_id").orderBy(col("n").desc, col("lang").asc)
+        val m = counts
+          .withColumn("rn", row_number().over(rank))
+          .withColumn("n_paras", sum("n").over(byDoc))
+          .withColumn("n_langs", count(lit(1)).over(byDoc))
+          .filter(col("rn") === 1)
+          .select(
+            col("doc_id"),
+            col("lang").as("majority_lang"),
+            col("n_paras"),
+            col("n_langs"),
+            expr("(n * 1000) div n_paras").as("majority_permille")
+          )
+        base
+          .select("doc_id")
+          .join(m, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("majority_lang"), lit("und")).as("majority_lang"),
+            coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+            coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+            coalesce(col("majority_permille"), lit(0L)).as("majority_permille")
+          )
+          .withColumn("is_mixed", col("n_paras") > 0 && col("majority_permille") < 700)
+      },
+      Some {
+        val (maxExpr, chain) = langidPredDuckOn("para")
+        s"""WITH lx AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) != '')) AS para
+           |  FROM documents),
+           |sc AS (SELECT doc_id, para, $maxExpr AS mx FROM lx),
+           |lng AS (SELECT doc_id, (CASE $chain ELSE 'und' END) AS lang FROM sc),
+           |counts AS (SELECT doc_id, lang, count(*) AS n FROM lng GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT doc_id, lang, n,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn,
+           |    sum(n) OVER (PARTITION BY doc_id) AS n_paras,
+           |    count(*) OVER (PARTITION BY doc_id) AS n_langs
+           |  FROM counts),
+           |m AS (
+           |  SELECT doc_id, lang AS majority_lang, n_paras, n_langs,
+           |    (n * 1000) // n_paras AS majority_permille
+           |  FROM agg WHERE rn = 1)
+           |SELECT d.doc_id,
+           |  coalesce(m.majority_lang, 'und') AS majority_lang,
+           |  cast(coalesce(m.n_paras, 0) as bigint) AS n_paras,
+           |  cast(coalesce(m.n_langs, 0) as bigint) AS n_langs,
+           |  cast(coalesce(m.majority_permille, 0) as bigint) AS majority_permille,
+           |  (coalesce(m.n_paras, 0) > 0 AND coalesce(m.majority_permille, 0) < 700) AS is_mixed
+           |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
       }
     ),
     Q(

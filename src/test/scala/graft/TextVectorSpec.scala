@@ -64,6 +64,51 @@ class TextVectorSpec extends SparkSuite {
     assert(eval1(languageId(col("x")), "zzz qqq www") == "und")
   }
 
+  test("docs_langid_paragraphs flags mixed documents and rolls up majorities") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = spark
+    val dir = "/tmp/graft_langpara_spec_" + System.nanoTime()
+    val schema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("text", StringType))
+    )
+    val rows = Seq(
+      // 2 English lines + 1 Spanish: majority en at 666 permille -> mixed.
+      Row(0L, "the cat and the dog\nel que de la y en los\nthe end of it"),
+      // 3 English lines: majority 1000 permille, not mixed.
+      Row(1L, "the cat and the dog\nthe end of it\nand so the story goes"),
+      // Empty: und / 0 paragraphs / not mixed.
+      Row(2L, "")
+    )
+    s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    try {
+      val m = SparkEntry
+        .queries("docs_langid_paragraphs")(s, dir)
+        .collect()
+        .map(r => r.getLong(0) -> r)
+        .toMap
+      val d0 = m(0L)
+      assert(d0.getAs[String]("majority_lang") == "en")
+      assert(d0.getAs[Long]("majority_permille") == 666L)
+      assert(d0.getAs[Long]("n_langs") == 2L)
+      assert(d0.getAs[Boolean]("is_mixed"))
+      val d1 = m(1L)
+      assert(d1.getAs[String]("majority_lang") == "en")
+      assert(d1.getAs[Long]("majority_permille") == 1000L)
+      assert(!d1.getAs[Boolean]("is_mixed"))
+      val d2 = m(2L)
+      assert(d2.getAs[String]("majority_lang") == "und")
+      assert(d2.getAs[Long]("n_paras") == 0L)
+      assert(!d2.getAs[Boolean]("is_mixed"))
+    } finally {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(go)); f.delete(): Unit
+      }
+      go(new java.io.File(dir))
+    }
+  }
+
   test("embed_semdedup drops every injected exact duplicate, keeps one representative") {
     val rows = SparkEntry
       .queries("embed_semdedup")(spark, "/root/testdata/sf0.001")
