@@ -364,6 +364,41 @@ object MetadataQueries2 {
           |  nfc_normalize('Cafe' || chr(769) || ' ' || cast(p_partkey % 10 as varchar)) AS nfc
           |FROM u""".stripMargin
       )
+    ),
+    Q(
+      // trimXmlWhitespace under the oracle gate (MetadataUtils.php:818):
+      // the Java regex needs a backreference (closing-tag match) that
+      // RE2/DuckDB lacks, so the oracle replays the SEMANTICS over
+      // synthesized XML instead — inter-tag whitespace (incl. newlines
+      // and document edges) removed, text-node content kept verbatim
+      // (including a leading space inside an element every 3rd record,
+      // the case a naive '>\\s+<' collapse would also pass but a
+      // text-trimming implementation would fail).
+      "xml_trim_whitespace",
+      (s, d) => {
+        val k = col("p_partkey")
+        val txt = concat(lit("v "), (k % 10).cast("string"))
+        val lead = when(k % 3 === 0, lit(" lead")).otherwise(lit("no"))
+        val xml = concat(
+          lit("  <r> <t>"), txt, lit("</t> \n "),
+          when(k % 2 === 0, lit("<e/>  ")).otherwise(lit("")),
+          lit("<u>"), lead, lit("</u> </r> ")
+        )
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            graft.functions.MetadataFunctions.trimXmlWhitespace(xml).as("trimmed")
+          )
+      },
+      Some(
+        """SELECT p_partkey,
+          |  '<r><t>v ' || cast(p_partkey % 10 as varchar) || '</t>'
+          |    || (CASE WHEN p_partkey % 2 = 0 THEN '<e/>' ELSE '' END)
+          |    || '<u>' || (CASE WHEN p_partkey % 3 = 0 THEN ' lead' ELSE 'no' END)
+          |    || '</u></r>' AS trimmed
+          |FROM part""".stripMargin
+      )
     )
   )
 }

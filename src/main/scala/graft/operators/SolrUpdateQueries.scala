@@ -569,6 +569,70 @@ object SolrUpdateQueries {
            |        ELSE 'CC|Coll' || cast(c_custkey % 5 as varchar) END) AS collection
            |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
       }
+    ),
+    Q(
+      // The fieldRules chain built through the TEXTUAL RULE GRAMMAR
+      // (SolrUpdater.php:2440 parseFieldRules) — `solr_field_rules`
+      // above certifies the evaluator over directly-constructed
+      // FieldRule values; this one routes a 6-rule chain through the
+      // real parser (quoted match=/default= tokens, /regex/i syntax)
+      // and covers the branches the other chain doesn't: copy with
+      // exact match, copy with /regex/i match, copy with the
+      // empty-source default fallback, and delete draining a source to
+      // the unset state. '<unset>' marks the PHP key-removed state as
+      // distinct from an empty field.
+      "solr_field_rules_parsed",
+      (s, d) => {
+        val k = col("p_partkey")
+        val doc: Map[String, org.apache.spark.sql.Column] = Map(
+          "title" -> array(concat(lit("Title "), (k % 50).cast("string"))),
+          "fmt" -> when(k % 3 === 0, array(lit("Book"), lit("eBook")))
+            .when(k % 3 === 1, array(lit("Map")))
+            .otherwise(array().cast("array<string>")),
+          "status" -> when(k % 5 === 0, array(lit("deleted"), lit("active")))
+            .otherwise(array(lit("active"))),
+          "tmp" -> when(k % 7 === 0, array(lit("x"))).otherwise(array(lit("x"), lit("y")))
+        )
+        val rules = Seq(
+          "copy fmt fmt_book match=\"Book\"",
+          "copy fmt fmt_e match=\"/^e/i\"",
+          "copy fmt fmt_all default=\"unknown\"",
+          "move title title_moved",
+          "delete status match=\"deleted\"",
+          "delete tmp match=\"x\""
+        ).map(parseRule)
+        val out = applyFieldRules(doc, rules)
+        def c(f: String) =
+          coalesce(array_join(out.getOrElse(f, lit(null).cast("array<string>")), "|"), lit("<unset>"))
+            .as(f)
+        Tables
+          .part(s, d)
+          .select(
+            k.as("p_partkey"),
+            c("title"),
+            c("title_moved"),
+            c("fmt"),
+            c("fmt_book"),
+            c("fmt_e"),
+            c("fmt_all"),
+            c("status"),
+            c("tmp")
+          )
+      },
+      Some(
+        """SELECT p_partkey,
+          |  '<unset>' AS title,
+          |  'Title ' || cast(p_partkey % 50 as varchar) AS title_moved,
+          |  (CASE WHEN p_partkey % 3 = 0 THEN 'Book|eBook'
+          |        WHEN p_partkey % 3 = 1 THEN 'Map' ELSE '' END) AS fmt,
+          |  (CASE WHEN p_partkey % 3 = 0 THEN 'Book' ELSE '<unset>' END) AS fmt_book,
+          |  (CASE WHEN p_partkey % 3 = 0 THEN 'eBook' ELSE '<unset>' END) AS fmt_e,
+          |  (CASE WHEN p_partkey % 3 = 0 THEN 'Book|eBook'
+          |        WHEN p_partkey % 3 = 1 THEN 'Map' ELSE 'unknown' END) AS fmt_all,
+          |  'active' AS status,
+          |  (CASE WHEN p_partkey % 7 = 0 THEN '<unset>' ELSE 'y' END) AS tmp
+          |FROM part""".stripMargin
+      )
     )
   )
 }

@@ -14,6 +14,16 @@ class PlanSpec extends SparkSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("registry names are unique") {
+    // A duplicate name silently SHADOWS the earlier query in the
+    // `queries` map — Verify then certifies only the survivor while the
+    // shadowed operator's coverage vanishes without any red signal
+    // (caught live in round 7 when a second solr_field_rules landed).
+    val names = SparkEntry.registry.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate registry names: ${dupes.mkString(", ")}")
+  }
+
   test("no registered query plans a cartesian product") {
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
