@@ -347,6 +347,45 @@ object ScaleProbe {
         println(
           f"SCALE mode=bpe k=$k vocab_words=$nWords merges=${merges.size} time=$t%.1f s per_merge=${t / math.max(merges.size, 1)}%.3f s"
         )
+      case "bucketdedup" =>
+        // The bucketed-layout A/B at replicated scale: first call pays
+        // the one-time bucketed write of the exploded blocking-key
+        // frame (the ingest-time shuffle a cluster amortizes), second
+        // call is the pure read-side run every subsequent day pays.
+        // Compare against mode=dedup at the same mult for the
+        // unbucketed cost.
+        val base = DedupQueries.records(spark, sfDir)
+        val big = (0 until mult)
+          .map { i =>
+            if (i == 0) base
+            else
+              base
+                .withColumn("id", concat(lit(s"x$i."), col("id")))
+                .withColumn("title", concat(lit(s"x$i"), col("title")))
+                .withColumn("isbn", lit(""))
+          }
+          .reduce(_ union _)
+        val total = big.count()
+        val table = s"graft_probe_dedup_m$mult"
+        val path = s"/tmp/graft_probe_bucketed/m$mult"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val t0 = System.nanoTime()
+        val n1 = Dedup
+          .dedupRecordsBucketed(big, table, path)
+          .filter(col("dedup_id").isNotNull)
+          .count()
+        val t1 = System.nanoTime()
+        spark.catalog.clearCache()
+        val n2 = Dedup
+          .dedupRecordsBucketed(big, table, path)
+          .filter(col("dedup_id").isNotNull)
+          .count()
+        val t2 = System.nanoTime()
+        assert(n1 == n2)
+        println(
+          f"SCALE mode=bucketdedup mult=$mult records=$total clustered=$n1 " +
+            f"write_plus_read=${(t1 - t0) / 1e9}%.1f s read_only=${(t2 - t1) / 1e9}%.1f s"
+        )
       case "pagerank" =>
         // Edge growth with constant degree structure: each replica is a
         // disjoint copy of the trade graph (node-id prefix bijection), so
