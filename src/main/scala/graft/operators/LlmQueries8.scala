@@ -398,6 +398,58 @@ object LlmQueries8 {
            |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS is_canonical
            |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id""".stripMargin
       }
+    ),
+    Q(
+      // Snapshot diff — the incremental-ingest audit: classify every
+      // doc_id across two corpus snapshots as added / removed / changed
+      // / unchanged by content hash. Synthesized snapshot B: every 7th
+      // document dropped, every 5th mutated (tail append), documents
+      // shifted in above 90000 added. One full-outer equi-join on the
+      // id, md5 content compare — co-partitionable on a cluster, and
+      // at 100 TB the hash compare reads ONLY (id, hash) manifests
+      // when both sides persist docs_shard_manifest-style rollups.
+      "docs_corpus_diff",
+      (s, d) => {
+        val a = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h_a"))
+        val bBase = Tables
+          .documents(s, d)
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(
+            col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")
+          )
+        val bNew = Tables
+          .documents(s, d)
+          .filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 90000).as("doc_id"), col("text"))
+        val b = bBase.unionByName(bNew).select(col("doc_id"), md5(col("text")).as("h_b"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(
+            col("doc_id"),
+            when(col("h_a").isNull, lit("added"))
+              .when(col("h_b").isNull, lit("removed"))
+              .when(col("h_a") === col("h_b"), lit("unchanged"))
+              .otherwise(lit("changed"))
+              .as("status")
+          )
+      },
+      Some(
+        """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+          |b0 AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS text
+          |  FROM documents WHERE doc_id % 7 != 0
+          |  UNION ALL
+          |  SELECT doc_id + 90000, text FROM documents WHERE doc_id % 3 = 0),
+          |b AS (SELECT doc_id, md5(text) AS h_b FROM b0)
+          |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          |  (CASE WHEN a.doc_id IS NULL THEN 'added'
+          |        WHEN b.doc_id IS NULL THEN 'removed'
+          |        WHEN a.h_a = b.h_b THEN 'unchanged'
+          |        ELSE 'changed' END) AS status
+          |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+      )
     )
   )
 }
