@@ -43,41 +43,19 @@ object EvalQueries {
 
   private val dedupEval = Q(
     "docs_dedup_eval",
-    (s, d) => {
+    (s, d) =>
       // Labeled truth: every injected near-copy forms exactly one
-      // expected pair with its base document.
-      val base = Tables.documents(s, d).select(col("doc_id"))
-      val expected = base
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000).as("doc_b"))
-        .unionByName(
-          base
-            .filter(col("doc_id") % 10 === 5)
-            .select(col("doc_id").as("doc_a"), (col("doc_id") + 200000).as("doc_b"))
-        )
-      val found = LlmQueries.minhashPairsOf(LlmQueries.corpus(s, d))
-      val hit = found.join(expected, Seq("doc_a", "doc_b"))
-      val nExpected = expected.agg(count(lit(1)).as("n_expected"))
-      val nFound = found.agg(count(lit(1)).as("n_found"))
-      val nHit = hit.agg(count(lit(1)).as("n_hit"))
-      // Three 1-row frames joined on a constant key: a bounded scalar
-      // assembly, not a data join. The key must be NON-foldable
-      // (`c − c + 1`, the docs_sample_temperature idiom) — a literal key
-      // constant-folds the equality away and Catalyst plans a
-      // nested-loop cross, tripping PlanSpec's BNLJ guard.
-      def keyed(df: org.apache.spark.sql.DataFrame, c: String) =
-        df.withColumn("j", (col(c) - col(c) + 1).cast("int"))
-      keyed(nExpected, "n_expected")
-        .join(keyed(nFound, "n_found"), Seq("j"))
-        .join(keyed(nHit, "n_hit"), Seq("j"))
-        .select(
-          col("n_expected"),
-          col("n_found"),
-          col("n_hit"),
-          expr("(n_hit * 1000) div n_expected").as("recall_permille"),
-          expr("(n_hit * 1000) div n_found").as("precision_permille")
-        )
-    },
+      // expected pair with its base document. Shares expectedPairs /
+      // pairMetrics with the multiprobe eval (one definition of the
+      // ground truth and of the scalar-assembly idiom — the metrics
+      // join rides a NON-foldable constant key, `c − c + 1`, because a
+      // literal key constant-folds away and Catalyst plans a
+      // nested-loop cross, tripping PlanSpec's BNLJ guard).
+      pairMetrics(
+        "banded",
+        LlmQueries.minhashPairsOf(LlmQueries.corpus(s, d)),
+        expectedPairs(s, d)
+      ).drop("variant"),
     Some(
       s"""WITH ${LlmQueries.CorpusSql}, ${LlmQueries.SigSql},
          |expected AS (
