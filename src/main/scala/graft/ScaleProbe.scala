@@ -347,6 +347,15 @@ object ScaleProbe {
         println(
           f"SCALE mode=bpe k=$k vocab_words=$nWords merges=${merges.size} time=$t%.1f s per_merge=${t / math.max(merges.size, 1)}%.3f s"
         )
+      case "repetition" =>
+        // Gopher repetition metrics over N× disjoint-vocabulary replicas:
+        // all three explode→groupBy passes key on (doc_id, token), so
+        // time must track the corpus linearly with flat memory.
+        val big = docsReplicated
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.RepetitionQueries.metricsOf(big).filter(!col("pass")).count()
+        println(f"SCALE mode=repetition mult=$mult docs=$total flagged=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "bucketdedup" =>
         // The bucketed-layout A/B at replicated scale: first call pays
         // the one-time bucketed write of the exploded blocking-key

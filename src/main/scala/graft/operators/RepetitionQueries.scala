@@ -37,18 +37,17 @@ import org.apache.spark.sql.functions._
   */
 object RepetitionQueries {
 
-  val all: Seq[Q] = Seq(
-    Q(
-      "docs_gopher_repetition",
-      (s, d) => {
-        val docs = Tables
-          .documents(s, d)
-          .select(
-            col("doc_id"),
-            coalesce(col("text"), lit("")).as("t"),
-            normalizeText(coalesce(col("text"), lit(""))).as("norm")
-          )
-        val base = docs.select(
+  /** The metric pipeline over any (doc_id, text) frame — shared by the
+    * registry query and the ScaleProbe `repetition` mode.
+    */
+  def metricsOf(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = input
+      .select(
+        col("doc_id"),
+        coalesce(col("text"), lit("")).as("t"),
+        normalizeText(coalesce(col("text"), lit(""))).as("norm")
+      )
+    val base = docs.select(
           col("doc_id"),
           length(col("norm")).as("total_chars"),
           filter(split(col("t"), "\n"), l => l =!= "").as("lines"),
@@ -131,7 +130,12 @@ object RepetitionQueries {
             col("dup_line_ok") && col("dup_line_char_ok") &&
               col("top2gram_ok") && col("dup5gram_ok")
           )
-      },
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "docs_gopher_repetition",
+      (s, d) => metricsOf(Tables.documents(s, d)),
       Some {
         val norm = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
         s"""WITH base AS (
