@@ -60,6 +60,46 @@ object Multimodal {
           .otherwise(lit(1))
       )
 
+  final case class MediaIn(media_id: Long, payload: Array[Byte], media_type: String)
+  final case class MediaOut(media_id: Long, n_bytes: Int, content_sig: String, frame_count: Int)
+
+  /** The deterministic fake codec, batch-shaped: same arithmetic as
+    * [[decodeStub]] but computed JVM-side over a payload batch — the
+    * signature a real decode library call drops into.
+    */
+  def fakeCodec(batch: Seq[MediaIn]): Seq[MediaOut] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    batch.map { m =>
+      md.reset()
+      val sig = md.digest(m.payload).map("%02x".format(_)).mkString
+      val frames =
+        if (m.media_type == "video/mp4") m.payload.length % 24 + 1 else 1
+      MediaOut(m.media_id, m.payload.length, sig, frames)
+    }
+  }
+
+  /** REAL per-partition batched decode plumbing (the `mapInPandas`
+    * batch shape, JVM-side): the partition iterator is grouped into
+    * codec batches of `batchSize`, the codec runs ONCE per batch
+    * (decode libraries amortize model/context setup across a batch —
+    * per-row invocation is the classic mistake), and results stream
+    * out lazily so a partition never materializes in memory. Only the
+    * codec body is a deterministic fake (no media libraries in this
+    * container); schema, batching, laziness, and partitioning are the
+    * production path and MultimodalSpec pins them (stub equivalence +
+    * an invocation-count accumulator).
+    */
+  def decodeBatched(
+      ds: org.apache.spark.sql.Dataset[MediaIn],
+      batchSize: Int = 64,
+      codec: Seq[MediaIn] => Seq[MediaOut] = fakeCodec
+  ): org.apache.spark.sql.Dataset[MediaOut] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => codec(b))
+    }
+  }
+
   /** Big-endian byte strings from an int column (PNG/JPEG dims). */
   private def be32(c: Column): Column = unhex(lpad(hex(c.cast("int")), 8, "0"))
   private def be16(c: Column): Column = unhex(lpad(hex(c.cast("int")), 4, "0"))

@@ -191,4 +191,43 @@ class MultimodalSpec extends SparkSuite {
     val bad = parseAudio(mp3)
     assert(bad.getString(0) == "unknown" && !bad.getBoolean(6))
   }
+
+  test("decodeBatched: batch-shaped codec plumbing matches the column stub") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaIn, MediaOut}
+    val s = spark
+    import s.implicits._
+    val media = Multimodal
+      .mediaTable(spark, "/root/testdata/sf0.001")
+      .select("media_id", "payload", "media_type")
+      .as[MediaIn]
+      .repartition(4)
+    // Count codec INVOCATIONS (not rows) through an accumulator: the
+    // whole point of the batch shape is one call per ~batchSize rows.
+    val calls = spark.sparkContext.longAccumulator("codec_calls")
+    val rows = spark.sparkContext.longAccumulator("codec_rows")
+    val counted: Seq[MediaIn] => Seq[MediaOut] = { b =>
+      calls.add(1); rows.add(b.size.toLong); Multimodal.fakeCodec(b)
+    }
+    val out = Multimodal.decodeBatched(media, batchSize = 64, codec = counted)
+    val got = out
+      .collect()
+      .map(m => (m.media_id, m.n_bytes, m.content_sig, m.frame_count))
+      .toSet
+    val n = got.size
+    assert(n > 0)
+    // One call per full-or-final batch per partition — far fewer calls
+    // than rows, and every row passed through a batch exactly once.
+    assert(rows.value == n.toLong)
+    assert(calls.value <= (n / 64) + 4, s"calls=${calls.value} n=$n")
+    assert(calls.value >= 4 || n < 64 * 4)
+    // Byte-identical to the column-expression stub.
+    val want = Multimodal
+      .decodeStub(Multimodal.mediaTable(spark, "/root/testdata/sf0.001"))
+      .select("media_id", "n_bytes", "content_sig", "frame_count")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(got == want)
+  }
 }
