@@ -347,6 +347,29 @@ object ScaleProbe {
         println(
           f"SCALE mode=bpe k=$k vocab_words=$nWords merges=${merges.size} time=$t%.1f s per_merge=${t / math.max(merges.size, 1)}%.3f s"
         )
+      case "ead3" =>
+        // EAD3 split over N× replicas with DISJOINT archive keys: every
+        // window and join keys on archive_key, so time must track the
+        // archive count linearly (the pointer-doubling rounds stay 4
+        // regardless of corpus size — depth, not volume, sets them).
+        val (archives0, components0) = operators.EadQueries.ead3Frames(spark, sfDir)
+        def rep(df: DataFrame): DataFrame =
+          (0 until mult).map { i =>
+            if (i == 0) df
+            else df.withColumn("archive_key", concat(lit(s"r$i."), col("archive_key")))
+          }.reduce(_ unionByName _)
+        val archives = rep(archives0)
+        val components = rep(components0)
+        val t0 = System.nanoTime()
+        val n = operators.Ead3Splitter
+          .splitArchive(
+            archives,
+            components,
+            unitIdLabel = Some("main"),
+            prependParentTitleWithUnitId = true
+          )
+          .count()
+        println(f"SCALE mode=ead3 mult=$mult records=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "repetition" =>
         // Gopher repetition metrics over N× disjoint-vocabulary replicas:
         // all three explode→groupBy passes key on (doc_id, token), so

@@ -865,23 +865,25 @@ object Ead3Queries {
   */
 object EadQueries {
 
-  val all: Seq[Q] = Seq(
-    Q(
-      // EAD3 splitter overrides under the oracle gate (Splitter/Ead3.php):
-      // a three-deep hierarchy (series s0 -> subseries b -> items;
-      // series s1 -> items) synthesized per `orders` archive, with unitid
-      // shapes that force every selection branch — a 'tech'-labeled decoy
-      // archdesc id (label gating), a series whose FIRST matching id IS
-      // the archive id (the != archiveId scan), an identifier-less series
-      // (position-fallback ids, which then surface in its children's
-      // parent pointers), and items resolved via the label-match vs
-      // first-identifier fallback. Inheritance exercises dao exclusion
-      // (own dao kept, inherited dropped), nearest-ancestor-first
-      // first-wins merge (physloc), parent-title fallback chains
-      // (unittitle -> label -> id) with the unit-id-text prefix, and the
-      // series/subseries add-data parent chain.
-      "ead3_split",
-      (s, d) => {
+  /** The synthesized three-deep EAD3 hierarchy (series s0 -> subseries
+    * b -> items; series s1 -> items per `orders` archive) — shared by
+    * the `ead3_split` registry query and the ScaleProbe `ead3` mode
+    * (which replicates it with disjoint archive keys). Unitid shapes
+    * force every selection branch: a 'tech'-labeled decoy archdesc id
+    * (label gating), a series whose FIRST matching id IS the archive id
+    * (the != archiveId scan), an identifier-less series
+    * (position-fallback ids, which then surface in its children's
+    * parent pointers), and items resolved via the label-match vs
+    * first-identifier fallback. Inheritance exercises dao exclusion
+    * (own dao kept, inherited dropped), nearest-ancestor-first
+    * first-wins merge (physloc), parent-title fallback chains
+    * (unittitle -> label -> id) with the unit-id-text prefix, and the
+    * series/subseries add-data parent chain.
+    */
+  def ead3Frames(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): (DataFrame, DataFrame) = {
         def uid(i: Column, l: Column) = struct(i.as("identifier"), l.as("label"))
         def didf(n: String, v: Column) = struct(lit(n).as("name"), v.as("value"))
         val o = col("o_orderkey").cast("string")
@@ -1008,6 +1010,16 @@ object EadQueries {
           .unionByName(s1)
           .unionByName(items(0, "b", 1000L))
           .unionByName(items(1, "s1", 3000L))
+    (archives, components)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // EAD3 splitter overrides under the oracle gate — see [[ead3Frames]]
+      // for the synthesized branch-coverage design.
+      "ead3_split",
+      (s, d) => {
+        val (archives, components) = ead3Frames(s, d)
         Ead3Splitter.splitArchive(
           archives,
           components,
