@@ -418,6 +418,92 @@ object ScaleProbe {
           f"SCALE mode=bucketdedup mult=$mult records=$total clustered=$n1 " +
             f"write_plus_read=${(t1 - t0) / 1e9}%.1f s read_only=${(t2 - t1) / 1e9}%.1f s"
         )
+      case "pplskew" =>
+        // Language-skew probe for the round-8 docs_ppl_buckets rewrite:
+        // mult× disjoint-vocabulary replicas with 90% of documents forced
+        // into ONE language. Under the old per-language row_number the
+        // dominant language's whole (doc_id, score) set sorts on one
+        // task and time bends superlinear; with histogram-derived cuts
+        // the only per-document passes are the bounded-broadcast join
+        // and (lang, tie-cell) windows, so time must track the corpus.
+        val big = docsReplicated
+          .withColumn(
+            "lang",
+            when(col("doc_id") % 10 < 9, lit("xx"))
+              .otherwise(concat(lit("l"), (col("doc_id") % 7).cast("string")))
+          )
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.CurationQueries
+          .pplBucketsOf(big)
+          .groupBy("bucket")
+          .count()
+          .count()
+        println(f"SCALE mode=pplskew mult=$mult docs=$total buckets=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "balskew" =>
+        // Mega-cell probe for the round-8 embed_sample_balanced rewrite:
+        // base embeddings plus mult×2000 copies of one vector — all in
+        // ONE IVF cell (the semskew shape). The salted rank splits the
+        // mega-cell into 256 md5-uniform subgroups, so time must stay
+        // linear in mult instead of sorting the cell on one task.
+        val base = Tables
+          .embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val mega = base
+          .filter(col("vec_id") === 7)
+          .select(
+            explode(sequence(lit(0L), lit(mult * 2000L - 1))).as("r"),
+            col("embedding")
+          )
+          .select((col("r") + 900000000L).as("vec_id"), col("embedding"))
+        val big = base.union(mega)
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.MixtureQueries2
+          .balancedSampleOf(big)
+          .filter(col("kept"))
+          .count()
+        println(f"SCALE mode=balskew mult=$mult vectors=$total kept=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "canonskew" =>
+        // Shared-prefix mega-group probe for the round-8 docs_canonical
+        // rewrite: base docs plus mult×2000 documents sharing ONE 8-token
+        // prefix (the boilerplate-web shape). The groupBy+join form keeps
+        // the mega-cluster map-side-combinable (and AQE-splittable);
+        // time must stay linear in mult.
+        val baseDocs = Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars")
+        val mega = baseDocs
+          .filter(col("doc_id") === 7)
+          .select(
+            explode(sequence(lit(0L), lit(mult * 2000L - 1))).as("r"),
+            col("text")
+          )
+          .select(
+            (col("r") + 900000000L).as("doc_id"),
+            // Shared 8-token prefix (one cluster), distinct tails.
+            concat(col("text"), lit(" tail"), col("r").cast("string")).as("text")
+          )
+          .withColumn("n_chars", length(col("text")).cast("bigint"))
+        val big = baseDocs
+          .withColumn("n_chars", col("n_chars").cast("bigint"))
+          .unionByName(mega)
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.LlmQueries7.canonicalOf(big).filter(col("canonical")).count()
+        println(f"SCALE mode=canonskew mult=$mult docs=$total canonical=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "packing" =>
+        // Writer-bucket sweep for the parameterized packing cumsum: a
+        // mult× corpus packed at 4 / 16 / 64 buckets. More buckets →
+        // smaller per-window work; totals must agree (buckets are
+        // independent writers, so only the sharding changes).
+        val big = docsReplicated.withColumn("lang", lit("xx"))
+        val total = big.count()
+        val times = Seq(4, 16, 64).map { b =>
+          val t0 = System.nanoTime()
+          val toks = operators.LlmQueries8
+            .packedSequencesProbe(big, b)
+          f"b$b=${toks}tok/${(System.nanoTime() - t0) / 1e9}%.1f s"
+        }
+        println(s"SCALE mode=packing mult=$mult docs=$total ${times.mkString(" ")}")
       case "pagerank" =>
         // Edge growth with constant degree structure: each replica is a
         // disjoint copy of the trade graph (node-id prefix bijection), so

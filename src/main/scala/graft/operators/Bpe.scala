@@ -111,11 +111,25 @@ object Bpe {
         merges += ((a, b))
         v = v.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
         if (merges.size % checkpointEvery == 0) {
+          // CAVEAT (real cluster): eager localCheckpoint + releasing the
+          // previous block means lost executor blocks CANNOT be
+          // recomputed (lineage is cut). On a deployment with a
+          // configured checkpoint dir, reliable `checkpoint()` is the
+          // fault-tolerant variant of this same discipline.
           val ck = v.localCheckpoint(true)
           ckptRdd.foreach(_.unpersist(blocking = false))
           ckptRdd = ck.queryExecution.logical match {
             case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-            case _                                            => None
+            case other =>
+              // A localCheckpoint always plans as LogicalRDD today; if a
+              // Spark upgrade changes that shape, say so instead of
+              // silently leaking every checkpoint's blocks for the rest
+              // of the session (ADVICE r7).
+              System.err.println(
+                s"[graft.Bpe] localCheckpoint planned as ${other.getClass.getSimpleName}, " +
+                  "not LogicalRDD — checkpoint blocks will not be released eagerly"
+              )
+              None
           }
           v = ck
         }

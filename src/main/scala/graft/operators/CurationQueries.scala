@@ -208,42 +208,99 @@ object CurationQueries {
     * language's distribution dominates another's cutoffs. Cuts use
     * integer arithmetic (`10*rn <= 3*n`) over a pre-rounded score with
     * doc_id tie-breaks — deterministic across engines.
+    *
+    * Scale shape (round-8 rewrite): the naive form — `row_number() OVER
+    * (PARTITION BY lang ORDER BY score)` — is a per-language TOTAL order,
+    * so at 100 TB the dominant language's entire (doc_id, score) set
+    * sorts on ONE task. Instead the percentile cuts are derived from a
+    * BOUNDED histogram: scores are pre-rounded to 4 decimals, so the
+    * distinct (lang, score) key space is capped by the score range ×
+    * 10⁴ (log-probs land in roughly [-20, 0] → ≤ 2·10⁵ cells per
+    * language) regardless of corpus size. The per-(lang, score) counts
+    * plus a cumulative sum over that bounded frame classify every score
+    * cell as wholly head / middle / tail; documents then bucket MAP-ONLY
+    * through a broadcast join on (lang, score-cell). Only the ≤ 2 cells
+    * per language that STRADDLE a cut need per-document doc_id
+    * tie-ranking, and that window partitions by (lang, cell) — the tie
+    * group, not the language. Output is bit-identical to the total-order
+    * form (same oracle).
     */
+  def pplBucketsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val ntot = uni.agg(sum(col("cu")).as("nt"))
+    val scored = toks
+      .join(uni, Seq("w"))
+      .withColumn("j", (col("cu") - col("cu") + 1).cast("int"))
+      .join(
+        broadcast(ntot.select((col("nt") - col("nt") + 1).cast("int").as("j"), col("nt"))),
+        Seq("j")
+      )
+      .groupBy("doc_id", "lang")
+      .agg(
+        round(avg(log(col("cu").cast("double") / col("nt").cast("double"))), 4)
+          .as("score")
+      )
+      // 4-dp-rounded doubles ↔ integers under ×10⁴ is a bijection (the
+      // nearest-double error is ≪ 0.5 ulp of the integer), so grouping
+      // and ordering by s4 is exactly grouping/ordering by score.
+      .withColumn("s4", round(col("score") * 10000).cast("long"))
+    // Bounded histogram: one row per (lang, score cell). Map-side
+    // combinable; output size is score-resolution-bounded, not
+    // corpus-bounded — broadcastable at any corpus size.
+    val hist = scored.groupBy("lang", "s4").agg(count(lit(1)).as("c"))
+    val byLangDesc = Window.partitionBy("lang").orderBy(col("s4").desc)
+    val cells = hist
+      .withColumn(
+        "cum_before",
+        coalesce(
+          sum(col("c")).over(byLangDesc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)
+        )
+      )
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+      // rn ∈ [cum_before+1, cum_before+c] for this cell's documents; a
+      // cell is uniform when that whole interval lands in one bucket of
+      // the `10*rn <= 3*n` / `<= 7*n` rule.
+      .withColumn(
+        "cell_bucket",
+        when((col("cum_before") + col("c")) * 10 <= col("n") * 3, "head")
+          .when(
+            (col("cum_before") + 1) * 10 > col("n") * 3 &&
+              (col("cum_before") + col("c")) * 10 <= col("n") * 7,
+            "middle"
+          )
+          .when((col("cum_before") + 1) * 10 > col("n") * 7, "tail")
+          .otherwise("straddle")
+      )
+      .select("lang", "s4", "cum_before", "n", "cell_bucket")
+    val tagged = scored.join(broadcast(cells), Seq("lang", "s4"))
+    val uniform = tagged
+      .filter(col("cell_bucket") =!= "straddle")
+      .select(col("doc_id"), col("lang"), col("score"), col("cell_bucket").as("bucket"))
+    // Straddling cells (≤ 2 per language): per-document rank WITHIN the
+    // tie cell only — the window partitions on (lang, s4).
+    val tieRank = row_number().over(
+      Window.partitionBy(col("lang"), col("s4")).orderBy(col("doc_id").asc)
+    )
+    val straddle = tagged
+      .filter(col("cell_bucket") === "straddle")
+      .withColumn("rn", col("cum_before") + tieRank)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("score"),
+        when(col("rn") * 10 <= col("n") * 3, "head")
+          .when(col("rn") * 10 <= col("n") * 7, "middle")
+          .otherwise("tail")
+          .as("bucket")
+      )
+    uniform.unionByName(straddle)
+  }
+
   private val pplBuckets = Q(
     "docs_ppl_buckets",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
-      val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
-      val ntot = uni.agg(sum(col("cu")).as("nt"))
-      val scored = toks
-        .join(uni, Seq("w"))
-        .withColumn("j", (col("cu") - col("cu") + 1).cast("int"))
-        .join(
-          broadcast(ntot.select((col("nt") - col("nt") + 1).cast("int").as("j"), col("nt"))),
-          Seq("j")
-        )
-        .groupBy("doc_id", "lang")
-        .agg(
-          round(avg(log(col("cu").cast("double") / col("nt").cast("double"))), 4)
-            .as("score")
-        )
-      val byLang = Window.partitionBy("lang")
-      val rn = row_number().over(byLang.orderBy(col("score").desc, col("doc_id").asc))
-      val n = count(lit(1)).over(byLang)
-      scored
-        .withColumn("rn", rn)
-        .withColumn("n", n)
-        .select(
-          col("doc_id"),
-          col("lang"),
-          col("score"),
-          when(col("rn") * 10 <= col("n") * 3, "head")
-            .when(col("rn") * 10 <= col("n") * 7, "middle")
-            .otherwise("tail")
-            .as("bucket")
-        )
-    },
+    (s, d) => pplBucketsOf(Tables.documents(s, d)),
     Some {
       val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
       s"""WITH toks AS (

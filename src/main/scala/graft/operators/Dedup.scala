@@ -282,16 +282,20 @@ object Dedup {
   /** Candidate edges from an [[explodeBlockKeys]] frame: heavy-block
     * anti-join cap, one (kind, key) self-join, the match predicate.
     *
-    * `opaquePredicate` wraps the match predicate in a CASE so Catalyst
-    * cannot lift its equality conjuncts (format / hidden / access veto)
-    * into the join keys. With extraction, the self-join clusters on a
-    * 5-part compound key — fine when shuffling anyway, but it defeats a
-    * (kind, key)-bucketed stored layout (the requirement no longer
-    * matches the bucketing and both sides re-shuffle). The bucketed
-    * path trades slightly more per-pair predicate work inside each
-    * capped block for ZERO Exchange on the corpus — the 100 TB-side of
-    * the trade; the bench carries both variants so the crossover is
-    * measured, not assumed.
+    * `opaquePredicate` wraps the match predicate in
+    * [[graft.plans.OpaquePredicateExpr]] — a structural optimizer
+    * barrier — so Catalyst cannot lift its equality conjuncts (format /
+    * hidden / access veto) into the join keys. With extraction, the
+    * self-join clusters on a 5-part compound key — fine when shuffling
+    * anyway, but it defeats a (kind, key)-bucketed stored layout (the
+    * requirement no longer matches the bucketing and both sides
+    * re-shuffle). The bucketed path trades slightly more per-pair
+    * predicate work inside each capped block for ZERO Exchange on the
+    * corpus — the 100 TB-side of the trade; the bench carries both
+    * variants so the crossover is measured, not assumed. (Round 7 used
+    * a `CASE WHEN p THEN true ELSE false END` wrapper, which depended on
+    * Catalyst not simplifying CASE-in-predicate — version-coupled; the
+    * custom node is not. BucketingSpec still asserts the plan.)
     */
   def edgesFromExploded(withKinds: DataFrame, opaquePredicate: Boolean = false): DataFrame = {
     val heavy = withKinds
@@ -315,7 +319,12 @@ object Dedup {
           col("id_1") < col("id_2")
       )
       .filter(
-        if (opaquePredicate) when(matchPredicate, lit(true)).otherwise(lit(false))
+        if (opaquePredicate)
+          org.apache.spark.sql.GraftColumn.of(
+            graft.plans.OpaquePredicateExpr(
+              org.apache.spark.sql.GraftColumn.exprOf(matchPredicate)
+            )
+          )
         else matchPredicate
       )
       .select(col("id_1"), col("id_2"))
@@ -433,16 +442,20 @@ object Dedup {
     * candidate set as [[dedupIncremental]] — its two per-key joins
     * collapse into one (kind, key) join over the exploded layout — and
     * the same corpus-side heavy-key cap; output is identical, so the
-    * same oracle certifies it.
+    * same oracle certifies it. Same staleness contract as
+    * [[dedupRecordsBucketed]]: pass `refresh = true` (or a new table)
+    * when `clustered` changes — an existing `table` is reused verbatim.
     */
   def dedupIncrementalBucketed(
       batch: DataFrame,
       clustered: DataFrame,
       table: String,
       path: String,
-      nBuckets: Int = 32
+      nBuckets: Int = 32,
+      refresh: Boolean = false
   ): DataFrame = {
     val spark = batch.sparkSession
+    if (refresh) spark.sql(s"DROP TABLE IF EXISTS $table")
     if (!spark.catalog.tableExists(table)) {
       graft.sources.Bucketing.writeBucketed(
         explodeBlockKeys(withKeys(clustered)),
@@ -470,8 +483,15 @@ object Dedup {
           col("source_id_1") =!= col("source_id_2")
       )
       // Opaque so the veto equalities stay out of the join keys and the
-      // stored (kind, key) bucketing keeps satisfying the corpus side.
-      .filter(when(matchPredicate, lit(true)).otherwise(lit(false)))
+      // stored (kind, key) bucketing keeps satisfying the corpus side
+      // (structural barrier — see OpaquePredicateExpr).
+      .filter(
+        org.apache.spark.sql.GraftColumn.of(
+          graft.plans.OpaquePredicateExpr(
+            org.apache.spark.sql.GraftColumn.exprOf(matchPredicate)
+          )
+        )
+      )
       .groupBy(col("id_1").as("id"))
       .agg(min(col("dedup_id_2")).as("dedup_id"))
     batch.select("id").join(matched, Seq("id"), "left")
@@ -549,6 +569,14 @@ object Dedup {
     * across the daily runs that read it; here the first call (the bench
     * warmup) pays it and the timed passes measure the amortized path.
     * Output is identical to [[dedupRecords]] — same oracle certifies it.
+    *
+    * STALENESS CONTRACT: an existing catalog `table` is trusted verbatim
+    * — the layout is write-once by design, so a second call with
+    * DIFFERENT `records` or `folding` but the same `table` would reuse
+    * the stale key layout. Pass `refresh = true` (drops and rewrites) or
+    * a new `table`/`path` whenever the corpus or the folding config
+    * changes; steady-state daily runs over the same corpus keep the
+    * default and pay zero write cost.
     */
   def dedupRecordsBucketed(
       records: DataFrame,
@@ -556,9 +584,11 @@ object Dedup {
       path: String,
       nBuckets: Int = 32,
       iters: Int = 10,
-      folding: Seq[(Char, String)] = Nil
+      folding: Seq[(Char, String)] = Nil,
+      refresh: Boolean = false
   ): DataFrame = {
     val spark = records.sparkSession
+    if (refresh) spark.sql(s"DROP TABLE IF EXISTS $table")
     if (!spark.catalog.tableExists(table)) {
       graft.sources.Bucketing.writeBucketed(
         explodeBlockKeys(withKeys(records, folding)),

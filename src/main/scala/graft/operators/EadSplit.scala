@@ -163,6 +163,28 @@ object Ead3Splitter {
   val DefaultNonInherited: Seq[String] = Seq("dao", "daoset")
   private val ChainLevels = Seq("series", "subseries")
 
+  // Every frame splitArchive persists (the record frame, the edge seed,
+  // and each pointer-doubling round — 6+ per invocation) is tracked here
+  // so long-running library use has a SCOPED release instead of the
+  // global spark.catalog.clearCache() convention (ADVICE r7). Verify /
+  // Bench still clearCache per query; other hosts call [[releaseCache]]
+  // once the returned plan is materialized.
+  private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def trackPersist(df: DataFrame): DataFrame = synchronized {
+    cached += df
+    df.persist()
+  }
+
+  /** Unpersist every frame cached by prior [[splitArchive]] calls. Call
+    * AFTER materializing the returned DataFrame (the plan reads the
+    * caches while executing).
+    */
+  def releaseCache(): Unit = synchronized {
+    cached.foreach(_.unpersist(blocking = false))
+    cached.clear()
+  }
+
   /** Empty array with the element type of `arr` (slice of length 0). */
   private def emptyLike(arr: Column): Column = slice(arr, lit(1), lit(0))
 
@@ -272,13 +294,15 @@ object Ead3Splitter {
     // Persisted: feeds the ancestor-decoration join AND the final
     // record-grain select, and its lineage carries the window + arch
     // join (plus whatever synthesis produced the inputs).
-    val recs = ordered.withColumn(
-      "record_id",
-      when(col("is_root"), col("archive_id"))
-        .when(unitId.isNull, concat(col("archive_id"), lit("_"), col("pos").cast("string")))
-        .when(unitId === col("archive_id"), col("archive_id"))
-        .otherwise(concat(col("archive_id"), lit("_"), unitId))
-    ).persist()
+    val recs = trackPersist(
+      ordered.withColumn(
+        "record_id",
+        when(col("is_root"), col("archive_id"))
+          .when(unitId.isNull, concat(col("archive_id"), lit("_"), col("pos").cast("string")))
+          .when(unitId === col("archive_id"), col("archive_id"))
+          .otherwise(concat(col("archive_id"), lit("_"), unitId))
+      )
+    )
 
     // Ancestor chains, bottom-up (nearest first), by pointer doubling:
     // chain_k holds the ancestors within 2^k steps and jump_k the 2^k-th
@@ -289,7 +313,8 @@ object Ead3Splitter {
     // unpersisted loop re-derives the edge seed 2^rounds times (the
     // first .explain showed 16 redundant scans of the component source).
     // With the lazy persist each round materializes once and both join
-    // sides read the cache; callers release via spark.catalog.clearCache
+    // sides read the cache; all persists are tracked — release scoped
+    // via releaseCache(), or globally via spark.catalog.clearCache()
     // (the bandTableOf convention — Verify/Bench already do).
     val rounds = math.max(1, math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
     // One edge row per node key: duplicate node_key rows (possible in
@@ -304,7 +329,7 @@ object Ead3Splitter {
           .otherwise(array(col("parent_key"))).as("chain")
       )
       .dropDuplicates("archive_key", "node_key")
-      .persist()
+    cur = trackPersist(cur)
     for (_ <- 1 to rounds) {
       val o = cur.select(
         col("archive_key").as("o_archive"),
@@ -325,7 +350,7 @@ object Ead3Splitter {
           when(o("o_chain").isNull, cur("chain"))
             .otherwise(concat(cur("chain"), o("o_chain"))).as("chain")
         )
-        .persist()
+      cur = trackPersist(cur)
     }
 
     // Decorate each chain entry with the ancestor's generated id, title

@@ -35,6 +35,39 @@ object LlmQueries7 {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
 
+  /** Canonical-member selection per 8-token-prefix cluster over any
+    * (doc_id, n_chars, text) frame — see `docs_canonical`'s registry
+    * comment for the window-free scale shape. Exposed for the
+    * shared-prefix skew probe.
+    */
+  def canonicalOf(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tokens = split(coalesce(col("text"), lit("")), " ")
+    val key = md5(array_join(slice(tokens, 1, 8), " "))
+    val base = documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      key.as("cluster_key")
+    )
+    // Winner by (n_chars desc, doc_id asc) == min of (-n_chars, doc_id)
+    // under struct ordering; one row per cluster_key, O(1) combiner
+    // state per key.
+    val winners = base
+      .groupBy("cluster_key")
+      .agg(
+        count(lit(1)).cast("bigint").as("cluster_size"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("w_id"))).as("w")
+      )
+      .select(col("cluster_key"), col("cluster_size"), col("w.w_id").as("w_id"))
+    base
+      .join(winners, Seq("cluster_key"))
+      .select(
+        col("doc_id"),
+        col("cluster_key"),
+        (col("doc_id") === col("w_id")).as("canonical"),
+        col("cluster_size")
+      )
+  }
+
   private val htmlStrip = Q(
     "docs_html_strip",
     (s, d) => {
@@ -163,25 +196,15 @@ object LlmQueries7 {
 
   private val canonical = Q(
     "docs_canonical",
-    (s, d) => {
-      val tokens = split(coalesce(col("text"), lit("")), " ")
-      val key = md5(array_join(slice(tokens, 1, 8), " "))
-      val base = docs(s, d).select(
-        col("doc_id"),
-        col("n_chars"),
-        key.as("cluster_key")
-      )
-      val w = Window
-        .partitionBy(col("cluster_key"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      base.select(
-        col("doc_id"),
-        col("cluster_key"),
-        (row_number().over(w) === 1).as("canonical"),
-        count(lit(1)).over(Window.partitionBy(col("cluster_key")))
-          .cast("bigint").as("cluster_size")
-      )
-    },
+    // Scale shape (round-8 rewrite): `canonical` only needs the ARGMAX
+    // member per cluster, not a full per-cluster rank — so instead of a
+    // `row_number() OVER (PARTITION BY cluster_key)` window (whose
+    // mega-groups — boilerplate-heavy web corpora share 8-token prefixes
+    // by the million — would each sort on one task) the winner comes
+    // from a map-side-combinable groupBy (min of an ordering struct) and
+    // an equi-join back on the key. Joins get AQE skew splitting;
+    // windows don't — that is the whole trade.
+    (s, d) => canonicalOf(docs(s, d)),
     Some {
       s"""WITH b AS (
          |  SELECT doc_id, n_chars,

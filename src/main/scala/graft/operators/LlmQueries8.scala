@@ -17,27 +17,43 @@ import org.apache.spark.sql.functions._
   * unlike stateful first-fit bin packing — it is a pure window cumsum, so
   * it stays one shuffle at any scale.
   *
-  * Scale shape: the window partitions on (lang, bucket); the bucket count
-  * (4 here, md5-derived so the DuckDB oracle computes the identical
-  * shard) is the parallelism knob — at 100 TB raise it so each shard's
-  * cumsum fits one task, which keeps partitions balanced regardless of
-  * language skew. The aggregate reuses the same (lang, bucket) exchange
+  * Scale shape: the window partitions on (lang, bucket); the bucket
+  * count (md5-derived so the DuckDB oracle computes the identical shard)
+  * is the parallelism knob — it is a PARAMETER, sized to the corpus so
+  * each writer bucket's cumsum fits one task, which keeps partitions
+  * balanced regardless of language skew (buckets are independent
+  * writers, so packing quality is unaffected by the count). The
+  * registry pins 4 for the bench corpus and certifies a second bucket
+  * count (16) against its own generated oracle, so the knob is proven,
+  * not asserted. The aggregate reuses the same (lang, bucket) exchange
   * prefix.
   */
 object LlmQueries8 {
 
   private val SeqLen = 2048
 
+  /** Writer-bucket count for a corpus of `rows` documents: one bucket
+    * per ~1M docs per language shard, clamped to [4, 65536]. At 100 TB
+    * (~10¹⁰ docs) this yields ~10⁴ buckets — each cumsum window holds
+    * ~1M rows, comfortably one task — while small corpora keep the
+    * bench-stable 4.
+    */
+  def packingBuckets(rows: Long): Int =
+    math.min(65536L, math.max(4L, rows / 1000000L)).toInt
+
   /** Greedy sequential packing assignment: docs keyed to (lang, bucket,
     * seq_id) by the cumulative-token prefix within their writer bucket.
     * Shared by docs_pack_sequences (sequence rollup) and
     * docs_shard_manifest (shard rollup); keeps `text` so downstream
-    * rollups can fingerprint content.
+    * rollups can fingerprint content. The bucket is derived from the
+    * last TWO md5 hex digits mod `nBuckets` (supports up to 256 evenly;
+    * for 4 it equals the last-digit form since 16 ≡ 0 mod 4).
     */
-  private[operators] def packedDocs(docs: DataFrame): DataFrame = {
+  private[operators] def packedDocs(docs: DataFrame, nBuckets: Int = 4): DataFrame = {
     val nTokens = size(split(coalesce(col("text"), lit("")), " ")).cast("bigint")
     val bucket = expr(
-      "cast((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1) % 4 as bigint)"
+      "cast(((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 31, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1)) % $nBuckets as bigint)"
     )
     val w = Window
       .partitionBy(col("lang"), col("bucket"))
@@ -48,6 +64,56 @@ object LlmQueries8 {
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_id", floor(col("cum_before") / SeqLen))
   }
+
+  /** Probe entry: pack `docs` at `nBuckets` writer buckets and return the
+    * total packed token count (bucket-count-invariant — only the sharding
+    * changes). Used by the ScaleProbe bucket sweep.
+    */
+  def packedSequencesProbe(docs: DataFrame, nBuckets: Int): Long =
+    packedDocs(docs, nBuckets)
+      .groupBy(col("lang"), col("bucket"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("seq_tokens"))
+      .agg(sum(col("seq_tokens")))
+      .collect()(0)
+      .getLong(0)
+
+  /** DuckDB twin of [[packedDocs]]'s (n_tokens, bucket, cum_before,
+    * seq_id) derivation, shared by the packing/manifest oracles at any
+    * bucket count.
+    */
+  private def packedSql(nBuckets: Int, extraCols: String = ""): String =
+    s"""t AS (SELECT doc_id, lang,$extraCols
+       |  cast(len(string_split(coalesce(text, ''), ' ')) as bigint) AS n_tokens,
+       |  cast(((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 31, 1)) - 1) * 16 +
+       |        (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1)) % $nBuckets as bigint) AS bucket
+       |  FROM documents),
+       |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY lang, bucket ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
+       |x AS (SELECT *, cast(floor(cum_before / $SeqLen.0) as bigint) AS seq_id FROM c)""".stripMargin
+
+  private def packSequencesQ(name: String, nBuckets: Int, isBench: Boolean): Q = Q(
+    name,
+    (s, d) =>
+      packedDocs(Tables.documents(s, d), nBuckets)
+        .groupBy(col("lang"), col("bucket"), col("seq_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc")
+        ),
+    Some {
+      s"""WITH ${packedSql(nBuckets)}
+         |SELECT lang, bucket, seq_id,
+         |  count(*) AS n_docs,
+         |  cast(sum(n_tokens) as bigint) AS seq_tokens,
+         |  min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM x GROUP BY 1, 2, 3""".stripMargin
+    },
+    bench = isBench
+  )
 
   /** Near-duplicate CLUSTERS: the composition the per-pair operators
     * build toward — MinHash-LSH candidate pairs, Jaccard verification at
@@ -220,35 +286,11 @@ object LlmQueries8 {
   }
 
   val all: Seq[Q] = Seq(
-    Q(
-      "docs_pack_sequences",
-      (s, d) =>
-        packedDocs(Tables.documents(s, d))
-          .groupBy(col("lang"), col("bucket"), col("seq_id"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("seq_tokens"),
-            min(col("doc_id")).as("first_doc"),
-            max(col("doc_id")).as("last_doc")
-          ),
-      Some {
-        s"""WITH t AS (SELECT doc_id, lang,
-           |  cast(len(string_split(coalesce(text, ''), ' ')) as bigint) AS n_tokens,
-           |  cast((instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1) % 4 as bigint) AS bucket
-           |  FROM documents),
-           |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
-           |    PARTITION BY lang, bucket ORDER BY doc_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
-           |x AS (SELECT *, cast(floor(cum_before / $SeqLen.0) as bigint) AS seq_id FROM c)
-           |SELECT lang, bucket, seq_id,
-           |  count(*) AS n_docs,
-           |  cast(sum(n_tokens) as bigint) AS seq_tokens,
-           |  min(doc_id) AS first_doc,
-           |  max(doc_id) AS last_doc
-           |FROM x GROUP BY 1, 2, 3""".stripMargin
-      },
-      bench = true
-    ),
+    packSequencesQ("docs_pack_sequences", 4, isBench = true),
+    // The same packing at a NON-DEFAULT writer-bucket count, certified
+    // against its own generated oracle — proof the parallelism knob
+    // changes only the sharding, never the packing semantics.
+    packSequencesQ("docs_pack_sequences_b16", 16, isBench = false),
     Q(
       // The dataloader-facing artifact: packed sequences grouped into
       // 16-sequence shards with doc/token totals and an ORDER-INDEPENDENT
@@ -274,14 +316,7 @@ object LlmQueries8 {
             ).as("content_sum")
           ),
       Some {
-        s"""WITH t AS (SELECT doc_id, text, lang,
-           |  cast(len(string_split(coalesce(text, ''), ' ')) as bigint) AS n_tokens,
-           |  cast((instr('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1) % 4 as bigint) AS bucket
-           |  FROM documents),
-           |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
-           |    PARTITION BY lang, bucket ORDER BY doc_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
-           |x AS (SELECT *, cast(floor(cum_before / $SeqLen.0) as bigint) AS seq_id FROM c)
+        s"""WITH ${packedSql(4, " text,")}
            |SELECT lang, bucket, seq_id // 16 AS shard_id,
            |  cast(count(DISTINCT seq_id) as bigint) AS n_seqs,
            |  count(*) AS n_docs,

@@ -153,11 +153,15 @@ object ImageMetaExpr {
       // pixel at 28. bit_depth reports the header's bpp field; channels
       // follow the pixel layout (≤8 palette, 16/24 RGB, 32 RGBA).
       // The DIB header size at 14 gates the layout: a BITMAPCOREHEADER
-      // (OS/2, size 12) has 16-bit fields at different offsets and would
-      // parse to garbage here, so only INFOHEADER-compatible sizes pass.
+      // (OS/2 v1, size 12) has 16-bit fields at different offsets and
+      // would parse to garbage here, so only INFOHEADER-compatible sizes
+      // pass. Every known size ≥ 40 (40/52/56/64 incl. OS/2 v2, 108 V4,
+      // 124 V5) keeps the BITMAPINFOHEADER field layout in its first 40
+      // bytes — all the fields read here — so size ≥ 40 is the correct
+      // gate (an exact whitelist fails closed on valid OS/2 v2 bitmaps;
+      // ADVICE r7).
       val dibSize = le32s(b, 14)
-      if (dibSize != 40 && dibSize != 52 && dibSize != 56 && dibSize != 108 && dibSize != 124)
-        return fail
+      if (dibSize < 40) return fail
       val w = le32s(b, 18)
       val h = math.abs(le32s(b, 22))
       val bpp = le16(b, 28)

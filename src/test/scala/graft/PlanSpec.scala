@@ -105,4 +105,36 @@ class PlanSpec extends SparkSuite {
     val plan = planOf("norm_key")
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("no constant-group window sorts the corpus (ppl buckets / packing / balanced sampling)") {
+    // The round-7 verdict's one structural scale risk: a window whose
+    // partition key takes a SMALL CONSTANT number of values (lang alone,
+    // a hard-coded bucket count, 8 IVF cells) total-orders the dominant
+    // group on one task at 100×. The rewrites keep windows only in two
+    // safe forms: (a) partitioned by ≥ 2 expressions (tie cells, salted
+    // subgroups, writer buckets), or (b) single-key but computed OVER AN
+    // AGGREGATED bounded frame (score histograms, salt censuses) — never
+    // single-key directly over the corpus. This guards the shape.
+    val guarded =
+      Seq("docs_ppl_buckets", "embed_sample_balanced", "docs_pack_sequences", "docs_canonical")
+    guarded.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      windows.foreach { w =>
+        val aggBelow = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty
+        assert(
+          w.partitionSpec.size >= 2 || aggBelow,
+          s"$name has a single-key window over a non-aggregated frame: ${w.partitionSpec}"
+        )
+      }
+    }
+    // docs_canonical needs no window at all: argmax via groupBy + join.
+    val canonical = SparkEntry.queries("docs_canonical")(spark, sf).queryExecution.executedPlan
+    assert(
+      canonical.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "docs_canonical should be window-free"
+    )
+  }
 }
