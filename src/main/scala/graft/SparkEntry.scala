@@ -78,7 +78,8 @@ object SparkEntry {
       operators.ContainmentQueries.all ++
       operators.EvalQueries.all ++
       operators.PivotQueries.all ++
-      operators.DimAblation.all
+      operators.DimAblation.all ++
+      operators.StreamReplayQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -81,9 +81,16 @@ object MetadataFunctions {
     * Latin-script input. See [[graft.plans.KeyFoldRulesExpr]] for the
     * one documented divergence (no romanization of non-Latin scripts).
     */
-  def normalizeKeyRules(c: Column): Column =
+  def normalizeKeyRules(c: Column): Column = normalizeKeyRules(c, romanize = false)
+
+  /** [[normalizeKeyRules]] with the flag-gated embedded Cyrillic/Greek
+    * romanization (the `:: Latin;` stage of MetadataUtils.php:159,
+    * approximated — see [[graft.plans.KeyFoldRulesExpr]] for the table
+    * and the documented deviations from full ICU).
+    */
+  def normalizeKeyRules(c: Column, romanize: Boolean): Column =
     org.apache.spark.sql.GraftColumn.of(
-      graft.plans.KeyFoldRulesExpr(org.apache.spark.sql.GraftColumn.exprOf(c))
+      graft.plans.KeyFoldRulesExpr(org.apache.spark.sql.GraftColumn.exprOf(c), romanize)
     )
 
   /** Evaluate `c` once and reference it cheaply in `f` via a lambda

@@ -292,6 +292,45 @@ object DedupQueries {
       )
     ),
     Q(
+      // DedupStream.incremental's foreachBatch contract as a hard oracle
+      // row: the delta split into two micro-batches, each assigned
+      // against the SAME static clustered corpus (exactly what the
+      // stream's per-batch call does), results unioned — must equal the
+      // one-shot incremental assignment, i.e. the identical oracle.
+      "stream_dedup_replay",
+      (s, d) => {
+        val recs = records(s, d)
+        val clustered = Dedup
+          .dedupRecords(recs)
+          .filter(col("dedup_id").isNotNull)
+          .join(recs, Seq("id"))
+          .persist()
+        val batch = batchRecords(s, d)
+        val b1 = batch.filter(abs(hash(col("id"))) % 2 === 0)
+        val b2 = batch.filter(abs(hash(col("id"))) % 2 === 1)
+        Dedup
+          .dedupIncremental(b1, clustered)
+          .unionByName(Dedup.dedupIncremental(b2, clustered))
+      },
+      Some(
+        s"""WITH $recordsSql, $edgesSql, $batchSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id),
+           |corpusk AS (SELECT r.*, l.dedup_id FROM recs r JOIN labels l ON r.id = l.id),
+           |matched AS (
+           |  SELECT r1.id AS id, min(r2.dedup_id) AS dedup_id
+           |  FROM batchk r1 JOIN corpusk r2
+           |    ON ((r1.title_key != '' AND r1.title_key = r2.title_key)
+           |        OR (r1.isbn_key != '' AND r1.isbn_key = r2.isbn_key))
+           |      AND r1.source_id != r2.source_id
+           |  WHERE $matchSql
+           |  GROUP BY r1.id
+           |)
+           |SELECT b.id, m.dedup_id FROM batchk b LEFT JOIN matched m ON b.id = m.id""".stripMargin
+      )
+    ),
+    Q(
       // The incremental daily-delta path over the bucketed stored corpus:
       // corpus exploded keys (with dedup_id) written once bucketed by
       // (kind, key); only the delta shuffles to match. Identical output

@@ -144,5 +144,39 @@ object JoinQueries {
     bench = false
   )
 
-  val all: Seq[Q] = Seq(asof, interval)
+  private val intervalReplay = Q(
+    // The stream-stream interval join's batch-equivalence certificate
+    // (graft.streaming.EventStreams.intervalJoinStream): split BOTH
+    // sides into two micro-batches and union the join over all four
+    // batch pairs — joins are bilinear over union, and the 2×2 pair
+    // cover is exactly what the streaming join's accumulated state
+    // achieves (each arriving purchase joins clicks from every earlier
+    // AND later batch the watermark admits). Each (click, purchase)
+    // pair lands in exactly one (i, j) combo, so the union equals the
+    // one-shot join — certified by the identical oracle.
+    "stream_interval_replay",
+    (s, d) => {
+      val e = evts(s, d)
+      val parts = for (i <- 0 to 1; j <- 0 to 1) yield intervalOf(
+        e.filter(
+          (col("event_type") === "click" && pmod(col("event_id"), lit(2)) === i) ||
+            (col("event_type") === "purchase" && pmod(col("event_id"), lit(2)) === j)
+        )
+      )
+      parts.reduce(_ unionByName _)
+    },
+    Some(
+      s"""SELECT p.user_id, p.event_id AS purchase_event_id,
+         |  c.event_id AS click_event_id,
+         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         |FROM events p
+         |JOIN events c ON c.user_id = p.user_id
+         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - $SessionWindowUs
+         |  AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin
+    ),
+    bench = false
+  )
+
+  val all: Seq[Q] = Seq(asof, interval, intervalReplay)
 }

@@ -285,6 +285,94 @@ object LlmQueries8 {
       )
   }
 
+  /** Shared fixture for the incremental-assignment rows (and their
+    * streaming replay twin): the duplicate-injected dedup corpus with
+    * NON-MONOTONE cluster ids (doc_id % 97), so min(cluster_id) over the
+    * matched set is observably different from the cluster of the min
+    * matching doc — the oracle certifies real earliest-CLUSTER-wins
+    * semantics, not a coincidence of the fixture.
+    */
+  private[operators] def incrementalCorpusFixture(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): DataFrame =
+    LlmQueries.corpus(s, d).withColumn("cluster_id", col("doc_id") % 97)
+
+  /** The delta: near-copies of every 10th document (match BOTH the
+    * original and its verbatim +100000 duplicate) plus novel documents
+    * (+600000) that start their own clusters.
+    */
+  private[operators] def incrementalBatchFixture(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val near = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" another small suffix here")).as("text")
+      )
+    val novel = docs
+      .filter(col("doc_id") % 10 === 5)
+      .select(
+        (col("doc_id") + 600000).as("doc_id"),
+        concat(
+          lit("nv"), col("doc_id").cast("string"),
+          lit(" xq"), col("doc_id").cast("string"),
+          lit(" qq"), col("doc_id").cast("string")
+        ).as("text")
+      )
+    near.union(novel)
+  }
+
+  /** One-shot oracle over the incremental fixture — shared by
+    * docs_neardup_incremental and the streaming two-micro-batch replay
+    * (stream_neardup_replay): per-batch assignment against a STATIC
+    * corpus index unions to exactly the one-shot result, which is the
+    * batch-equivalence contract of [[graft.streaming.DedupStream]].
+    */
+  private[operators] val NeardupIncrementalOracleSql: String = {
+    // `corpus` here is corpus docs ∪ batch docs so one SigSql band
+    // table covers both sides (ids ≥ 500000 are the batch).
+    val corpusSql =
+      """corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' another small suffix here' FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000,
+        |    'nv' || cast(doc_id as varchar) || ' xq' || cast(doc_id as varchar) || ' qq' || cast(doc_id as varchar)
+        |  FROM documents WHERE doc_id % 10 = 5
+        |)""".stripMargin
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    s"""WITH $corpusSql, ${LlmQueries.SigSql},
+       |cand AS (
+       |  SELECT b.doc_id AS b_id, c.doc_id AS c_id
+       |  FROM bh b JOIN bh c
+       |    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+       |   AND b.doc_id >= 500000 AND c.doc_id < 500000
+       |  GROUP BY 1, 2),
+       |wsets AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS ws FROM corpus),
+       |m AS (
+       |  SELECT cand.b_id AS doc_id, min(cand.c_id % 97) AS matched_cluster
+       |  FROM cand
+       |  JOIN wsets a ON a.doc_id = cand.b_id
+       |  JOIN wsets c ON c.doc_id = cand.c_id
+       |  WHERE cast(len(list_intersect(a.ws, c.ws)) as double) /
+       |        len(list_distinct(list_concat(a.ws, c.ws))) >= 0.8
+       |  GROUP BY 1),
+       |batch AS (SELECT doc_id FROM corpus WHERE doc_id >= 500000)
+       |SELECT b.doc_id,
+       |  coalesce(m.matched_cluster, b.doc_id) AS cluster_id,
+       |  m.matched_cluster IS NULL AS is_new
+       |FROM batch b LEFT JOIN m ON m.doc_id = b.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     packSequencesQ("docs_pack_sequences", 4, isBench = true),
     // The same packing at a NON-DEFAULT writer-bucket count, certified
@@ -337,67 +425,8 @@ object LlmQueries8 {
       // earliest-CLUSTER-wins semantics, not a coincidence of the
       // fixture. Novel docs (+600000) start new clusters.
       "docs_neardup_incremental",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val corpus = LlmQueries.corpus(s, d).withColumn("cluster_id", col("doc_id") % 97)
-        val near = docs
-          .filter(col("doc_id") % 10 === 0)
-          .select(
-            (col("doc_id") + 500000).as("doc_id"),
-            concat(col("text"), lit(" another small suffix here")).as("text")
-          )
-        val novel = docs
-          .filter(col("doc_id") % 10 === 5)
-          .select(
-            (col("doc_id") + 600000).as("doc_id"),
-            concat(
-              lit("nv"), col("doc_id").cast("string"),
-              lit(" xq"), col("doc_id").cast("string"),
-              lit(" qq"), col("doc_id").cast("string")
-            ).as("text")
-          )
-        neardupIncremental(near.union(novel), corpus)
-      },
-      Some {
-        // `corpus` here is corpus docs ∪ batch docs so one SigSql band
-        // table covers both sides (ids ≥ 500000 are the batch).
-        val corpusSql =
-          """corpus AS (
-            |  SELECT doc_id, text FROM documents
-            |  UNION ALL
-            |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
-            |  UNION ALL
-            |  SELECT doc_id + 200000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 5
-            |  UNION ALL
-            |  SELECT doc_id + 500000, text || ' another small suffix here' FROM documents WHERE doc_id % 10 = 0
-            |  UNION ALL
-            |  SELECT doc_id + 600000,
-            |    'nv' || cast(doc_id as varchar) || ' xq' || cast(doc_id as varchar) || ' qq' || cast(doc_id as varchar)
-            |  FROM documents WHERE doc_id % 10 = 5
-            |)""".stripMargin
-        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-        s"""WITH $corpusSql, ${LlmQueries.SigSql},
-           |cand AS (
-           |  SELECT b.doc_id AS b_id, c.doc_id AS c_id
-           |  FROM bh b JOIN bh c
-           |    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
-           |   AND b.doc_id >= 500000 AND c.doc_id < 500000
-           |  GROUP BY 1, 2),
-           |wsets AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS ws FROM corpus),
-           |m AS (
-           |  SELECT cand.b_id AS doc_id, min(cand.c_id % 97) AS matched_cluster
-           |  FROM cand
-           |  JOIN wsets a ON a.doc_id = cand.b_id
-           |  JOIN wsets c ON c.doc_id = cand.c_id
-           |  WHERE cast(len(list_intersect(a.ws, c.ws)) as double) /
-           |        len(list_distinct(list_concat(a.ws, c.ws))) >= 0.8
-           |  GROUP BY 1),
-           |batch AS (SELECT doc_id FROM corpus WHERE doc_id >= 500000)
-           |SELECT b.doc_id,
-           |  coalesce(m.matched_cluster, b.doc_id) AS cluster_id,
-           |  m.matched_cluster IS NULL AS is_new
-           |FROM batch b LEFT JOIN m ON m.doc_id = b.doc_id""".stripMargin
-      }
+      (s, d) => neardupIncremental(incrementalBatchFixture(s, d), incrementalCorpusFixture(s, d)),
+      Some(NeardupIncrementalOracleSql)
     ),
     Q(
       "docs_neardup_clusters",

@@ -19,6 +19,24 @@ object MetadataQueries {
 
   private val KeyStripRe = "[\\x00-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7f]"
 
+  /** NFC fixture titles for the romanization query — Russian, Ukrainian
+    * and Greek classics plus a mixed-script row; every non-ASCII char is
+    * covered by the embedded transliteration table.
+    */
+  private val TranslitTitles = Seq(
+    "Война и мир",
+    "Преступление и наказание",
+    "Мёртвые души",
+    "Братья Карамазовы",
+    "Анна Каренина",
+    "Кобзар України",
+    "Οδύσσεια",
+    "Ιλιάς",
+    "Αντιγόνη",
+    "Πολιτεία",
+    "Война и мир War and Peace 1869"
+  )
+
   def nkSql(x: String): String =
     s"lower(trim(regexp_replace($x, '$KeyStripRe', '', 'g')))"
 
@@ -182,6 +200,37 @@ object MetadataQueries {
         s"""SELECT p_partkey, ${nkSql("p_name")} AS rules_key,
            |  ${nkSql("p_name")} AS rules_key_accented FROM part""".stripMargin
       )
+    ),
+    Q(
+      // The flag-gated `:: Latin;` romanization stage over Cyrillic and
+      // Greek bibliographic titles (MetadataUtils.php:159; embedded
+      // ISO 9 / ELOT 743 table — see KeyFoldRulesExpr). Both sides
+      // derive the per-char mapping from the SAME Scala table: the
+      // oracle is a generated lower() + replace-chain + strip, so a
+      // table edit that breaks parity breaks the hash.
+      "norm_key_translit",
+      (s, d) => {
+        val titles = array(TranslitTitles.map(lit): _*)
+        val title = element_at(titles, (col("p_partkey") % TranslitTitles.size).cast("int") + 1)
+        Tables
+          .part(s, d)
+          .select(
+            col("p_partkey"),
+            title.as("title_raw"),
+            normalizeKeyRules(title, romanize = true).as("translit_key")
+          )
+      },
+      Some {
+        val list = TranslitTitles.map(t => s"'$t'").mkString("[", ", ", "]")
+        val chain = (graft.plans.KeyFoldRulesExpr.CyrillicLatin ++
+          graft.plans.KeyFoldRulesExpr.GreekLatin)
+          .foldLeft("lower(t)") { case (acc, (from, to)) => s"replace($acc, '$from', '$to')" }
+        s"""SELECT p_partkey, t AS title_raw,
+           |  regexp_replace($chain, '$KeyStripRe', '', 'g') AS translit_key
+           |FROM (SELECT p_partkey,
+           |        ($list)[cast(p_partkey % ${TranslitTitles.size} as int) + 1] AS t
+           |      FROM part) _q""".stripMargin
+      }
     ),
     Q(
       "isbn_normalize",

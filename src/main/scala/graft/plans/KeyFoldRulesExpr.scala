@@ -21,12 +21,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * all punctuation/whitespace) → NFKC recompose. All four stages are in
   * the JDK (`java.text.Normalizer` + `Character` classes), so this
   * expression reproduces the ICU result without ICU for any input whose
-  * script is already Latin. The `:: Latin;` stage also ROMANIZES other
-  * scripts (Cyrillic→Latin etc.); that requires ICU's transliteration
-  * data and is out of scope — non-Latin letters pass through folded only
-  * by NFD/NFKC here, documented as the one divergence.
+  * script is already Latin.
+  *
+  * The `:: Latin;` stage also ROMANIZES other scripts. Full ICU
+  * transliteration data is unavailable here, so `romanize = true`
+  * applies an EMBEDDED public transliteration table for the two most
+  * common non-Latin bibliographic scripts — Cyrillic (ISO 9:1995 /
+  * GOST 7.79 System A, the system ICU's Cyrillic-Latin rules follow)
+  * and Greek (ELOT 743 / UN romanization) — stored as each mapping's
+  * post-fold ASCII image (the diacritics ISO 9 adds, ž/č/š/û/â…, are
+  * combining marks the Remove stage strips anyway, so `ж → z` directly
+  * is the same key). This is a documented APPROXIMATION of ICU: per
+  * character, no Greek context rules (γγ→ng, αυ→av), hard/soft signs
+  * dropped; scripts outside the table (CJK, Arabic, …) still pass
+  * through unromanized. Default remains `romanize = false` — exact
+  * Latin-script parity, no behavior change for existing keys.
   */
-case class KeyFoldRulesExpr(child: Expression) extends UnaryExpression {
+case class KeyFoldRulesExpr(child: Expression, romanize: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_key_fold_rules"
@@ -39,10 +51,10 @@ case class KeyFoldRulesExpr(child: Expression) extends UnaryExpression {
       )
 
   override def nullSafeEval(input: Any): Any =
-    KeyFoldRulesExpr.fold(input.asInstanceOf[UTF8String])
+    KeyFoldRulesExpr.fold(input.asInstanceOf[UTF8String], romanize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.KeyFoldRulesExpr.fold($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.KeyFoldRulesExpr.fold($c, $romanize)")
 
   override protected def withNewChildInternal(newChild: Expression): KeyFoldRulesExpr =
     copy(child = newChild)
@@ -50,13 +62,81 @@ case class KeyFoldRulesExpr(child: Expression) extends UnaryExpression {
 
 object KeyFoldRulesExpr {
 
-  def fold(s: UTF8String): UTF8String = {
+  /** Cyrillic → Latin, the post-fold ASCII image of ISO 9:1995 (System
+    * A): the ISO mapping is 1:1 char-to-char with diacritics (ж→ž,
+    * ч→č, ю→û); the fold's Remove stage strips those marks, so the
+    * stored value is the mark-stripped Latin base. Hard/soft signs (ъ,
+    * ь) map to ISO 9's modifier-letter primes, which carry no key
+    * information — dropped. Covers Russian plus the Ukrainian /
+    * Belarusian / Serbian / Macedonian extensions.
+    */
+  val CyrillicLatin: Seq[(Char, String)] = Seq(
+    'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d",
+    'е' -> "e", 'ё' -> "e", 'ж' -> "z", 'з' -> "z", 'и' -> "i",
+    'й' -> "j", 'к' -> "k", 'л' -> "l", 'м' -> "m", 'н' -> "n",
+    'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s", 'т' -> "t",
+    'у' -> "u", 'ф' -> "f", 'х' -> "h", 'ц' -> "c", 'ч' -> "c",
+    'ш' -> "s", 'щ' -> "s", 'ъ' -> "", 'ы' -> "y", 'ь' -> "",
+    'э' -> "e", 'ю' -> "u", 'я' -> "a",
+    // Ukrainian / Belarusian
+    'і' -> "i", 'ї' -> "i", 'є' -> "e", 'ґ' -> "g", 'ў' -> "u",
+    // Serbian / Macedonian
+    'ј' -> "j", 'ђ' -> "d", 'ћ' -> "c", 'љ' -> "l", 'њ' -> "n",
+    'џ' -> "d", 'ѓ' -> "g", 'ќ' -> "k", 'ѕ' -> "z"
+  )
+
+  /** Greek → Latin, the post-fold ASCII image of ELOT 743 / UN: per
+    * character (θ→th, χ→ch, ψ→ps are the multi-char cases), precomposed
+    * accented vowels included so NFC input romanizes without a
+    * decomposition pass (the fold strips the marks afterwards either
+    * way).
+    */
+  val GreekLatin: Seq[(Char, String)] = Seq(
+    'α' -> "a", 'β' -> "v", 'γ' -> "g", 'δ' -> "d", 'ε' -> "e",
+    'ζ' -> "z", 'η' -> "i", 'θ' -> "th", 'ι' -> "i", 'κ' -> "k",
+    'λ' -> "l", 'μ' -> "m", 'ν' -> "n", 'ξ' -> "x", 'ο' -> "o",
+    'π' -> "p", 'ρ' -> "r", 'σ' -> "s", 'ς' -> "s", 'τ' -> "t",
+    'υ' -> "y", 'φ' -> "f", 'χ' -> "ch", 'ψ' -> "ps", 'ω' -> "o",
+    'ά' -> "a", 'έ' -> "e", 'ή' -> "i", 'ί' -> "i", 'ό' -> "o",
+    'ύ' -> "y", 'ώ' -> "o", 'ϊ' -> "i", 'ϋ' -> "y", 'ΐ' -> "i",
+    'ΰ' -> "y"
+  )
+
+  private val romanMap: java.util.HashMap[Character, String] = {
+    val m = new java.util.HashMap[Character, String]()
+    (CyrillicLatin ++ GreekLatin).foreach { case (c, v) => m.put(c, v) }
+    m
+  }
+
+  /** Per-codepoint transliteration over NFC text: lowercase the char,
+    * map it if tabled, pass it through otherwise. NFC first so
+    * decomposed й (и + breve) romanizes as й→j, not и→i.
+    */
+  private def romanizeString(str: String): String = {
+    val nfc = Normalizer.normalize(str, Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      val mapped = if (Character.isBmpCodePoint(lc)) romanMap.get(lc.toChar) else null
+      if (mapped != null) sb.append(mapped)
+      else sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  def fold(s: UTF8String): UTF8String = fold(s, romanize = false)
+
+  def fold(s: UTF8String, romanize: Boolean): UTF8String = {
     val str = s.toString
     if (str.isEmpty) return s
+    val pre = if (romanize) romanizeString(str) else str
     // NFD splits letters from their combining marks; marks are category
     // Mn/Mc/Me — not letters, not digits — so the Remove stage strips
     // them, which is exactly how the rules fold 'ä' → 'a'.
-    val nfd = Normalizer.normalize(str, Normalizer.Form.NFD)
+    val nfd = Normalizer.normalize(pre, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
     var i = 0
     while (i < nfd.length) {
@@ -70,4 +150,8 @@ object KeyFoldRulesExpr {
 
   /** String convenience form (tests). */
   def fold(s: String): String = fold(UTF8String.fromString(s)).toString
+
+  /** String convenience form with romanization (tests). */
+  def fold(s: String, romanize: Boolean): String =
+    fold(UTF8String.fromString(s), romanize).toString
 }

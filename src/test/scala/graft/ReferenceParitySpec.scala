@@ -47,6 +47,34 @@ class ReferenceParitySpec extends SparkSuite {
     // transliteration — unsupported, documented at KeyFoldRulesExpr)
   }
 
+  test("key folding rules `:: Latin;` stage — embedded Cyrillic/Greek romanization") {
+    // Flag-gated approximation of the ICU transliterator's romanization
+    // (ISO 9 post-fold for Cyrillic, ELOT 743 for Greek); common titles a
+    // Cyrillic/Greek deployment actually dedups on. Default stays off.
+    evalAll(
+      Seq(
+        "Война и мир" -> "vojnaimir",
+        "Преступление и наказание" -> "prestuplenieinakazanie",
+        "Мёртвые души" -> "mertvyedusi",
+        "Братья Карамазовы" -> "bratakaramazovy",
+        "Анна Каренина" -> "annakarenina",
+        "Кобзар України" -> "kobzarukraini",
+        // decomposed й (и + breve) must still romanize as j, not i
+        "Война" -> "vojna",
+        "Οδύσσεια" -> "odysseia",
+        "Ιλιάς" -> "ilias",
+        "Αντιγόνη" -> "antigoni",
+        "Ψυχή και Χάος" -> "psychikaichaos",
+        // Latin input is untouched by the flag (same key as romanize=off)
+        "Tähtien Sota!" -> "tahtiensota"
+      ),
+      c => normalizeKeyRules(c, romanize = true)
+    )
+    // romanize=false keeps the round-7 behavior: non-Latin passes through
+    // (NFD still strips й's breve — the mark-removal stage is script-blind)
+    evalAll(Seq("Война и мир" -> "воинаимир"), c => normalizeKeyRules(c, romanize = false))
+  }
+
   test("MetadataUtilsTest::stripPunctuationProvider (default pattern)") {
     evalAll(
       Seq(
