@@ -181,18 +181,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     Q(
-      "dedup_records",
-      (s, d) => Dedup.dedupRecords(records(s, d)).select("id", "dedup_id"),
-      Some(
-        s"""WITH $recordsSql, $edgesSql,
-           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
-           |        UNION ALL SELECT id_2, id_1 FROM edges),
-           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id)
-           |SELECT r.id, l.dedup_id FROM recs r LEFT JOIN labels l ON r.id = l.id""".stripMargin
-      ),
-      bench = true
-    ),
-    Q(
       // The same pipeline over the bucketed stored layout: the exploded
       // blocking-key frame is written ONCE bucketed by (kind, key) — on
       // the first call, i.e. the bench's untimed warmup — and the timed
@@ -212,6 +200,18 @@ object DedupQueries {
           )
           .select("id", "dedup_id")
       },
+      Some(
+        s"""WITH $recordsSql, $edgesSql,
+           |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges
+           |        UNION ALL SELECT id_2, id_1 FROM edges),
+           |labels AS (SELECT id, least(min(peer), id) AS dedup_id FROM sym GROUP BY id)
+           |SELECT r.id, l.dedup_id FROM recs r LEFT JOIN labels l ON r.id = l.id""".stripMargin
+      ),
+      bench = true
+    ),
+    Q(
+      "dedup_records",
+      (s, d) => Dedup.dedupRecords(records(s, d)).select("id", "dedup_id"),
       Some(
         s"""WITH $recordsSql, $edgesSql,
            |sym AS (SELECT id_1 AS id, id_2 AS peer FROM edges

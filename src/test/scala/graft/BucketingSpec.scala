@@ -104,6 +104,34 @@ class BucketingSpec extends SparkSuite {
       val scanIdx = physical.indexOf("Scan")
       val exchangeIdx = physical.indexOf("Exchange hashpartitioning")
       assert(exchangeIdx >= 0 && scanIdx > exchangeIdx, physical)
+      // The structural reason the bucketing keeps matching: the match
+      // predicate is behind the graft_opaque barrier, so Catalyst never
+      // lifts its veto equalities (format/hidden/access) into the join
+      // keys. Assert BOTH the barrier's presence and that every join
+      // key is a blocking-key attribute — a Spark upgrade that starts
+      // decomposing the predicate fails here, not silently in prod
+      // (ADVICE r7: the old CASE wrapper was rule-version-coupled).
+      assert(physical.contains("graft_opaque"), physical)
+      // collect() does not descend through the AQE wrapper's inner plan;
+      // unwrap to the initial physical plan (the one the string above
+      // rendered).
+      val innerPlan = edges.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val joinKeys = innerPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys ++ j.rightKeys
+      }.flatten
+      assert(joinKeys.nonEmpty)
+      val keyNames = joinKeys.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      })
+      assert(
+        keyNames.forall(_.startsWith("__block_")),
+        s"veto equalities leaked into join keys: ${keyNames.mkString(", ")}"
+      )
       // Identical output to the unbucketed pipeline.
       val plain = Dedup.dedupRecords(records).select("id", "dedup_id")
       val got = bucketed.collect().map(_.toSeq).toSet
