@@ -245,6 +245,11 @@ object CurationQueries {
       // nearest-double error is ≪ 0.5 ulp of the integer), so grouping
       // and ordering by s4 is exactly grouping/ordering by score.
       .withColumn("s4", round(col("score") * 10000).cast("long"))
+      // Three consumers (the histogram, the uniform branch, the straddle
+      // branch) read the scored frame; persisted so the corpus-scoring
+      // join+aggregate runs once, not per branch (callers release via
+      // spark.catalog.clearCache() — the bandTableOf convention).
+      .persist()
     // Bounded histogram: one row per (lang, score cell). Map-side
     // combinable; output size is score-resolution-bounded, not
     // corpus-bounded — broadcastable at any corpus size.
