@@ -245,6 +245,12 @@ object CurationQueries {
       // nearest-double error is ≪ 0.5 ulp of the integer), so grouping
       // and ordering by s4 is exactly grouping/ordering by score.
       .withColumn("s4", round(col("score") * 10000).cast("long"))
+      // `lk` is the JOIN/GROUP form of lang: the windowed original
+      // partitioned null lang into its own group, but an equi-join on a
+      // null key matches nothing — null-lang documents would silently
+      // vanish (round-8 review). Coalesce to a sentinel no real language
+      // code uses; `lang` itself is carried through for the output.
+      .withColumn("lk", coalesce(col("lang"), lit(" ")))
       // Three consumers (the histogram, the uniform branch, the straddle
       // branch) read the scored frame; persisted so the corpus-scoring
       // join+aggregate runs once, not per branch (callers release via
@@ -253,8 +259,8 @@ object CurationQueries {
     // Bounded histogram: one row per (lang, score cell). Map-side
     // combinable; output size is score-resolution-bounded, not
     // corpus-bounded — broadcastable at any corpus size.
-    val hist = scored.groupBy("lang", "s4").agg(count(lit(1)).as("c"))
-    val byLangDesc = Window.partitionBy("lang").orderBy(col("s4").desc)
+    val hist = scored.groupBy("lk", "s4").agg(count(lit(1)).as("c"))
+    val byLangDesc = Window.partitionBy("lk").orderBy(col("s4").desc)
     val cells = hist
       .withColumn(
         "cum_before",
@@ -263,7 +269,7 @@ object CurationQueries {
           lit(0L)
         )
       )
-      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lk")))
       // rn ∈ [cum_before+1, cum_before+c] for this cell's documents; a
       // cell is uniform when that whole interval lands in one bucket of
       // the `10*rn <= 3*n` / `<= 7*n` rule.
@@ -278,15 +284,15 @@ object CurationQueries {
           .when((col("cum_before") + 1) * 10 > col("n") * 7, "tail")
           .otherwise("straddle")
       )
-      .select("lang", "s4", "cum_before", "n", "cell_bucket")
-    val tagged = scored.join(broadcast(cells), Seq("lang", "s4"))
+      .select("lk", "s4", "cum_before", "n", "cell_bucket")
+    val tagged = scored.join(broadcast(cells), Seq("lk", "s4"))
     val uniform = tagged
       .filter(col("cell_bucket") =!= "straddle")
       .select(col("doc_id"), col("lang"), col("score"), col("cell_bucket").as("bucket"))
     // Straddling cells (≤ 2 per language): per-document rank WITHIN the
     // tie cell only — the window partitions on (lang, s4).
     val tieRank = row_number().over(
-      Window.partitionBy(col("lang"), col("s4")).orderBy(col("doc_id").asc)
+      Window.partitionBy(col("lk"), col("s4")).orderBy(col("doc_id").asc)
     )
     val straddle = tagged
       .filter(col("cell_bucket") === "straddle")

@@ -168,20 +168,31 @@ object Ead3Splitter {
   // so long-running library use has a SCOPED release instead of the
   // global spark.catalog.clearCache() convention (ADVICE r7). Verify /
   // Bench still clearCache per query; other hosts call [[releaseCache]]
-  // once the returned plan is materialized.
-  private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // once the returned plan is materialized. WEAK references: the
+  // registry must not itself become a driver-side leak — a host that
+  // relies on clearCache() would otherwise accumulate every
+  // invocation's plan trees for the JVM lifetime (round-8 review).
+  // Entries whose plans are no longer reachable are GC'd; their cached
+  // blocks are owned by Spark's cache manager either way.
+  private val cached =
+    scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
 
   private def trackPersist(df: DataFrame): DataFrame = synchronized {
-    cached += df
+    cached += new java.lang.ref.WeakReference(df)
     df.persist()
   }
 
-  /** Unpersist every frame cached by prior [[splitArchive]] calls. Call
-    * AFTER materializing the returned DataFrame (the plan reads the
-    * caches while executing).
+  /** Unpersist every still-reachable frame cached by prior
+    * [[splitArchive]] calls, and drop collected entries. Call AFTER
+    * materializing the returned DataFrame (the plan reads the caches
+    * while executing). Scope caveat: the registry is object-global, so
+    * releasing while ANOTHER splitArchive plan is still executing
+    * de-optimizes (not corrupts) that plan — serialize calls or fall
+    * back to spark.catalog.clearCache() semantics if running archives
+    * concurrently.
     */
   def releaseCache(): Unit = synchronized {
-    cached.foreach(_.unpersist(blocking = false))
+    cached.foreach(r => Option(r.get()).foreach(_.unpersist(blocking = false)))
     cached.clear()
   }
 

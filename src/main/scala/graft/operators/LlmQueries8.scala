@@ -32,28 +32,37 @@ object LlmQueries8 {
 
   private val SeqLen = 2048
 
-  /** Writer-bucket count for a corpus of `rows` documents: one bucket
-    * per ~1M docs per language shard, clamped to [4, 65536]. At 100 TB
-    * (~10¹⁰ docs) this yields ~10⁴ buckets — each cumsum window holds
+  /** Writer-bucket count for a corpus of `rows` documents: the next
+    * power of two above rows/1M, clamped to [4, 65536]. At 100 TB
+    * (~10¹⁰ docs) this yields ~2¹⁴ buckets — each cumsum window holds
     * ~1M rows, comfortably one task — while small corpora keep the
-    * bench-stable 4.
+    * bench-stable 4. Powers of two divide the 16⁴ hash range exactly,
+    * so bucket sizes stay uniform (a non-divisor count would skew
+    * writers by up to ceil/floor of range/n).
     */
-  def packingBuckets(rows: Long): Int =
-    math.min(65536L, math.max(4L, rows / 1000000L)).toInt
+  def packingBuckets(rows: Long): Int = {
+    val want = math.min(65536L, math.max(4L, rows / 1000000L))
+    var p = 4
+    while (p < want) p <<= 1
+    p
+  }
 
   /** Greedy sequential packing assignment: docs keyed to (lang, bucket,
     * seq_id) by the cumulative-token prefix within their writer bucket.
     * Shared by docs_pack_sequences (sequence rollup) and
     * docs_shard_manifest (shard rollup); keeps `text` so downstream
     * rollups can fingerprint content. The bucket is derived from the
-    * last TWO md5 hex digits mod `nBuckets` (supports up to 256 evenly;
-    * for 4 it equals the last-digit form since 16 ≡ 0 mod 4).
+    * last FOUR md5 hex digits mod `nBuckets` — a 65536-value range, so
+    * the count scales to [[packingBuckets]]'s full clamp (a two-digit
+    * hash would silently cap real parallelism at 256; round-8 review).
+    * For any power-of-two `nBuckets` ≤ 65536 the modulus only reads the
+    * value's low bits, so 4/16/64 produce the identical buckets as the
+    * earlier one- and two-digit forms (oracle-certified unchanged).
     */
-  private[operators] def packedDocs(docs: DataFrame, nBuckets: Int = 4): DataFrame = {
+  private[graft] def packedDocs(docs: DataFrame, nBuckets: Int = 4): DataFrame = {
     val nTokens = size(split(coalesce(col("text"), lit("")), " ")).cast("bigint")
     val bucket = expr(
-      "cast(((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 31, 1)) - 1) * 16 + " +
-        s"(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 32, 1)) - 1)) % $nBuckets as bigint)"
+      s"cast(conv(substr(md5(cast(doc_id as string)), 29, 4), 16, 10) % $nBuckets as bigint)"
     )
     val w = Window
       .partitionBy(col("lang"), col("bucket"))
@@ -84,8 +93,7 @@ object LlmQueries8 {
   private def packedSql(nBuckets: Int, extraCols: String = ""): String =
     s"""t AS (SELECT doc_id, lang,$extraCols
        |  cast(len(string_split(coalesce(text, ''), ' ')) as bigint) AS n_tokens,
-       |  cast(((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 31, 1)) - 1) * 16 +
-       |        (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 32, 1)) - 1)) % $nBuckets as bigint) AS bucket
+       |  cast(('0x' || substr(md5(cast(doc_id as varchar)), 29, 4))::bigint % $nBuckets as bigint) AS bucket
        |  FROM documents),
        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
        |    PARTITION BY lang, bucket ORDER BY doc_id

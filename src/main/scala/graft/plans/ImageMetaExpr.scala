@@ -57,6 +57,11 @@ case class ImageMetaExpr(child: Expression) extends UnaryExpression {
 
 object ImageMetaExpr {
 
+  /** BITMAPINFOHEADER-family DIB sizes whose first 40 bytes share the
+    * INFOHEADER field layout (see the BMP branch of parse).
+    */
+  private[plans] val KnownDibSizes: Set[Int] = Set(40, 52, 56, 64, 108, 124)
+
   val schema: StructType = StructType(
     Seq(
       StructField("format", StringType),
@@ -154,14 +159,15 @@ object ImageMetaExpr {
       // follow the pixel layout (≤8 palette, 16/24 RGB, 32 RGBA).
       // The DIB header size at 14 gates the layout: a BITMAPCOREHEADER
       // (OS/2 v1, size 12) has 16-bit fields at different offsets and
-      // would parse to garbage here, so only INFOHEADER-compatible sizes
-      // pass. Every known size ≥ 40 (40/52/56/64 incl. OS/2 v2, 108 V4,
-      // 124 V5) keeps the BITMAPINFOHEADER field layout in its first 40
-      // bytes — all the fields read here — so size ≥ 40 is the correct
-      // gate (an exact whitelist fails closed on valid OS/2 v2 bitmaps;
-      // ADVICE r7).
+      // would parse to garbage here, so only the KNOWN
+      // INFOHEADER-compatible sizes pass — 40 (INFOHEADER), 52/56
+      // (BITMAPV2/V3), 64 (OS/2 v2, whose first 40 bytes are a
+      // BITMAPINFOHEADER; ADVICE r7 — the old whitelist failed closed
+      // on these valid bitmaps), 108 (V4), 124 (V5). Unknown sizes
+      // still fail CLOSED: a blanket `>= 40` would parse corrupt or
+      // crafted headers into garbage metadata (round-8 review).
       val dibSize = le32s(b, 14)
-      if (dibSize < 40) return fail
+      if (!ImageMetaExpr.KnownDibSizes.contains(dibSize)) return fail
       val w = le32s(b, 18)
       val h = math.abs(le32s(b, 22))
       val bpp = le16(b, 28)

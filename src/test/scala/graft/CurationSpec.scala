@@ -94,6 +94,28 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("pplBucketsOf keeps NULL-lang documents (sentinel join key, not a dropped group)") {
+    // The histogram rewrite joins on the language key; a raw equi-join
+    // would silently drop null-lang rows the old window form kept
+    // (round-8 review). Null lang must come back bucketed, with its own
+    // 30/70 cuts, and the lang column still null in the output.
+    import org.apache.spark.sql.functions.{col, when}
+    val docs = Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, null).otherwise(col("lang")).as("lang"),
+        col("text")
+      )
+    val out = operators.CurationQueries.pplBucketsOf(docs).collect()
+    assert(out.length == docs.count())
+    val nullRows = out.filter(_.isNullAt(1))
+    assert(nullRows.nonEmpty)
+    val n = nullRows.length.toLong
+    val head = nullRows.count(_.getAs[String]("bucket") == "head").toLong
+    assert(head == (3 * n) / 10, s"null-lang head=$head n=$n")
+  }
+
   test("docs_filter_chain: counts are monotone non-increasing across stages") {
     val rows = SparkEntry
       .queries("docs_filter_chain")(spark, sf)

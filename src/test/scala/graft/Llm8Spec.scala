@@ -92,4 +92,26 @@ class Llm8Spec extends SparkSuite {
     assert(packed.count() == packed.select("lang", "bucket", "seq_id").distinct().count())
     assert(packed.filter(col("n_docs") < 1 || col("seq_tokens") < 1).count() == 0)
   }
+
+  test("packing writer buckets scale past 256 and packingBuckets returns powers of two") {
+    // The bucket hash reads four md5 hex digits: counts above 256 must
+    // actually materialize more than 256 buckets (a two-digit hash
+    // silently capped parallelism at 256 — round-8 review), and the
+    // sizing helper returns powers of two so the modulus stays uniform.
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sfDir)
+    val nBuckets = operators.LlmQueries8
+      .packedDocs(docs, 1024)
+      .select("bucket")
+      .distinct()
+      .count()
+    assert(nBuckets > 256, s"only $nBuckets distinct buckets at nBuckets=1024")
+    assert(operators.LlmQueries8.packingBuckets(1L) == 4)
+    assert(operators.LlmQueries8.packingBuckets(10000000000L) == 16384)
+    assert(operators.LlmQueries8.packingBuckets(Long.MaxValue) == 65536)
+    val ps = Seq(5L, 300L, 999L, 100000L).map(m =>
+      operators.LlmQueries8.packingBuckets(m * 1000000L)
+    )
+    assert(ps.forall(p => (p & (p - 1)) == 0), s"non-power-of-two bucket count: $ps")
+  }
 }

@@ -114,7 +114,7 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getInt(1) == 64 && r.getInt(2) == 32 && r.getBoolean(5))
   }
 
-  test("OS/2 BITMAPCOREHEADER fails closed; DIB sizes >= 40 parse via the INFOHEADER prefix") {
+  test("OS/2 BITMAPCOREHEADER and unknown DIB sizes fail closed; known sizes incl. 64 parse") {
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     // A valid BITMAPCOREHEADER (size 12, 16-bit w/h at 18/20, bpp at 24)
@@ -124,12 +124,18 @@ class MultimodalSpec extends SparkSuite {
     val r = parse(core)
     assert(r.getString(0) == "unknown" && !r.getBoolean(5))
     // OS/2 v2 header (size 64): its first 40 bytes ARE a
-    // BITMAPINFOHEADER, so it must parse — an exact-size whitelist
+    // BITMAPINFOHEADER, so it must parse — the round-7 whitelist
     // failed closed on these valid bitmaps (ADVICE r7).
     val os2v2 = "BM".getBytes ++ le32(78) ++ le32(0) ++ le32(78) ++
       le32(64) ++ le32(64) ++ le32(32) ++ le16(1) ++ le16(24)
     val r2 = parse(os2v2)
     assert(r2.getString(0) == "bmp" && r2.getInt(1) == 64 && r2.getInt(2) == 32 && r2.getBoolean(5))
+    // Unknown sizes (99 is no known DIB header) still fail CLOSED — the
+    // gate is a whitelist, not `>= 40`.
+    val weird = "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(99) ++ le32(64) ++ le32(32) ++ le16(1) ++ le16(24)
+    val rw = parse(weird)
+    assert(rw.getString(0) == "unknown" && !rw.getBoolean(5))
     // V5 header (124) is INFOHEADER-compatible and still parses.
     val v5 = "BM".getBytes ++ le32(138) ++ le32(0) ++ le32(138) ++
       le32(124) ++ le32(64) ++ le32(32) ++ le16(1) ++ le16(24)

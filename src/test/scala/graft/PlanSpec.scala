@@ -115,25 +115,64 @@ class PlanSpec extends SparkSuite {
     // subgroups, writer buckets), or (b) single-key but computed OVER AN
     // AGGREGATED bounded frame (score histograms, salt censuses) — never
     // single-key directly over the corpus. This guards the shape.
+    // collect() on the AQE wrapper sees only the wrapper (a leaf); the
+    // guard must unwrap to the initial physical plan or every assertion
+    // below is vacuously skipped (round-8 review finding — empirically
+    // the wrapped docs_ppl_buckets plan reports 0 WindowExec while the
+    // inner plan has 5).
+    def innerPlanOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    def idGrouped(a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec): Boolean =
+      a.groupingExpressions.exists(_.collectFirst {
+        case att: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if Set("doc_id", "vec_id", "id")(att.name) =>
+          att
+      }.nonEmpty)
     val guarded =
       Seq("docs_ppl_buckets", "embed_sample_balanced", "docs_pack_sequences", "docs_canonical")
     guarded.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val plan = innerPlanOf(name)
       val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
       windows.foreach { w =>
-        val aggBelow = w.child.collect {
-          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-        }.nonEmpty
+        // Rank-family windows (row_number etc.) order EVERY row of their
+        // partition — they must never partition on a single constant-ish
+        // key (the old per-lang / per-cell / per-cluster rank shapes).
+        val hasRank = w.windowExpression.exists(_.collectFirst {
+          case _: org.apache.spark.sql.catalyst.expressions.RowNumber => ()
+          case _: org.apache.spark.sql.catalyst.expressions.Rank      => ()
+          case _: org.apache.spark.sql.catalyst.expressions.DenseRank => ()
+        }.nonEmpty)
         assert(
-          w.partitionSpec.size >= 2 || aggBelow,
-          s"$name has a single-key window over a non-aggregated frame: ${w.partitionSpec}"
+          !hasRank || w.partitionSpec.size >= 2,
+          s"$name has a single-key RANK window: ${w.partitionSpec}"
         )
+        // Single-key running-aggregate windows are allowed only over a
+        // bounded AGGREGATED frame — and the nearest aggregate below
+        // must not be per-document (a groupBy carrying doc_id/vec_id/id
+        // is corpus-sized even though it is an Aggregate node, which is
+        // exactly the old docs_ppl_buckets shape).
+        if (w.partitionSpec.size < 2) {
+          val nearestAgg = w.child.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }
+          assert(
+            nearestAgg.exists(!idGrouped(_)),
+            s"$name has a single-key window over a corpus-sized frame: ${w.partitionSpec}"
+          )
+        }
       }
+      // The guard must actually be LOOKING at windows where they exist.
+      if (name != "docs_canonical")
+        assert(windows.nonEmpty, s"$name: expected windows in the unwrapped plan, found none")
     }
     // docs_canonical needs no window at all: argmax via groupBy + join.
-    val canonical = SparkEntry.queries("docs_canonical")(spark, sf).queryExecution.executedPlan
     assert(
-      canonical.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      innerPlanOf("docs_canonical").collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty,
       "docs_canonical should be window-free"
     )
   }
