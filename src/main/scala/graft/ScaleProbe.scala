@@ -490,6 +490,26 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = operators.LlmQueries7.canonicalOf(big).filter(col("canonical")).count()
         println(f"SCALE mode=canonskew mult=$mult docs=$total canonical=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "topkskew" =>
+        // Dominant-group probe for the histogram-cut top-k: 90% of
+        // documents in ONE language. The naive per-group rank window
+        // sorts that language on one task; the bounded-histogram cut
+        // must stay linear (outside cells never rank; only cells
+        // touching the top k do, and those are ≤ k rows or the one
+        // boundary tie cell).
+        val big = docsReplicated
+          .withColumn(
+            "lang",
+            when(col("doc_id") % 10 < 9, lit("xx"))
+              .otherwise(concat(lit("l"), (col("doc_id") % 7).cast("string")))
+          )
+          .withColumn("q4", (col("doc_id") % 100000).cast("long"))
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.TopK
+          .topkPerGroup(big.select("doc_id", "lang", "q4"), "lang", "q4", "doc_id", 100)
+          .count()
+        println(f"SCALE mode=topkskew mult=$mult docs=$total kept=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "packing" =>
         // Writer-bucket sweep for the parameterized packing cumsum: a
         // mult× corpus packed at 4 / 16 / 64 buckets. More buckets →

@@ -79,7 +79,8 @@ object SparkEntry {
       operators.EvalQueries.all ++
       operators.PivotQueries.all ++
       operators.DimAblation.all ++
-      operators.StreamReplayQueries.all
+      operators.StreamReplayQueries.all ++
+      operators.TopK.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

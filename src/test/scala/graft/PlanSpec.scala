@@ -132,7 +132,13 @@ class PlanSpec extends SparkSuite {
           att
       }.nonEmpty)
     val guarded =
-      Seq("docs_ppl_buckets", "embed_sample_balanced", "docs_pack_sequences", "docs_canonical")
+      Seq(
+        "docs_ppl_buckets",
+        "embed_sample_balanced",
+        "docs_pack_sequences",
+        "docs_canonical",
+        "docs_topk_quality"
+      )
     guarded.foreach { name =>
       val plan = innerPlanOf(name)
       val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
