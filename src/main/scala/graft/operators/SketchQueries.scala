@@ -443,5 +443,107 @@ object SketchQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(distinctKmv, ngramCms, lengthHistogram, statsCube, annRecallEval)
+  // ---------------------------------------------------------------------
+  // HyperLogLog distinct sketch
+  // ---------------------------------------------------------------------
+
+  private[graft] val HllRegisters = 256 // p = 8 high bits of the 48-bit hash
+  private val HllRestSpace = 1099511627776L // 2^40 (the remaining 40 bits)
+
+  /** HLL register table over any (source, text) frame: register index
+    * from the hash's top 8 bits, rank = leading zeros of the remaining
+    * 40 bits + 1, register value = max rank (Flajolet et al. 2007,
+    * "HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm"). Rank uses `41 - length(bin(rest))` — an
+    * INTEGER bit-length, identical in Spark and DuckDB, so no float
+    * log2 can disagree at exact powers of two. Bounded state: sources ×
+    * 256 keys with map-side max combine; registers merge by elementwise
+    * MAX (monotone — the same streaming law as the KMV minima).
+    */
+  private[graft] def hllRegisters(docsFrame: DataFrame): DataFrame =
+    docsFrame
+      .select(col("source"), hash48(coalesce(col("text"), lit(""))).as("h"))
+      .select(
+        col("source"),
+        expr(s"h div ${HllRestSpace}L").as("reg"),
+        (col("h") % HllRestSpace).as("rest")
+      )
+      .withColumn(
+        "rank",
+        when(col("rest") === 0, lit(41)).otherwise(lit(41) - length(bin(col("rest"))))
+      )
+      .groupBy("source", "reg")
+      .agg(max(col("rank")).as("m"))
+
+  /** Raw-HLL estimate in PURE INTEGER arithmetic, identical on both
+    * engines: `alpha·m²/Z` with `Z = Σ 2^-Mj` over all m registers
+    * (absent = rank 0). Scaling by 2^41 makes every term an exact long
+    * — `Z·2^41 = Σ_occupied 2^(41-Mj) + zeroRegs·2^41` — so no float
+    * summation order can disagree; alpha_256 ≈ 0.71828 enters as the
+    * fixed rational 71828/100000 AFTER the division. Raw estimator only
+    * (no linear-counting small-range branch) — documented deviation:
+    * determinism across engines is the certified property, accuracy is
+    * spec-asserted against the exact count. Headroom: the first
+    * quotient is ≤ m²·2^41/denom; overflow would need nearly every
+    * register at rank > 24 (cardinality ≳ 2^46) — beyond the 48-bit
+    * hash's own collision range.
+    */
+  private val distinctHll = Q(
+    // Per-source HLL cardinality + the ##all row built by MERGING the
+    // per-source registers (elementwise max — no second corpus pass),
+    // the same mergeability demonstration as corpus_distinct_kmv.
+    "corpus_distinct_hll",
+    (s, d) => {
+      val stage1 = hllRegisters(docs(s, d).select(col("source"), col("text")))
+      val merged = stage1
+        .groupBy("reg")
+        .agg(max(col("m")).as("m"))
+        .select(lit("##all").as("source"), col("reg"), col("m"))
+      val m = HllRegisters
+      stage1
+        .unionByName(merged)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(1L, 41 - m)")).as("z_occ")
+        )
+        .select(
+          col("source"),
+          col("n_regs").cast("long").as("n_regs"),
+          expr(
+            s"((${m.toLong * m}L * 2199023255552L) div " +
+              s"(z_occ + (${m}L - n_regs) * 2199023255552L)) * 71828L div 100000L"
+          ).as("est_distinct")
+        )
+    },
+    Some {
+      val m = HllRegisters
+      s"""WITH h AS (
+         |  SELECT source,
+         |    ('0x' || substr(md5(coalesce(text, '')), 1, 12))::bigint AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, h // $HllRestSpace AS reg, h % $HllRestSpace AS rest FROM h),
+         |rk AS (
+         |  SELECT source, reg,
+         |    (CASE WHEN rest = 0 THEN 41 ELSE 41 - length(bin(rest)) END) AS rank
+         |  FROM r),
+         |s1s AS (SELECT source, reg, max(rank) AS m FROM rk GROUP BY 1, 2),
+         |s1 AS (
+         |  SELECT * FROM s1s
+         |  UNION ALL
+         |  SELECT '##all' AS source, reg, max(m) AS m FROM s1s GROUP BY 2),
+         |s2 AS (
+         |  SELECT source, count(*) AS n_regs,
+         |    sum(cast(1 as bigint) << (41 - m)) AS z_occ
+         |  FROM s1 GROUP BY 1)
+         |SELECT source, cast(n_regs as bigint) AS n_regs,
+         |  cast(((${m.toLong * m} * 2199023255552) //
+         |        (z_occ + ($m - n_regs) * 2199023255552)) * 71828 // 100000 as bigint) AS est_distinct
+         |FROM s2""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(distinctKmv, distinctHll, ngramCms, lengthHistogram, statsCube, annRecallEval)
 }

@@ -82,6 +82,31 @@ object StreamReplayQueries {
       )
     ),
     Q(
+      // HLL registers merged by elementwise MAX across two micro-batches
+      // == the one-shot register table (same monotone-state law as KMV).
+      "stream_hll_replay",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val b1 = docs.filter(col("doc_id") % 2 === 0).select("source", "text")
+        val b2 = docs.filter(col("doc_id") % 2 === 1).select("source", "text")
+        SketchQueries
+          .hllRegisters(b1)
+          .unionByName(SketchQueries.hllRegisters(b2))
+          .groupBy("source", "reg")
+          .agg(max(col("m")).as("m"))
+      },
+      Some(
+        s"""WITH h AS (
+           |  SELECT source,
+           |    ('0x' || substr(md5(coalesce(text, '')), 1, 12))::bigint AS h
+           |  FROM documents),
+           |r AS (SELECT source, h // 1099511627776 AS reg, h % 1099511627776 AS rest FROM h)
+           |SELECT source, reg,
+           |  max(CASE WHEN rest = 0 THEN 41 ELSE 41 - length(bin(rest)) END) AS m
+           |FROM r GROUP BY 1, 2""".stripMargin
+      )
+    ),
+    Q(
       // The DedupStream foreachBatch contract: per-micro-batch
       // incremental assignment against a STATIC prebuilt corpus index,
       // results unioned across batches == the one-shot batch assignment

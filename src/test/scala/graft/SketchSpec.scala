@@ -35,6 +35,32 @@ class SketchSpec extends SparkSuite {
     assert(est > 0 && est <= all.getLong(1))
   }
 
+  test("HLL ##all estimate lands within the sketch's error regime of the exact count") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = run("corpus_distinct_hll").collect()
+    val all = rows.find(_.getString(0) == "##all").get
+    val exact = Tables
+      .documents(spark, sf)
+      .select("text")
+      .distinct()
+      .count()
+    val est = all.getLong(2)
+    // Standard error for m=256 is 1.04/sqrt(256) ~ 6.5%; allow 3 sigma.
+    // (The raw estimator without the small-range branch biases high at
+    // n ~ m, but the test corpus has n >> m where raw HLL is the
+    // operative form.)
+    assert(est > 0)
+    assert(math.abs(est - exact).toDouble / exact < 0.20, s"est=$est exact=$exact")
+    // Mergeability: per-source registers max-merge into the ##all row,
+    // so each per-source estimate can never exceed ##all's register
+    // content... assert the weaker directional fact that holds exactly:
+    // every per-source occupied-register count <= the merged row's.
+    val allRegs = all.getLong(1)
+    rows.filter(_.getString(0) != "##all").foreach { r =>
+      assert(r.getLong(1) <= allRegs)
+    }
+  }
+
   test("histogram quantile edges are monotone per language") {
     run("docs_length_histogram").collect().foreach { r =>
       val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
