@@ -490,6 +490,21 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = operators.LlmQueries7.canonicalOf(big).filter(col("canonical")).count()
         println(f"SCALE mode=canonskew mult=$mult docs=$total canonical=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "retrieval" =>
+        // BM25 search over replicas with SHARED vocabulary (disjoint
+        // doc_ids, same text): the query terms' posting lists grow
+        // linearly with the corpus — the exact stress for the round-8
+        // bounded top-k cut that replaced the per-query rank window.
+        // Time must track the corpus; the top-k itself ranks only the
+        // (≤10-row) kept cells plus one boundary tie cell per query.
+        val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val big = (0 until mult)
+          .map(i => base.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text")))
+          .reduce(_ union _)
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val n = operators.Retrieval.bm25Of(big).count()
+        println(f"SCALE mode=retrieval mult=$mult docs=$total hits=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "topkskew" =>
         // Dominant-group probe for the histogram-cut top-k: 90% of
         // documents in ONE language. The naive per-group rank window

@@ -117,11 +117,20 @@ object Retrieval {
     */
   private val bm25 = Q(
     "docs_bm25_search",
-    (s, d) => {
+    (s, d) => bm25Of(docs(s, d)),
+    bm25Oracle
+  )
+
+  /** The BM25 pipeline over any (doc_id, text) frame — exposed for the
+    * `retrieval` scale probe.
+    */
+  def bm25Of(documents: DataFrame): DataFrame = {
+    {
+      val s = documents.sparkSession
       import s.implicits._
       val queryTerms = SearchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
       val allTerms = queryTerms.map(_._2).distinct
-      val base = docs(s, d).select(col("doc_id"), tokens.as("ws"))
+      val base = documents.select(col("doc_id"), tokens.as("ws"))
       val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
       // dl rides through the posting aggregation (it's functionally
@@ -171,14 +180,24 @@ object Retrieval {
           col("doc_id"),
           round(col("idf_mu") * ((col("tf") * lit(2.2)) / den)).cast("long").as("t_mu")
         )
-      val w = Window.partitionBy("query_id").orderBy(col("score_mu").desc, col("doc_id").asc)
-      termScore
+      // Top-10 per query via the bounded histogram cut (TopK), not a
+      // per-query rank window: the scored candidate set is every
+      // document containing a query term, which for a common term is
+      // corpus-scale — a `PARTITION BY query_id` window would sort that
+      // whole posting list on one task at 100 TB (round 8; the ANN
+      // queries' per-query windows rank bucket-bounded candidate sets
+      // and keep the window form).
+      val scored = termScore
         .groupBy("query_id", "doc_id")
         .agg(sum("t_mu").as("score_mu"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
-    },
-    Some {
+      TopK
+        .topkPerGroup(scored, "query_id", "score_mu", "doc_id", 10)
+        .withColumn("rank", col("rk").cast("long"))
+        .drop("rk")
+    }
+  }
+
+  private lazy val bm25Oracle: Option[String] = Some {
       val values = SearchQueries
         .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
         .mkString(", ")
@@ -211,8 +230,7 @@ object Retrieval {
          |SELECT cast(query_id AS int) AS query_id, doc_id,
          |  cast(score_mu AS bigint) AS score_mu, cast(rank AS bigint) AS rank
          |FROM ranked WHERE rank <= 10""".stripMargin
-    }
-  )
+  }
 
   /** md5-derived token bucket 0..63 — the same hex-digit position-lookup
     * construction as docs_sample_stratified, so both engines agree

@@ -137,7 +137,8 @@ class PlanSpec extends SparkSuite {
         "embed_sample_balanced",
         "docs_pack_sequences",
         "docs_canonical",
-        "docs_topk_quality"
+        "docs_topk_quality",
+        "docs_bm25_search"
       )
     guarded.foreach { name =>
       val plan = innerPlanOf(name)
