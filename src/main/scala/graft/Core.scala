@@ -15,6 +15,33 @@ final case class Q(
     bench: Boolean = false
 )
 
+/** Lineage-truncation helper shared by the iterative operators
+  * (Bpe.train, Dedup.assignClusters, ConnectedComponents): a
+  * `localCheckpoint` plans as `LogicalRDD`, and holding that RDD handle
+  * is the only way to release the checkpoint blocks once the NEXT round
+  * has materialized past them (`Dataset.unpersist` only clears
+  * CacheManager entries, not RDD-level checkpoint storage).
+  *
+  * CAVEAT (real cluster): truncating lineage means lost executor blocks
+  * cannot be recomputed; deployments with a configured checkpoint dir
+  * should use reliable `checkpoint()` for the same discipline.
+  */
+object Lineage {
+  def checkpointRdd(df: DataFrame, who: String): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case other =>
+        // A localCheckpoint always plans as LogicalRDD today; if a Spark
+        // upgrade changes that shape, say so instead of silently leaking
+        // every checkpoint's blocks for the rest of the session.
+        System.err.println(
+          s"[graft.$who] localCheckpoint planned as ${other.getClass.getSimpleName}, " +
+            "not LogicalRDD — checkpoint blocks will not be released eagerly"
+        )
+        None
+    }
+}
+
 /** Testdata star-schema loaders. All operators read these tables; at
   * production scale the same code runs over partitioned cloud storage —
   * `spark.read.parquet` keeps partition pruning + column pruning intact.

@@ -80,7 +80,8 @@ object SparkEntry {
       operators.PivotQueries.all ++
       operators.DimAblation.all ++
       operators.StreamReplayQueries.all ++
-      operators.TopK.all
+      operators.TopK.all ++
+      operators.ConnectedComponents.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -118,19 +118,7 @@ object Bpe {
           // fault-tolerant variant of this same discipline.
           val ck = v.localCheckpoint(true)
           ckptRdd.foreach(_.unpersist(blocking = false))
-          ckptRdd = ck.queryExecution.logical match {
-            case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-            case other =>
-              // A localCheckpoint always plans as LogicalRDD today; if a
-              // Spark upgrade changes that shape, say so instead of
-              // silently leaking every checkpoint's blocks for the rest
-              // of the session (ADVICE r7).
-              System.err.println(
-                s"[graft.Bpe] localCheckpoint planned as ${other.getClass.getSimpleName}, " +
-                  "not LogicalRDD — checkpoint blocks will not be released eagerly"
-              )
-              None
-          }
+          ckptRdd = graft.Lineage.checkpointRdd(ck, "Bpe")
           v = ck
         }
       }

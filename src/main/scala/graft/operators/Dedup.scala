@@ -347,11 +347,18 @@ object Dedup {
       .persist()
     // The decrease flag rides along INSIDE the propagation projection, so
     // ONE action per round both materializes the new labels and decides
-    // convergence — no separate checksum scan. (The flag column stays on
-    // the persisted frame so unpersist() hits the cached plan; it is
-    // dropped only on return.) Labels only ever decrease, so a round in
-    // which no label decreased is a fixpoint; most dedup corpora are
-    // pair/star-heavy and stop after a single round.
+    // convergence — no separate checksum scan. Labels only ever decrease,
+    // so a round in which no label decreased is a fixpoint; most dedup
+    // corpora are pair/star-heavy and stop after a single round.
+    //
+    // Each round references the previous labels frame TWICE (peer join +
+    // id join), so a persist-only loop doubles the LOGICAL plan per round
+    // — fine at dedup's diameter ≤ 2-3, but a diameter-d graph grows a
+    // 2^d-node plan whose SQL-event description alone OOMs the driver.
+    // Lazy `localCheckpoint` truncates the plan to a LogicalRDD per round
+    // while the convergence count stays the single materializing action
+    // (the Bpe.train / ConnectedComponents discipline, incl. the
+    // executor-loss caveat documented on graft.Lineage).
     var labels = sym
       .groupBy("id")
       .agg(min(col("peer")).as("min_peer"))
@@ -360,7 +367,8 @@ object Dedup {
         least(col("min_peer"), col("id")).as("dedup_id"),
         lit(true).as("__decreased")
       )
-      .persist()
+      .localCheckpoint(false)
+    var labelsRdd = graft.Lineage.checkpointRdd(labels, "Dedup.assignClusters")
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val next = sym
@@ -377,12 +385,17 @@ object Dedup {
           least(col("peer_min"), col("dedup_id")).as("dedup_id"),
           (col("peer_min") < col("dedup_id")).as("__decreased")
         )
-        .persist()
+        .localCheckpoint(false)
+      val nextRdd = graft.Lineage.checkpointRdd(next, "Dedup.assignClusters")
       val nDecreased = next.filter(col("__decreased")).count()
-      labels.unpersist()
+      labelsRdd.foreach(_.unpersist(blocking = false))
       labels = next
+      labelsRdd = nextRdd
       converged = nDecreased == 0
     }
+    // The returned frame is checkpoint-backed (LogicalRDD), so the edge
+    // persist can be released here instead of leaking until clearCache.
+    sym.unpersist(blocking = false)
     labels.drop("__decreased")
   }
 
