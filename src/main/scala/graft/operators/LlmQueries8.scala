@@ -145,7 +145,13 @@ object LlmQueries8 {
     * pairwise queries cannot express; the oracle expresses the
     * propagation as a recursive CTE.
     */
-  def neardupClusters(
+  /** LSH-candidate near-dup edges, Jaccard-verified at `minJaccard`:
+    * the shared edge derivation under both clustering kernels. Light
+    * band buckets generate all within-bucket pairs; heavy buckets
+    * contribute star edges to the bucket min (see [[neardupClusters]]
+    * scaladoc for the full scale argument).
+    */
+  def verifiedNeardupEdges(
       docs: DataFrame,
       minJaccard: Double,
       maxBucketSize: Int = LlmQueries.MaxBucketSize
@@ -175,7 +181,7 @@ object LlmQueries8 {
         Seq("band_id", "band_hash"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val verified = lightPairs
+    lightPairs
       .union(starEdges)
       .distinct()
       .join(wordSets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
@@ -184,16 +190,59 @@ object LlmQueries8 {
         size(array_intersect(col("wa"), col("wb"))).cast("double") /
           size(array_distinct(concat(col("wa"), col("wb")))) >= minJaccard
       )
-    val edges = verified.select(col("doc_a").as("id_1"), col("doc_b").as("id_2"))
-    val clusters = Dedup.assignClusters(edges)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Every-document labeling from a (id, component_id) assignment over
+    * the matched subset: singletons become their own cluster. */
+  private def labelAllDocs(docs: DataFrame, labels: DataFrame): DataFrame =
     docs
       .select(col("doc_id"))
-      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        coalesce(col("dedup_id"), col("doc_id")).as("cluster_id"),
-        (coalesce(col("dedup_id"), col("doc_id")) === col("doc_id")).as("is_canonical")
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("is_canonical")
       )
+
+  def neardupClusters(
+      docs: DataFrame,
+      minJaccard: Double,
+      maxBucketSize: Int = LlmQueries.MaxBucketSize
+  ): DataFrame = {
+    val edges = verifiedNeardupEdges(docs, minJaccard, maxBucketSize)
+      .select(col("doc_a").as("id_1"), col("doc_b").as("id_2"))
+    val clusters = Dedup.assignClusters(edges)
+    labelAllDocs(
+      docs,
+      clusters.select(col("id").as("doc_id"), col("dedup_id").as("cluster_id"))
+    )
+  }
+
+  /** Near-dup clustering through the star-contraction kernel
+    * ([[ConnectedComponents]]) instead of min-label propagation: the
+    * variant to pick when the duplicate graph has LONG CHAINS — a
+    * template page evolving revision by revision links A≈B≈C≈…≈Z where
+    * only adjacent revisions clear the Jaccard bar, and propagation
+    * then costs one shuffle round per hop while star contraction stays
+    * logarithmic. Run at a lower threshold than [[neardupClusters]]'s
+    * bench setting precisely because lower thresholds are what create
+    * those chains. Identical output contract (and, on any given edge
+    * set, identical components — Llm8Spec asserts the two kernels agree
+    * on the corpus).
+    */
+  def neardupComponents(
+      docs: DataFrame,
+      minJaccard: Double,
+      maxBucketSize: Int = LlmQueries.MaxBucketSize
+  ): DataFrame = {
+    val edges = verifiedNeardupEdges(docs, minJaccard, maxBucketSize)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = ConnectedComponents.connectedComponents(edges)
+    labelAllDocs(
+      docs,
+      comps.select(col("id").as("doc_id"), col("component_id").as("cluster_id"))
+    )
   }
 
   /** Incremental near-dup assignment — the daily-delta shape for the
@@ -381,6 +430,34 @@ object LlmQueries8 {
        |FROM batch b LEFT JOIN m ON m.doc_id = b.doc_id""".stripMargin
   }
 
+  /** Transitive closure + component-min as a recursive CTE, shared by
+    * both near-dup clustering kernels (threshold is the only knob). */
+  private def neardupClusterOracle(thr: String): String = {
+    val jac =
+      """cast(len(list_intersect(a.wset, b.wset)) as double) /
+        |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
+    s"""WITH RECURSIVE ${LlmQueries.CorpusSql}, ${LlmQueries.SigSql},
+       |wsets AS (SELECT doc_id, list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS wset FROM corpus),
+       |vpairs AS (
+       |  SELECT p.doc_a, p.doc_b FROM pairs p
+       |  JOIN wsets a ON p.doc_a = a.doc_id
+       |  JOIN wsets b ON p.doc_b = b.doc_id
+       |  WHERE $jac >= $thr
+       |),
+       |sym AS (SELECT doc_a AS id, doc_b AS peer FROM vpairs
+       |        UNION ALL SELECT doc_b, doc_a FROM vpairs),
+       |reach AS (
+       |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM sym)
+       |  UNION
+       |  SELECT reach.id, sym.peer FROM reach JOIN sym ON sym.id = reach.r
+       |),
+       |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT c.doc_id,
+       |  coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+       |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS is_canonical
+       |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     packSequencesQ("docs_pack_sequences", 4, isBench = true),
     // The same packing at a NON-DEFAULT writer-bucket count, certified
@@ -445,31 +522,16 @@ object LlmQueries8 {
       // the test corpus (cap 1000), so the oracle mirrors the light-pair
       // path only; multi-hop chain semantics are additionally asserted by
       // Llm8Spec.
-      Some {
-        val jac =
-          """cast(len(list_intersect(a.wset, b.wset)) as double) /
-            |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
-        s"""WITH RECURSIVE ${LlmQueries.CorpusSql}, ${LlmQueries.SigSql},
-           |wsets AS (SELECT doc_id, list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS wset FROM corpus),
-           |vpairs AS (
-           |  SELECT p.doc_a, p.doc_b FROM pairs p
-           |  JOIN wsets a ON p.doc_a = a.doc_id
-           |  JOIN wsets b ON p.doc_b = b.doc_id
-           |  WHERE $jac >= 0.8
-           |),
-           |sym AS (SELECT doc_a AS id, doc_b AS peer FROM vpairs
-           |        UNION ALL SELECT doc_b, doc_a FROM vpairs),
-           |reach AS (
-           |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM sym)
-           |  UNION
-           |  SELECT reach.id, sym.peer FROM reach JOIN sym ON sym.id = reach.r
-           |),
-           |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-           |SELECT c.doc_id,
-           |  coalesce(l.cluster_id, c.doc_id) AS cluster_id,
-           |  coalesce(l.cluster_id, c.doc_id) = c.doc_id AS is_canonical
-           |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id""".stripMargin
-      }
+      Some(neardupClusterOracle("0.8"))
+    ),
+    Q(
+      // The SAME transitive-closure oracle certifies the star-contraction
+      // kernel: component semantics are kernel-independent, so one CTE
+      // oracles both; the threshold (0.5) is the chain-forming regime
+      // that motivates the logarithmic-round kernel.
+      "docs_neardup_components",
+      (s, d) => neardupComponents(LlmQueries.corpus(s, d), 0.5),
+      Some(neardupClusterOracle("0.5"))
     ),
     Q(
       // Snapshot diff — the incremental-ingest audit: classify every
