@@ -81,7 +81,8 @@ object SparkEntry {
       operators.DimAblation.all ++
       operators.StreamReplayQueries.all ++
       operators.TopK.all ++
-      operators.ConnectedComponents.all
+      operators.ConnectedComponents.all ++
+      operators.DoReMi.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
