@@ -117,6 +117,34 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = LlmQueries6.segmentStatsOf(big).filter(col("n_common") > 0).count()
         println(f"SCALE mode=segdedup mult=$mult docs=$total common_docs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "cc" =>
+        // Star-contraction connected components over a synthesized
+        // permuted-chain graph of mult×100k nodes in 64-node chains
+        // (diameter 63 — the regime min-label propagation cannot touch).
+        // Round count is log-bounded and INDEPENDENT of n, per-round
+        // work is one min-aggregate + one equi-join over the edge set,
+        // so time must track n·rounds ≈ linearly; memory is the
+        // per-round checkpointed edge set only.
+        val n = mult * 100000L
+        val nodes = spark
+          .range(n)
+          .select(col("id").as("k"), ((col("id") * 48271L) % 2147483647L).as("node"))
+        val edges = nodes
+          .filter(col("k") % 64 =!= 63)
+          .join(
+            nodes.select((col("k") - 1).as("k"), col("node").as("next_node")),
+            Seq("k")
+          )
+          .select(col("node").as("a"), col("next_node").as("b"))
+        val t0 = System.nanoTime()
+        val labeled = operators.ConnectedComponents.connectedComponents(edges)
+        val comps = labeled.select("component_id").distinct().count()
+        val total = labeled.count()
+        // 64-node chains over n nodes → ceil(n/64) components (the tail
+        // chain counts); a mismatch means contraction merged or split
+        // chains.
+        assert(comps == (n + 63) / 64, s"expected ${(n + 63) / 64} components, got $comps")
+        println(f"SCALE mode=cc mult=$mult nodes=$total components=$comps time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "cluster" =>
         val big = docsReplicated
         val total = big.count()
