@@ -36,7 +36,96 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries9 {
 
+  /** PMI collocation mining (Church & Hanks 1990): pointwise mutual
+    * information ln(P(w1,w2) / (P(w1)·P(w2))) over the corpus bigram
+    * table, thresholded on count (noise floor — PMI is notoriously
+    * unstable below ~5 observations) and on PMI itself, so the output
+    * is the collocation lexicon, not the bigram table. Scale shape:
+    * the same two map-side-combined count aggregations as the LM
+    * scorer, two word-keyed equi-joins (w1, w2) into the bigram facts,
+    * a broadcast 1-row totals join, then a MAP-ONLY formula + filter —
+    * no window, no corpus re-shuffle. The log argument is assembled in
+    * one fixed-order double expression so both engines evaluate
+    * bit-identically before the 4-dp round.
+    */
+  private val pmiQ = Q(
+    "docs_pmi_collocations",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      val uni = toks
+        .select(explode(col("ws")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cu"))
+      val totals = uni.agg(sum(col("cu")).as("t"))
+      val bg = toks
+        .filter(size(col("ws")) >= 2)
+        .select(
+          explode(
+            zip_with(
+              slice(col("ws"), lit(1), size(col("ws")) - 1),
+              slice(col("ws"), lit(2), size(col("ws")) - 1),
+              (a, b) => concat(a, lit(" "), b)
+            )
+          ).as("bg")
+        )
+      val bgCounts = bg
+        .groupBy("bg")
+        .agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      val btot = bg.agg(count(lit(1)).as("b"))
+      bgCounts
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .withColumn("w2", element_at(split(col("bg"), " "), 2))
+        .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+        .withColumn("j", (col("cb") - col("cb") + 1).cast("int"))
+        .join(
+          broadcast(
+            totals
+              .crossJoin(btot)
+              .select((col("t") - col("t") + 1).cast("int").as("j"), col("t"), col("b"))
+          ),
+          Seq("j")
+        )
+        .select(
+          col("w1"),
+          col("w2"),
+          col("cb").as("n"),
+          round(
+            log(
+              col("cb").cast("double") * col("t") * col("t") /
+                (col("b").cast("double") * col("cu1") * col("cu2"))
+            ),
+            4
+          ).as("pmi")
+        )
+        .filter(col("pmi") >= 0.1)
+    },
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+         |u AS (SELECT w, count(*) AS cu FROM (SELECT unnest(ws) AS w FROM toks) _t GROUP BY w),
+         |t AS (SELECT sum(cu) AS t FROM u),
+         |bgl AS (
+         |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+         |  FROM toks WHERE len(ws) >= 2),
+         |btot AS (SELECT count(*) AS b FROM bgl),
+         |bc AS (SELECT bg, count(*) AS cb FROM bgl GROUP BY bg HAVING count(*) >= 5),
+         |p AS (
+         |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, cb,
+         |    round(ln(cast(cb AS double) * t.t * t.t /
+         |      (cast(btot.b AS double) * u1.cu * u2.cu)), 4) AS pmi
+         |  FROM bc
+         |  JOIN u u1 ON string_split(bc.bg, ' ')[1] = u1.w
+         |  JOIN u u2 ON string_split(bc.bg, ' ')[2] = u2.w
+         |  CROSS JOIN t CROSS JOIN btot)
+         |SELECT w1, w2, cb AS n, pmi FROM p WHERE pmi >= 0.1""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(
+    pmiQ,
     Q(
       "docs_lm_score",
       (s, d) => {
