@@ -126,16 +126,10 @@ object ScaleProbe {
         // so time must track n·rounds ≈ linearly; memory is the
         // per-round checkpointed edge set only.
         val n = mult * 100000L
-        val nodes = spark
-          .range(n)
-          .select(col("id").as("k"), ((col("id") * 48271L) % 2147483647L).as("node"))
-        val edges = nodes
-          .filter(col("k") % 64 =!= 63)
-          .join(
-            nodes.select((col("k") - 1).as("k"), col("node").as("next_node")),
-            Seq("k")
-          )
-          .select(col("node").as("a"), col("next_node").as("b"))
+        val edges = operators.ConnectedComponents.chainEdges(
+          spark.range(n).select(col("id").as("p_partkey")),
+          chainLen = 64
+        )
         val t0 = System.nanoTime()
         val labeled = operators.ConnectedComponents.connectedComponents(edges)
         val comps = labeled.select("component_id").distinct().count()

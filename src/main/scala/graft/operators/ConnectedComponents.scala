@@ -99,11 +99,15 @@ object ConnectedComponents {
     // should swap in reliable checkpoint()).
     def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       graft.Lineage.checkpointRdd(df, "ConnectedComponents")
+    // Seed orientation (greatest, least) matches smallStar's output form
+    // (every emitted edge has a > b), so an already-contracted input's
+    // round-1 checksum can equal the seed checksum and converge in ONE
+    // round — the common star/pair shape neardupComponents feeds in.
     var cur = edges
       .filter(col("a") =!= col("b"))
       .select(
-        least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")
+        greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")
       )
       .distinct()
       .localCheckpoint(true)
@@ -139,12 +143,18 @@ object ConnectedComponents {
         s"[graft] connectedComponents: checksum still moving after $maxRounds rounds; " +
           "labels below may be partially contracted"
       )
-    // After convergence every edge is (node, component-min); centers map
-    // to themselves.
-    val children = cur.select(col("a").as("id"), col("b").as("component_id"))
-    val centers = cur.select(col("b").as("id"), col("b").as("component_id")).distinct()
-    val out = children.union(centers).distinct()
-    out
+    // After convergence every edge is (node, component-min) and centers
+    // map to themselves; the min-aggregate is then a no-op. On a
+    // NON-converged exit it is load-bearing: a partially contracted set
+    // can hold edges from one node to two candidate minima, and without
+    // the aggregate the output would break the one-row-per-id contract
+    // downstream left joins rely on (labels would fan out instead of
+    // merely being non-minimal, which is how assignClusters degrades).
+    cur
+      .select(col("a").as("id"), col("b").as("component_id"))
+      .union(cur.select(col("b").as("id"), col("b").as("component_id")))
+      .groupBy("id")
+      .agg(min(col("component_id")).as("component_id"))
   }
 
   /** Permuted-chain graph over `part`: node ids are `perm(k) = k·48271
@@ -160,12 +170,12 @@ object ConnectedComponents {
     * minima are not positional. The oracle derives components from the
     * chain CONSTRUCTION; the Spark side sees only the edge list.
     */
-  def chainEdges(parts: DataFrame): DataFrame = {
+  def chainEdges(parts: DataFrame, chainLen: Int = 16): DataFrame = {
     val k = col("p_partkey")
     val perm = (k * 48271L) % 2147483647L
     val nodes = parts.select(k.as("k"), perm.as("node"))
     nodes
-      .filter(col("k") % 16 =!= 15)
+      .filter(col("k") % chainLen =!= (chainLen - 1))
       .join(
         nodes.select((col("k") - 1).as("k"), col("node").as("next_node")),
         Seq("k")

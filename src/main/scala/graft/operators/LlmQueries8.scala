@@ -123,13 +123,8 @@ object LlmQueries8 {
     bench = isBench
   )
 
-  /** Near-duplicate CLUSTERS: the composition the per-pair operators
-    * build toward — MinHash-LSH candidate pairs, Jaccard verification at
-    * `minJaccard`, then connected components via the same min-label
-    * propagation the record-dedup pipeline uses
-    * ([[Dedup.assignClusters]]). Returns (doc_id, cluster_id,
-    * is_canonical): every document appears, singletons are their own
-    * cluster, the representative is the min doc_id of the component.
+  /** LSH-candidate near-dup edges, Jaccard-verified at `minJaccard`:
+    * the shared edge derivation under both clustering kernels.
     *
     * Scale shape: light buckets (≤ `maxBucketSize` members) generate
     * all within-bucket pairs — the bounded band-bucket equi-join, never
@@ -139,17 +134,7 @@ object LlmQueries8 {
     * which yield the identical connected components at O(bucket) edges.
     * Star edges pass through the same Jaccard verification (the only
     * recall caveat: in a heavy bucket, connectivity is witnessed through
-    * the hub rather than every pair). Each propagation round is one
-    * aggregation shuffle over the (tiny) edge set — the same plan at 60k
-    * docs and at 100 TB. Components are multi-hop (A≈B≈C chains), which
-    * pairwise queries cannot express; the oracle expresses the
-    * propagation as a recursive CTE.
-    */
-  /** LSH-candidate near-dup edges, Jaccard-verified at `minJaccard`:
-    * the shared edge derivation under both clustering kernels. Light
-    * band buckets generate all within-bucket pairs; heavy buckets
-    * contribute star edges to the bucket min (see [[neardupClusters]]
-    * scaladoc for the full scale argument).
+    * the hub rather than every pair).
     */
   def verifiedNeardupEdges(
       docs: DataFrame,
@@ -205,6 +190,17 @@ object LlmQueries8 {
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("is_canonical")
       )
 
+  /** Near-duplicate CLUSTERS: the composition the per-pair operators
+    * build toward — [[verifiedNeardupEdges]], then connected components
+    * via the same min-label propagation the record-dedup pipeline uses
+    * ([[Dedup.assignClusters]]). Returns (doc_id, cluster_id,
+    * is_canonical): every document appears, singletons are their own
+    * cluster, the representative is the min doc_id of the component.
+    * Each propagation round is one aggregation shuffle over the (tiny)
+    * edge set — the same plan at 60k docs and at 100 TB. Components are
+    * multi-hop (A≈B≈C chains), which pairwise queries cannot express;
+    * the oracle expresses the propagation as a recursive CTE.
+    */
   def neardupClusters(
       docs: DataFrame,
       minJaccard: Double,

@@ -69,11 +69,11 @@ object LlmQueries9 {
             )
           ).as("bg")
         )
-      val bgCounts = bg
-        .groupBy("bg")
-        .agg(count(lit(1)).as("cb"))
-        .filter(col("cb") >= 5)
-      val btot = bg.agg(count(lit(1)).as("b"))
+      // One bigram aggregation serves both: the total comes from the
+      // count table (a second `bg.agg` would re-tokenize the corpus).
+      val bcAll = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val bgCounts = bcAll.filter(col("cb") >= 5)
+      val btot = bcAll.agg(sum(col("cb")).as("b"))
       bgCounts
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
         .withColumn("w2", element_at(split(col("bg"), " "), 2))

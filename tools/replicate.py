@@ -39,6 +39,10 @@ def main():
     base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    # The graph_components_star permutation is bijective only below its
+    # 2^31-1 modulus; shifted keys past it would silently collide.
+    assert mult * OFF + 10_000_000 < 2**31 - 1, "mult too large for the MINSTD modulus"
+
     con = duckdb.connect()
     con.execute(f"SET threads TO 16")
 
@@ -92,7 +96,9 @@ def main():
     repl("documents", lambda i: f"""
         SELECT doc_id + {i * OFF} AS doc_id,
                regexp_replace(text, '(\\S+)', '\\1zz{i}', 'g') AS text,
-               lang, source, n_chars FROM {src('documents')}""")
+               lang, source,
+               length(regexp_replace(text, '(\\S+)', '\\1zz{i}', 'g')) AS n_chars
+        FROM {src('documents')}""")
     repl("embeddings", lambda i: f"""
         SELECT vec_id + {i * OFF} AS vec_id, embedding, label
         FROM {src('embeddings')}""")
