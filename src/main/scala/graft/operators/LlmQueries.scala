@@ -3,7 +3,8 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators: deduplication (exact, MinHash-LSH,
@@ -52,6 +53,14 @@ object LlmQueries {
 
   private[operators] def normSql(x: String) =
     s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
+
+  /** The docs_quality composite score (length saturation × non-punct
+    * fraction) — shared by the per-document scorer and the cross-source
+    * quantile normalizer so the two cannot drift.
+    */
+  private def qualityExpr(t: Column): Column =
+    least(size(words(t)).cast("double") / 100, lit(1.0)) *
+      (lit(1.0) - length(regexp_replace(t, "[^\\p{P}]", "")).cast("double") / length(t))
 
   /** DuckDB mirror of `TextFunctions.languageId` — (max-hits expression,
     * CASE chain over an `mx` alias). ONE definition shared by the
@@ -433,11 +442,7 @@ object LlmQueries {
             round(punct.cast("double") / length(t), 4).as("punct_ratio"),
             round(digits.cast("double") / length(t), 4).as("digit_ratio"),
             round(stops.cast("double") / nWords, 4).as("stop_ratio"),
-            round(
-              least(nWords.cast("double") / 100, lit(1.0)) *
-                (lit(1.0) - punct.cast("double") / length(t)),
-              4
-            ).as("quality")
+            round(qualityExpr(t), 4).as("quality")
           )
       },
       Some {
@@ -450,6 +455,64 @@ object LlmQueries {
            |  round(least(cast(len($ws) as double) / 100, 1.0) *
            |        (1.0 - cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as double) / length(text)), 4) AS quality
            |FROM documents""".stripMargin
+      }
+    ),
+    Q(
+      // Cross-source quantile normalization of the quality score — the
+      // step that makes per-source thresholds comparable when sources
+      // were scored by heterogeneous signals (the FineWeb-style mix):
+      // each document gets its within-source percentile. The naive form
+      // is `percent_rank() OVER (PARTITION BY source)` — a per-source
+      // TOTAL order that sorts the dominant source on one task at
+      // 100 TB. Here the score is integerized (×10⁴, the docs_quality
+      // rounding), so percentiles come from a BOUNDED (source, cell)
+      // histogram: cumulative counts over ≤ sources×10⁴ rows, broadcast,
+      // then a map-only join. Permyriad = (below·10⁴) div n — pure
+      // integer arithmetic, no float rank to disagree across engines.
+      // The oracle keeps the naive window form (the TopK contrast).
+      "docs_quality_qnorm",
+      (s, d) => {
+        val base = Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            round(qualityExpr(col("text")) * 10000).cast("long").as("q4")
+          )
+        val hist = base.groupBy("source", "q4").agg(count(lit(1)).as("c"))
+        val bySrc = Window.partitionBy("source").orderBy(col("q4").asc)
+        val cells = hist
+          .withColumn(
+            "below",
+            coalesce(
+              sum(col("c")).over(bySrc.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+          .select("source", "q4", "below", "n")
+        base
+          .join(broadcast(cells), Seq("source", "q4"))
+          .select(
+            col("doc_id"),
+            col("source"),
+            col("q4"),
+            expr("(below * 10000) div n").as("pct_permyriad")
+          )
+      },
+      Some {
+        val q =
+          s"""round((least(cast(len(string_split(${normSql("text")}, ' ')) as double) / 100, 1.0) *
+             |    (1.0 - cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as double) / length(text))) * 10000)""".stripMargin
+        s"""WITH b AS (
+           |  SELECT doc_id, source, cast($q as bigint) AS q4 FROM documents),
+           |r AS (
+           |  SELECT doc_id, source, q4,
+           |    count(*) OVER (PARTITION BY source ORDER BY q4
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
+           |    count(*) OVER (PARTITION BY source) AS n
+           |  FROM b)
+           |SELECT doc_id, source, q4, (below * 10000) // n AS pct_permyriad FROM r""".stripMargin
       }
     ),
     Q(

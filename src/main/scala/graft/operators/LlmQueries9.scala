@@ -80,11 +80,17 @@ object LlmQueries9 {
         .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
         .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
         .withColumn("j", (col("cb") - col("cb") + 1).cast("int"))
+        // The two 1-row totals combine through the same non-foldable
+        // hash key (a bare crossJoin would plan the one
+        // BroadcastNestedLoopJoin the plan suite reserves for knn).
         .join(
           broadcast(
             totals
-              .crossJoin(btot)
-              .select((col("t") - col("t") + 1).cast("int").as("j"), col("t"), col("b"))
+              .select((col("t") - col("t") + 1).cast("int").as("j"), col("t"))
+              .join(
+                btot.select((col("b") - col("b") + 1).cast("int").as("j"), col("b")),
+                Seq("j")
+              )
           ),
           Seq("j")
         )
