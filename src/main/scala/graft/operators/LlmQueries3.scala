@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** SimHash near-dup pairing and best-record selection. */
@@ -26,14 +27,29 @@ object LlmQueries3 {
         val sh = LlmQueries
           .corpus(s, d)
           .select(col("doc_id"), simhash(col("text"), 64).as("bits"))
+        // Manku et al. 2007 (WWW, "Detecting Near-Duplicates for Web
+        // Crawling") block scheme, sized for hamming ≤ 6: nine blocks
+        // (one 8-bit + eight 7-bit), keys = every 3-block combination
+        // (C(9,3) = 84 tables, ~22-bit exact-match keys). Any pair
+        // within distance 6 dirties ≤ 6 blocks, leaving ≥ 3 clean, so
+        // some combo matches exactly — recall is GUARANTEED, identical
+        // to the previous 8-choose-2 scheme. The wider keys are the
+        // scale knob: the sf1 sweep caught the 16-bit keys generating
+        // birthday/correlation candidates quadratically (21 min at 50k
+        // docs); each extra exact-match block multiplies a
+        // below-threshold pair's collision odds by (1 − ham/64)^7.
+        val blockStart = (b: Int) => if (b == 0) 1 else 9 + (b - 1) * 7
+        val blockLen = (b: Int) => if (b == 0) 8 else 7
         val combos = for {
-          i <- 0 until 8
-          j <- i + 1 until 8
+          i <- 0 until 9
+          j <- i + 1 until 9
+          l <- j + 1 until 9
         } yield struct(
-          lit(i * 8 + j).as("combo"),
+          lit(i * 100 + j * 10 + l).as("combo"),
           concat(
-            substring(col("bits"), i * 8 + 1, 8),
-            substring(col("bits"), j * 8 + 1, 8)
+            substring(col("bits"), blockStart(i), blockLen(i)),
+            substring(col("bits"), blockStart(j), blockLen(j)),
+            substring(col("bits"), blockStart(l), blockLen(l))
           ).as("seg")
         )
         val segs = sh
@@ -53,12 +69,15 @@ object LlmQueries3 {
         val capped = segs.join(broadcast(heavy), Seq("combo", "seg"), "left_anti")
         val a = capped.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"), col("combo"), col("seg"))
         val b = capped.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"), col("combo"), col("seg"))
-        val hamming = size(
-          filter(
-            sequence(lit(1), lit(64)),
-            i => col("bits_a").substr(i, lit(1)) =!= col("bits_b").substr(i, lit(1))
-          )
-        )
+        // Hamming via integer XOR popcount over two 32-bit halves —
+        // the 64-substring-comparison form cost ~64 string ops per
+        // candidate, the dominant term of the sf1 outlier.
+        def half(c: Column, start: Int): Column =
+          conv(substring(c, start, 32), 2, 10).cast("long")
+        val hamming = (
+          bit_count(half(col("bits_a"), 1).bitwiseXOR(half(col("bits_b"), 1))) +
+            bit_count(half(col("bits_a"), 33).bitwiseXOR(half(col("bits_b"), 33)))
+        ).cast("int")
         a.join(b, Seq("combo", "seg"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
