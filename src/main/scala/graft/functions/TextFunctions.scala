@@ -171,21 +171,68 @@ object TextFunctions {
       lit(0)
     )
 
-  /** Winnowing-style document fingerprint: md5 over every `width`-char
+  /** Rabin-Karp powers for the fingerprint polynomial, base 131 with
+    * byte-bounded character codes: the max 8-term sum is
+    * 255·Σ131^j ≈ 1.7·10¹⁷, comfortably inside a signed 64-bit value in
+    * BOTH engines (DuckDB BIGINT overflow is a hard error, so headroom
+    * is a correctness requirement, not a nicety).
+    */
+  private[graft] val FpPows: Array[Long] = Array.iterate(1L, 8)(_ * 131L)
+
+  /** Winnowing-style document fingerprint: a Rabin-Karp polynomial hash
+    * (base 131 over codepoint-mod-256 values) of every `width`-char
     * window of the normalized text; exposes the global minimum and the
     * `k` smallest hashes (a k-min sketch) for cheap containment checks.
+    *
+    * The hash is 8 integer multiply-adds per window — the r8 sf1 sweep
+    * caught the previous md5-per-window form dominating every
+    * fingerprint consumer (docs_fingerprint 539 s, bloom decontaminate
+    * 275 s, contamination 249 s at 50k docs); identical windows map to
+    * identical longs, which is all the consumers (equi-joins, bloom
+    * membership, min-sketches) rely on. [[fingerprintHashesSql]] is the
+    * DuckDB mirror generated from the same power table.
     */
   def fingerprintHashes(c: Column, width: Int = 8): Column = {
+    require(width == 8, "fingerprint window is fixed at 8 (power table)")
     val norm = normalizeText(c)
+    def term(pos: Column, exp: Int): Column =
+      (ascii(norm.substr(pos, lit(1))) % 256).cast("long") * lit(FpPows(exp))
+    val windowHash = (i: Column) =>
+      (0 until width).map(j => term(i + lit(j), width - 1 - j)).reduce(_ + _)
     // Guard short texts: sequence(1, n) with n < 1 would produce a
-    // descending range and junk windows; hash the whole text instead.
+    // descending range and junk windows; hash the whole text as one
+    // shorter window instead (same polynomial, lower leading power).
+    val shortHash = aggregate(
+      sequence(lit(1), length(norm)),
+      lit(0L),
+      (acc, k) => acc + term(k, 0) * element_at(typedLit(FpPows.toSeq), (length(norm) - k + 1).cast("int"))
+    )
     when(
       length(norm) >= width,
-      transform(
-        sequence(lit(1), length(norm) - (width - 1)),
-        i => md5(norm.substr(i, lit(width)))
-      )
-    ).otherwise(array(md5(norm)))
+      transform(sequence(lit(1), length(norm) - (width - 1)), windowHash)
+    )
+      // Empty text would make the short-window sequence descend; pin it.
+      .when(length(norm) === 0, array(lit(0L)))
+      .otherwise(array(shortHash))
+  }
+
+  /** DuckDB mirror of [[fingerprintHashes]], generated from the same
+    * power table so the two engines cannot drift. `norm` is the SQL
+    * expression for the normalized text.
+    */
+  def fingerprintHashesSql(norm: String): String = {
+    def term(posExpr: String, exp: Int): String =
+      s"cast(ord(substr($norm, $posExpr, 1)) % 256 as bigint) * ${FpPows(exp)}"
+    val windowSum = (0 until 8).map(j => term(if (j == 0) "i" else s"i + $j", 7 - j)).mkString(" + ")
+    val pows = FpPows.mkString("[", ", ", "]")
+    // list_sum widens to HUGEINT, which would infect the CASE-unified
+    // list type (and fp_min's) — pin it back to BIGINT.
+    val shortSum =
+      s"cast(list_sum(list_transform(range(1, length($norm) + 1), k -> cast(ord(substr($norm, k, 1)) % 256 as bigint) * ($pows)[length($norm) - k + 1])) as bigint)"
+    s"(CASE WHEN length($norm) >= 8 " +
+      s"THEN list_transform(range(1, length($norm) - 6), i -> $windowSum) " +
+      s"WHEN length($norm) = 0 THEN [cast(0 as bigint)] " +
+      s"ELSE [$shortSum] END)"
   }
 
   /** Approximate BPE-ish token count: word chars runs + single

@@ -545,14 +545,14 @@ object LlmQueries {
           .select(
             col("doc_id"),
             array_min(fp).as("fp_min"),
-            array_join(slice(array_sort(fp), 1, 3), ",").as("fp_sketch")
+            array_join(
+              transform(slice(array_sort(fp), 1, 3), _.cast("string")),
+              ","
+            ).as("fp_sketch")
           )
       },
       Some {
-        val fp =
-          s"(CASE WHEN length(${normSql("text")}) >= 8 " +
-            s"THEN list_transform(range(1, length(${normSql("text")}) - 6), i -> md5(substr(${normSql("text")}, i, 8))) " +
-            s"ELSE [md5(${normSql("text")})] END)"
+        val fp = fingerprintHashesSql(normSql("text"))
         s"""SELECT doc_id,
            |  list_aggregate($fp, 'min') AS fp_min,
            |  array_to_string(list_sort($fp)[1:3], ',') AS fp_sketch

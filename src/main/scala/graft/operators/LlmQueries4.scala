@@ -16,10 +16,7 @@ object LlmQueries4 {
     */
   private[operators] val ContaminationOracleSql: String = {
     val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-    val fp =
-      s"(CASE WHEN length($norm) >= 8 " +
-        s"THEN list_transform(range(1, length($norm) - 6), i -> md5(substr($norm, i, 8))) " +
-        s"ELSE [md5($norm)] END)"
+    val fp = graft.functions.TextFunctions.fingerprintHashesSql(norm)
     s"""WITH h AS (SELECT doc_id, unnest(list_distinct($fp)) AS h FROM documents),
        |bench AS (SELECT DISTINCT h FROM h WHERE doc_id < 10),
        |hits AS (
