@@ -40,9 +40,10 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = Path(sf_dir, f"{t}.parquet")
+        # replicate.py writes multi-file table DIRECTORIES; glob them.
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = 0

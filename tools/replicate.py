@@ -49,18 +49,28 @@ def main():
     def src(t):
         return f"read_parquet('{base}/{t}.parquet')"
 
-    def write(t, union_sql):
-        con.execute(
-            f"COPY ({union_sql}) TO '{out_dir}/{t}.parquet' (FORMAT parquet)"
-        )
-        n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
-        ).fetchone()[0]
+    def write(t, union_sql, split=True):
+        # A single-file single-row-group parquet caps every Spark scan at
+        # ONE task (a <128 MB file is one split); write a DIRECTORY of
+        # per-thread files instead — spark.read.parquet reads it as-is,
+        # and tools/check.py globs it.
+        if split:
+            con.execute(
+                f"COPY ({union_sql}) TO '{out_dir}/{t}.parquet' "
+                f"(FORMAT parquet, PER_THREAD_OUTPUT true, ROW_GROUP_SIZE 30000)"
+            )
+            path = f"{out_dir}/{t}.parquet/*.parquet"
+        else:
+            con.execute(
+                f"COPY ({union_sql}) TO '{out_dir}/{t}.parquet' (FORMAT parquet)"
+            )
+            path = f"{out_dir}/{t}.parquet"
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
         print(f"{t}: {n} rows")
 
-    # Dimensions: single copy.
+    # Dimensions: single copy, single file.
     for t in ("region", "nation"):
-        write(t, f"SELECT * FROM {src(t)}")
+        write(t, f"SELECT * FROM {src(t)}", split=False)
 
     def repl(t, select_for):
         write(t, " UNION ALL ".join(select_for(i) for i in range(mult)))
