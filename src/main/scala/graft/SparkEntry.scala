@@ -82,7 +82,12 @@ object SparkEntry {
       operators.StreamReplayQueries.all ++
       operators.TopK.all ++
       operators.ConnectedComponents.all ++
-      operators.DoReMi.all
+      operators.DoReMi.all ++
+      operators.SmoothedLm.all ++
+      operators.WinnowingQueries.all ++
+      operators.SketchOverlap.all ++
+      operators.LineDedup.all ++
+      operators.RandomProjection.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{LineDedup, RandomProjection, SketchOverlap, SmoothedLm, WinnowingQueries}
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-8 additions the oracle certifies only as
+  * end-to-end hashes: the winnowing guarantee and tie-break, the KN
+  * probability against a hand-computed model, KMV union mergeability on
+  * a subset (exact, collision-independent), segment-strip
+  * reconstruction bytes, and the JL sign-matrix contract.
+  */
+class RoundEightOpsSpec extends SparkSuite {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  test("winnowing guarantee: an 11+ char shared substring yields a shared fingerprint") {
+    import spark.implicits._
+    // Shared run "qqqqqqqqqqqqqqq" (15 chars ≥ w+W−1 = 11) embedded in
+    // otherwise-disjoint texts must contribute ≥1 common fingerprint.
+    val docs = Seq(
+      (1L, "abcdefgh qqqqqqqqqqqqqqq stuvwxyz"),
+      (2L, "zyxmnopr qqqqqqqqqqqqqqq 12345678")
+    ).toDF("doc_id", "text")
+    val sets = WinnowingQueries
+      .fingerprintSets(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    assert(sets(1L).intersect(sets(2L)).nonEmpty)
+  }
+
+  test("winnowing rightmost tie-break: constant text selects one position per window") {
+    import spark.implicits._
+    // 15 identical chars → 8 constant window hashes; every winnowing
+    // window's min ties across all 4 slots, the RIGHTMOST wins, so the
+    // selected positions are exactly {4,5,6,7,8} → n_fp = m − W + 1.
+    val docs = Seq((1L, "qqqqqqqqqqqqqqq")).toDF("doc_id", "text")
+    val r = WinnowingQueries.winnowOf(docs).collect().head
+    assert(r.getAs[Long]("n_windows") == 8L)
+    assert(r.getAs[Long]("n_fp") == 5L)
+  }
+
+  test("winnowing: short text falls back to one whole-sequence fingerprint") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 chars → 3 windows < W
+    val r = WinnowingQueries.winnowOf(docs).collect().head
+    assert(r.getAs[Long]("n_windows") == 3L)
+    assert(r.getAs[Long]("n_fp") == 1L)
+  }
+
+  test("KN score matches the hand-computed interpolated model") {
+    import spark.implicits._
+    // Corpus: doc1 = "a b a b", doc2 = "a b c".
+    // Bigrams: doc1 → (a b),(b a),(a b); doc2 → (a b),(b c).
+    // bc: (a b)=3, (b a)=1, (b c)=1; B = 3 distinct.
+    // w1=a: ctx=3, n1f=1 · w1=b: ctx=2, n1f=2.
+    // n1b: b←1 context {a}; a←1 {b}; c←1 {b}.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    def pkn(cb: Double, ctx: Double, n1f: Double, n1b: Double, b: Double): Double =
+      (cb - 0.75) / ctx + ((0.75 * n1f) / ctx) * (n1b / b)
+    val pAB = pkn(3, 3, 1, 1, 3) // P(b|a)
+    val pBA = pkn(1, 2, 2, 1, 3) // P(a|b)
+    val pBC = pkn(1, 2, 2, 1, 3) // P(c|b)
+    val exp1 = BigDecimal((math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val exp2 = BigDecimal((math.log(pAB) + math.log(pBC)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val out = SmoothedLm
+      .knScoreOf(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("kn_score"))))
+      .toMap
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - exp1.toDouble) < 1e-9)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - exp2.toDouble) < 1e-9)
+  }
+
+  test("KMV overlap: a subset source's union registers equal the superset's") {
+    import spark.implicits._
+    // B ⊂ A ⇒ the union's distinct set IS A's, so est_union == est_a and
+    // est_intersect == est_b EXACTLY — independent of shard collisions.
+    val a = (1 to 120).map(i => ("A", s"text number $i"))
+    val b = (1 to 40).map(i => ("B", s"text number $i"))
+    val out = SketchOverlap
+      .overlapOf((a ++ b).toDF("source", "text"))
+      .collect()
+      .head
+    assert(out.getAs[String]("src_a") == "A" && out.getAs[String]("src_b") == "B")
+    assert(out.getAs[Long]("est_union") == out.getAs[Long]("est_a"))
+    assert(out.getAs[Long]("est_intersect") == out.getAs[Long]("est_b"))
+  }
+
+  test("line-dedup strip removes the corpus-common segment and rebuilds bytes exactly") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one full shared segment
+    val docs = (1L to 5L).map(i => (i, s"$boiler unique$i words$i")) :+
+      (9L, "lonely text entirely its own")
+    val out = LineDedup
+      .stripOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    // Docs 1-5: segment 0 (boiler) shared by 5 docs → stripped; segment 1
+    // ("uniqueI wordsI") survives.
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_segments") == 2L)
+    assert(r1.getAs[Long]("n_removed") == 1L)
+    assert(r1.getAs[String]("clean_md5") == md5hex("unique1 words1"))
+    // Doc 9 is untouched.
+    val r9 = out(9L)
+    assert(r9.getAs[Long]("n_removed") == 0L)
+    assert(r9.getAs[String]("clean_md5") == md5hex("lonely text entirely its own"))
+  }
+
+  test("random projection: signs are ±1 and a unit vector has distortion exactly 1") {
+    // Sign matrix contract (the SQL literal and the plan share it).
+    val signs = for (j <- 0 until 16; i <- 0 until 64) yield RandomProjection.sign(j, i)
+    assert(signs.forall(s => s == 1.0 || s == -1.0))
+    assert(signs.contains(1.0) && signs.contains(-1.0))
+    import spark.implicits._
+    val oneHot = Array.tabulate(64)(i => if (i == 7) 1.0f else 0.0f)
+    val emb = Seq((1L, oneHot)).toDF("vec_id", "embedding")
+    val q = SparkEntry.queries("embed_random_projection")
+    val dir = java.nio.file.Files.createTempDirectory("rp").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = q(spark, dir).collect().head
+    // proj_j = ±10000 for every j ⇒ Σv² = 16·10⁸ ⇒ distortion = 1.0.
+    assert(r.getAs[Double]("distortion") == 1.0)
+    assert(r.getAs[String]("proj").split(",").forall(v => math.abs(v.toLong) == 10000L))
+  }
+}
