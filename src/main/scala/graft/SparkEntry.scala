@@ -87,7 +87,9 @@ object SparkEntry {
       operators.WinnowingQueries.all ++
       operators.SketchOverlap.all ++
       operators.LineDedup.all ++
-      operators.RandomProjection.all
+      operators.RandomProjection.all ++
+      operators.InfoTheory.all ++
+      operators.BlockingEval.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -57,7 +57,7 @@ object DedupQueries {
   }
 
   /** DuckDB CTE mirroring [[records]] plus the dedup keys. */
-  private def recordsSql: String = {
+  private[operators] def recordsSql: String = {
     val base = "lpad(cast(p_partkey*7919 % 1000000000 as varchar), 9, '0')"
     val title = "'rec' || cast(p_partkey as varchar) || ' ' || p_name"
     val author = "array_to_string(string_split(p_name, ' ')[1:2], ' ')"
@@ -99,7 +99,7 @@ object DedupQueries {
   /** matchRecords predicate over aliased pair columns (mirrors
     * Dedup.matchPredicate; reference DedupHandler.php:742).
     */
-  private def matchSql: String = {
+  private[operators] def matchSql: String = {
     val tLev =
       "levenshtein(substr(r1.norm_title,1,255), substr(r2.norm_title,1,255)) * 100.0"
     val titleOk =

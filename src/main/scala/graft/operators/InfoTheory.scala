@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic corpus signals:
+  *
+  * `docs_entropy` — per-document word-distribution statistics: Shannon
+  * entropy of the within-document unigram distribution (Shannon 1948;
+  * the gibberish/keyword-stuffing filter axis — near-zero entropy is a
+  * repeated token, implausibly high entropy for the length is random
+  * noise), the type-token ratio, and the entropy's ratio to its ln(n)
+  * maximum. Entropy via H = ln n − (Σ c·ln c)/n so each (doc, word)
+  * count contributes ONE fixed term — the aggregate is a plain sum.
+  *
+  * `docs_ks_drift` — pairwise two-sample Kolmogorov-Smirnov statistic
+  * between per-source quality-score distributions: the corpus-drift
+  * gate run before mixing a new crawl into training data (the
+  * distributional sibling of `events_cusum_drift`'s time axis). The
+  * statistic rides the registry's bounded-histogram discipline: scores
+  * land in 64 fixed buckets, per-source CDFs come from a cumulative
+  * window over a DENSE source×64 scaffold (every missing bucket
+  * materialized as 0, so the pair join is a bucket equi-join), and
+  * KS = max |cdf_a − cdf_b| in exact integer permyriad. Sources × 64
+  * rows regardless of corpus size — the corpus itself contributes one
+  * map-side-combined count aggregation.
+  *
+  * Scale shape: `docs_entropy` keys one shuffle by (doc_id, word) — the
+  * docs_tfidf precedent — then one per-doc aggregate; `docs_ks_drift`
+  * is one bounded-key count plus arithmetic on a constant-size frame.
+  */
+object InfoTheory {
+
+  private val KsBuckets = 64
+
+  private val entropyQ = Q(
+    "docs_entropy",
+    (s, d) => {
+      val toks = Tables
+        .documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      toks
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc")
+        )
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_types"),
+          expr(s"n_types * 10000 div n_tokens").as("ttr_pm"),
+          round(
+            log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"),
+            4
+          ).as("entropy"),
+          // Normalized entropy H/ln(n) ∈ [0,1]; a single-token doc has
+          // ln(n) = 0 — define it as 1 (the distribution is trivially
+          // uniform over its one type).
+          when(col("n_tokens") === 1, lit(1.0))
+            .otherwise(
+              round(
+                (log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens")) /
+                  log(col("n_tokens").cast("double")),
+                4
+              )
+            )
+            .as("entropy_norm")
+        )
+    },
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS w FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, cast(sum(c) AS bigint) AS n_tokens, count(*) AS n_types,
+         |    sum(cast(c AS double) * ln(cast(c AS double))) AS clogc
+         |  FROM wc GROUP BY 1)
+         |SELECT doc_id,
+         |  n_tokens,
+         |  cast(n_types AS bigint) AS n_types,
+         |  n_types * 10000 // n_tokens AS ttr_pm,
+         |  round(ln(cast(n_tokens AS double)) - clogc / n_tokens, 4) AS entropy,
+         |  (CASE WHEN n_tokens = 1 THEN 1.0
+         |        ELSE round((ln(cast(n_tokens AS double)) - clogc / n_tokens) /
+         |                   ln(cast(n_tokens AS double)), 4) END) AS entropy_norm
+         |FROM agg""".stripMargin
+    }
+  )
+
+  private val ksQ = Q(
+    "docs_ks_drift",
+    (s, d) => {
+      // Integerize the shared quality score, then bucket 0..63. The
+      // score is already 4-dp-rounded upstream semantics; ×KsBuckets on
+      // the raw double then floor+clamp keeps the binning identical in
+      // both engines (score ∈ [0,1]).
+      val bucket = least(
+        floor(LlmQueries.qualityExpr(col("text")) * KsBuckets).cast("int"),
+        lit(KsBuckets - 1)
+      )
+      val counts = Tables
+        .documents(s, d)
+        .select(col("source"), bucket.as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"))
+      // Dense scaffold: every (source, bucket) cell exists, so the CDF
+      // window and the pair equi-join see a CONSTANT 64-row frame per
+      // source (bounded regardless of corpus size).
+      val scaffold = counts
+        .select(col("source")).distinct()
+        .crossJoin(
+          counts.sparkSession.range(0, KsBuckets).select(col("id").cast("int").as("bucket"))
+        )
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy("bucket")
+      val cdf = scaffold
+        .join(counts, Seq("source", "bucket"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("ntot", sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      cdf
+        .select(col("source").as("src_a"), col("bucket"), col("cum").as("cum_a"), col("ntot").as("n_a"))
+        .join(
+          cdf.select(col("source").as("src_b"), col("bucket"), col("cum").as("cum_b"), col("ntot").as("n_b")),
+          Seq("bucket")
+        )
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+          max(abs(expr("cum_a * 10000 div n_a") - expr("cum_b * 10000 div n_b"))).as("ks_pm"),
+          first(col("n_a")).as("n_a"),
+          first(col("n_b")).as("n_b")
+        )
+    },
+    Some {
+      val ws = s"string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+      val quality =
+        s"least(cast(len($ws) as double) / 100, 1.0) * " +
+          s"(1.0 - cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as double) / length(text))"
+      s"""WITH b AS (
+         |  SELECT source,
+         |    least(cast(floor(($quality) * $KsBuckets) as int), ${KsBuckets - 1}) AS bucket
+         |  FROM documents),
+         |counts AS (SELECT source, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         |scaffold AS (
+         |  SELECT s.source, g.bucket
+         |  FROM (SELECT DISTINCT source FROM counts) s
+         |  CROSS JOIN (SELECT unnest(range(0, $KsBuckets)) AS bucket) g),
+         |cdf AS (
+         |  SELECT sc.source, sc.bucket,
+         |    cast(sum(coalesce(c.n, 0)) OVER (PARTITION BY sc.source ORDER BY sc.bucket) AS bigint) AS cum,
+         |    cast(sum(coalesce(c.n, 0)) OVER (PARTITION BY sc.source) AS bigint) AS ntot
+         |  FROM scaffold sc LEFT JOIN counts c
+         |    ON sc.source = c.source AND sc.bucket = c.bucket)
+         |SELECT a.source AS src_a, b2.source AS src_b,
+         |  max(abs(a.cum * 10000 // a.ntot - b2.cum * 10000 // b2.ntot)) AS ks_pm,
+         |  any_value(a.ntot) AS n_a, any_value(b2.ntot) AS n_b
+         |FROM cdf a JOIN cdf b2 ON a.bucket = b2.bucket AND a.source < b2.source
+         |GROUP BY 1, 2""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(entropyQ, ksQ)
+}

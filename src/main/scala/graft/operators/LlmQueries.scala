@@ -58,7 +58,7 @@ object LlmQueries {
     * fraction) — shared by the per-document scorer and the cross-source
     * quantile normalizer so the two cannot drift.
     */
-  private def qualityExpr(t: Column): Column =
+  private[operators] def qualityExpr(t: Column): Column =
     least(size(words(t)).cast("double") / 100, lit(1.0)) *
       (lit(1.0) - length(regexp_replace(t, "[^\\p{P}]", "")).cast("double") / length(t))
 

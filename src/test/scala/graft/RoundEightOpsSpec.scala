@@ -116,6 +116,75 @@ class RoundEightOpsSpec extends SparkSuite {
     assert(r9.getAs[String]("clean_md5") == md5hex("lonely text entirely its own"))
   }
 
+  test("entropy: repeated token → 0, uniform tokens → ln n with norm 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a", "en", "s1"),
+      (2L, "a b c d", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("ent").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("docs_entropy")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(out(1L).getAs[Long]("n_types") == 1L)
+    assert(out(1L).getAs[Double]("entropy") == 0.0)
+    assert(out(1L).getAs[Double]("entropy_norm") == 0.0)
+    assert(out(2L).getAs[Long]("ttr_pm") == 10000L)
+    assert(math.abs(out(2L).getAs[Double]("entropy") - math.log(4)) < 1e-3)
+    assert(out(2L).getAs[Double]("entropy_norm") == 1.0)
+  }
+
+  test("KS drift: identical sources score 0, disjoint quality extremes score 10000") {
+    import spark.implicits._
+    val long = (1 to 120).map(i => s"w$i").mkString(" ") // quality ≈ 1 → top bucket
+    val rows =
+      (1 to 10).map(i => (i.toLong, "tiny", "en", "lowA")) ++ // 1 word → bucket 0
+        (11 to 20).map(i => (i.toLong, "tiny", "en", "lowB")) ++
+        (21 to 30).map(i => (i.toLong, long, "en", "high"))
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    rows.toDF("doc_id", "text", "lang", "source").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("docs_ks_drift")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("ks_pm"))
+      .toMap
+    assert(out(("lowA", "lowB")) == 0L)
+    assert(out(("high", "lowA")) == 10000L)
+    assert(out(("high", "lowB")) == 10000L)
+  }
+
+  test("blocking eval counts candidates without pair enumeration and matches with the veto chain") {
+    import spark.implicits._
+    // Source a: two records; source b: a true duplicate of r1 (same title
+    // key, matching fields) and a same-title-key NON-match (year far off
+    // fails nothing — year conflict vetoes; use a title that shares the
+    // key but a conflicting year).
+    val recs = Seq(
+      ("a.1", "a", "Silent Spring", "carson rachel", 1962, ""),
+      ("a.2", "a", "Another Book Entirely", "someone else", 1999, ""),
+      ("b.1", "b", "Silent Spring /", "carson rachel", 1962, ""),
+      ("b.2", "b", "Silent Spring /", "carson rachel", 1975, "")
+    ).toDF("id", "source_id", "title", "author", "year", "isbn")
+    val keyed = graft.operators.Dedup.withKeys(recs)
+    val out = graft.operators.BlockingEval
+      .evalOf(keyed)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val t = out("t")
+    // Title blocking: key "silent spring" holds a.1 (source a) + b.1, b.2
+    // (source b) → 1·2 = 2 cross-source candidates; only (a.1, b.1)
+    // passes (b.2's year conflicts). Total cross pairs = 2·2 = 4.
+    assert(t.getAs[Long]("n_candidates") == 2L)
+    assert(t.getAs[Long]("n_matches") == 1L)
+    assert(t.getAs[Long]("precision_pm") == 5000L)
+    assert(t.getAs[Long]("reduction_pm") == 5000L)
+    assert(!out.contains("i")) // no usable ISBN keys in this fixture
+  }
+
   test("random projection: signs are ±1 and a unit vector has distortion exactly 1") {
     // Sign matrix contract (the SQL literal and the plan share it).
     val signs = for (j <- 0 until 16; i <- 0 until 64) yield RandomProjection.sign(j, i)
