@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocking-quality evaluation for the dedup pipeline — the record-
@@ -119,6 +119,147 @@ object BlockingEval {
       )
   }
 
+  /** Fellegi-Sunter field weights (Fellegi & Sunter 1969; Winkler's
+    * survey): per-field agreement probabilities among matched vs
+    * non-matched candidate pairs — m = P(agree | match),
+    * u = P(agree | non-match) — and the log-odds field weight
+    * ln(m/u) that a probabilistic linker scores with. Here the
+    * matchRecords veto chain provides the match labels (the supervised
+    * variant; an EM fit drops into the same frame), so the output
+    * quantifies HOW MUCH each field contributes to the deterministic
+    * decision — the first step of migrating a rule chain to
+    * probabilistic scoring. Candidate pairs are the production capped
+    * blocks, de-duplicated across block kinds; m/u cross the oracle as
+    * exact integer permyriad and the weight as ln of a ratio of exact
+    * integer products, so both engines compute the identical double.
+    */
+  def fsWeightsOf(keyed: DataFrame): DataFrame = {
+    val ex = Dedup.explodeBlockKeys(keyed)
+    val heavy = ex
+      .groupBy(col("__block_kind").as("__heavy_kind"), col("__block_key").as("__heavy_key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > Dedup.MaxBlockSize)
+      .drop("__n")
+    val capped = ex.join(
+      broadcast(heavy),
+      col("__block_kind") === col("__heavy_kind") && col("__block_key") === col("__heavy_key"),
+      "left_anti"
+    )
+    val left = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_1"))
+    val right = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
+    val pairs = left
+      .join(
+        right,
+        col("__block_kind_1") === col("__block_kind_2") &&
+          col("__block_key_1") === col("__block_key_2") &&
+          col("source_id_1") =!= col("source_id_2") &&
+          col("id_1") < col("id_2")
+      )
+      // A pair blocked by BOTH kinds carries identical field values —
+      // keep it once.
+      .dropDuplicates("id_1", "id_2")
+      .select(
+        Dedup.matchPredicate.as("m"),
+        (col("norm_title_1") === col("norm_title_2") && col("norm_title_1") =!= "").as("f_title"),
+        (col("norm_author_1") === col("norm_author_2") && col("norm_author_1") =!= "").as("f_author"),
+        (col("year_1").isNotNull && col("year_2").isNotNull && col("year_1") === col("year_2")).as("f_year"),
+        (col("pages_1").isNotNull && col("pages_2").isNotNull &&
+          abs(col("pages_1") - col("pages_2")) <= 10).as("f_pages"),
+        (col("isbn_key_1") === col("isbn_key_2") && col("isbn_key_1") =!= "").as("f_isbn")
+      )
+    val fields = Seq("title", "author", "year", "pages", "isbn")
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val aggCols = Seq(cnt(col("m")).as("nm"), cnt(!col("m")).as("nn")) ++
+      fields.flatMap { f =>
+        Seq(
+          cnt(col(s"f_$f") && col("m")).as(s"am_$f"),
+          cnt(col(s"f_$f") && !col("m")).as(s"an_$f")
+        )
+      }
+    val one = pairs.agg(aggCols.head, aggCols.tail: _*)
+    val rows = explode(
+      array(
+        fields.map(f =>
+          struct(lit(f).as("field"), col(s"am_$f").as("am"), col(s"an_$f").as("an"))
+        ): _*
+      )
+    )
+    one
+      .select(col("nm"), col("nn"), rows.as("r"))
+      .select(
+        col("r.field").as("field"),
+        col("nm").as("n_match"),
+        col("nn").as("n_nonmatch"),
+        col("r.am").as("agree_match"),
+        col("r.an").as("agree_nonmatch"),
+        expr("r.am * 10000 div nm").as("m_pm"),
+        expr("r.an * 10000 div nn").as("u_pm"),
+        // ln of a ratio of exact integer products — bit-identical in
+        // both engines; null when a zero count makes it undefined.
+        when(
+          col("r.am") > 0 && col("r.an") > 0,
+          round(log((col("r.am") * col("nn")).cast("double") / (col("r.an") * col("nm"))), 4)
+        ).as("weight")
+      )
+  }
+
+  private val fsQ = Q(
+    "dedup_fs_weights",
+    (s, d) => fsWeightsOf(Dedup.withKeys(DedupQueries.records(s, d))),
+    Some {
+      val fields = Seq(
+        "title" -> "(r1.norm_title = r2.norm_title AND r1.norm_title != '')",
+        "author" -> "(r1.norm_author = r2.norm_author AND r1.norm_author != '')",
+        "year" -> "(r1.year IS NOT NULL AND r2.year IS NOT NULL AND r1.year = r2.year)",
+        "pages" -> "(r1.pages IS NOT NULL AND r2.pages IS NOT NULL AND abs(r1.pages - r2.pages) <= 10)",
+        "isbn" -> "(r1.isbn_key = r2.isbn_key AND r1.isbn_key != '')"
+      )
+      val flagCols = fields
+        .map { case (f, cond) => s"$cond AS f_$f" }
+        .mkString(",\n    ")
+      val aggCols = fields
+        .map { case (f, _) =>
+          s"sum(CASE WHEN f_$f AND m THEN 1 ELSE 0 END) AS am_$f, " +
+            s"sum(CASE WHEN f_$f AND NOT m THEN 1 ELSE 0 END) AS an_$f"
+        }
+        .mkString(",\n    ")
+      val unions = fields
+        .map { case (f, _) =>
+          s"SELECT '$f' AS field, cast(am_$f AS bigint) AS am, cast(an_$f AS bigint) AS an, nm, nn FROM agg"
+        }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH ${DedupQueries.recordsSql},
+         |ex AS (
+         |  SELECT id, source_id, 't' AS kind, title_key AS key FROM recs WHERE title_key != ''
+         |  UNION ALL
+         |  SELECT id, source_id, 'i' AS kind, isbn_key AS key FROM recs WHERE isbn_key != ''),
+         |heavy AS (SELECT kind, key FROM ex GROUP BY 1, 2 HAVING count(*) > ${Dedup.MaxBlockSize}),
+         |capped AS (SELECT ex.* FROM ex ANTI JOIN heavy USING (kind, key)),
+         |cpairs AS (
+         |  SELECT DISTINCT e1.id AS id1, e2.id AS id2
+         |  FROM capped e1 JOIN capped e2 ON e1.kind = e2.kind AND e1.key = e2.key
+         |    AND e1.source_id != e2.source_id AND e1.id < e2.id),
+         |flags AS (
+         |  SELECT ${DedupQueries.matchSql} AS m,
+         |    $flagCols
+         |  FROM cpairs JOIN recs r1 ON r1.id = cpairs.id1 JOIN recs r2 ON r2.id = cpairs.id2),
+         |agg AS (
+         |  SELECT cast(sum(CASE WHEN m THEN 1 ELSE 0 END) AS bigint) AS nm,
+         |    cast(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS bigint) AS nn,
+         |    $aggCols
+         |  FROM flags),
+         |u AS (
+         |  $unions)
+         |SELECT field, nm AS n_match, nn AS n_nonmatch,
+         |  am AS agree_match, an AS agree_nonmatch,
+         |  am * 10000 // nm AS m_pm,
+         |  an * 10000 // nn AS u_pm,
+         |  (CASE WHEN am > 0 AND an > 0
+         |        THEN round(ln(cast(am * nn AS double) / (an * nm)), 4) END) AS weight
+         |FROM u""".stripMargin
+    }
+  )
+
   private val evalQ = Q(
     "dedup_blocking_eval",
     (s, d) => evalOf(Dedup.withKeys(DedupQueries.records(s, d))),
@@ -162,5 +303,5 @@ object BlockingEval {
     }
   )
 
-  val all: Seq[Q] = Seq(evalQ)
+  val all: Seq[Q] = Seq(evalQ, fsQ)
 }

@@ -167,5 +167,79 @@ object InfoTheory {
     }
   )
 
-  val all: Seq[Q] = Seq(entropyQ, ksQ)
+  private val ZipfK = 1000
+
+  /** Zipf rank-frequency fit: the log-log least-squares slope over the
+    * corpus's top-1000 words (Zipf's law predicts ≈ −1 for natural
+    * language; a flat slope flags templated/generated text, a cliff
+    * flags boilerplate domination — a corpus-level quality signature).
+    * The rank order is a TOTAL order over the vocabulary, which is
+    * exactly what must not be a window at 100 TB — so the top-k cut
+    * rides [[TopK.topkPerGroup]]'s bounded histogram selection (one
+    * degenerate group), and only the surviving 1000 rows see ranks.
+    * The regression is then five sums over a CONSTANT-size frame;
+    * slope/R² use the standard closed forms assembled in one
+    * fixed-order expression per engine.
+    */
+  private val zipfQ = Q(
+    "corpus_zipf",
+    (s, d) => {
+      val counts = Tables
+        .documents(s, d)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("g", lit("all"))
+      val top = TopK.topkPerGroup(counts, "g", "c", "w", ZipfK)
+      top
+        .select(
+          log(col("rk").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y")
+        )
+        .agg(
+          count(lit(1)).cast("long").as("n_top"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy")
+        )
+        .select(
+          col("n_top"),
+          round(
+            (col("n_top") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_top") * col("sxx") - col("sx") * col("sx")),
+            4
+          ).as("zipf_slope"),
+          round(
+            ((col("n_top") * col("sxy") - col("sx") * col("sy")) *
+              (col("n_top") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("n_top") * col("sxx") - col("sx") * col("sx")) *
+                (col("n_top") * col("syy") - col("sy") * col("sy"))),
+            4
+          ).as("r2")
+        )
+    },
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH toks AS (SELECT unnest(string_split($norm, ' ')) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         |top AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+         |  FROM wc ORDER BY c DESC, w ASC LIMIT $ZipfK),
+         |xy AS (SELECT ln(cast(rk AS double)) AS x, ln(cast(c AS double)) AS y FROM top),
+         |agg AS (
+         |  SELECT cast(count(*) AS bigint) AS n_top,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM xy)
+         |SELECT n_top,
+         |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 4) AS zipf_slope,
+         |  round(((n_top * sxy - sx * sy) * (n_top * sxy - sx * sy)) /
+         |        ((n_top * sxx - sx * sx) * (n_top * syy - sy * sy)), 4) AS r2
+         |FROM agg""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(entropyQ, ksQ, zipfQ)
 }

@@ -185,6 +185,56 @@ class RoundEightOpsSpec extends SparkSuite {
     assert(!out.contains("i")) // no usable ISBN keys in this fixture
   }
 
+  test("Fellegi-Sunter weights separate discriminating from uninformative fields") {
+    import spark.implicits._
+    // Same shape as the blocking fixture: (a.1, b.1) matches, (a.1, b.2)
+    // fails on year. Title and author agree on BOTH pairs (m = u →
+    // weight 0, uninformative); year agrees only on the match (u = 0 →
+    // weight undefined/null); pages/isbn never agree (weight null).
+    val recs = Seq(
+      ("a.1", "a", "Silent Spring", "carson rachel", 1962, ""),
+      ("a.2", "a", "Another Book Entirely", "someone else", 1999, ""),
+      ("b.1", "b", "Silent Spring /", "carson rachel", 1962, ""),
+      ("b.2", "b", "Silent Spring /", "carson rachel", 1975, "")
+    ).toDF("id", "source_id", "title", "author", "year", "isbn")
+    val out = graft.operators.BlockingEval
+      .fsWeightsOf(graft.operators.Dedup.withKeys(recs))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(out("title").getAs[Long]("n_match") == 1L)
+    assert(out("title").getAs[Long]("n_nonmatch") == 1L)
+    assert(out("title").getAs[Long]("m_pm") == 10000L)
+    assert(out("title").getAs[Long]("u_pm") == 10000L)
+    assert(out("title").getAs[Double]("weight") == 0.0)
+    assert(out("year").getAs[Long]("m_pm") == 10000L)
+    assert(out("year").getAs[Long]("u_pm") == 0L)
+    assert(out("year").isNullAt(out("year").fieldIndex("weight")))
+    assert(out("pages").getAs[Long]("agree_match") == 0L)
+  }
+
+  test("Zipf slope matches the closed-form fit on a hand-built frequency ladder") {
+    import spark.implicits._
+    val text = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") ++ Seq("dd"))
+      .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    Seq((1L, text, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("corpus_zipf")(spark, dir).collect().head
+    val x = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val y = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = 4.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (x.map(a => a * a).sum, y.map(a => a * a).sum)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = math.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(r.getAs[Long]("n_top") == 4L)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-4)
+    assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-4)
+  }
+
   test("random projection: signs are ±1 and a unit vector has distortion exactly 1") {
     // Sign matrix contract (the SQL literal and the plan share it).
     val signs = for (j <- 0 until 16; i <- 0 until 64) yield RandomProjection.sign(j, i)
