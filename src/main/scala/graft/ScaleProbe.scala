@@ -401,6 +401,31 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = operators.RepetitionQueries.metricsOf(big).filter(!col("pass")).count()
         println(f"SCALE mode=repetition mult=$mult docs=$total flagged=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "textstats" =>
+        // Round-8 text-statistics family over N× disjoint-vocabulary
+        // replicas: winnowing is map-only (must be embarrassingly
+        // linear), entropy keys one shuffle by (doc_id, word), and the
+        // KN scorer adds the bounded bigram-model rollups — all three
+        // must track the corpus linearly with flat memory.
+        val big = docsReplicated.persist()
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val nw = operators.WinnowingQueries.winnowOf(big).agg(sum(col("n_fp"))).collect()(0).getLong(0)
+        val t1 = System.nanoTime()
+        val toks = big.select(col("doc_id"), explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+        val ne = toks
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+          .count()
+        val t2 = System.nanoTime()
+        val nk = operators.SmoothedLm.knScoreOf(big).count()
+        val t3 = System.nanoTime()
+        println(
+          f"SCALE mode=textstats mult=$mult docs=$total fp_total=$nw " +
+            f"winnow=${(t1 - t0) / 1e9}%.1f s entropy_docs=$ne entropy=${(t2 - t1) / 1e9}%.1f s " +
+            f"kn_docs=$nk kn=${(t3 - t2) / 1e9}%.1f s"
+        )
       case "bucketdedup" =>
         // The bucketed-layout A/B at replicated scale: first call pays
         // the one-time bucketed write of the exploded blocking-key

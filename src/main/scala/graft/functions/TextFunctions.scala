@@ -194,26 +194,44 @@ object TextFunctions {
     */
   def fingerprintHashes(c: Column, width: Int = 8): Column = {
     require(width == 8, "fingerprint window is fixed at 8 (power table)")
-    val norm = normalizeText(c)
-    def term(pos: Column, exp: Int): Column =
-      (ascii(norm.substr(pos, lit(1))) % 256).cast("long") * lit(FpPows(exp))
-    val windowHash = (i: Column) =>
-      (0 until width).map(j => term(i + lit(j), width - 1 - j)).reduce(_ + _)
-    // Guard short texts: sequence(1, n) with n < 1 would produce a
-    // descending range and junk windows; hash the whole text as one
-    // shorter window instead (same polynomial, lower leading power).
-    val shortHash = aggregate(
-      sequence(lit(1), length(norm)),
-      lit(0L),
-      (acc, k) => acc + term(k, 0) * element_at(typedLit(FpPows.toSeq), (length(norm) - k + 1).cast("int"))
-    )
-    when(
-      length(norm) >= width,
-      transform(sequence(lit(1), length(norm) - (width - 1)), windowHash)
-    )
-      // Empty text would make the short-window sequence descend; pin it.
-      .when(length(norm) === 0, array(lit(0L)))
-      .otherwise(array(shortHash))
+    import graft.functions.MetadataFunctions.bindOnce
+    // Two-level let-binding (the bindOnce house rule): without it,
+    // projection collapse inlines the normalization chain into EVERY
+    // per-character term — 8·n regexp evaluations per row, O(n²) in
+    // text length (the textstats probe measured 111 s for 5k docs; the
+    // bound form is sub-second). `norm` binds the normalized string
+    // once; `codes` binds the per-character value array once, so each
+    // window term is an O(1) array index. Semantics (and the DuckDB
+    // mirror) are unchanged — only Spark-side evaluation sharing.
+    bindOnce(normalizeText(c)) { norm =>
+      val codesExpr = when(length(norm) === 0, typedLit(Seq.empty[Long]))
+        .otherwise(
+          transform(
+            sequence(lit(1), length(norm)),
+            i => (ascii(norm.substr(i, lit(1))) % 256).cast("long")
+          )
+        )
+      bindOnce(codesExpr) { codes =>
+        def term(pos: Column, exp: Int): Column =
+          element_at(codes, pos.cast("int")) * lit(FpPows(exp))
+        val windowHash = (i: Column) =>
+          (0 until width).map(j => term(i + lit(j), width - 1 - j)).reduce(_ + _)
+        val m = size(codes)
+        // Guard short texts: sequence(1, n) with n < 1 would produce a
+        // descending range and junk windows; hash the whole text as one
+        // shorter window instead (same polynomial, lower leading power).
+        val shortHash = aggregate(
+          sequence(lit(1), m),
+          lit(0L),
+          (acc, k) =>
+            acc + term(k, 0) * element_at(typedLit(FpPows.toSeq), (m - k + 1).cast("int"))
+        )
+        when(m >= width, transform(sequence(lit(1), m - (width - 1)), windowHash))
+          // Empty text would make the short-window sequence descend; pin it.
+          .when(m === 0, array(lit(0L)))
+          .otherwise(array(shortHash))
+      }
+    }
   }
 
   /** DuckDB mirror of [[fingerprintHashes]], generated from the same

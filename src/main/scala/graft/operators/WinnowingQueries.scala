@@ -62,13 +62,13 @@ object WinnowingQueries {
     * registered query ships only its checksum).
     */
   private[graft] def fingerprintSets(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val hs = TextFunctions.fingerprintHashes(col("text"), 8)
+    import graft.functions.MetadataFunctions.bindOnce
     input
-      .select(col("doc_id"), hs.as("hs"))
       .select(
         col("doc_id"),
-        array_distinct(transform(winnowPositions(col("hs")), p => element_at(col("hs"), p)))
-          .as("fps")
+        bindOnce(TextFunctions.fingerprintHashes(col("text"), 8)) { hs =>
+          array_distinct(transform(winnowPositions(hs), p => element_at(hs, p)))
+        }.as("fps")
       )
   }
 
@@ -76,29 +76,42 @@ object WinnowingQueries {
     * specs.
     */
   def winnowOf(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val hs = TextFunctions.fingerprintHashes(col("text"), 8)
-      input
-        .select(col("doc_id"), hs.as("hs"))
-        .select(
-          col("doc_id"),
-          col("hs"),
-          winnowPositions(col("hs")).as("pos")
-        )
-        .select(
-          col("doc_id"),
-          size(col("hs")).cast("bigint").as("n_windows"),
-          size(col("pos")).cast("bigint").as("n_fp"),
-          round(size(col("pos")).cast("double") / size(col("hs")), 4).as("density"),
-          array_min(transform(col("pos"), p => element_at(col("hs"), p))).as("fp_min"),
-          // Checksum mod a prime: raw hashes reach ~1.7e17, so a plain
-          // sum overflows int64 on long documents (DuckDB list_sum
-          // widens to HUGEINT and the cast back would be a hard error).
-          aggregate(
-            transform(col("pos"), p => element_at(col("hs"), p) % lit(1000000007L)),
-            lit(0L),
-            (acc, h) => acc + h
-          ).as("fp_sum")
-        )
+    import graft.functions.MetadataFunctions.bindOnce
+    // bindOnce at BOTH levels: projection collapse would otherwise
+    // inline the full hash-array expression into every per-window
+    // slice — re-evaluating it once per window, O(n²) per document
+    // (the textstats probe caught exactly that shape).
+    input
+      .select(
+        col("doc_id"),
+        bindOnce(TextFunctions.fingerprintHashes(col("text"), 8)) { hs =>
+          bindOnce(winnowPositions(hs)) { pos =>
+            struct(
+              size(hs).cast("bigint").as("n_windows"),
+              size(pos).cast("bigint").as("n_fp"),
+              round(size(pos).cast("double") / size(hs), 4).as("density"),
+              array_min(transform(pos, p => element_at(hs, p))).as("fp_min"),
+              // Checksum mod a prime: raw hashes reach ~1.7e17, so a
+              // plain sum overflows int64 on long documents (DuckDB
+              // list_sum widens to HUGEINT and the cast back would be
+              // a hard error).
+              aggregate(
+                transform(pos, p => element_at(hs, p) % lit(1000000007L)),
+                lit(0L),
+                (acc, h) => acc + h
+              ).as("fp_sum")
+            )
+          }
+        }.as("o")
+      )
+      .select(
+        col("doc_id"),
+        col("o.n_windows").as("n_windows"),
+        col("o.n_fp").as("n_fp"),
+        col("o.density").as("density"),
+        col("o.fp_min").as("fp_min"),
+        col("o.fp_sum").as("fp_sum")
+      )
   }
 
   private val winnowQ = Q(
