@@ -19,16 +19,21 @@ object TextFunctions {
   def words(c: Column): Column = split(normalizeText(c), " ")
 
   /** Word `n`-gram shingles; the whole text when shorter than `n` words. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val ws = words(c)
-    when(
-      size(ws) >= n,
-      transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))
-      )
-    ).otherwise(array(normalizeText(c)))
-  }
+  def shingles(c: Column, n: Int = 3): Column =
+    // bindOnce: each per-position slice would otherwise inline (and
+    // re-evaluate) the whole normalize+split subtree — O(n²) per row
+    // (the fingerprintHashes lesson). The short-text branch rejoins the
+    // bound words instead of re-normalizing: normalizeText is exactly
+    // single-space-joined words, so array_join(ws, " ") is identical.
+    graft.functions.MetadataFunctions.bindOnce(words(c)) { ws =>
+      when(
+        size(ws) >= n,
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))
+        )
+      ).otherwise(array(array_join(ws, " ")))
+    }
 
   /** Modulus for the derived hash family: 2^48-1 keeps j*h2 sums well
     * inside long range and the hex prefix parse exact in any engine.
@@ -274,15 +279,23 @@ object TextFunctions {
   /** Heuristic language ID: argmax of stopword-set overlap, fixed priority
     * order on ties, "und" (undetermined) when no set matches.
     */
-  def languageId(c: Column): Column = {
-    val ws = words(c)
-    val hits = StopwordSets.map { case (lang, set) => lang -> stopwordHits(ws, set) }
-    val maxHits = greatest(hits.map(_._2): _*)
-    val chain = hits.foldLeft(when(lit(false), lit("und"))) {
-      case (acc, (lang, h)) => acc.when(h === maxHits && maxHits > 0, lit(lang))
+  def languageId(c: Column): Column =
+    // bindOnce ×2: the words array is read by every stopword set and
+    // each hit count by every tie comparison — unbound, the whole
+    // normalize+split subtree evaluates ~10× per row. array_max over
+    // the bound hit array replaces greatest() with identical semantics.
+    graft.functions.MetadataFunctions.bindOnce(words(c)) { ws =>
+      graft.functions.MetadataFunctions.bindOnce(
+        array(StopwordSets.map { case (_, set) => stopwordHits(ws, set) }: _*)
+      ) { hits =>
+        val maxHits = array_max(hits)
+        val chain = StopwordSets.zipWithIndex.foldLeft(when(lit(false), lit("und"))) {
+          case (acc, ((lang, _), i)) =>
+            acc.when(element_at(hits, i + 1) === maxHits && maxHits > 0, lit(lang))
+        }
+        chain.otherwise(lit("und"))
+      }
     }
-    chain.otherwise(lit("und"))
-  }
 
   /** HTML → text: script/style block removal (DOTALL — real crawl HTML
     * is multiline), tag stripping, common-entity decode, whitespace
