@@ -75,15 +75,19 @@ object ContainmentQueries {
   private val pairDiff = Q(
     "docs_pair_diff",
     (s, d) => {
-      val segsOf = {
-        val tokens = split(coalesce(col("text"), lit("")), " ")
-        array_distinct(
-          transform(
-            sequence(lit(0), greatest(floor((size(tokens) - 1) / 8).cast("int"), lit(0))),
-            i => md5(concat_ws(" ", slice(tokens, i * 8 + 1, lit(8))))
+      val segsOf =
+        // bindOnce: per-window slices would otherwise inline the split,
+        // re-evaluating it once per segment — O(n²) per row.
+        graft.functions.MetadataFunctions.bindOnce(
+          split(coalesce(col("text"), lit("")), " ")
+        ) { tokens =>
+          array_distinct(
+            transform(
+              sequence(lit(0), greatest(floor((size(tokens) - 1) / 8).cast("int"), lit(0))),
+              i => md5(concat_ws(" ", slice(tokens, i * 8 + 1, lit(8))))
+            )
           )
-        )
-      }
+        }
       val segs = LlmQueries.corpus(s, d).select(col("doc_id"), segsOf.as("segs"))
       LlmQueries
         .minhashPairsOf(LlmQueries.corpus(s, d))

@@ -34,52 +34,67 @@ object CurationQueries2 {
         // (k+i)%5==0; fewer than 3 words when (k+i)%7==0; a javascript
         // mention when (k+i)%11==0. Page-level: '{' when k%13==0, 'lorem
         // ipsum' when k%17==0.
-        val words = split(col("text"), " ")
+        import graft.functions.MetadataFunctions.bindOnce
         val lineCount = lit(6)
-        val lines = transform(
-          sequence(lit(0), lineCount - 1),
-          i => {
-            val base = when(
-              (id + i) % 7 === 0,
-              concat_ws(" ", slice(words, 1, 2))
-            ).otherwise(
-              concat_ws(" ", slice(words, (i * 5 + 1).cast("int"), lit(5)))
-            )
-            val withJs = when(
-              (id + i) % 11 === 0,
-              concat(base, lit(" JavaScript required"))
-            ).otherwise(base)
-            val terminated = when((id + i) % 5 === 0, withJs)
-              .otherwise(concat(withJs, element_at(array(lit("."), lit("!"), lit("?")), (i % 3 + 1).cast("int"))))
-            terminated
-          }
-        )
+        // bindOnce ladder (the fingerprintHashes lesson): without the
+        // bindings, every output column inlines the whole page-synthesis
+        // tree — 6 lines × 2 slices of an inlined split each, times the
+        // kept/cleaned re-references — ~100 split evaluations per row.
+        val lines = bindOnce(split(col("text"), " ")) { words =>
+          transform(
+            sequence(lit(0), lineCount - 1),
+            i => {
+              val base = when(
+                (id + i) % 7 === 0,
+                concat_ws(" ", slice(words, 1, 2))
+              ).otherwise(
+                concat_ws(" ", slice(words, (i * 5 + 1).cast("int"), lit(5)))
+              )
+              val withJs = when(
+                (id + i) % 11 === 0,
+                concat(base, lit(" JavaScript required"))
+              ).otherwise(base)
+              val terminated = when((id + i) % 5 === 0, withJs)
+                .otherwise(concat(withJs, element_at(array(lit("."), lit("!"), lit("?")), (i % 3 + 1).cast("int"))))
+              terminated
+            }
+          )
+        }
         val pageNoise = when(id % 13 === 0, lit("\nfunction f() { return 1; }"))
           .otherwise(when(id % 17 === 0, lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")))
         val page = concat(array_join(lines, "\n"), pageNoise)
 
         // ---- the operator under test: the C4 pipeline over `page` ----
-        val pageLines = split(page, "\n")
-        val kept = filter(pageLines, keepLine(_))
-        val cleaned = array_join(kept, "\n")
-        // Sentence count of the cleaned page: terminal-mark occurrences.
-        val marks = length(cleaned) - length(regexp_replace(cleaned, "[.!?\"]", ""))
-        val hasBrace = page.contains("{")
-        val hasLorem = lower(page).contains("lorem ipsum")
-        val enoughSentences = marks >= 5
-        val keptFlag = enoughSentences && !hasBrace && !hasLorem
+        val out = bindOnce(page) { p =>
+          bindOnce(filter(split(p, "\n"), keepLine(_))) { kept =>
+            bindOnce(array_join(kept, "\n")) { cleaned =>
+              val marks = length(cleaned) - length(regexp_replace(cleaned, "[.!?\"]", ""))
+              val hasBrace = p.contains("{")
+              val hasLorem = lower(p).contains("lorem ipsum")
+              struct(
+                size(split(p, "\n")).as("n_lines"),
+                size(kept).as("n_kept_lines"),
+                marks.as("n_sentences"),
+                hasBrace.as("has_brace"),
+                hasLorem.as("has_lorem"),
+                (marks >= 5 && !hasBrace && !hasLorem).as("kept"),
+                md5(cleaned).as("cleaned_md5")
+              )
+            }
+          }
+        }
 
         Tables
           .documents(s, d)
           .select(
             id.as("doc_id"),
-            size(pageLines).as("n_lines"),
-            size(kept).as("n_kept_lines"),
-            marks.as("n_sentences"),
-            hasBrace.as("has_brace"),
-            hasLorem.as("has_lorem"),
-            keptFlag.as("kept"),
-            md5(cleaned).as("cleaned_md5")
+            out.getField("n_lines").as("n_lines"),
+            out.getField("n_kept_lines").as("n_kept_lines"),
+            out.getField("n_sentences").as("n_sentences"),
+            out.getField("has_brace").as("has_brace"),
+            out.getField("has_lorem").as("has_lorem"),
+            out.getField("kept").as("kept"),
+            out.getField("cleaned_md5").as("cleaned_md5")
           )
       },
       Some(

@@ -30,13 +30,15 @@ object LineDedup {
 
   /** Strip result of any (doc_id, text) input — factored for specs. */
   def stripOf(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val segArr = transform(
-        sequence(lit(0), ((size(col("ws")) - 1) / SegWords).cast("int")),
-        i => array_join(slice(col("ws"), i * SegWords + 1, lit(SegWords)), " ")
-      )
-      val base = input
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"), segArr.as("segs"))
+      // bindOnce: per-segment slices would otherwise inline (and
+      // re-evaluate) the normalize+split subtree — O(n²) per document.
+      val segArr = graft.functions.MetadataFunctions.bindOnce(words(col("text"))) { ws =>
+        transform(
+          sequence(lit(0), ((size(ws) - 1) / SegWords).cast("int")),
+          i => array_join(slice(ws, i * SegWords + 1, lit(SegWords)), " ")
+        )
+      }
+      val base = input.select(col("doc_id"), segArr.as("segs"))
       val segs = base
         .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
         .withColumn("h", md5(col("seg")))

@@ -28,14 +28,17 @@ object LlmQueries6 {
     * the registered query and ScaleProbe.
     */
   def segmentStatsOf(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // bindOnce: projection collapse would inline the normalize+split
+    // subtree into every per-segment slice — O(n²) per document.
     val docs = input
-      .select(col("doc_id"), words(col("text")).as("ws"))
       .select(
         col("doc_id"),
-        transform(
-          sequence(lit(0), ((size(col("ws")) - 1) / SegWords).cast("int")),
-          i => md5(array_join(slice(col("ws"), i * SegWords + 1, lit(SegWords)), " "))
-        ).as("seg_hashes")
+        graft.functions.MetadataFunctions.bindOnce(words(col("text"))) { ws =>
+          transform(
+            sequence(lit(0), ((size(ws) - 1) / SegWords).cast("int")),
+            i => md5(array_join(slice(ws, i * SegWords + 1, lit(SegWords)), " "))
+          )
+        }.as("seg_hashes")
       )
     val segs = docs
       .select(col("doc_id"), explode(col("seg_hashes")).as("seg_hash"))

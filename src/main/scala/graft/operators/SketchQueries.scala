@@ -154,13 +154,15 @@ object SketchQueries {
   private[graft] val CmsWidth = 1024
 
   /** Word 3-grams of the document text (the docs_ngram_freq vocabulary). */
-  private[graft] def gramsOf(text: Column): Column = {
-    val tokens = split(coalesce(text, lit("")), " ")
-    transform(
-      sequence(lit(0), greatest(size(tokens) - 3, lit(0))),
-      i => array_join(slice(tokens, i + 1, lit(3)), " ")
-    )
-  }
+  private[graft] def gramsOf(text: Column): Column =
+    // bindOnce: each per-position slice would otherwise inline (and
+    // re-evaluate) the split — O(n²) per row.
+    graft.functions.MetadataFunctions.bindOnce(split(coalesce(text, lit("")), " ")) { tokens =>
+      transform(
+        sequence(lit(0), greatest(size(tokens) - 3, lit(0))),
+        i => array_join(slice(tokens, i + 1, lit(3)), " ")
+      )
+    }
 
   /** CMS row-r bucket of a gram: an independent hash per row via the
     * `r:` prefix, reduced mod the sketch width.
