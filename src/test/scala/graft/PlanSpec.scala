@@ -183,4 +183,48 @@ class PlanSpec extends SparkSuite {
       "docs_canonical should be window-free"
     )
   }
+
+  test("round-8 additions keep their scale shapes (map-only / bounded windows)") {
+    def innerPlanOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    // Winnowing and the JL projection are per-row array arithmetic: ONE
+    // scan, zero shuffle, zero window — the whole point of their design.
+    Seq("docs_winnowing", "embed_random_projection").foreach { name =>
+      val plan = innerPlanOf(name)
+      assert(
+        plan.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }.isEmpty,
+        s"$name should be shuffle-free (map-only)"
+      )
+      assert(
+        plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"$name should be window-free"
+      )
+    }
+    // The KS CDF windows and the Zipf top-k cut partition on one key,
+    // which is legal ONLY over bounded aggregated frames (the dense
+    // source×64 scaffold / the (group, score) histogram) — never with a
+    // per-document grouping below (the retired ppl-buckets shape).
+    Seq("docs_ks_drift", "corpus_zipf").foreach { name =>
+      val plan = innerPlanOf(name)
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected bounded-frame windows, found none")
+      windows.filter(_.partitionSpec.size < 2).foreach { w =>
+        val nearestAgg = w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        val idGrouped = nearestAgg.exists(_.groupingExpressions.exists(_.collectFirst {
+          case att: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if Set("doc_id", "vec_id", "id")(att.name) =>
+            att
+        }.nonEmpty))
+        assert(
+          nearestAgg.nonEmpty && !idGrouped,
+          s"$name has a single-key window over a corpus-sized frame: ${w.partitionSpec}"
+        )
+      }
+    }
+  }
 }
