@@ -546,6 +546,85 @@ object SketchQueries {
     }
   )
 
+  /** Windowed distinct-user counting via mergeable HLL registers — the
+    * "daily active users, rolled up without recount" shape every event
+    * pipeline needs. Exact per-window `COUNT(DISTINCT user)` shuffles
+    * every id per window; the sketch keys a bounded aggregation by
+    * (event_type, day, register) — types × days × 256 rows — and the
+    * all-time row per type is an ELEMENTWISE MAX merge of the daily
+    * registers, no second pass over the stream (exactly how a
+    * streaming job maintains DAU/WAU/MAU from one register store).
+    * Same raw integer estimator as `corpus_distinct_hll`.
+    */
+  private val eventsDistinctHll = Q(
+    "events_distinct_users_hll",
+    (s, d) => {
+      val frame = Tables
+        .events(s, d)
+        .select(
+          concat(
+            col("event_type"),
+            lit("|"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          ).as("source"),
+          col("user_id").cast("string").as("text")
+        )
+      val stage1 = hllRegisters(frame)
+      val merged = stage1
+        .withColumn("et", element_at(split(col("source"), "\\|"), 1))
+        .groupBy("et", "reg")
+        .agg(max(col("m")).as("m"))
+        .select(concat(col("et"), lit("|##all")).as("source"), col("reg"), col("m"))
+      val m = HllRegisters
+      stage1
+        .unionByName(merged)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(1L, 41 - m)")).as("z_occ")
+        )
+        .select(
+          element_at(split(col("source"), "\\|"), 1).as("event_type"),
+          element_at(split(col("source"), "\\|"), 2).as("day"),
+          col("n_regs").cast("long").as("n_regs"),
+          expr(
+            s"((${m.toLong * m}L * 2199023255552L) div " +
+              s"(z_occ + (${m}L - n_regs) * 2199023255552L)) * 71828L div 100000L"
+          ).as("est_distinct")
+        )
+    },
+    Some {
+      val m = HllRegisters
+      s"""WITH h AS (
+         |  SELECT event_type || '|' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS source,
+         |    ('0x' || substr(md5(cast(user_id as varchar)), 1, 12))::bigint AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT source, h // $HllRestSpace AS reg, h % $HllRestSpace AS rest FROM h),
+         |rk AS (
+         |  SELECT source, reg,
+         |    (CASE WHEN rest = 0 THEN 41 ELSE 41 - length(bin(rest)) END) AS rank
+         |  FROM r),
+         |s1s AS (SELECT source, reg, max(rank) AS m FROM rk GROUP BY 1, 2),
+         |s1 AS (
+         |  SELECT * FROM s1s
+         |  UNION ALL
+         |  SELECT et || '|##all' AS source, reg, m FROM (
+         |    SELECT string_split(source, '|')[1] AS et, reg, max(m) AS m
+         |    FROM s1s GROUP BY 1, 2) _mg),
+         |s2 AS (
+         |  SELECT source, count(*) AS n_regs,
+         |    sum(cast(1 as bigint) << (41 - m)) AS z_occ
+         |  FROM s1 GROUP BY 1)
+         |SELECT string_split(source, '|')[1] AS event_type,
+         |  string_split(source, '|')[2] AS day,
+         |  cast(n_regs as bigint) AS n_regs,
+         |  cast(((${m.toLong * m} * 2199023255552) //
+         |        (z_occ + ($m - n_regs) * 2199023255552)) * 71828 // 100000 as bigint) AS est_distinct
+         |FROM s2""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
-    Seq(distinctKmv, distinctHll, ngramCms, lengthHistogram, statsCube, annRecallEval)
+    Seq(distinctKmv, distinctHll, ngramCms, lengthHistogram, statsCube, annRecallEval, eventsDistinctHll)
 }

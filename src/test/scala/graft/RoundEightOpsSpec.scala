@@ -235,6 +235,31 @@ class RoundEightOpsSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-4)
   }
 
+  test("windowed HLL: identical days merge to an identical all-time estimate") {
+    import spark.implicits._
+    // Two days with the SAME 2000 users: the per-day register sets are
+    // identical, so the ##all row (elementwise-max merge) must estimate
+    // EXACTLY what each day does — mergeability as an equality, not a
+    // tolerance. The estimate itself must land near the true 2000.
+    val rows = for {
+      day <- Seq("2024-01-01", "2024-01-02")
+      u <- 1L to 2000L
+    } yield (java.sql.Timestamp.valueOf(s"$day 12:00:00"), u, "a", 1.0, Map.empty[String, String])
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    rows
+      .toDF("ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("events_distinct_users_hll")(spark, dir)
+      .collect()
+      .map(r => r.getString(1) -> r.getAs[Long]("est_distinct"))
+      .toMap
+    assert(out.keySet == Set("2024-01-01", "2024-01-02", "##all"))
+    assert(out("2024-01-01") == out("##all"))
+    assert(out("2024-01-02") == out("##all"))
+    assert(math.abs(out("##all") - 2000L) < 500L)
+  }
+
   test("random projection: signs are ±1 and a unit vector has distortion exactly 1") {
     // Sign matrix contract (the SQL literal and the plan share it).
     val signs = for (j <- 0 until 16; i <- 0 until 64) yield RandomProjection.sign(j, i)
