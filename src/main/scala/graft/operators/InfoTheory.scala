@@ -248,5 +248,137 @@ object InfoTheory {
     }
   )
 
-  val all: Seq[Q] = Seq(entropyQ, ksQ, zipfQ)
+  private val HeapsBuckets = 10
+
+  /** Heaps-law fit: vocabulary growth V(T) ≈ K·T^β over the corpus
+    * (Heaps 1978; β ≈ 0.4-0.6 for natural language — a flat or
+    * saturating curve flags templated text, runaway growth flags
+    * noise/IDs). The naive construction orders the corpus and counts
+    * distinct words per prefix — a total order plus per-prefix
+    * distincts. Instead: documents land in 10 deterministic hash
+    * buckets ("prefix" = buckets 0..k), each word contributes ONE row
+    * (its minimum bucket — a map-side-combined min aggregate over the
+    * vocabulary), so V(k) is a 10-row cumulative sum over the
+    * first-bucket census and T(k) one over per-bucket token counts.
+    * The log-log regression then runs over ten (T, V) points — the
+    * corpus contributes two bounded aggregations, nothing more.
+    */
+  private val heapsQ = Q(
+    "corpus_heaps",
+    (s, d) => {
+      val toks = Tables
+        .documents(s, d)
+        .select(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long") % HeapsBuckets)
+            .cast("int")
+            .as("bk"),
+          explode(words(col("text"))).as("w")
+        )
+      val firstBucket = toks.groupBy("w").agg(min(col("bk")).as("fb"))
+      val vByBucket = firstBucket.groupBy(col("fb").as("bk")).agg(count(lit(1)).as("v"))
+      val tByBucket = toks.groupBy("bk").agg(count(lit(1)).as("t"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .orderBy("bk")
+      val points = tByBucket
+        .join(vByBucket, Seq("bk"), "left")
+        .withColumn("v", coalesce(col("v"), lit(0L)))
+        .withColumn("cv", sum(col("v")).over(w))
+        .withColumn("ct", sum(col("t")).over(w))
+        .select(log(col("ct").cast("double")).as("x"), log(col("cv").cast("double")).as("y"))
+      points
+        .agg(
+          count(lit(1)).cast("long").as("n_points"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx")
+        )
+        .select(
+          col("n_points"),
+          round(
+            (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_points") * col("sxx") - col("sx") * col("sx")),
+            4
+          ).as("heaps_beta"),
+          round(
+            exp(
+              (col("sy") - ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+                (col("n_points") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n_points")
+            ),
+            4
+          ).as("heaps_k")
+        )
+    },
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH toks AS (
+         |  SELECT cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 2))::bigint % $HeapsBuckets AS int) AS bk,
+         |    unnest(string_split($norm, ' ')) AS w
+         |  FROM documents),
+         |fb AS (SELECT w, min(bk) AS fb FROM toks GROUP BY w),
+         |vb AS (SELECT fb AS bk, count(*) AS v FROM fb GROUP BY 1),
+         |tb AS (SELECT bk, count(*) AS t FROM toks GROUP BY 1),
+         |pts AS (
+         |  SELECT ln(cast(sum(t) OVER (ORDER BY tb.bk) AS double)) AS x,
+         |    ln(cast(sum(coalesce(v, 0)) OVER (ORDER BY tb.bk) AS double)) AS y
+         |  FROM tb LEFT JOIN vb ON tb.bk = vb.bk),
+         |agg AS (
+         |  SELECT cast(count(*) AS bigint) AS n_points, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  FROM pts)
+         |SELECT n_points,
+         |  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 4) AS heaps_beta,
+         |  round(exp((sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx) / n_points), 4) AS heaps_k
+         |FROM agg""".stripMargin
+    }
+  )
+
+  /** Good-Turing count-of-counts (Good 1953; Gale & Sampson 1995's
+    * simple GT): the frequency-of-frequencies table n_r over the corpus
+    * vocabulary and the adjusted counts r* = (r+1)·n_{r+1}/n_r for the
+    * low-count head — the smoothing every open-vocabulary LM needs for
+    * unseen-mass estimation (the r=1 row's share of tokens IS the
+    * missing-mass estimate). One vocabulary count aggregation, then a
+    * count-of-counts over it (bounded by distinct count VALUES), a
+    * self-join on r+1, integer permyriad output.
+    */
+  private val gtQ = Q(
+    "corpus_good_turing",
+    (s, d) => {
+      val counts = Tables
+        .documents(s, d)
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("c"))
+      val nr = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      // The 10 SMALLEST counts present (not a fixed r ≤ 10 — a heavily
+      // repetitive corpus may have no low-count words at all). nr is
+      // bounded by distinct count VALUES (≪ vocabulary), so the
+      // sort-limit runs on an aggregated frame, never the corpus.
+      nr.join(
+        nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+        Seq("r"),
+        "left"
+      ).orderBy("r")
+        .limit(10)
+        .select(
+          col("r"),
+          col("n_r"),
+          expr("(r + 1) * coalesce(n_r1, 0L) * 10000 div n_r").as("r_star_pm")
+        )
+    },
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH toks AS (SELECT unnest(string_split($norm, ' ')) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         |nr AS (SELECT c AS r, count(*) AS n_r FROM wc GROUP BY 1)
+         |SELECT a.r, a.n_r,
+         |  (a.r + 1) * coalesce(b.n_r, 0) * 10000 // a.n_r AS r_star_pm
+         |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+         |ORDER BY a.r LIMIT 10""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(entropyQ, ksQ, zipfQ, heapsQ, gtQ)
 }

@@ -235,6 +235,37 @@ class RoundEightOpsSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-4)
   }
 
+  test("Heaps fit: an all-unique-vocabulary corpus gives beta = 1, K = 1 exactly") {
+    import spark.implicits._
+    // Every token is globally unique ⇒ V(T) = T at every checkpoint ⇒
+    // the log-log fit is the identity: slope 1, intercept 0.
+    val docs = (1L to 50L).map(i => (i, (1 to 20).map(j => s"u${i}x$j").mkString(" "), "en", "s"))
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    docs.toDF("doc_id", "text", "lang", "source").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("corpus_heaps")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_points") == 10L)
+    assert(r.getAs[Double]("heaps_beta") == 1.0)
+    assert(r.getAs[Double]("heaps_k") == 1.0)
+  }
+
+  test("Good-Turing adjusted counts match the hand table") {
+    import spark.implicits._
+    // counts: {a,b,c}=1, {d,e}=2, {f}=3 ⇒ n_1=3, n_2=2, n_3=1;
+    // r*₁ = 2·n₂/n₁ = 4/3, r*₂ = 3·n₃/n₂ = 3/2, r*₃ = 4·0/1 = 0.
+    val dir = java.nio.file.Files.createTempDirectory("gt").toString
+    Seq((1L, "a b c d d e e f f f", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("corpus_good_turing")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_r"), r.getAs[Long]("r_star_pm"))))
+      .toMap
+    assert(out(1L) == ((3L, 13333L)))
+    assert(out(2L) == ((2L, 15000L)))
+    assert(out(3L) == ((1L, 0L)))
+  }
+
   test("windowed HLL: identical days merge to an identical all-time estimate") {
     import spark.implicits._
     // Two days with the SAME 2000 users: the per-day register sets are
