@@ -360,5 +360,65 @@ object Classifier {
     bench = false
   )
 
-  val all: Seq[Q] = Seq(classifier, weights, calibration)
+  /** Ranking quality (AUC) of the trained classifier — the companion to
+    * the calibration diagram: calibration says whether the probability
+    * MEANS what it claims, AUC whether the ORDERING separates classes
+    * at all. Computed as the bucketed Mann-Whitney statistic: scores
+    * land in 64 fixed micro-probability cells (the registry's
+    * bounded-histogram discipline — an exact AUC would total-order the
+    * corpus by score), cross-bucket positive/negative pairs count fully
+    * and same-bucket pairs half, all in exact integer arithmetic:
+    * AUC_permyriad = Σ_b pos_b·(2·cumNeg_below + neg_b) · 10⁴
+    * div (2·P·N). The cumulative window runs over the 64-row aggregated
+    * frame, never the corpus.
+    */
+  private val auc = Q(
+    "docs_classifier_auc",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      scoreOf(Tables.documents(s, d))
+        .select(least(expr("p_mu div 15625"), lit(63L)).as("bucket"), col("y"))
+        .groupBy("bucket")
+        .agg(
+          sum(col("y")).as("pos"),
+          sum(lit(1) - col("y")).as("neg")
+        )
+        .withColumn("cnb", coalesce(sum(col("neg")).over(w), lit(0L)))
+        .agg(
+          sum(col("pos")).as("n_pos"),
+          sum(col("neg")).as("n_neg"),
+          sum(col("pos") * (lit(2) * col("cnb") + col("neg"))).as("numer2")
+        )
+        .select(
+          col("n_pos").cast("long").as("n_pos"),
+          col("n_neg").cast("long").as("n_neg"),
+          expr("numer2 * 10000 div (2 * n_pos * n_neg)").as("auc_pm")
+        )
+    },
+    Some(
+      oracleSql(
+        """SELECT cast(n_pos as bigint) AS n_pos, cast(n_neg as bigint) AS n_neg,
+          |  numer2 * 10000 // (2 * n_pos * n_neg) AS auc_pm
+          |FROM (
+          |  SELECT cast(sum(pos) as bigint) AS n_pos, cast(sum(neg) as bigint) AS n_neg,
+          |    cast(sum(pos * (2 * cnb + neg)) as bigint) AS numer2
+          |  FROM (
+          |    SELECT bucket, pos, neg,
+          |      coalesce(sum(neg) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+          |    FROM (
+          |      SELECT least(p_mu // 15625, 63) AS bucket,
+          |        sum(y) AS pos, sum(1 - y) AS neg
+          |      FROM (
+          |        SELECT y, CAST(round(1000000.0 / (1.0 + exp(-(lmu / 1000000.0)))) AS BIGINT) AS p_mu
+          |        FROM lf) _p
+          |      GROUP BY 1) _b) _c) _a""".stripMargin
+      )
+    ),
+    bench = false
+  )
+
+  val all: Seq[Q] = Seq(classifier, weights, calibration, auc)
 }

@@ -266,6 +266,27 @@ class RoundEightOpsSpec extends SparkSuite {
     assert(out(3L) == ((1L, 0L)))
   }
 
+  test("classifier AUC equals the brute-force bucketed Mann-Whitney statistic") {
+    val sf = "/root/testdata/sf0.001"
+    val bucketed = graft.operators.Classifier
+      .scoreOf(Tables.documents(spark, sf))
+      .select(least(expr("p_mu div 15625"), lit(63L)).as("b"), col("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("y").longValue()))
+    // Brute-force over all (positive, negative) pairs at bucket
+    // granularity: full credit when the positive's bucket is higher,
+    // half on ties — the definition the operator's cumulative form
+    // must reproduce exactly.
+    val pos = bucketed.filter(_._2 == 1L).map(_._1)
+    val neg = bucketed.filter(_._2 == 0L).map(_._1)
+    val numer2 = (for (p <- pos; n <- neg) yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = numer2 * 10000L / (2L * pos.length * neg.length)
+    val r = SparkEntry.queries("docs_classifier_auc")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(r.getAs[Long]("auc_pm") == expected)
+  }
+
   test("windowed HLL: identical days merge to an identical all-time estimate") {
     import spark.implicits._
     // Two days with the SAME 2000 users: the per-day register sets are
