@@ -213,11 +213,14 @@ object InfoTheory {
         )
         .select(
           col("n_top"),
-          round(
+          // `+ 0.0` normalizes IEEE −0.0 (a vanishing negative slope):
+          // Spark's BigDecimal round drops the sign, DuckDB's keeps it —
+          // the sf1 sweep caught the repr mismatch on a flat corpus.
+          (round(
             (col("n_top") * col("sxy") - col("sx") * col("sy")) /
               (col("n_top") * col("sxx") - col("sx") * col("sx")),
             4
-          ).as("zipf_slope"),
+          ) + lit(0.0)).as("zipf_slope"),
           round(
             ((col("n_top") * col("sxy") - col("sx") * col("sy")) *
               (col("n_top") * col("sxy") - col("sx") * col("sy"))) /
@@ -241,7 +244,7 @@ object InfoTheory {
          |    sum(x * x) AS sxx, sum(y * y) AS syy
          |  FROM xy)
          |SELECT n_top,
-         |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 4) AS zipf_slope,
+         |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 4) + 0.0 AS zipf_slope,
          |  round(((n_top * sxy - sx * sy) * (n_top * sxy - sx * sy)) /
          |        ((n_top * sxx - sx * sx) * (n_top * syy - sy * sy)), 4) AS r2
          |FROM agg""".stripMargin
@@ -296,11 +299,12 @@ object InfoTheory {
         )
         .select(
           col("n_points"),
-          round(
+          // `+ 0.0` kills IEEE −0.0 (see zipf_slope — sf1 sweep finding).
+          (round(
             (col("n_points") * col("sxy") - col("sx") * col("sy")) /
               (col("n_points") * col("sxx") - col("sx") * col("sx")),
             4
-          ).as("heaps_beta"),
+          ) + lit(0.0)).as("heaps_beta"),
           round(
             exp(
               (col("sy") - ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
@@ -328,7 +332,7 @@ object InfoTheory {
          |    sum(x * y) AS sxy, sum(x * x) AS sxx
          |  FROM pts)
          |SELECT n_points,
-         |  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 4) AS heaps_beta,
+         |  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 4) + 0.0 AS heaps_beta,
          |  round(exp((sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx) / n_points), 4) AS heaps_k
          |FROM agg""".stripMargin
     }
