@@ -104,9 +104,12 @@ object InfoTheory {
         floor(LlmQueries.qualityExpr(col("text")) * KsBuckets).cast("int"),
         lit(KsBuckets - 1)
       )
+      // Sentinel-coalesced source (the pplBucketsOf lesson): a null
+      // source would survive the oracle's scaffold but vanish through
+      // the Spark hash-key join.
       val counts = Tables
         .documents(s, d)
-        .select(col("source"), bucket.as("bucket"))
+        .select(coalesce(col("source"), lit(" ")).as("source"), bucket.as("bucket"))
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n"))
       // Dense scaffold: every (source, bucket) cell exists, so the CDF
@@ -152,7 +155,7 @@ object InfoTheory {
         s"least(cast(len($ws) as double) / 100, 1.0) * " +
           s"(1.0 - cast(length(regexp_replace(text, '[^\\p{P}]', '', 'g')) as double) / length(text))"
       s"""WITH b AS (
-         |  SELECT source,
+         |  SELECT coalesce(source, ' ') AS source,
          |    least(cast(floor(($quality) * $KsBuckets) as int), ${KsBuckets - 1}) AS bucket
          |  FROM documents),
          |counts AS (SELECT source, bucket, count(*) AS n FROM b GROUP BY 1, 2),

@@ -32,8 +32,10 @@ object SketchOverlap {
   /** Overlap estimates of any (source, text) input — factored for specs. */
   def overlapOf(input: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val h = SketchQueries.hash48(coalesce(col("text"), lit("")))
+      // Sentinel-coalesced source: a null source would survive the
+      // oracle's pair CTEs but vanish through the Spark hash-key join.
       val regs = input
-        .select(col("source"), h.as("h"), (h % K).as("shard"))
+        .select(coalesce(col("source"), lit(" ")).as("source"), h.as("h"), (h % K).as("shard"))
         .groupBy("source", "shard")
         .agg(min(col("h")).as("minh"))
       // Bounded register table from here on: estimates per source...
@@ -86,7 +88,7 @@ object SketchOverlap {
     Some {
       val space = SketchQueries.Hash48Space
       s"""WITH h AS (
-         |  SELECT source,
+         |  SELECT coalesce(source, ' ') AS source,
          |    ('0x' || substr(md5(coalesce(text, '')), 1, 12))::bigint AS h
          |  FROM documents),
          |regs AS (
