@@ -244,18 +244,29 @@ object TextFunctions {
     * expression for the normalized text.
     */
   def fingerprintHashesSql(norm: String): String = {
-    def term(posExpr: String, exp: Int): String =
-      s"cast(ord(substr($norm, $posExpr, 1)) % 256 as bigint) * ${FpPows(exp)}"
-    val windowSum = (0 until 8).map(j => term(if (j == 0) "i" else s"i + $j", 7 - j)).mkString(" + ")
+    // SQL-level let-binding, the bindOnce trick in DuckDB: a
+    // single-element list_transform binds its argument once, so `norm`
+    // (usually an inline regexp chain) evaluates ONCE per row and the
+    // per-character code array once — not once per polynomial term.
+    // Unbound, the sf1 DuckDB compare spent ~45 min on the fingerprint
+    // oracle alone (8·n regexp evaluations per row); bound it is
+    // seconds. Values are identical — same polynomial, same order.
+    val windowSum = (0 until 8)
+      .map(j => s"cs[${if (j == 0) "i" else s"i + $j"}] * ${FpPows(7 - j)}")
+      .mkString(" + ")
     val pows = FpPows.mkString("[", ", ", "]")
     // list_sum widens to HUGEINT, which would infect the CASE-unified
     // list type (and fp_min's) — pin it back to BIGINT.
     val shortSum =
-      s"cast(list_sum(list_transform(range(1, length($norm) + 1), k -> cast(ord(substr($norm, k, 1)) % 256 as bigint) * ($pows)[length($norm) - k + 1])) as bigint)"
-    s"(CASE WHEN length($norm) >= 8 " +
-      s"THEN list_transform(range(1, length($norm) - 6), i -> $windowSum) " +
-      s"WHEN length($norm) = 0 THEN [cast(0 as bigint)] " +
-      s"ELSE [$shortSum] END)"
+      s"cast(list_sum(list_transform(range(1, len(cs) + 1), k -> cs[k] * ($pows)[len(cs) - k + 1])) as bigint)"
+    val codes =
+      "(CASE WHEN length(nx) = 0 THEN cast([] as bigint[]) " +
+        "ELSE list_transform(range(1, length(nx) + 1), k -> cast(ord(substr(nx, k, 1)) % 256 as bigint)) END)"
+    s"list_transform([$norm], nx -> " +
+      s"list_transform([$codes], cs -> " +
+      s"(CASE WHEN len(cs) >= 8 THEN list_transform(range(1, len(cs) - 6), i -> $windowSum) " +
+      s"WHEN len(cs) = 0 THEN [cast(0 as bigint)] " +
+      s"ELSE [$shortSum] END))[1])[1]"
   }
 
   /** Approximate BPE-ish token count: word chars runs + single

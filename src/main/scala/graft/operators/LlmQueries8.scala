@@ -363,13 +363,13 @@ object LlmQueries8 {
     val near = docs
       .filter(col("doc_id") % 10 === 0)
       .select(
-        (col("doc_id") + 500000).as("doc_id"),
+        (col("doc_id") + 500000000000L).as("doc_id"),
         concat(col("text"), lit(" another small suffix here")).as("text")
       )
     val novel = docs
       .filter(col("doc_id") % 10 === 5)
       .select(
-        (col("doc_id") + 600000).as("doc_id"),
+        (col("doc_id") + 600000000000L).as("doc_id"),
         concat(
           lit("nv"), col("doc_id").cast("string"),
           lit(" xq"), col("doc_id").cast("string"),
@@ -387,7 +387,9 @@ object LlmQueries8 {
     */
   private[operators] val NeardupIncrementalOracleSql: String = {
     // `corpus` here is corpus docs ∪ batch docs so one SigSql band
-    // table covers both sides (ids ≥ 500000 are the batch).
+    // table covers both sides (ids ≥ 5·10¹¹ are the batch — far above any
+    // replica-shifted corpus id: the sf1 sweep caught the old 500000
+    // threshold misclassifying shifted replicas as batch rows).
     val corpusSql =
       """corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -396,9 +398,9 @@ object LlmQueries8 {
         |  UNION ALL
         |  SELECT doc_id + 200000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 5
         |  UNION ALL
-        |  SELECT doc_id + 500000, text || ' another small suffix here' FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 500000000000, text || ' another small suffix here' FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 600000,
+        |  SELECT doc_id + 600000000000,
         |    'nv' || cast(doc_id as varchar) || ' xq' || cast(doc_id as varchar) || ' qq' || cast(doc_id as varchar)
         |  FROM documents WHERE doc_id % 10 = 5
         |)""".stripMargin
@@ -408,7 +410,7 @@ object LlmQueries8 {
        |  SELECT b.doc_id AS b_id, c.doc_id AS c_id
        |  FROM bh b JOIN bh c
        |    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
-       |   AND b.doc_id >= 500000 AND c.doc_id < 500000
+       |   AND b.doc_id >= 500000000000 AND c.doc_id < 500000000000
        |  GROUP BY 1, 2),
        |wsets AS (SELECT doc_id, list_distinct(string_split($norm, ' ')) AS ws FROM corpus),
        |m AS (
@@ -419,7 +421,7 @@ object LlmQueries8 {
        |  WHERE cast(len(list_intersect(a.ws, c.ws)) as double) /
        |        len(list_distinct(list_concat(a.ws, c.ws))) >= 0.8
        |  GROUP BY 1),
-       |batch AS (SELECT doc_id FROM corpus WHERE doc_id >= 500000)
+       |batch AS (SELECT doc_id FROM corpus WHERE doc_id >= 500000000000)
        |SELECT b.doc_id,
        |  coalesce(m.matched_cluster, b.doc_id) AS cluster_id,
        |  m.matched_cluster IS NULL AS is_new
