@@ -119,7 +119,7 @@ object InfoTheory {
       // would plan the BroadcastNestedLoopJoin the plan suite reserves
       // for knn); both sides are bounded.
       val scaffold = counts
-        .select(col("source"), (length(col("source")) * 0 + 1).as("j")).distinct()
+        .select(col("source"), (length(col("source")) - length(col("source")) + 1).as("j")).distinct()
         .join(
           counts.sparkSession
             .range(0, KsBuckets)

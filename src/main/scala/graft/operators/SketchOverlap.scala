@@ -53,9 +53,9 @@ object SketchOverlap {
       // BroadcastNestedLoopJoin the plan suite reserves for knn).
       val srcs = regs.select(col("source")).distinct()
       val pairTable = srcs
-        .select(col("source").as("src_a"), (length(col("source")) * 0 + 1).as("j"))
+        .select(col("source").as("src_a"), (length(col("source")) - length(col("source")) + 1).as("j"))
         .join(
-          srcs.select(col("source").as("src_b"), (length(col("source")) * 0 + 1).as("j")),
+          srcs.select(col("source").as("src_b"), (length(col("source")) - length(col("source")) + 1).as("j")),
           Seq("j")
         )
         .filter(col("src_a") < col("src_b"))
