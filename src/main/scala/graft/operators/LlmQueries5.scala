@@ -80,8 +80,10 @@ object LlmQueries5 {
         // Heavy-bucket guard (see LlmQueries.MaxBucketSize): the
         // within-bucket self-join is quadratic in bucket size, and a
         // near-duplicate-heavy corpus concentrates copies in one bucket.
-        // Buckets above the cap are excluded via a broadcast anti-join
-        // (never fires on the test corpus, so the oracle is unchanged).
+        // Buckets above the cap are excluded via a broadcast anti-join.
+        // The ORACLE mirrors the cap (the sf1-equivalent sweep caught
+        // embed_semdedup diverging when 10× replicas pushed every IVF
+        // cell past the cap — the capped semantics ARE the contract).
         val heavy = corpus
           .groupBy("bucket")
           .agg(count(lit(1)).as("__n"))
@@ -120,11 +122,14 @@ object LlmQueries5 {
            |  SELECT vec_id + 100000,
            |    list_transform(cast(embedding as double[]), x -> x * 1.05 + 0.01)
            |  FROM embeddings WHERE vec_id % 10 = 5),
-           |corp AS (SELECT vec_id, vec, $bucket AS bucket FROM corp0)
+           |corp AS (SELECT vec_id, vec, $bucket AS bucket FROM corp0),
+           |heavy AS (
+           |  SELECT bucket FROM corp GROUP BY bucket HAVING count(*) > ${LlmQueries.MaxBucketSize}),
+           |capped AS (SELECT corp.* FROM corp ANTI JOIN heavy USING (bucket))
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |  round(list_dot_product(a.vec, b.vec) /
            |        (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS score
-           |FROM corp a JOIN corp b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE list_dot_product(a.vec, b.vec) /
            |      (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= $Threshold""".stripMargin
       }
@@ -174,9 +179,12 @@ object LlmQueries5 {
            |  FROM embeddings WHERE vec_id % 10 = 5),
            |corp AS (SELECT vec_id, vec, list_position(sc, list_max(sc)) AS cell
            |         FROM (SELECT vec_id, vec, $scores AS sc FROM corp0) _s),
+           |heavy AS (
+           |  SELECT cell FROM corp GROUP BY cell HAVING count(*) > ${LlmQueries.MaxBucketSize}),
+           |capped AS (SELECT corp.* FROM corp ANTI JOIN heavy USING (cell)),
            |dups AS (
            |  SELECT DISTINCT b.vec_id AS dup_id
-           |  FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
            |  WHERE list_dot_product(a.vec, b.vec) /
            |        (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= $Threshold)
            |SELECT c.vec_id, cast(c.cell AS bigint) AS cell,
