@@ -621,6 +621,51 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = operators.GraphQueries.pagerank(big).count()
         println(f"SCALE mode=pagerank mult=$mult edges=$edges nodes=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "trihub" =>
+        // Hub skew for triangle counting: the verified near-dup edge set
+        // of the base corpus plus a STAR of mult×2000 distinct leaves on
+        // one hub — the boilerplate-page shape. Degree-ordered
+        // orientation points every star edge leaf→hub (the hub is the
+        // max-degree endpoint), so each leaf's out-neighborhood is {hub}
+        // and the star contributes ZERO wedges: time must stay flat in
+        // the star size. An unoriented wedge join would blow up as
+        // (mult×2000)² here.
+        val baseEdges = operators.LlmQueries8
+          .verifiedNeardupEdges(LlmQueries.corpus(spark, sfDir), 0.5)
+          .persist()
+        val nBase = baseEdges.count()
+        val star = spark
+          .range(mult * 2000L)
+          .select(lit(888888888L).as("doc_a"), (col("id") + 900000000L).as("doc_b"))
+        val t0 = System.nanoTime()
+        val tri = operators.TriangleQueries
+          .triangleCounts(baseEdges.unionByName(star))
+          .agg(sum(col("n_tri")).as("s"))
+          .collect()(0)
+          .getLong(0)
+        println(
+          f"SCALE mode=trihub mult=$mult baseEdges=$nBase star=${mult * 2000} triCorners=$tri time=${(System.nanoTime() - t0) / 1e9}%.1f s"
+        )
+      case "priority" =>
+        // One-group skew for priority sampling: every replicated doc in
+        // a single group, k=100. The bit-length histogram cut must keep
+        // the exact-rank window's input at O(k) whatever the group size
+        // — the per-group total order this operator exists to avoid
+        // would sort the whole corpus on one task here.
+        val docs = docsReplicated
+          .select(
+            col("doc_id"),
+            lit("onelang").as("lang"),
+            (length(col("text")) % 9999 + 1).cast("long").as("w")
+          )
+        val total = docs.count()
+        val t0 = System.nanoTime()
+        val n = operators.PrioritySampling
+          .prioritySample(docs, "lang", "doc_id", "w", 100)
+          .count()
+        println(
+          f"SCALE mode=priority mult=$mult docs=$total selected=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s"
+        )
       case _ =>
         val base = DedupQueries.records(spark, sfDir)
         // Replicas must be disjoint in ALL dedup keys (title + isbn), not

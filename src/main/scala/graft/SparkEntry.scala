@@ -89,7 +89,9 @@ object SparkEntry {
       operators.LineDedup.all ++
       operators.RandomProjection.all ++
       operators.InfoTheory.all ++
-      operators.BlockingEval.all
+      operators.BlockingEval.all ++
+      operators.PrioritySampling.all ++
+      operators.TriangleQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -226,5 +226,40 @@ class PlanSpec extends SparkSuite {
         )
       }
     }
+    // Triangle counting is pure equi-join + bounded aggregate: the
+    // degree-ordered orientation exists precisely so NO window and NO
+    // nested-loop join ever appears, whatever the degree distribution.
+    locally {
+      val plan = innerPlanOf("graph_triangles")
+      assert(
+        plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        "graph_triangles should be window-free"
+      )
+      assert(
+        plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty,
+        "graph_triangles should contain only equi-joins"
+      )
+    }
+    // Priority sampling's windows are legal only because their inputs
+    // are bounded: the bit-length histogram (≤62 rows/group) and the
+    // broadcast-gated survivor frame. Every window must be partitioned
+    // (no global sort) and the corpus side must reach them only through
+    // a broadcast join or an aggregate.
+    locally {
+      val plan = innerPlanOf("docs_sample_priority")
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, "docs_sample_priority: expected bounded-frame windows")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, "docs_sample_priority has a global (unpartitioned) window")
+        val gated = w.child.collectFirst {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(gated.nonEmpty, "docs_sample_priority window reads an ungated corpus-sized frame")
+      }
+    }
   }
 }

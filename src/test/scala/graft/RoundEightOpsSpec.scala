@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LineDedup, RandomProjection, SketchOverlap, SmoothedLm, WinnowingQueries}
+import graft.operators.{LineDedup, PrioritySampling, RandomProjection, SketchOverlap, SmoothedLm, WinnowingQueries}
 import org.apache.spark.sql.functions._
 
 /** Semantic pins for the round-8 additions the oracle certifies only as
@@ -327,5 +327,72 @@ class RoundEightOpsSpec extends SparkSuite {
     // proj_j = ±10000 for every j ⇒ Σv² = 16·10⁸ ⇒ distortion = 1.0.
     assert(r.getAs[Double]("distortion") == 1.0)
     assert(r.getAs[String]("proj").split(",").forall(v => math.abs(v.toLong) == 10000L))
+  }
+
+  test("priority sampling: bounded bit-length cut equals the naive per-group rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 600 items across 3 groups (one smaller than k, so τ is null there
+    // and est_w degenerates to w), weights spanning the full bp range.
+    val df = (0 until 600)
+      .map(i => (s"g${i % 3}", i.toLong, ((i * 37) % 10000 + 1).toLong))
+      .toDF("grp", "id", "w")
+      .filter(col("grp") =!= "g2" || col("id") < 30) // g2 has only 10 items < k
+    val k = 50
+    val got = PrioritySampling
+      .prioritySample(df, "grp", "id", "w", k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toSet
+    // Naive reference: exact priority, full per-group sort.
+    val withP = df.withColumn(
+      "p",
+      expr("(w * 281474976710656L) div (cast(conv(substring(md5(cast(id as string)), 1, 12), 16, 10) as long) + 1)")
+    )
+    val rk = org.apache.spark.sql.functions
+      .row_number()
+      .over(Window.partitionBy("grp").orderBy(col("p").desc, col("id").asc))
+    val ranked = withP.withColumn("rk", rk.cast("long")).persist()
+    val tau = ranked
+      .filter(col("rk") > k)
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.max("p").as("tau"))
+    val want = ranked
+      .filter(col("rk") <= k)
+      .join(tau, Seq("grp"), "left")
+      .select(
+        col("grp"),
+        col("id"),
+        col("rk"),
+        greatest(col("w"), coalesce(col("tau"), col("w"))).as("est_w")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // The small group is fully selected with degenerate estimator ŵ = w.
+    val g2 = PrioritySampling
+      .prioritySample(df, "grp", "id", "w", k)
+      .filter(col("grp") === "g2")
+      .collect()
+    assert(g2.length == 10)
+    assert(g2.forall(r => r.getLong(5) == r.getLong(2))) // est_w == w
+  }
+
+  test("triangle counts: K4 minus an edge, both-direction dupes, and a chain") {
+    import spark.implicits._
+    // {1,2,3,4} with (3,4) missing → triangles (1,2,3), (1,2,4);
+    // reversed duplicate edges must not double-count; 10-11-12 is a
+    // triangle-free chain and must be absent from the output.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (10L, 11L), (11L, 12L)
+    ).toDF("doc_a", "doc_b")
+    val got = operators.TriangleQueries
+      .triangleCounts(edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 }
