@@ -91,7 +91,9 @@ object SparkEntry {
       operators.InfoTheory.all ++
       operators.BlockingEval.all ++
       operators.PrioritySampling.all ++
-      operators.TriangleQueries.all
+      operators.TriangleQueries.all ++
+      operators.AllPairsJoin.all ++
+      operators.AmsSketch.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

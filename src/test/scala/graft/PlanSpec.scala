@@ -243,6 +243,24 @@ class PlanSpec extends SparkSuite {
         "graph_triangles should contain only equi-joins"
       )
     }
+    // The exact all-pairs join sorts only per-document token ARRAYS and
+    // the AMS sketch is pure bounded aggregation: neither may plan a
+    // window (a corpus-rank prefix assignment would be the wrong shape)
+    // or a non-equi join.
+    Seq("docs_allpairs_join", "corpus_f2_ams").foreach { name =>
+      val plan = innerPlanOf(name)
+      assert(
+        plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"$name should be window-free"
+      )
+      assert(
+        plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty,
+        s"$name should contain only equi-joins"
+      )
+    }
     // Priority sampling's windows are legal only because their inputs
     // are bounded: the bit-length histogram (≤62 rows/group) and the
     // broadcast-gated survivor frame. Every window must be partitioned

@@ -379,6 +379,57 @@ class RoundEightOpsSpec extends SparkSuite {
     assert(g2.forall(r => r.getLong(5) == r.getLong(2))) // est_w == w
   }
 
+  test("all-pairs join: prefix filter finds exactly the brute-force Jaccard >= 4/5 pairs") {
+    import spark.implicits._
+    // Clone family {1,2,3} (J = 1 and 9/10), a borderline pair {4,5}
+    // just under θ, and an unrelated doc — the filter chain must admit
+    // no false positives and, per the Bayardo lossless-prefix theorem,
+    // miss no true pair.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "alpha beta gamma delta epsilon mu nu xi omicron pi"),
+      (5L, "alpha beta gamma delta epsilon mu nu xi rho sigma"),
+      (6L, "completely different words here entirely unrelated tokens now")
+    ).toDF("doc_id", "text")
+    val got = operators.AllPairsJoin
+      .allPairs(docs)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+      .toMap
+    // Brute force over all 15 pairs with the same word sets.
+    val sets = docs
+      .select(col("doc_id"), array_distinct(graft.functions.TextFunctions.words(col("text"))).as("ws"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (a, wa) <- sets; (b, wb) <- sets if a < b
+      inter = (wa & wb).size; uni = (wa | wb).size
+      if inter * 5 >= uni * 4
+    } yield ((a, b), 1000L * inter / uni)).toMap
+    assert(got == want)
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L))) // real positives exist
+    assert(!got.contains((4L, 5L))) // J = 8/12 < 4/5 stays out
+  }
+
+  test("AMS F2: a single-token corpus estimates exactly, and the estimate is repartition-invariant") {
+    import spark.implicits._
+    // One token repeated n times: every register is ±n, so the mean of
+    // Z² is exactly n² = F₂ and err_pm = 0 whatever the sign hashes.
+    val dir = java.nio.file.Files.createTempDirectory("ams").toString
+    Seq((1L, "x x x x x x x", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("corpus_f2_ams")(spark, dir).collect().head
+    assert(r.getAs[Long]("exact_f2") == 49L) // f("x") = 7 ⇒ F₂ = 49
+    assert(r.getAs[Long]("est_f2") == 49L)
+    assert(r.getAs[Long]("err_pm") == 0L)
+    // Integer registers make the estimate deterministic across runs.
+    val again = SparkEntry.queries("corpus_f2_ams")(spark, dir).collect().head
+    assert(again.getAs[Long]("est_f2") == 49L)
+  }
+
   test("triangle counts: K4 minus an edge, both-direction dupes, and a chain") {
     import spark.implicits._
     // {1,2,3,4} with (3,4) missing → triangles (1,2,3), (1,2,4);
