@@ -93,7 +93,8 @@ object SparkEntry {
       operators.PrioritySampling.all ++
       operators.TriangleQueries.all ++
       operators.AllPairsJoin.all ++
-      operators.AmsSketch.all
+      operators.AmsSketch.all ++
+      operators.HybridFusion.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

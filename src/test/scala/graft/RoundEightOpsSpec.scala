@@ -430,6 +430,28 @@ class RoundEightOpsSpec extends SparkSuite {
     assert(again.getAs[Long]("est_f2") == 49L)
   }
 
+  test("RRF fusion: two mid ranks beat one top rank, integer contributions exact") {
+    import spark.implicits._
+    // Candidate 100 appears at ranks 2 and 3 (both lists); candidate
+    // 200 only at rank 1. 10⁶ div 62 + 10⁶ div 63 = 16129 + 15873 =
+    // 32002 > 16393 = 10⁶ div 61 — the consensus candidate must fuse
+    // first, with exact integer scores.
+    val pooled = Seq(
+      (1L, 200L, 1), (1L, 100L, 2), // list A
+      (1L, 100L, 3), (1L, 300L, 1) // list B
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = operators.HybridFusion
+      .fuse(pooled, 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._4)
+    assert(got.toSeq == Seq(
+      (100L, 32002L, 2L, 1L), // 16129 + 15873, in both lists
+      (200L, 16393L, 1L, 2L), // rank-1 singleton, id tie-break before 300
+      (300L, 16393L, 1L, 3L)
+    ))
+  }
+
   test("triangle counts: K4 minus an edge, both-direction dupes, and a chain") {
     import spark.implicits._
     // {1,2,3,4} with (3,4) missing → triangles (1,2,3), (1,2,4);
