@@ -646,6 +646,19 @@ object ScaleProbe {
         println(
           f"SCALE mode=trihub mult=$mult baseEdges=$nBase star=${mult * 2000} triCorners=$tri time=${(System.nanoTime() - t0) / 1e9}%.1f s"
         )
+      case "allpairs" =>
+        // Exact-join growth with constant clone-family sizes: replicas
+        // are vocabulary-disjoint (id shift is a multiple of 4, so the
+        // 1-in-4 sample keeps whole families), pair volume grows
+        // linearly in replicas, and the prefix-filter candidate join
+        // must track it — a filterless n² join would grow as mult².
+        val docs = docsReplicated.filter(col("doc_id") % 4 === 1)
+        val total = docs.count()
+        val t0 = System.nanoTime()
+        val n = operators.AllPairsJoin.allPairs(docs).count()
+        println(
+          f"SCALE mode=allpairs mult=$mult docs=$total pairs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s"
+        )
       case "priority" =>
         // One-group skew for priority sampling: every replicated doc in
         // a single group, k=100. The bit-length histogram cut must keep
