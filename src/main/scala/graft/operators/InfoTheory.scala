@@ -387,5 +387,72 @@ object InfoTheory {
     }
   )
 
-  val all: Seq[Q] = Seq(entropyQ, ksQ, zipfQ, heapsQ, gtQ)
+  /** Token burstiness (Church & Gale 1995 Poisson mixtures; Katz 1996):
+    * the variance-to-mean ratio of a token's per-document counts over
+    * the WHOLE corpus (zeros included). A Poisson token — one whose
+    * occurrences are independent of topic — has VMR = 1; content words
+    * are over-dispersed (a doc that mentions them mentions them many
+    * times), so VMR ≫ 1 separates topical vocabulary from function
+    * words and, at corpus scale, flags template/boilerplate tokens
+    * whose dispersion is implausibly flat. All integer: with t = Σc,
+    * s2 = Σc², N docs, VMR = (N·s2 − t²)/(N·t) emitted in permyriad.
+    *
+    * Scale shape: one (doc, token)-keyed count (the docs_entropy /
+    * docs_tfidf precedent), one token-keyed moment aggregate
+    * (map-side-combined sums), a 1-row broadcast for N — output
+    * bounded by vocabulary above the count floor (≤ corpus/minTotal
+    * rows by construction). No windows, no corpus re-shuffle.
+    */
+  def burstiness(docs: org.apache.spark.sql.DataFrame, minTotal: Long): org.apache.spark.sql.DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("c")).as("t"),
+        sum(col("c") * col("c")).as("s2")
+      )
+      .filter(col("t") >= minTotal)
+    val nTotal = docs.agg(count(lit(1)).as("n"))
+    perTok
+      .withColumn("j", (col("t") - col("t") + 1).cast("int"))
+      .join(
+        broadcast(nTotal.select((col("n") - col("n") + 1).cast("int").as("j"), col("n"))),
+        Seq("j")
+      )
+      .select(
+        col("w").as("token"),
+        col("n_docs"),
+        col("t").as("total"),
+        expr("(10000 * (n * s2 - t * t)) div (t * n)").as("vmr_pm"),
+        expr("(10000 * n_docs) div n").as("doc_rate_pm")
+      )
+  }
+
+  private val BurstMinTotal = 100L
+
+  private val burstQ = Q(
+    "docs_token_burstiness",
+    (s, d) => burstiness(Tables.documents(s, d), BurstMinTotal),
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH tc AS (
+         |  SELECT doc_id, token, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |pt AS (
+         |  SELECT token, count(*) AS n_docs,
+         |    cast(sum(c) as bigint) AS t, cast(sum(c * c) as bigint) AS s2
+         |  FROM tc GROUP BY token HAVING cast(sum(c) as bigint) >= $BurstMinTotal),
+         |nn AS (SELECT count(*) AS n FROM documents)
+         |SELECT token, n_docs, t AS total,
+         |  (10000 * (n * s2 - t * t)) // (t * n) AS vmr_pm,
+         |  (10000 * n_docs) // n AS doc_rate_pm
+         |FROM pt, nn""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(entropyQ, ksQ, zipfQ, heapsQ, gtQ, burstQ)
 }

@@ -452,6 +452,23 @@ class RoundEightOpsSpec extends SparkSuite {
     ))
   }
 
+  test("burstiness: concentrated token VMR = 1.5, uniform token VMR = 0, hand-exact") {
+    import spark.implicits._
+    // N = 4 docs. 'a' occurs twice in one doc: t=2, s2=4 ⇒
+    // VMR = (4·4 − 4)/(4·2) = 1.5 → 15000 pm. 'b' occurs exactly once
+    // in every doc: variance 0 ⇒ 0 pm.
+    val docs = Seq(
+      (1L, "a a b"), (2L, "b"), (3L, "b"), (4L, "b")
+    ).toDF("doc_id", "text")
+    val got = operators.InfoTheory
+      .burstiness(docs, 1L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("a") == ((1L, 2L, 15000L, 2500L)))
+    assert(got("b") == ((4L, 4L, 0L, 10000L)))
+  }
+
   test("triangle counts: K4 minus an edge, both-direction dupes, and a chain") {
     import spark.implicits._
     // {1,2,3,4} with (3,4) missing → triangles (1,2,3), (1,2,4);
