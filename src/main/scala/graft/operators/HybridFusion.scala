@@ -82,5 +82,77 @@ object HybridFusion {
     }
   )
 
-  val all: Seq[Q] = Seq(hybridQ)
+  /** Recall certification of the fusion: per-query recall@5 against
+    * brute-force cosine ground truth for all three systems side by
+    * side (lsh, ivf, hybrid) — the number that justifies running two
+    * rankers. Reuses [[AnnEval]]'s determinism discipline (6-decimal
+    * round, id tie-break, integer per-mille) and the rankers' own
+    * plans; the only corpus-sized work is the deliberately-small
+    * brute-force truth (5 probes, PlanSpec-whitelisted class).
+    */
+  private val hybridRecallQ = Q(
+    "ann_recall_hybrid",
+    (s, d) => {
+      val (lshFn, _) = ranker("ann_lsh")
+      val (ivfFn, _) = ranker("ann_ivf")
+      val lsh = lshFn(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
+      val ivf = ivfFn(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
+      val hybrid = fuse(lsh.unionByName(ivf))
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = AnnEval.truthTopK(
+        graft.Tables.embeddings(s, d),
+        nQueries = 5,
+        k = TopK
+      )
+      Seq(
+        "lsh" -> lsh.select(col("query_id"), col("neighbor_id").as("approx_id")),
+        "ivf" -> ivf.select(col("query_id"), col("neighbor_id").as("approx_id")),
+        "hybrid" -> hybrid.select(col("query_id"), col("neighbor_id").as("approx_id"))
+      ).map { case (sys, approx) =>
+        AnnEval
+          .recallOf(truth, approx)
+          .select(lit(sys).as("system"), col("query_id"), col("k"), col("n_overlap"), col("recall_permille"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val (_, lshSql) = ranker("ann_lsh")
+      val (_, ivfSql) = ranker("ann_ivf")
+      def recallFor(sys: String, src: String) =
+        s"""SELECT '$sys' AS system, t.query_id, cast(count(*) as bigint) AS k,
+           |  cast(count(a.neighbor_id) as bigint) AS n_overlap,
+           |  cast(count(a.neighbor_id) * 1000 // count(*) as bigint) AS recall_permille
+           |FROM truth t LEFT JOIN $src a
+           |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+           |GROUP BY t.query_id""".stripMargin
+      s"""WITH lshq AS ($lshSql),
+         |ivfq AS ($ivfSql),
+         |pooled AS (SELECT query_id, neighbor_id, rank FROM lshq
+         |           UNION ALL SELECT query_id, neighbor_id, rank FROM ivfq),
+         |rrf AS (
+         |  SELECT query_id, neighbor_id,
+         |    cast(sum(1000000 // ($K0 + rank)) as bigint) AS rrf
+         |  FROM pooled GROUP BY 1, 2),
+         |fusedq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS fr
+         |    FROM rrf) WHERE fr <= $TopK),
+         |v AS (SELECT vec_id, cast(embedding as double[]) AS vec FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_dot_product(q.vec, e.vec) /
+         |              (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) DESC,
+         |        e.vec_id) AS rank
+         |    FROM v e JOIN v q ON q.vec_id < 5 AND e.vec_id != q.vec_id)
+         |  WHERE rank <= $TopK)
+         |${recallFor("lsh", "lshq")}
+         |UNION ALL
+         |${recallFor("ivf", "ivfq")}
+         |UNION ALL
+         |${recallFor("hybrid", "fusedq")}""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(hybridQ, hybridRecallQ)
 }

@@ -51,7 +51,7 @@ class PlanSpec extends SparkSuite {
         .map(_.name)
         .toSet
         .subsetOf(
-          Set("knn_cosine", "ann_recall_eval", "ann_recall_multiprobe", "ann_recall_dims")
+          Set("knn_cosine", "ann_recall_eval", "ann_recall_multiprobe", "ann_recall_dims", "ann_recall_hybrid")
         ),
       offenders.map(_.name).mkString(",")
     )
