@@ -572,6 +572,25 @@ object ScaleProbe {
           .topkPerGroup(big.select("doc_id", "lang", "q4"), "lang", "q4", "doc_id", 100)
           .count()
         println(f"SCALE mode=topkskew mult=$mult docs=$total kept=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "topktie" =>
+        // Straddling-TIE-CELL probe: 90% of documents share ONE
+        // (group, score) cell at the TOP score, so that cell straddles
+        // the k=100 cutoff with before=0 and the r8 form would
+        // total-order 90% of the corpus on a single task. The salted
+        // edge pre-filter must keep the per-task sort at cell/256 and
+        // the probe linear in mult.
+        val big = docsReplicated
+          .withColumn("lang", lit("xx"))
+          .withColumn(
+            "q4",
+            when(col("doc_id") % 10 < 9, lit(1000000L)).otherwise((col("doc_id") % 1000).cast("long"))
+          )
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val kept = operators.TopK
+          .topkPerGroup(big.select("doc_id", "lang", "q4"), "lang", "q4", "doc_id", 100)
+          .count()
+        println(f"SCALE mode=topktie mult=$mult docs=$total kept=$kept time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "packing" =>
         // Writer-bucket sweep for the parameterized packing cumsum: a
         // mult× corpus packed at 4 / 16 / 64 buckets. More buckets →

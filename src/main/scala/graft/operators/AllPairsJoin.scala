@@ -106,9 +106,19 @@ object AllPairsJoin {
     "docs_allpairs_join",
     (s, d) => {
       val pairs = allPairs(LlmQueries.corpus(s, d).filter(col("doc_id") % 4 === 1))
+      // One explode instead of a self-union: a union would reference
+      // the unpersisted pair plan twice, re-executing the candidate and
+      // verify joins (the expensive stages) once per side.
       pairs
-        .select(col("doc_a").as("doc_id"), col("jac_pm"))
-        .unionByName(pairs.select(col("doc_b").as("doc_id"), col("jac_pm")))
+        .select(
+          explode(
+            array(
+              struct(col("doc_a").as("doc_id"), col("jac_pm")),
+              struct(col("doc_b").as("doc_id"), col("jac_pm"))
+            )
+          ).as("r")
+        )
+        .select(col("r.doc_id").as("doc_id"), col("r.jac_pm").as("jac_pm"))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_partners"),

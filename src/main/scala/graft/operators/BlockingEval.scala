@@ -203,9 +203,12 @@ object BlockingEval {
         expr("r.an * 10000 div nn").as("u_pm"),
         // ln of a ratio of exact integer products — bit-identical in
         // both engines; null when a zero count makes it undefined.
+        // `+ 0.0` kills IEEE −0.0: a ratio just below 1 (|ln| < 5e-5)
+        // rounds to −0.0 in DuckDB but 0.0 in Spark (see zipf_slope).
         when(
           col("r.am") > 0 && col("r.an") > 0,
-          round(log((col("r.am") * col("nn")).cast("double") / (col("r.an") * col("nm"))), 4)
+          round(log((col("r.am") * col("nn")).cast("double") / (col("r.an") * col("nm"))), 4) +
+            lit(0.0)
         ).as("weight")
       )
   }
@@ -262,7 +265,7 @@ object BlockingEval {
          |  am * 10000 // nm AS m_pm,
          |  an * 10000 // nn AS u_pm,
          |  (CASE WHEN am > 0 AND an > 0
-         |        THEN round(ln(cast(am * nn AS double) / (an * nm)), 4) END) AS weight
+         |        THEN round(ln(cast(am * nn AS double) / (an * nm)), 4) + 0.0 END) AS weight
          |FROM u""".stripMargin
     }
   )

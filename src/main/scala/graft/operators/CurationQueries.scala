@@ -250,7 +250,7 @@ object CurationQueries {
       // null key matches nothing — null-lang documents would silently
       // vanish (round-8 review). Coalesce to a sentinel no real language
       // code uses; `lang` itself is carried through for the output.
-      .withColumn("lk", coalesce(col("lang"), lit(" ")))
+      .withColumn("lk", coalesce(col("lang"), lit("\u0000")))
       // Three consumers (the histogram, the uniform branch, the straddle
       // branch) read the scored frame; persisted so the corpus-scoring
       // join+aggregate runs once, not per branch (callers release via

@@ -54,10 +54,13 @@ object InfoTheory {
           col("n_tokens"),
           col("n_types"),
           expr(s"n_types * 10000 div n_tokens").as("ttr_pm"),
-          round(
+          // `+ 0.0` kills IEEE −0.0: a single-type doc of n tokens has
+          // H = ln n − (n·ln n)/n ≈ −2e-16 for many n (6, 22, 26, …) and
+          // the two engines round the sign differently (see zipf_slope).
+          (round(
             log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"),
             4
-          ).as("entropy"),
+          ) + lit(0.0)).as("entropy"),
           // Normalized entropy H/ln(n) ∈ [0,1]; a single-token doc has
           // ln(n) = 0 — define it as 1 (the distribution is trivially
           // uniform over its one type).
@@ -67,7 +70,7 @@ object InfoTheory {
                 (log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens")) /
                   log(col("n_tokens").cast("double")),
                 4
-              )
+              ) + lit(0.0)
             )
             .as("entropy_norm")
         )
@@ -85,10 +88,10 @@ object InfoTheory {
          |  n_tokens,
          |  cast(n_types AS bigint) AS n_types,
          |  n_types * 10000 // n_tokens AS ttr_pm,
-         |  round(ln(cast(n_tokens AS double)) - clogc / n_tokens, 4) AS entropy,
+         |  round(ln(cast(n_tokens AS double)) - clogc / n_tokens, 4) + 0.0 AS entropy,
          |  (CASE WHEN n_tokens = 1 THEN 1.0
          |        ELSE round((ln(cast(n_tokens AS double)) - clogc / n_tokens) /
-         |                   ln(cast(n_tokens AS double)), 4) END) AS entropy_norm
+         |                   ln(cast(n_tokens AS double)), 4) + 0.0 END) AS entropy_norm
          |FROM agg""".stripMargin
     }
   )
@@ -396,6 +399,13 @@ object InfoTheory {
     * words and, at corpus scale, flags template/boilerplate tokens
     * whose dispersion is implausibly flat. All integer: with t = Σc,
     * s2 = Σc², N docs, VMR = (N·s2 − t²)/(N·t) emitted in permyriad.
+    * The moment arithmetic runs in 128-bit integers (decimal(38,0) in
+    * Spark `div`, HUGEINT in the oracle): t² alone exceeds int64 past
+    * t ≈ 3.04e9, which a common function word crosses at ~0.1 TB, and
+    * N·s2 reaches ~1e24 at 100 TB — both fit 38 digits with ~1e14×
+    * headroom. The numerator is ≥ 0 by Cauchy-Schwarz (n ≥ n_docs and
+    * s2·n_docs ≥ t²), so truncate-toward-zero (Spark decimal div) and
+    * floor (DuckDB hugeint //) agree.
     *
     * Scale shape: one (doc, token)-keyed count (the docs_entropy /
     * docs_tfidf precedent), one token-keyed moment aggregate
@@ -426,7 +436,10 @@ object InfoTheory {
         col("w").as("token"),
         col("n_docs"),
         col("t").as("total"),
-        expr("(10000 * (n * s2 - t * t)) div (t * n)").as("vmr_pm"),
+        expr(
+          "cast((10000 * (cast(n as decimal(38,0)) * s2 - cast(t as decimal(38,0)) * t))" +
+            " div (cast(t as decimal(38,0)) * n) as bigint)"
+        ).as("vmr_pm"),
         expr("(10000 * n_docs) div n").as("doc_rate_pm")
       )
   }
@@ -448,7 +461,8 @@ object InfoTheory {
          |  FROM tc GROUP BY token HAVING cast(sum(c) as bigint) >= $BurstMinTotal),
          |nn AS (SELECT count(*) AS n FROM documents)
          |SELECT token, n_docs, t AS total,
-         |  (10000 * (n * s2 - t * t)) // (t * n) AS vmr_pm,
+         |  cast((10000 * (cast(n AS hugeint) * s2 - cast(t AS hugeint) * t))
+         |       // (cast(t AS hugeint) * n) AS bigint) AS vmr_pm,
          |  (10000 * n_docs) // n AS doc_rate_pm
          |FROM pt, nn""".stripMargin
     }

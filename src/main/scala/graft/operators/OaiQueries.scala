@@ -121,9 +121,12 @@ object OaiQueries {
       // row_number window is bounded by the page end, so Spark's
       // rank-limit pushdown (WindowGroupLimit) pre-filters every
       // partition to the first `position+limit+1` rows before the
-      // final ordered merge — cursor paging's intrinsic cost, and the
-      // scale path swaps the offset for a keyset predicate
-      // (`updated > last-seen`) with the same page shape.
+      // final ordered merge. SMALL-CORPUS CONVENIENCE FORM: the final
+      // merge still collects task_count x (position+limit+1) survivors
+      // on one task, so at cluster scale the certified page shape is
+      // `oai_provider_keyset` below (constant-bounded final merge);
+      // this offset form is kept for clients that genuinely need
+      // arbitrary-position jumps on bounded corpora.
       "oai_provider_page",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -204,6 +207,120 @@ object OaiQueries {
           |  (CASE WHEN row_index = 701 THEN 'open|oai_dc|1995-01-01|1996-12-31|700' END) AS resumption_token
           |FROM r
           |WHERE row_index > 200 AND row_index <= 701""".stripMargin
+      }
+    ),
+    Q(
+      // KEYSET-cursor form of the provider page — the certified scale
+      // path (`Controller/OaiPmhProvider.php:243` pages by resumption
+      // cursor; the cursor carries state, so "(updated, id) strictly
+      // after the last-seen pair" reproduces the page without ranking
+      // anything before it). No unpartitioned window over unbounded
+      // data: the page is a top-(limit+1) smallest by (updated, id),
+      // taken in two phases — a per-SALT row_number (256 hash
+      // subgroups; Spark's WindowGroupLimit pre-filters every task to
+      // its first limit+1 rows per salt before the shuffle) keeps each
+      // salt's limit+1 earliest, then the final ordered window ranks
+      // only the <= 256*(limit+1) survivors: single-task work is a
+      // CONSTANT, independent of corpus and task count — unlike the
+      // offset form above, whose final merge grows with task count.
+      // The emitted resumption token is the NEXT page's start keyset
+      // ((updated, id) of the first unreturned row, inclusive-start
+      // semantics), which is exactly the state the reference threads
+      // through its token.
+      "oai_provider_keyset",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val limit = 500
+        val salts = 256
+        val fromS = "1995-01-01"
+        val untilS = "1996-12-31"
+        val curU = lit("1995-06-01 00:00:00").cast("timestamp")
+        val curId = lit("")
+        val o = Tables.orders(s, d)
+        val id = concat(lit("ord."), col("o_orderkey").cast("string"))
+        val inOpen = col("o_orderstatus") === "O"
+        val inUrgent = col("o_orderpriority") === "1-URGENT"
+        val filtered = o
+          .where(
+            inOpen &&
+              col("o_orderdate") >= lit(s"$fromS 00:00:00").cast("timestamp") &&
+              col("o_orderdate") <= lit(s"$untilS 23:59:59").cast("timestamp")
+          )
+          .select(
+            id.as("id"),
+            col("o_orderdate").as("updated"),
+            concat_ws(
+              "|",
+              when(inOpen, lit("open")),
+              when(inUrgent, lit("urgent")),
+              when(inOpen && inUrgent, lit("open_urgent"))
+            ).as("sets"),
+            (col("o_orderkey") % 13 === 0).as("deleted")
+          )
+          .where(
+            col("updated") > curU || (col("updated") === curU && col("id") > curId)
+          )
+        val wSalt = Window
+          .partitionBy(pmod(xxhash64(col("id")), lit(salts)))
+          .orderBy(col("updated"), col("id"))
+        val survivors = filtered
+          .withColumn("__sr", row_number().over(wSalt))
+          .where(col("__sr") <= limit + 1)
+          .drop("__sr")
+        val wFinal = Window.orderBy(col("updated"), col("id"))
+        val isToken = col("row_index") === limit + 1
+        val token = concat(
+          lit(s"open|oai_dc|$fromS|$untilS|"),
+          date_format(col("updated"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit("|"),
+          col("id")
+        )
+        survivors
+          .withColumn("row_index", row_number().over(wFinal))
+          .where(col("row_index") <= limit + 1)
+          .select(
+            col("row_index"),
+            when(isToken, lit("token")).otherwise(lit("record")).as("row_type"),
+            when(isToken, lit(null).cast("string")).otherwise(col("id")).as("id"),
+            when(isToken, lit(null).cast("string"))
+              .otherwise(date_format(col("updated"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+              .as("datestamp"),
+            when(isToken, lit(null).cast("string")).otherwise(col("sets")).as("sets"),
+            when(isToken, lit(null).cast("boolean")).otherwise(col("deleted")).as("deleted"),
+            when(isToken || col("deleted"), lit(null).cast("string"))
+              .otherwise(
+                concat(lit("<oai_dc:dc><dc:identifier>"), col("id"), lit("</dc:identifier></oai_dc:dc>"))
+              ).as("metadata"),
+            when(isToken, token).otherwise(lit(null).cast("string")).as("resumption_token")
+          )
+      },
+      Some {
+        """WITH f AS (SELECT 'ord.' || cast(o_orderkey as varchar) AS id,
+          |  o_orderdate AS updated,
+          |  concat_ws('|', 'open',
+          |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END,
+          |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'open_urgent' END) AS sets,
+          |  (o_orderkey % 13 = 0) AS deleted
+          |  FROM orders
+          |  WHERE o_orderstatus = 'O'
+          |    AND o_orderdate >= timestamp '1995-01-01 00:00:00'
+          |    AND o_orderdate <= timestamp '1996-12-31 23:59:59'
+          |    AND (o_orderdate > timestamp '1995-06-01 00:00:00'
+          |         OR (o_orderdate = timestamp '1995-06-01 00:00:00'
+          |             AND 'ord.' || cast(o_orderkey as varchar) > ''))),
+          |r AS (SELECT *, row_number() OVER (ORDER BY updated, id) AS row_index FROM f)
+          |SELECT row_index,
+          |  (CASE WHEN row_index = 501 THEN 'token' ELSE 'record' END) AS row_type,
+          |  (CASE WHEN row_index = 501 THEN NULL ELSE id END) AS id,
+          |  (CASE WHEN row_index = 501 THEN NULL ELSE strftime(updated, '%Y-%m-%dT%H:%M:%SZ') END) AS datestamp,
+          |  (CASE WHEN row_index = 501 THEN NULL ELSE sets END) AS sets,
+          |  (CASE WHEN row_index = 501 THEN NULL ELSE deleted END) AS deleted,
+          |  (CASE WHEN row_index = 501 OR deleted THEN NULL
+          |        ELSE '<oai_dc:dc><dc:identifier>' || id || '</dc:identifier></oai_dc:dc>' END) AS metadata,
+          |  (CASE WHEN row_index = 501
+          |        THEN 'open|oai_dc|1995-01-01|1996-12-31|' || strftime(updated, '%Y-%m-%dT%H:%M:%SZ') || '|' || id END) AS resumption_token
+          |FROM r
+          |WHERE row_index <= 501""".stripMargin
       }
     )
   )

@@ -119,10 +119,30 @@ object TriangleQueries {
         """cast(len(list_intersect(a.wset, b.wset)) as double) /
           |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
       val ord = "(e1.ddg < e2.ddg OR (e1.ddg = e2.ddg AND e1.dst < e2.dst))"
+      // The candidate CTE mirrors verifiedNeardupEdges EXACTLY — incl.
+      // the heavy-bucket cap and its star edges (rep = bucket min id) —
+      // rather than riding SigSql's uncapped `pairs`: star edges change
+      // triangle counts (a hub has no within-bucket pairwise edges), so
+      // an uncapped oracle would diverge silently the day a band bucket
+      // of this fixture exceeds ${LlmQueries.MaxBucketSize}.
       s"""WITH $TriCorpusSql, ${LlmQueries.SigSql},
          |wsets AS (SELECT doc_id, list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS wset FROM corpus),
+         |heavyb AS (
+         |  SELECT band_id, band_hash, min(doc_id) AS rep FROM bh
+         |  GROUP BY 1, 2 HAVING count(*) > ${LlmQueries.MaxBucketSize}),
+         |lightb AS (SELECT bh.* FROM bh ANTI JOIN heavyb USING (band_id, band_hash)),
+         |cpairs AS (
+         |  SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM lightb b1 JOIN lightb b2
+         |    ON b1.band_id = b2.band_id AND b1.band_hash = b2.band_hash
+         |   AND b1.doc_id < b2.doc_id
+         |  UNION
+         |  SELECT h.rep, b.doc_id
+         |  FROM bh b JOIN heavyb h
+         |    ON b.band_id = h.band_id AND b.band_hash = h.band_hash
+         |  WHERE b.doc_id != h.rep),
          |vp AS (
-         |  SELECT p.doc_a AS u, p.doc_b AS v FROM pairs p
+         |  SELECT p.doc_a AS u, p.doc_b AS v FROM cpairs p
          |  JOIN wsets a ON p.doc_a = a.doc_id
          |  JOIN wsets b ON p.doc_b = b.doc_id
          |  WHERE $jac >= 0.5

@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * Wire shapes handled:
   *   - Proper MARC-in-JSON: `{"leader": "...", "fields": [{"001": "v"},
   *     {"245": {"ind1": "1", "ind2": "4", "subfields": [{"a": "v"}, ...]}}]}`
-  *   - Legacy v1 (MarcInJson.php:74): `{tag: ["<i1><i2>a<val>..."]}`
+  *   - Legacy v1 (MarcInJson.php:74): `{tag: ["<i1><i2><US>a<val>..."]}`
   *     — ISO 2709-style field strings with 0x1F subfield delimiters, tag
   *     000 carrying the leader.
   *   - Legacy v2 (MarcInJson.php:101): `{"v": 2, "f": {tag: [{"i1": " ",
@@ -162,7 +162,7 @@ object MarcInJson {
       e.getValue.forEach { dn =>
         val data = dn.asText("")
         if (data.contains(Delim)) {
-          // "<i1><i2>a..." — indicators then delimited subfields
+          // "<i1><i2><US>a..." — indicators then delimited subfields
           // (MarcInJson.php:78: substr($data, 3) skips both indicators and
           // the first delimiter).
           // drop/take degrade gracefully on short data, like PHP substr —
