@@ -140,7 +140,11 @@ object BlockingEval {
     * exact integer permyriad and the weight as ln of a ratio of exact
     * integer products, so both engines compute the identical double.
     */
-  def fsWeightsOf(keyed: DataFrame): DataFrame = {
+  /** The candidate-pair agreement frame both Fellegi-Sunter queries
+    * score: capped production blocks, deduplicated across kinds, one
+    * boolean agreement flag per field plus the veto-chain match label.
+    */
+  private def agreementFlags(keyed: DataFrame): DataFrame = {
     val ex = Dedup.explodeBlockKeys(keyed)
     val heavy = ex
       .groupBy(col("__block_kind").as("__heavy_kind"), col("__block_key").as("__heavy_key"))
@@ -154,7 +158,7 @@ object BlockingEval {
     )
     val left = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_1"))
     val right = capped.columns.foldLeft(capped)((d, c) => d.withColumnRenamed(c, c + "_2"))
-    val pairs = left
+    left
       .join(
         right,
         col("__block_kind_1") === col("__block_kind_2") &&
@@ -174,6 +178,10 @@ object BlockingEval {
           abs(col("pages_1") - col("pages_2")) <= 10).as("f_pages"),
         (col("isbn_key_1") === col("isbn_key_2") && col("isbn_key_1") =!= "").as("f_isbn")
       )
+  }
+
+  def fsWeightsOf(keyed: DataFrame): DataFrame = {
+    val pairs = agreementFlags(keyed)
     val fields = Seq("title", "author", "year", "pages", "isbn")
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     val aggCols = Seq(cnt(col("m")).as("nm"), cnt(!col("m")).as("nn")) ++
@@ -213,46 +221,253 @@ object BlockingEval {
       )
   }
 
+  // ---------------------------------------------------------------------
+  // Unsupervised Fellegi-Sunter EM (round 9)
+  // ---------------------------------------------------------------------
+
+  /** Param quantum: probabilities live as integers in [1, FsQ−1]. 1e8
+    * keeps 8 significant digits; int64 M-step sums then bound the
+    * candidate-pair count at 2^63/FsQ ≈ 9.2·10¹⁰ (a 100-TB deployment
+    * that blocks into more pairs drops FsQ to 1e6 for 9.2·10¹² — same
+    * code, one constant).
+    */
+  private val FsQuantum = 100000000L
+  private val FsIters = 5
+  private val FsFields = Seq("title", "author", "year", "pages", "isbn")
+
+  /** EM parameter state: match proportion p and per-field m/u, all in
+    * FsQuantum units.
+    */
+  private final case class FsParams(p: Long, m: Array[Long], u: Array[Long])
+
+  /** Driver-side EM over the 32-row agreement-pattern census (the
+    * [[Classifier]] bounded-model discipline: the census is MODEL
+    * configuration — ≤ 2⁵ rows regardless of corpus size — so iterating
+    * over it in the driver is O(32·K) flops, not a data pass).
+    *
+    * Engine determinism: every E-step likelihood is a fixed-order
+    * product of exact small integers in IEEE doubles (correctly-rounded
+    * ops, identical in the oracle's CTE replay); per-pattern weights
+    * re-quantize to FsQuantum units immediately, so all M-step sums are
+    * int64 and order-independent. Parameters clamp to [1, FsQ−1] —
+    * EM's usual zero-probability absorbing states cannot occur.
+    */
+  private def emFit(census: Seq[(Array[Boolean], Long)]): FsParams = {
+    val nf = FsFields.size
+    var par = FsParams(
+      FsQuantum / 10,
+      Array.fill(nf)(FsQuantum / 10 * 9),
+      Array.fill(nf)(FsQuantum / 10)
+    )
+    val n = census.map(_._2).sum
+    for (_ <- 1 to FsIters) {
+      var sw = 0L
+      val swf = Array.fill(nf)(0L)
+      val suf = Array.fill(nf)(0L)
+      for ((g, c) <- census) {
+        var a = par.p.toDouble
+        var b = (FsQuantum - par.p).toDouble
+        var i = 0
+        while (i < nf) {
+          a = a * (if (g(i)) par.m(i) else FsQuantum - par.m(i)).toDouble
+          b = b * (if (g(i)) par.u(i) else FsQuantum - par.u(i)).toDouble
+          i += 1
+        }
+        val wq = math.round(FsQuantum.toDouble * a / (a + b))
+        sw += c * wq
+        var j = 0
+        while (j < nf) {
+          if (g(j)) { swf(j) += c * wq; suf(j) += c * (FsQuantum - wq) }
+          j += 1
+        }
+      }
+      val su = FsQuantum * n - sw
+      def clamp(x: Long): Long = math.max(1L, math.min(FsQuantum - 1, x))
+      par = FsParams(
+        clamp(math.round(sw.toDouble / n.toDouble)),
+        Array.tabulate(nf) { j =>
+          if (sw > 0) clamp(math.round(FsQuantum.toDouble * swf(j).toDouble / sw.toDouble))
+          else par.m(j)
+        },
+        Array.tabulate(nf) { j =>
+          if (su > 0) clamp(math.round(FsQuantum.toDouble * suf(j).toDouble / su.toDouble))
+          else par.u(j)
+        }
+      )
+    }
+    par
+  }
+
+  /** Unsupervised Fellegi-Sunter fit (F-S 1969 §5's EM replacement for
+    * the reference's deterministic DedupHandler.php:742 rule chain —
+    * the supervised `dedup_fs_weights` uses the chain as labels; this
+    * estimates p, m_f, u_f from the agreement patterns ALONE). Under
+    * conditional independence the pattern census is a sufficient
+    * statistic, so the corpus-scale work is ONE ≤ 2⁵-key map-side-
+    * combinable aggregate over the capped candidate pairs; EM then runs
+    * on the census (see [[emFit]]). The oracle replays the identical
+    * quantized iterations as chained CTEs, certifying TRAINING, not
+    * just the final projection.
+    */
+  def fsEmOf(keyed: DataFrame): DataFrame = {
+    val flags = agreementFlags(keyed)
+    val patCols = FsFields.map(f => coalesce(col(s"f_$f"), lit(false)).as(s"f_$f"))
+    val census = flags
+      .groupBy(patCols: _*)
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .toSeq
+      .map { r =>
+        (FsFields.map(f => r.getAs[Boolean](s"f_$f")).toArray, r.getAs[Long]("c"))
+      }
+    val par = emFit(census)
+    val s = keyed.sparkSession
+    import s.implicits._
+    FsFields.zipWithIndex
+      .map { case (f, i) => (f, par.m(i), par.u(i)) }
+      .toDF("field", "m_mu", "u_mu")
+      .withColumn("p_mu", lit(par.p))
+      .withColumn(
+        "weight",
+        round(log(col("m_mu").cast("double") / col("u_mu").cast("double")), 4) + lit(0.0)
+      )
+  }
+
+  /** Oracle CTE prefix shared by the Fellegi-Sunter oracles: records →
+    * capped block pairs → per-pair agreement flags (+ the veto-chain
+    * label `m`, used only by the supervised query).
+    */
+  private def flagsCtesSql: String = {
+    val flagConds = Seq(
+      "title" -> "(r1.norm_title = r2.norm_title AND r1.norm_title != '')",
+      "author" -> "(r1.norm_author = r2.norm_author AND r1.norm_author != '')",
+      "year" -> "(r1.year IS NOT NULL AND r2.year IS NOT NULL AND r1.year = r2.year)",
+      "pages" -> "(r1.pages IS NOT NULL AND r2.pages IS NOT NULL AND abs(r1.pages - r2.pages) <= 10)",
+      "isbn" -> "(r1.isbn_key = r2.isbn_key AND r1.isbn_key != '')"
+    )
+    val flagCols = flagConds.map { case (f, cond) => s"$cond AS f_$f" }.mkString(",\n    ")
+    s"""${DedupQueries.recordsSql},
+       |ex AS (
+       |  SELECT id, source_id, 't' AS kind, title_key AS key FROM recs WHERE title_key != ''
+       |  UNION ALL
+       |  SELECT id, source_id, 'i' AS kind, isbn_key AS key FROM recs WHERE isbn_key != ''),
+       |heavy AS (SELECT kind, key FROM ex GROUP BY 1, 2 HAVING count(*) > ${Dedup.MaxBlockSize}),
+       |capped AS (SELECT ex.* FROM ex ANTI JOIN heavy USING (kind, key)),
+       |cpairs AS (
+       |  SELECT DISTINCT e1.id AS id1, e2.id AS id2
+       |  FROM capped e1 JOIN capped e2 ON e1.kind = e2.kind AND e1.key = e2.key
+       |    AND e1.source_id != e2.source_id AND e1.id < e2.id),
+       |flags AS (
+       |  SELECT ${DedupQueries.matchSql} AS m,
+       |    $flagCols
+       |  FROM cpairs JOIN recs r1 ON r1.id = cpairs.id1 JOIN recs r2 ON r2.id = cpairs.id2)""".stripMargin
+  }
+
+  /** The EM oracle: census CTE + FsIters unrolled E/M CTE pairs, each
+    * mirroring [[emFit]]'s quantized arithmetic expression for
+    * expression.
+    */
+  private def fsEmOracleSql: String = {
+    val q = FsQuantum
+    val fields = FsFields
+    // E-step CTE: per pattern likelihoods a/b as fixed-order double
+    // products, then the quantized weight.
+    def eStep(parPrev: String, out: String): String = {
+      val aTerms = fields
+        .map(f => s"(CASE WHEN f_$f THEN par.m_$f ELSE $q - par.m_$f END)")
+        .mkString(" * ")
+      val bTerms = fields
+        .map(f => s"(CASE WHEN f_$f THEN par.u_$f ELSE $q - par.u_$f END)")
+        .mkString(" * ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT c, ${fields.map(f => s"f_$f").mkString(", ")},
+         |    CAST(round(($q.0 * a) / (a + b)) AS BIGINT) AS w_q
+         |  FROM (
+         |    SELECT pat.*,
+         |      (CAST(par.p_q AS double) * $aTerms) AS a,
+         |      (CAST($q - par.p_q AS double) * $bTerms) AS b
+         |    FROM pat CROSS JOIN $parPrev par) _e)""".stripMargin
+    }
+    // M-step CTE: int64 sums over the E-step rows, clamped quantized
+    // updates; zero-mass guards fall back to the previous parameter.
+    def mStep(parPrev: String, eCte: String, out: String): String = {
+      val sums = fields
+        .map(f =>
+          s"CAST(sum(CASE WHEN f_$f THEN c * w_q ELSE 0 END) AS BIGINT) AS sw_$f,\n      " +
+            s"CAST(sum(CASE WHEN f_$f THEN c * ($q - w_q) ELSE 0 END) AS BIGINT) AS su_$f"
+        )
+        .mkString(",\n      ")
+      val ms = fields
+        .map(f =>
+          s"CASE WHEN sw > 0 THEN greatest(1, least(${q - 1}, " +
+            s"CAST(round(($q.0 * CAST(sw_$f AS double)) / CAST(sw AS double)) AS BIGINT))) " +
+            s"ELSE (SELECT m_$f FROM $parPrev) END AS m_$f"
+        )
+        .mkString(",\n    ")
+      val us = fields
+        .map(f =>
+          s"CASE WHEN su > 0 THEN greatest(1, least(${q - 1}, " +
+            s"CAST(round(($q.0 * CAST(su_$f AS double)) / CAST(su AS double)) AS BIGINT))) " +
+            s"ELSE (SELECT u_$f FROM $parPrev) END AS u_$f"
+        )
+        .mkString(",\n    ")
+      s"""$out AS MATERIALIZED (
+         |  SELECT
+         |    greatest(1, least(${q - 1},
+         |      CAST(round(CAST(sw AS double) / CAST(n AS double)) AS BIGINT))) AS p_q,
+         |    $ms,
+         |    $us
+         |  FROM (
+         |    SELECT CAST(sum(c) AS BIGINT) AS n,
+         |      CAST(sum(c * w_q) AS BIGINT) AS sw,
+         |      CAST(sum(c) AS BIGINT) * $q - CAST(sum(c * w_q) AS BIGINT) AS su,
+         |      $sums
+         |    FROM $eCte) _m)""".stripMargin
+    }
+    val iters = (1 to FsIters)
+      .map(k => Seq(eStep(s"par${k - 1}", s"e$k"), mStep(s"par${k - 1}", s"e$k", s"par$k")).mkString(",\n"))
+      .mkString(",\n")
+    val init = s"SELECT CAST(${q / 10} AS BIGINT) AS p_q, " +
+      fields.map(f => s"CAST(${q / 10 * 9} AS BIGINT) AS m_$f").mkString(", ") + ", " +
+      fields.map(f => s"CAST(${q / 10} AS BIGINT) AS u_$f").mkString(", ")
+    val unions = fields
+      .map(f => s"SELECT '$f' AS field, m_$f AS m_mu, u_$f AS u_mu, p_q AS p_mu FROM par$FsIters")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $flagsCtesSql,
+       |pat AS MATERIALIZED (
+       |  SELECT ${fields.map(f => s"coalesce(f_$f, false) AS f_$f").mkString(", ")}, count(*) AS c
+       |  FROM flags GROUP BY ${fields.indices.map(_ + 1).mkString(", ")}),
+       |par0 AS MATERIALIZED ($init),
+       |$iters,
+       |u AS (
+       |  $unions)
+       |SELECT field, m_mu, u_mu, p_mu,
+       |  round(ln(CAST(m_mu AS double) / CAST(u_mu AS double)), 4) + 0.0 AS weight
+       |FROM u""".stripMargin
+  }
+
+  private val fsEmQ = Q(
+    "dedup_fs_em",
+    (s, d) => fsEmOf(Dedup.withKeys(DedupQueries.records(s, d))),
+    Some(fsEmOracleSql)
+  )
+
   private val fsQ = Q(
     "dedup_fs_weights",
     (s, d) => fsWeightsOf(Dedup.withKeys(DedupQueries.records(s, d))),
     Some {
-      val fields = Seq(
-        "title" -> "(r1.norm_title = r2.norm_title AND r1.norm_title != '')",
-        "author" -> "(r1.norm_author = r2.norm_author AND r1.norm_author != '')",
-        "year" -> "(r1.year IS NOT NULL AND r2.year IS NOT NULL AND r1.year = r2.year)",
-        "pages" -> "(r1.pages IS NOT NULL AND r2.pages IS NOT NULL AND abs(r1.pages - r2.pages) <= 10)",
-        "isbn" -> "(r1.isbn_key = r2.isbn_key AND r1.isbn_key != '')"
-      )
-      val flagCols = fields
-        .map { case (f, cond) => s"$cond AS f_$f" }
-        .mkString(",\n    ")
-      val aggCols = fields
-        .map { case (f, _) =>
+      val aggCols = FsFields
+        .map { f =>
           s"sum(CASE WHEN f_$f AND m THEN 1 ELSE 0 END) AS am_$f, " +
             s"sum(CASE WHEN f_$f AND NOT m THEN 1 ELSE 0 END) AS an_$f"
         }
         .mkString(",\n    ")
-      val unions = fields
-        .map { case (f, _) =>
+      val unions = FsFields
+        .map { f =>
           s"SELECT '$f' AS field, cast(am_$f AS bigint) AS am, cast(an_$f AS bigint) AS an, nm, nn FROM agg"
         }
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH ${DedupQueries.recordsSql},
-         |ex AS (
-         |  SELECT id, source_id, 't' AS kind, title_key AS key FROM recs WHERE title_key != ''
-         |  UNION ALL
-         |  SELECT id, source_id, 'i' AS kind, isbn_key AS key FROM recs WHERE isbn_key != ''),
-         |heavy AS (SELECT kind, key FROM ex GROUP BY 1, 2 HAVING count(*) > ${Dedup.MaxBlockSize}),
-         |capped AS (SELECT ex.* FROM ex ANTI JOIN heavy USING (kind, key)),
-         |cpairs AS (
-         |  SELECT DISTINCT e1.id AS id1, e2.id AS id2
-         |  FROM capped e1 JOIN capped e2 ON e1.kind = e2.kind AND e1.key = e2.key
-         |    AND e1.source_id != e2.source_id AND e1.id < e2.id),
-         |flags AS (
-         |  SELECT ${DedupQueries.matchSql} AS m,
-         |    $flagCols
-         |  FROM cpairs JOIN recs r1 ON r1.id = cpairs.id1 JOIN recs r2 ON r2.id = cpairs.id2),
+      s"""WITH $flagsCtesSql,
          |agg AS (
          |  SELECT cast(sum(CASE WHEN m THEN 1 ELSE 0 END) AS bigint) AS nm,
          |    cast(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS bigint) AS nn,
@@ -313,5 +528,5 @@ object BlockingEval {
     }
   )
 
-  val all: Seq[Q] = Seq(evalQ, fsQ)
+  val all: Seq[Q] = Seq(evalQ, fsQ, fsEmQ)
 }

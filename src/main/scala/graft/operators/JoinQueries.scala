@@ -178,5 +178,99 @@ object JoinQueries {
     bench = false
   )
 
-  val all: Seq[Q] = Seq(asof, interval, intervalReplay)
+  // -------------------------------------------------------------------
+  // Property-corpus certification rows (round 9): JoinPropertySpec runs
+  // 25 randomized corpora against in-process brute force; these rows
+  // promote ONE seed of that family to a driver-hash-certified oracle
+  // query, so the banding/window constructions are certified end to end
+  // by an INDEPENDENT engine too (the spec's brute force shares the JVM;
+  // DuckDB shares nothing). The corpus is generated by a fixed-constant
+  // splitmix-style LCG — same distribution as the spec's Gen (few users,
+  // timestamps clustered at 30-min bucket boundaries ± jitter, so
+  // cross-bucket and tie cases occur constantly) — and embedded
+  // VERBATIM in the oracle as a VALUES list built from the same Scala
+  // function, so the two sides cannot drift.
+  // -------------------------------------------------------------------
+
+  /** Deterministic property corpus: n events of (event_id, user_id, us,
+    * event_type). Knuth MMIX LCG constants; upper 31 bits used.
+    */
+  private[graft] def propertyCorpus(seed: Long, n: Int): Seq[(Long, Long, Long, String)] = {
+    var x = seed
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x >>> 33
+    }
+    val types = Vector("click", "purchase", "view")
+    (1 to n).map { i =>
+      val user = 1L + next() % 4
+      val bucket = next() % 4
+      val jitter = next() % 7 - 3
+      val typ = types((next() % 3).toInt)
+      (i.toLong, user, math.max(bucket * SessionWindowUs + jitter * 600000000L, 0L), typ)
+    }
+  }
+
+  private def propertyValuesSql(seed: Long, n: Int): String =
+    propertyCorpus(seed, n)
+      .map { case (id, u, us, t) => s"($id, $u, $us, '$t')" }
+      .mkString(", ")
+
+  private def propertyDf(s: SparkSession, seed: Long, n: Int): DataFrame = {
+    import s.implicits._
+    propertyCorpus(seed, n).toDF("event_id", "user_id", "us", "event_type")
+  }
+
+  private val PropSeed = 1L
+  private val PropN = 40
+
+  private val intervalProperty = Q(
+    "events_join_property",
+    (s, _) => intervalOf(propertyDf(s, PropSeed, PropN)),
+    Some(
+      s"""WITH e(event_id, user_id, us, event_type) AS (
+         |  VALUES ${propertyValuesSql(PropSeed, PropN)})
+         |SELECT cast(p.user_id AS bigint) AS user_id,
+         |  cast(p.event_id AS bigint) AS purchase_event_id,
+         |  cast(c.event_id AS bigint) AS click_event_id,
+         |  cast(p.us - c.us AS bigint) AS gap_us
+         |FROM e p JOIN e c ON c.user_id = p.user_id
+         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |  AND c.us >= p.us - $SessionWindowUs AND c.us < p.us""".stripMargin
+    ),
+    bench = false
+  )
+
+  private val asofProperty = Q(
+    "events_join_property_asof",
+    (s, _) =>
+      asofOf(propertyDf(s, PropSeed, PropN).withColumn("ts", timestamp_micros(col("us")))),
+    Some(
+      // Brute-force latest-prior under the total (us, event_id) order —
+      // deliberately NOT the union-tag window construction the operator
+      // uses, so the oracle certifies semantics, not implementation.
+      s"""WITH e(event_id, user_id, us, event_type) AS (
+         |  VALUES ${propertyValuesSql(PropSeed, PropN)}),
+         |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         |c AS (SELECT * FROM e WHERE event_type = 'click'),
+         |best AS (
+         |  -- (us, id) totally ordered via us*64 + id: us < 2^34 and
+         |  -- id <= 40 < 2^6 in this corpus, so the packing is exact.
+         |  SELECT p.event_id, max_by(c.event_id, c.us * 64 + c.event_id) AS click_event_id,
+         |    max_by(c.us, c.us * 64 + c.event_id) AS click_us
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND (c.us < p.us OR (c.us = p.us AND c.event_id < p.event_id))
+         |  GROUP BY 1)
+         |SELECT cast(p.event_id AS bigint) AS event_id,
+         |  cast(p.user_id AS bigint) AS user_id,
+         |  strftime(make_timestamp(p.us), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  cast(b.click_event_id AS bigint) AS click_event_id,
+         |  cast(p.us - b.click_us AS bigint) AS gap_us
+         |FROM p LEFT JOIN best b ON b.event_id = p.event_id""".stripMargin
+    ),
+    bench = false
+  )
+
+  val all: Seq[Q] =
+    Seq(asof, interval, intervalReplay, intervalProperty, asofProperty)
 }

@@ -1,0 +1,76 @@
+package graft
+
+/** Round-9 operators: unsupervised Fellegi-Sunter EM, the promoted
+  * join-property corpus rows, retrieval reranking, strided duplicate
+  * spans.
+  */
+class RoundNineOpsSpec extends SparkSuite {
+
+  test("Fellegi-Sunter EM separates match-discriminating fields unsupervised") {
+    import spark.implicits._
+    // Three cross-source candidate pairs agree on author+year (true
+    // duplicates), three agree on neither (same title block only). EM
+    // sees only the agreement patterns — no veto-chain labels — and must
+    // still learn m_author >> u_author while the always-agreeing title
+    // stays uninformative (m ≈ u → weight ≈ 0).
+    val recs = (1 to 3).flatMap { i =>
+      Seq(
+        (s"a.m$i", "a", s"Shared Title $i", "carson rachel", 1960 + i, ""),
+        (s"b.m$i", "b", s"Shared Title $i", "carson rachel", 1960 + i, ""),
+        (s"a.n$i", "a", s"Other Title $i", s"author a$i", 1900 + i, ""),
+        (s"b.n$i", "b", s"Other Title $i", s"author b$i", 1800 + i, "")
+      )
+    }.toDF("id", "source_id", "title", "author", "year", "isbn")
+    val out = operators.BlockingEval
+      .fsEmOf(operators.Dedup.withKeys(recs))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val author = out("author")
+    val title = out("title")
+    assert(author.getAs[Long]("m_mu") > 90000000L, author)
+    assert(author.getAs[Long]("u_mu") < 10000000L, author)
+    assert(author.getAs[Double]("weight") > 1.0, author)
+    // Title agrees on every candidate pair in both classes: weight ~ 0.
+    assert(math.abs(title.getAs[Double]("weight")) < 0.1, title)
+    // Half the candidate pairs are matches.
+    val p = author.getAs[Long]("p_mu")
+    assert(p > 30000000L && p < 70000000L, p)
+  }
+
+  test("EM census treats null agreement flags as disagreement") {
+    import spark.implicits._
+    // year = null on one side → f_year is SQL-null; the census must fold
+    // it into the false group rather than a third pattern value.
+    val recs = Seq(
+      ("a.1", "a", "Same Book", "same author", Some(1960), ""),
+      ("b.1", "b", "Same Book", "same author", None: Option[Int], "")
+    ).toDF("id", "source_id", "title", "author", "year", "isbn")
+    val out = operators.BlockingEval
+      .fsEmOf(operators.Dedup.withKeys(recs))
+      .collect()
+    assert(out.length == 5) // exactly one row per field, no crash
+  }
+
+  test("promoted join-property corpus is non-trivial and matches brute force") {
+    import spark.implicits._
+    val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
+    // The certification is vacuous unless the corpus exercises the risky
+    // shapes: band pairs exist, and (user, us) ties exist.
+    val pairs = for {
+      p <- corpus if p._4 == "purchase"
+      c <- corpus
+      if c._4 == "click" && c._2 == p._2 &&
+        c._3 >= p._3 - 1800000000L && c._3 < p._3
+    } yield (p._1, c._1)
+    assert(pairs.size >= 5, s"only ${pairs.size} band pairs")
+    val ties = corpus.groupBy(e => (e._2, e._3)).count(_._2.size > 1)
+    assert(ties >= 3, s"only $ties tied (user,us) cells")
+    val got = operators.JoinQueries
+      .intervalOf(corpus.toDF("event_id", "user_id", "us", "event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_event_id"), r.getAs[Long]("click_event_id")))
+      .toSet
+    assert(got === pairs.toSet)
+  }
+}
