@@ -57,6 +57,7 @@ object SparkEntry {
       operators.SolrUpdateQueries.all ++
       operators.Bpe.all ++
       operators.Retrieval.all ++
+      operators.Rerank.all ++
       operators.CurationQueries.all ++
       operators.RepetitionQueries.all ++
       operators.CurationQueries2.all ++

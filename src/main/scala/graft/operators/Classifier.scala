@@ -189,8 +189,11 @@ object Classifier {
     Model(m.biasMu - (LrBias * rsum) / nDocs, newW)
   }
 
-  /** DuckDB oracle replaying the identical K iterations. */
-  private def oracleSql(tail: String): String = {
+  /** DuckDB oracle replaying the identical K iterations. Exposed to the
+    * rerank oracle, which appends its own CTEs + final select as `tail`
+    * (a tail may start with ",\n" to extend the WITH block).
+    */
+  private[operators] def oracleSql(tail: String): String = {
     val score = (w: String, out: String) =>
       s"""${out}_wdot AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(w.w_mu * m.mb), 0) AS BIGINT) AS wdot

@@ -124,7 +124,17 @@ object Retrieval {
   /** The BM25 pipeline over any (doc_id, text) frame — exposed for the
     * `retrieval` scale probe.
     */
-  def bm25Of(documents: DataFrame): DataFrame = {
+  def bm25Of(documents: DataFrame): DataFrame =
+    TopK
+      .topkPerGroup(bm25ScoredOf(documents), "query_id", "score_mu", "doc_id", 10)
+      .withColumn("rank", col("rk").cast("long"))
+      .drop("rk")
+
+  /** The un-cut (query_id, doc_id, score_mu) candidate scores — every
+    * document containing a query term. [[Rerank]] brute-forces its
+    * ground truth over this frame.
+    */
+  private[operators] def bm25ScoredOf(documents: DataFrame): DataFrame = {
     {
       val s = documents.sparkSession
       import s.implicits._
@@ -180,56 +190,61 @@ object Retrieval {
           col("doc_id"),
           round(col("idf_mu") * ((col("tf") * lit(2.2)) / den)).cast("long").as("t_mu")
         )
-      // Top-10 per query via the bounded histogram cut (TopK), not a
-      // per-query rank window: the scored candidate set is every
+      // The top-10 cut in bm25Of rides the bounded histogram (TopK),
+      // not a per-query rank window: this scored candidate set is every
       // document containing a query term, which for a common term is
       // corpus-scale — a `PARTITION BY query_id` window would sort that
       // whole posting list on one task at 100 TB (round 8; the ANN
       // queries' per-query windows rank bucket-bounded candidate sets
       // and keep the window form).
-      val scored = termScore
+      termScore
         .groupBy("query_id", "doc_id")
         .agg(sum("t_mu").as("score_mu"))
-      TopK
-        .topkPerGroup(scored, "query_id", "score_mu", "doc_id", 10)
-        .withColumn("rank", col("rk").cast("long"))
-        .drop("rk")
     }
   }
 
+  /** The BM25 oracle CTE chain with every CTE name prefixed by `p` —
+    * shared with the rerank oracle, which composes these CTEs into the
+    * classifier-training WITH block (where bare names like `dl` are
+    * taken). Ends with `${p}ranked(query_id, doc_id, score_mu, rank)`.
+    */
+  private[operators] def bm25CtesSql(p: String): String = {
+    val values = SearchQueries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val inList = SearchQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""${p}base AS (SELECT doc_id, $NormSql AS ws FROM documents),
+       |${p}dl AS (SELECT doc_id, cast(len(ws) AS bigint) AS dl FROM ${p}base),
+       |${p}stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM ${p}dl),
+       |${p}tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS term FROM ${p}base) _t
+       |  WHERE term IN ($inList) GROUP BY 1, 2),
+       |${p}idf AS (
+       |  SELECT term,
+       |    cast(round(ln((cast(s.n AS double) - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS bigint) AS idf_mu
+       |  FROM (SELECT term, count(*) AS df FROM ${p}tf GROUP BY 1) _d, ${p}stats s),
+       |${p}q(query_id, term) AS (VALUES $values),
+       |${p}ts AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    cast(round(idf.idf_mu * ((tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 *
+       |        cast(dl.dl * s.n AS double) / cast(s.sumdl AS double))))) AS bigint) AS t_mu
+       |  FROM ${p}tf tf
+       |  JOIN ${p}idf idf ON idf.term = tf.term
+       |  JOIN ${p}dl dl ON dl.doc_id = tf.doc_id
+       |  JOIN ${p}q q ON q.term = tf.term, ${p}stats s),
+       |${p}sc AS (SELECT query_id, doc_id, sum(t_mu) AS score_mu FROM ${p}ts GROUP BY 1, 2),
+       |${p}ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_mu DESC, doc_id) AS rank
+       |  FROM ${p}sc)""".stripMargin
+  }
+
   private lazy val bm25Oracle: Option[String] = Some {
-      val values = SearchQueries
-        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
-        .mkString(", ")
-      val inList = SearchQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
-      s"""WITH base AS (SELECT doc_id, $NormSql AS ws FROM documents),
-         |dl AS (SELECT doc_id, cast(len(ws) AS bigint) AS dl FROM base),
-         |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(ws) AS term FROM base) _t
-         |  WHERE term IN ($inList) GROUP BY 1, 2),
-         |idf AS (
-         |  SELECT term,
-         |    cast(round(ln((cast(stats.n AS double) - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS bigint) AS idf_mu
-         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) _d, stats),
-         |q(query_id, term) AS (VALUES $values),
-         |ts AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |    cast(round(idf.idf_mu * ((tf.tf * 2.2) /
-         |      (tf.tf + 1.2 * (0.25 + 0.75 *
-         |        cast(dl.dl * stats.n AS double) / cast(stats.sumdl AS double))))) AS bigint) AS t_mu
-         |  FROM tf
-         |  JOIN idf ON idf.term = tf.term
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  JOIN q ON q.term = tf.term, stats),
-         |sc AS (SELECT query_id, doc_id, sum(t_mu) AS score_mu FROM ts GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_mu DESC, doc_id) AS rank
-         |  FROM sc)
-         |SELECT cast(query_id AS int) AS query_id, doc_id,
-         |  cast(score_mu AS bigint) AS score_mu, cast(rank AS bigint) AS rank
-         |FROM ranked WHERE rank <= 10""".stripMargin
+    s"""WITH ${bm25CtesSql("")}
+       |SELECT cast(query_id AS int) AS query_id, doc_id,
+       |  cast(score_mu AS bigint) AS score_mu, cast(rank AS bigint) AS rank
+       |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
   /** md5-derived token bucket 0..63 — the same hex-digit position-lookup

@@ -52,6 +52,45 @@ class RoundNineOpsSpec extends SparkSuite {
     assert(out.length == 5) // exactly one row per field, no crash
   }
 
+  test("rerank promotes coverage and early matches over one-term tf spam") {
+    import spark.implicits._
+    // doc 1: "spark" repeated — the one-term-spam BM25 loves (rare-term
+    // tf saturates high). doc 2: all three query-1 terms, early — but
+    // "stream"/"window" also sit in every filler, so their idf is near
+    // zero and raw BM25 still puts the spam doc first. The rerank
+    // coverage boost must put doc 2 first anyway.
+    val spam = Seq.fill(40)("spark").mkString(" ")
+    val docs = (Seq(
+      (1L, spam, "en"),
+      (2L, "spark stream window analytics pipeline", "en")
+    ) ++ (3L to 30L).map(i => (i, s"filler stream window text number $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = operators.Rerank
+      .rerankOf(docs)
+      .filter($"query_id" === 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out(1L).getAs[Long]("bm25_rank") == 1L, out(1L))
+    assert(out(2L).getAs[Long]("rr_rank") == 1L, out(2L))
+    assert(out(2L).getAs[Long]("n_matched") == 3L)
+    assert(out(2L).getAs[Long]("first_pos") == 0L)
+    assert(out(1L).getAs[Long]("n_matched") == 1L)
+  }
+
+  test("telescoping eval: rerank recall is never below raw BM25 recall") {
+    val rows = operators.Rerank
+      .rerankEvalOf(graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(
+        r.getAs[Long]("hits_rerank") >= r.getAs[Long]("hits_bm25"),
+        r.toString
+      )
+    }
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
