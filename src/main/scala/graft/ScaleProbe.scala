@@ -591,6 +591,65 @@ object ScaleProbe {
           .topkPerGroup(big.select("doc_id", "lang", "q4"), "lang", "q4", "doc_id", 100)
           .count()
         println(f"SCALE mode=topktie mult=$mult docs=$total kept=$kept time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "stridedspans" =>
+        // Strided duplicate-span guarantee probe: every doc_id % 10 == 3
+        // doc gets a 47-char payload (exactly G+S−1) shared within its
+        // (doc_id % 50) group, inserted at a per-doc offset so copies
+        // are UNALIGNED — the case stride-1 trivially handles and naive
+        // positional striding would miss. The winnowing guarantee says
+        // detection must be exhaustive (missed=0) while the exploded
+        // anchor rows run at the ~2/(S+1) winnowing density of the
+        // stride-1 gram count.
+        val G = operators.CurationQueries.G
+        val S = operators.CurationQueries.SpanStride
+        val payload = concat(
+          lit("PLANTED"),
+          lpad((col("doc_id") % 50).cast("string"), 4, "0"),
+          lit("SPAN"),
+          rpad(lpad((col("doc_id") % 50).cast("string"), 4, "0"), G + S - 1 - 15, "x")
+        )
+        val corpus = docsReplicated
+          .withColumn("off", (col("doc_id") % 7 * 13).cast("int"))
+          .withColumn(
+            "text",
+            when(
+              col("doc_id") % 10 === 3,
+              concat(expr("substr(text, 1, off)"), payload, expr("substr(text, off + 1)"))
+            ).otherwise(col("text"))
+          )
+          .select("doc_id", "text")
+          .persist()
+        val total = corpus.count()
+        val grams = corpus
+          .agg(sum(greatest(length(col("text")) - (G - 1), lit(0))))
+          .collect()(0)
+          .getLong(0)
+        val t0 = System.nanoTime()
+        val anchors = operators.CurationQueries.anchorsOf(corpus).count()
+        val spans = operators.CurationQueries.stridedSpansOf(corpus).persist()
+        val nSpans = spans.count()
+        val tSec = (System.nanoTime() - t0) / 1e9
+        val plantedPos = corpus
+          .filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), expr("locate(concat('PLANTED', lpad(cast(doc_id % 50 as string), 4, '0')), text)").as("ppos"))
+        val missed = plantedPos
+          .join(spans, Seq("doc_id"), "left")
+          .groupBy("doc_id", "ppos")
+          .agg(
+            max(
+              when(
+                col("span_start") <= col("ppos") + (G + S - 2) &&
+                  col("span_end") >= col("ppos"),
+                1
+              ).otherwise(0)
+            ).as("hit")
+          )
+          .filter(col("hit") =!= 1 || col("hit").isNull)
+          .count()
+        println(
+          f"SCALE mode=stridedspans mult=$mult docs=$total grams=$grams anchors=$anchors " +
+            f"density_pm=${anchors * 1000 / math.max(grams, 1)} spans=$nSpans missed=$missed time=$tSec%.1f s"
+        )
       case "packing" =>
         // Writer-bucket sweep for the parameterized packing cumsum: a
         // mult× corpus packed at 4 / 16 / 64 buckets. More buckets →

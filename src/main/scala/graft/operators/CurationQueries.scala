@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions.words
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  private val G = 40
+  private[graft] val G = 40
 
   /** Gopher stopword list (Rae et al. 2021 rule 8). */
   private val GopherStops =
@@ -201,6 +201,128 @@ object CurationQueries {
          |FROM isl2 GROUP BY doc_id, island""".stripMargin
     }
   )
+
+  /** Winnowing stride for the anchor-selected span variant. */
+  private[graft] val SpanStride = 8
+
+  /** Strided-anchor variant of `docs_duplicate_spans` — the 100-TB
+    * shape its stride-1 scaladoc promises: instead of indexing EVERY
+    * gram position, select content-defined ANCHOR grams by robust
+    * winnowing (window = stride S over the per-position gram-hash
+    * sequence, [[WinnowingQueries.winnowPositionsW]]), cutting the
+    * exploded row count to the winnowing density ~2/(S+1) while keeping
+    * a HARD guarantee: a duplicated region of length ≥ G+S−1 contains at
+    * least one winnowing window FULLY inside it in both copies, and
+    * selection within a fully-contained window depends only on content
+    * (the rightmost-min tie-break is window-relative) — so both copies
+    * select at least one identical anchor gram and the region is
+    * detected (Schleimer, Wilkerson & Aiken 2003 §3, the MOSS guarantee
+    * applied to dedup). Anchor intervals [pos, pos+G−1] then merge by
+    * the same gaps-and-islands window as stride 1; consecutive anchors
+    * inside a duplicated region are ≤ S < G apart, so they merge into
+    * one island. Output spans are the anchor-supported
+    * UNDER-approximation of the stride-1 spans: ~1/S the shuffled rows,
+    * identical detection set for spans ≥ G+S−1 (certified by the
+    * `stridedspans` probe's planted spans of exactly that length).
+    */
+  private val duplicateSpansStrided = Q(
+    "docs_duplicate_spans_strided",
+    (s, d) => stridedSpansOf(LlmQueries.corpus(s, d)),
+    Some {
+      s"""WITH ${LlmQueries.CorpusSql},
+         |h AS (
+         |  SELECT doc_id, text,
+         |    list_transform(range(1, length(text) - ${G - 2}),
+         |      p -> ('0x' || substr(md5(substr(text, p, $G)), 1, 12))::bigint) AS hs
+         |  FROM corpus WHERE length(text) >= $G),
+         |anch AS (
+         |  SELECT doc_id, pos, substr(text, pos, $G) AS g
+         |  FROM (SELECT doc_id, text,
+         |          unnest(${WinnowingQueries.winnowPositionsSql("hs", SpanStride)}) AS pos
+         |        FROM h) _a),
+         |dup AS (SELECT g FROM anch GROUP BY g HAVING count(*) > 1),
+         |occ AS (SELECT doc_id, pos, pos + ${G - 1} AS e FROM anch JOIN dup USING (g)),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN max(e) OVER wprev IS NULL OR pos > max(e) OVER wprev + 1
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM occ
+         |  WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl2 AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl)
+         |SELECT doc_id,
+         |  cast(min(pos) AS bigint) AS span_start,
+         |  cast(max(e) AS bigint) AS span_end,
+         |  cast(max(e) - min(pos) + 1 AS bigint) AS span_len,
+         |  cast(count(*) AS bigint) AS n_anchors
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin
+    }
+  )
+
+  /** Winnowed anchor grams (doc_id, pos, g) of a (doc_id, text) frame —
+    * the strided pipeline's exploded row set; exposed so the
+    * `stridedspans` probe can report the anchor-vs-gram row-cost ratio.
+    */
+  private[graft] def anchorsOf(corpus: DataFrame): DataFrame = {
+    import graft.functions.MetadataFunctions.bindOnce
+    val hashOf = (g: Column) => conv(substring(md5(g), 1, 12), 16, 10).cast("long")
+    corpus
+      .filter(length(col("text")) >= G)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(
+          // bindOnce: the hash array must evaluate once per row, not
+          // once per winnowing window (the docs_winnowing O(n²) trap).
+          bindOnce(
+            transform(
+              sequence(lit(1), length(col("text")) - (G - 1)),
+              p => hashOf(col("text").substr(p, lit(G)))
+            )
+          )(hs => WinnowingQueries.winnowPositionsW(hs, SpanStride))
+        ).as("pos")
+      )
+      .select(col("doc_id"), col("pos"), col("text").substr(col("pos"), lit(G)).as("g"))
+  }
+
+  /** The strided-span pipeline over any (doc_id, text) frame — exposed
+    * for the `stridedspans` probe and specs.
+    */
+  def stridedSpansOf(corpus: DataFrame): DataFrame = {
+    val anchors = anchorsOf(corpus)
+    val dup = anchors.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+    val occ = anchors
+      .join(dup, Seq("g"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (G - 1)).as("e"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    occ
+      .withColumn(
+        "ni",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L)
+      )
+      .withColumn(
+        "island",
+        sum(col("ni")).over(byPos.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .groupBy("doc_id", "island")
+      .agg(
+        min(col("pos")).as("s0"),
+        max(col("e")).as("e0"),
+        count(lit(1)).as("na")
+      )
+      .select(
+        col("doc_id"),
+        col("s0").cast("long").as("span_start"),
+        col("e0").cast("long").as("span_end"),
+        (col("e0") - col("s0") + 1).cast("long").as("span_len"),
+        col("na").cast("long").as("n_anchors")
+      )
+  }
 
   /** CCNet head/middle/tail buckets per language: rank documents by a
     * corpus-trained unigram log-probability (higher = more typical) and
@@ -403,5 +525,6 @@ object CurationQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(gopherRules, duplicateSpans, pplBuckets, filterChain)
+  val all: Seq[Q] =
+    Seq(gopherRules, duplicateSpans, duplicateSpansStrided, pplBuckets, filterChain)
 }

@@ -34,29 +34,43 @@ object WinnowingQueries {
 
   private val W = 4
 
-  /** Rightmost index of the minimum of hs[i..i+W-1] (1-based `i`):
+  /** Rightmost index of the minimum of hs[i..i+w-1] (1-based `i`):
     * reverse the window so the FIRST occurrence of the min in the
     * reversed slice is the RIGHTMOST in the original, then map back.
     */
-  private def rightmostMinPos(hs: Column, i: Column): Column = {
-    val win = slice(hs, i, lit(W))
-    i + lit(W) - array_position(reverse(win), array_min(win)).cast("int")
+  private def rightmostMinPos(hs: Column, i: Column, w: Int): Column = {
+    val win = slice(hs, i, lit(w))
+    i + lit(w) - array_position(reverse(win), array_min(win)).cast("int")
   }
 
-  /** Selected fingerprint positions of a hash array: distinct rightmost
-    * argmins over all W-windows; degenerate short sequences (< W
-    * hashes) winnow their single full window.
+  /** Selected fingerprint positions of a hash array under winnowing
+    * window `w`: distinct rightmost argmins over all w-windows;
+    * degenerate short sequences (< w hashes) winnow their single full
+    * window. Parametric form shared with the strided duplicate-span
+    * anchors (w = the stride).
     */
-  private[graft] def winnowPositions(hs: Column): Column = {
+  private[graft] def winnowPositionsW(hs: Column, w: Int): Column = {
     val m = size(hs)
     val full = array_distinct(
-      transform(sequence(lit(1), m - lit(W - 1)), i => rightmostMinPos(hs, i))
+      transform(sequence(lit(1), m - lit(w - 1)), i => rightmostMinPos(hs, i, w))
     )
     val short = array(
       (m + lit(1) - array_position(reverse(hs), array_min(hs)).cast("int")).cast("int")
     )
-    when(m >= W, full).otherwise(short)
+    when(m >= w, full).otherwise(short)
   }
+
+  private[graft] def winnowPositions(hs: Column): Column = winnowPositionsW(hs, W)
+
+  /** The DuckDB mirror of [[winnowPositionsW]] over a list expression
+    * named `hsName`.
+    */
+  private[graft] def winnowPositionsSql(hsName: String, w: Int): String =
+    s"""CASE WHEN len($hsName) >= $w THEN
+       |      list_distinct(list_transform(range(1, len($hsName) - ${w - 2}),
+       |        i -> i + $w - list_position(list_reverse($hsName[i : i + ${w - 1}]), list_min($hsName[i : i + ${w - 1}]))))
+       |    ELSE [len($hsName) + 1 - list_position(list_reverse($hsName), list_min($hsName))]
+       |    END""".stripMargin
 
   /** The selected fingerprint hash SET per document (spec-facing: the
     * registered query ships only its checksum).

@@ -91,6 +91,35 @@ class RoundNineOpsSpec extends SparkSuite {
     }
   }
 
+  test("strided spans detect a planted G+S-1 duplicate across unaligned copies") {
+    import spark.implicits._
+    // 47 chars = G+S-1: the winnowing guarantee's minimum length. The
+    // two copies sit at offsets 26 and 5 (difference not a multiple of
+    // the stride), the case naive positional striding would miss.
+    val payload = ("PLANTED0001SPAN" + "x" * 40).take(47)
+    val fillerA = (1 to 40).map(i => s"alpha$i").mkString("")
+    val fillerB = (1 to 40).map(i => s"beta$i").mkString("")
+    val docs = Seq(
+      (1L, fillerA.take(26) + payload + fillerA.drop(26)),
+      (2L, fillerB.take(5) + payload + fillerB.drop(5)),
+      (3L, (1 to 40).map(i => s"gamma$i").mkString(""))
+    ).toDF("doc_id", "text")
+    val spans = operators.CurationQueries.stridedSpansOf(docs).collect()
+    def covers(docId: Long, p: Int): Boolean = spans.exists { r =>
+      r.getAs[Long]("doc_id") == docId &&
+      r.getAs[Long]("span_start") <= p + 46 && r.getAs[Long]("span_end") >= p
+    }
+    assert(covers(1L, 27), spans.mkString("; "))
+    assert(covers(2L, 6), spans.mkString("; "))
+    // The unduplicated doc must stay span-free.
+    assert(!spans.exists(_.getAs[Long]("doc_id") == 3L))
+    // Detected spans never extend beyond the payload into distinct
+    // filler by more than a gram length (anchors are real duplicates).
+    spans.filter(_.getAs[Long]("doc_id") == 1L).foreach { r =>
+      assert(r.getAs[Long]("span_start") >= 27 && r.getAs[Long]("span_end") <= 27 + 46)
+    }
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
