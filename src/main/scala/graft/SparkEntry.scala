@@ -58,6 +58,9 @@ object SparkEntry {
       operators.Bpe.all ++
       operators.Retrieval.all ++
       operators.Rerank.all ++
+      operators.PcaPower.all ++
+      operators.CentroidClassify.all ++
+      operators.Readability.all ++
       operators.CurationQueries.all ++
       operators.RepetitionQueries.all ++
       operators.CurationQueries2.all ++

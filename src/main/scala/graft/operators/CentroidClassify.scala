@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Nearest-class-mean (Rocchio) classification over the embedding
+  * table's labels — the supervised twin of [[KMeans]]: train centroids
+  * from a deterministic split, classify the held-out rows by nearest
+  * centroid, emit the confusion matrix. This is the lightweight "did
+  * my embedding space keep the classes separable" check an embedding
+  * pipeline runs after every re-train — and the class-assignment shape
+  * (fixed centroids, map-only argmin) is the inference half of any
+  * centroid model at 100 TB.
+  *
+  * Scale shape: centroid training is a (label, dim)-keyed aggregate —
+  * ≤ |classes|·dim keys, map-side combined; the 10×64 model collects to
+  * the driver (bounded MODEL state) and rides back as ONE literal
+  * nested array, so classification is MAP-ONLY — the per-row argmin
+  * folds over the label axis inside the row, no join, no shuffle; the
+  * confusion matrix is a ≤ |classes|² aggregate.
+  *
+  * Engine determinism: embeddings quantize to integer milli-units;
+  * centroids are half-away-rounded integer means; squared-Euclidean
+  * distances are exact int64 (|diff| ≤ 2·10⁴ ⇒ Σ over 64 dims ≤
+  * 2.6·10¹⁰); the argmin packs (dist, label) into dist·16 + label so
+  * tie-breaks are integer-total-ordered identically in both engines.
+  */
+object CentroidClassify {
+
+  private val Dim = 64
+  private val Labels = 10
+  private val EQ = 1000L
+
+  private def roundAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  private def eqOf(embs: DataFrame): DataFrame =
+    embs.select(
+      col("vec_id"),
+      col("label"),
+      transform(col("embedding"), x => round(x.cast("double") * EQ).cast("long")).as("e")
+    )
+
+  /** vec_id % 5 == 0 → held-out test row (a fifth of the corpus). */
+  private def isTest: Column = col("vec_id") % 5 === 0
+
+  /** Train centroids: label → 64 integer means (driver-side bounded
+    * model, the KMeans/Classifier discipline).
+    */
+  private[graft] def centroids(eq: DataFrame): Map[Int, Array[Long]] = {
+    val rows = eq
+      .filter(!isTest)
+      .select(col("label"), posexplode(col("e")).as(Seq("j", "x")))
+      .groupBy("label", "j")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .collect()
+    rows
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (l, rs) =>
+        val arr = new Array[Long](Dim)
+        rs.foreach { r =>
+          arr(r.getAs[Int]("j")) =
+            roundAway(r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble)
+        }
+        l -> arr
+      }
+  }
+
+  /** Confusion matrix (label, pred, n) of nearest-centroid assignment
+    * over the held-out rows.
+    */
+  def confusionOf(embs: DataFrame): DataFrame = {
+    val eq = eqOf(embs).persist()
+    val ctr = centroids(eq)
+    val present = (0 until Labels).filter(ctr.contains)
+    // label-major flat centroid table: carr[l*Dim + j] = c_l[j].
+    val flat = typedLit(present.flatMap(l => ctr(l).toSeq))
+    val lbls = typedLit(present.map(_.toLong))
+    val dist = (li: Column) =>
+      aggregate(
+        sequence(lit(0), lit(Dim - 1)),
+        lit(0L),
+        (acc, j) => {
+          val d = element_at(col("e"), j.cast("int") + 1) -
+            element_at(flat, (li * Dim + j).cast("int") + 1)
+          acc + d * d
+        }
+      )
+    val bestKey = aggregate(
+      sequence(lit(0), lit(present.size - 1)),
+      lit(Long.MaxValue),
+      (acc, li) => least(acc, dist(li) * 16 + element_at(lbls, li.cast("int") + 1))
+    )
+    eq.filter(isTest)
+      .withColumn("pred", (bestKey % 16).cast("int"))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("label").cast("long").as("label"),
+        col("pred").cast("long").as("pred"),
+        col("n")
+      )
+  }
+
+  private def oracleSql: String =
+    s"""WITH eq AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS double) * $EQ) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |dims AS (SELECT CAST(j AS INT) AS j FROM range(1, ${Dim + 1}) t(j)),
+       |ctr AS MATERIALIZED (
+       |  SELECT label, dims.j,
+       |    CAST(round(CAST(sum(e[dims.j]) AS double) / count(*)) AS BIGINT) AS c
+       |  FROM eq CROSS JOIN dims WHERE vec_id % 5 != 0 GROUP BY label, dims.j),
+       |carr AS MATERIALIZED (
+       |  SELECT label AS clabel, list(c ORDER BY j) AS cs FROM ctr GROUP BY label),
+       |scored AS (
+       |  SELECT t.vec_id, t.label,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      j -> (t.e[j] - c.cs[j]) * (t.e[j] - c.cs[j]))) AS BIGINT) * 16 + c.clabel AS key
+       |  FROM eq t CROSS JOIN carr c WHERE t.vec_id % 5 = 0),
+       |pred AS (SELECT vec_id, label, min(key) % 16 AS pred FROM scored GROUP BY 1, 2)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
+
+  private val confusionQ = Q(
+    "embed_centroid_classify",
+    (s, d) => confusionOf(Tables.embeddings(s, d)),
+    Some(oracleSql)
+  )
+
+  val all: Seq[Q] = Seq(confusionQ)
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top-principal-component extraction by distributed POWER ITERATION
+  * (the von Mises iteration; the dominant-eigenvector kernel under
+  * PCA/LSI/spectral methods — and the embedding-drift / anisotropy
+  * diagnostic a 100-TB embedding pipeline wants: "all my vectors
+  * collapsed onto one direction" is the classic embedding-collapse
+  * failure, visible as a dominant component with outsized mass).
+  *
+  * v_{k+1} ∝ Σ_i (x_i − μ)·((x_i − μ)ᵀ v_k) — each iteration is ONE
+  * map pass over the embeddings plus a 64-key (dimension-keyed)
+  * aggregate with map-side combine; the 64-long model vector collects
+  * to the driver between iterations exactly like [[KMeans.step]]'s
+  * centroids and [[Classifier]]'s weights (bounded MODEL state, not
+  * data). The covariance matrix is never materialized (64×64 would be
+  * fine here, but the matrix-free form is what survives when dim is
+  * 4096).
+  *
+  * Engine determinism (the DuckDB oracle replays all K iterations as
+  * chained CTEs, certifying TRAINING): embeddings quantize once to
+  * integer milli-units; the per-row projection d_i and the per-dim
+  * M-step sums are pure int64 arithmetic (order-free); each iteration's
+  * only doubles are the norm (Σw² summed EXACTLY — BigInt here,
+  * HUGEINT in DuckDB — then one correctly-rounded conversion + sqrt)
+  * and the normalize division, both fixed-order expressions identical
+  * in both engines. Int64 headroom: per-row |d| ≤ dim·Δ·1e6 ≈ 1.3e11,
+  * rescaled to ds = d div 1e6 before the M-step, so Σ|ds·Δ| bounds the
+  * row count at ~3.5·10¹⁰; beyond that drop the embedding quantum a
+  * decade (the [[BlockingEval]] FsQuantum discipline).
+  *
+  * The sign of the eigenvector is pinned by the deterministic init
+  * (uniform positive vector), so the output is reproducible, not just
+  * up-to-sign.
+  */
+object PcaPower {
+
+  private val Dim = 64
+  private val K = 6
+
+  /** Embedding quantum: milli-units. */
+  private val EQ = 1000L
+
+  /** Eigenvector quantum: micro-units (‖v‖ ≈ 1e6). */
+  private val VQ = 1000000L
+
+  /** Round half AWAY FROM ZERO — DuckDB `round()` semantics (and Spark
+    * SQL's). JVM `math.round` is floor(x+0.5), which differs on
+    * negative exact halves — and means/components here ARE negative.
+    */
+  private def roundAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  private def eqArr = transform(
+    col("embedding"),
+    x => round(x.cast("double") * EQ).cast("long")
+  )
+
+  /** Quantized frame (vec_id, e: array<long>). */
+  private def eqOf(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), eqArr.as("e"))
+
+  /** The K power iterations over a quantized frame; returns (mean,
+    * final v), both integer-quantized. Mirrored expression-for-
+    * expression by the oracle CTEs.
+    */
+  private[graft] def fit(eq: DataFrame): (Array[Long], Array[Long]) = {
+    val spark = eq.sparkSession
+    val cached = eq.persist()
+    val n = math.max(cached.count(), 1L)
+    val sums = cached
+      .select(posexplode(col("e")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(sum("x").as("s"))
+      .collect()
+      .map(r => r.getAs[Int]("j") -> r.getAs[Long]("s"))
+      .toMap
+    val mq = Array.tabulate(Dim)(j => roundAway(sums.getOrElse(j, 0L).toDouble / n.toDouble))
+    var v = Array.fill(Dim)(roundAway(VQ.toDouble / 8.0))
+    for (_ <- 1 to K) {
+      val mLit = typedLit(mq.toSeq)
+      val vLit = typedLit(v.toSeq)
+      // d = Σ_j (e[j] − m[j])·v[j], exact int64; rescale before the
+      // per-dimension sum so products stay in headroom.
+      val d = aggregate(
+        sequence(lit(0), lit(Dim - 1)),
+        lit(0L),
+        (acc, j) =>
+          acc + (element_at(col("e"), j.cast("int") + 1) - element_at(mLit, j.cast("int") + 1)) *
+            element_at(vLit, j.cast("int") + 1)
+      )
+      val w = cached
+        .withColumn("ds", d)
+        .withColumn("ds", expr(s"ds div ${VQ}L"))
+        .select(col("ds"), posexplode(col("e")).as(Seq("j", "x")))
+        .groupBy("j")
+        .agg(sum(col("ds") * (col("x") - element_at(typedLit(mq.toSeq), col("j") + 1))).as("w"))
+        .collect()
+        .map(r => r.getAs[Int]("j") -> r.getAs[Long]("w"))
+        .toMap
+      val warr = Array.tabulate(Dim)(j => w.getOrElse(j, 0L))
+      // Exact Σw² (BigInt ↔ HUGEINT), ONE correctly-rounded conversion.
+      val nrm = math.sqrt(warr.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      if (nrm > 0)
+        v = warr.map(x => roundAway((VQ.toDouble * x.toDouble) / nrm))
+    }
+    (mq, v)
+  }
+
+  def pcaOf(embs: DataFrame): DataFrame = {
+    val (mq, v) = fit(eqOf(embs))
+    val s = embs.sparkSession
+    import s.implicits._
+    (0 until Dim)
+      .map(j => (j.toLong, mq(j), v(j)))
+      .toDF("dim", "mean_mq", "v_mu")
+  }
+
+  private def oracleSql: String = {
+    def iter(k: Int): String =
+      s"""va$k AS MATERIALIZED (SELECT list(v ORDER BY j) AS varr FROM v${k - 1}),
+         |d$k AS MATERIALIZED (
+         |  SELECT CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |           j -> (e[j] - marr[j]) * varr[j])) AS BIGINT) // $VQ AS ds, e
+         |  FROM eq, ma, va$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT dims.j, CAST(coalesce(sum(ds * (e[dims.j] - marr[dims.j])), 0) AS BIGINT) AS w
+         |  FROM d$k CROSS JOIN dims, ma GROUP BY dims.j),
+         |n$k AS MATERIALIZED (
+         |  SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS double)) AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT w$k.j,
+         |    CASE WHEN nrm > 0
+         |      THEN CAST(round(($VQ.0 * CAST(w AS double)) / nrm) AS BIGINT)
+         |      ELSE (SELECT v FROM v${k - 1} p WHERE p.j = w$k.j) END AS v
+         |  FROM w$k, n$k)""".stripMargin
+    s"""WITH eq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS double) * $EQ) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |dims AS (SELECT CAST(j AS INT) AS j FROM range(1, ${Dim + 1}) t(j)),
+       |nrow AS (SELECT count(*) AS n FROM eq),
+       |m AS MATERIALIZED (
+       |  SELECT dims.j,
+       |    CAST(round(CAST(sum(e[dims.j]) AS double) / (SELECT n FROM nrow)) AS BIGINT) AS mq
+       |  FROM eq CROSS JOIN dims GROUP BY dims.j),
+       |ma AS MATERIALIZED (SELECT list(mq ORDER BY j) AS marr FROM m),
+       |v0 AS (SELECT j, CAST(${math.round(VQ.toDouble / 8.0)} AS BIGINT) AS v FROM dims),
+       |${(1 to K).map(iter).mkString(",\n")}
+       |SELECT CAST(m.j - 1 AS BIGINT) AS dim, m.mq AS mean_mq, v$K.v AS v_mu
+       |FROM m JOIN v$K ON v$K.j = m.j""".stripMargin
+  }
+
+  private val pcaQ = Q(
+    "embed_pca_power",
+    (s, d) => pcaOf(Tables.embeddings(s, d)),
+    Some(oracleSql)
+  )
+
+  val all: Seq[Q] = Seq(pcaQ)
+}

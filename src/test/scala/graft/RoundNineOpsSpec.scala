@@ -120,6 +120,65 @@ class RoundNineOpsSpec extends SparkSuite {
     }
   }
 
+  test("power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // Planted spectrum: x_i = t_i·u + deterministic small noise. The
+    // testdata embeddings are near-isotropic (top-2 singular ratio
+    // ~1.006), so convergence must be certified on a corpus that HAS a
+    // dominant direction.
+    val dim = 64
+    val u = Array.tabulate(dim)(j => if (j % 2 == 0) 0.125 else -0.125)
+    val rows = (1 to 200).map { i =>
+      val t = (i % 21) - 10.0
+      val noise = Array.tabulate(dim)(j => ((i * 31 + j * 17) % 7 - 3) * 0.01)
+      (i.toLong, Array.tabulate(dim)(j => (t * u(j) + noise(j)).toFloat).toSeq)
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    val v = operators.PcaPower
+      .pcaOf(embs)
+      .orderBy("dim")
+      .collect()
+      .map(_.getAs[Long]("v_mu").toDouble)
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val cos = math.abs(v.zip(u).map { case (a, b) => a * b }.sum / (nv * 0.125 * 8))
+    assert(cos > 0.99, s"cos=$cos")
+    assert(math.abs(nv - 1e6) < 2.0, nv)
+  }
+
+  test("nearest-centroid classification separates planted classes") {
+    import spark.implicits._
+    val dim = 64
+    val rows = (1 to 200).map { i =>
+      val label = i % 2
+      val sign = if (label == 0) 1.0 else -1.0
+      val noise = Array.tabulate(dim)(j => ((i * 13 + j * 7) % 5 - 2) * 0.02)
+      (i.toLong, Array.tabulate(dim)(j => (sign * 0.5 + noise(j)).toFloat).toSeq, label)
+    }
+    val out = operators.CentroidClassify
+      .confusionOf(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+    assert(out.nonEmpty)
+    // Perfectly separable by construction: the confusion matrix must be
+    // diagonal.
+    out.foreach(r => assert(r.getAs[Long]("label") == r.getAs[Long]("pred"), r))
+  }
+
+  test("readability counts and scores match hand computation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("read9").toString
+    Seq((1L, "The cat sat. The dog ran.", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("docs_readability")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    val fk = math.round((0.39 * 3.0 + 11.8 * 1.0 - 15.59) * 1e4)
+    val fre = math.round((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e4)
+    assert(r.getAs[Long]("fk_grade_qm") == fk)
+    assert(r.getAs[Long]("fre_qm") == fre)
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
