@@ -61,6 +61,7 @@ object SparkEntry {
       operators.PcaPower.all ++
       operators.CentroidClassify.all ++
       operators.Readability.all ++
+      operators.QueryExpansion.all ++
       operators.CurationQueries.all ++
       operators.RepetitionQueries.all ++
       operators.CurationQueries2.all ++

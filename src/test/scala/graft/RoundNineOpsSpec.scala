@@ -179,6 +179,41 @@ class RoundNineOpsSpec extends SparkSuite {
     assert(r.getAs[Long]("fre_qm") == fre)
   }
 
+  test("RM3 expansion recovers a vocabulary-mismatch document") {
+    import spark.implicits._
+    // Feedback docs co-occur the query-1 terms with "analytics"; doc 50
+    // contains ONLY "analytics" — zero original terms, invisible to
+    // BM25 and to any first-pass reranker, retrievable only through
+    // expansion.
+    val docs = ((1L to 8L).map(i =>
+      (i, s"spark stream window analytics analytics study $i", "en")
+    ) :+ (50L, "analytics analytics analytics quarterly report", "en"))
+      .++((60L to 90L).map(i => (i, s"unrelated filler text number $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val exp = operators.QueryExpansion
+      .expandedTerms(docs)
+      .filter($"query_id" === 1)
+      .collect()
+    assert(exp.exists(_.getAs[String]("term") == "analytics"), exp.mkString("; "))
+    // Expansion terms never repeat the original query terms.
+    val orig = graft.operators.Retrieval.SearchQueries.toMap.apply(1).toSet
+    assert(exp.forall(r => !orig.contains(r.getAs[String]("term"))))
+    val rm3Docs = operators.QueryExpansion
+      .rm3SearchOf(docs)
+      .filter($"query_id" === 1)
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    val bm25Docs = operators.Retrieval
+      .bm25Of(docs)
+      .filter($"query_id" === 1)
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    assert(!bm25Docs.contains(50L))
+    assert(rm3Docs.contains(50L), rm3Docs)
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
