@@ -62,6 +62,8 @@ object SparkEntry {
       operators.CentroidClassify.all ++
       operators.Readability.all ++
       operators.QueryExpansion.all ++
+      operators.TrendQueries.all ++
+      operators.GraphMetrics.all ++
       operators.CurationQueries.all ++
       operators.RepetitionQueries.all ++
       operators.CurationQueries2.all ++

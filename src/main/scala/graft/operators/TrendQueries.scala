@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Monotone-trend testing and value-distribution auditing over the
+  * event stream — the two classic nonparametric checks an analytics
+  * pipeline runs on every metric series:
+  *
+  *  - Mann-Kendall (Mann 1945, Kendall's τ-based trend test): is the
+  *    daily event count drifting monotonically? Distribution-free — the
+  *    right default when nothing is known about the series — and the
+  *    complement of the registry's MAD point-anomaly and CUSUM
+  *    level-shift detectors: a slow steady drift trips neither.
+  *  - Benford first-significant-digit audit (Newcomb 1881 / Benford
+  *    1938): organic multiplicative quantities follow
+  *    P(d) = log10(1+1/d); fabricated or truncated values don't — the
+  *    standard forensic data-quality scan.
+  *
+  * Scale shapes: both reduce the stream in ONE bounded-key map-side-
+  * combined aggregate (days×types for MK; 9 digits for Benford). The
+  * MK pairwise S statistic self-joins the DAILY table (≤ window days
+  * per type — bounded by the monitoring window, never event volume).
+  *
+  * Engine determinism: S, the tie-corrected variance NUMERATOR, and
+  * all counts are exact integers; the z-score is one fixed-shape
+  * double expression over them, quantized 1e-4; Benford's expected
+  * shares are INTEGER permyriad literals precomputed in Scala and
+  * embedded into both plans, so no libm call crosses engines; the
+  * first digit comes from integer-to-string of the milli-quantized
+  * value (no float log10 at the digit boundary).
+  */
+object TrendQueries {
+
+  private def daily(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day")
+      )
+      .agg(count(lit(1)).as("n"))
+
+  /** Mann-Kendall over a (event_type, day, n) frame. */
+  def mannKendallOf(dailyDf: DataFrame): DataFrame = {
+    val d1 = dailyDf.select(col("event_type"), col("day").as("d1"), col("n").as("n1"))
+    val d2 = dailyDf.select(col("event_type"), col("day").as("d2"), col("n").as("n2"))
+    val s = d1
+      .join(d2, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(
+        sum(
+          when(col("n2") > col("n1"), 1L).when(col("n2") < col("n1"), -1L).otherwise(0L)
+        ).as("s_stat")
+      )
+    val nd = dailyDf.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    // Tie correction: Σ_t t(t−1)(2t+5) over groups of equal n.
+    val ties = dailyDf
+      .groupBy("event_type", "n")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_sum"))
+    s.join(nd, "event_type")
+      .join(ties, "event_type")
+      .withColumn(
+        "var_num",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum")
+      )
+      .withColumn(
+        "z_qm",
+        when(
+          col("var_num") > 0,
+          round(
+            (col("s_stat") - signum(col("s_stat"))).cast("double") /
+              sqrt(col("var_num").cast("double") / 18.0) * 1e4
+          ).cast("long")
+        )
+      )
+      .withColumn(
+        "trend",
+        when(col("z_qm") > 19600, "increasing")
+          .when(col("z_qm") < -19600, "decreasing")
+          .otherwise("none")
+      )
+      .select("event_type", "n_days", "s_stat", "var_num", "z_qm", "trend")
+  }
+
+  private val mkQ = Q(
+    "events_trend_mk",
+    (s, d) => mannKendallOf(daily(s, d)),
+    Some(
+      """WITH daily AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT d1.event_type,
+        |    CAST(sum(CASE WHEN d2.n > d1.n THEN 1 WHEN d2.n < d1.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily d1 JOIN daily d2
+        |    ON d1.event_type = d2.event_type AND d1.day < d2.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+        |  FROM (SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2) _t
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT s.event_type, s.s_stat, nd.n_days,
+        |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS var_num
+        |  FROM s JOIN nd ON nd.event_type = s.event_type
+        |  JOIN ties ON ties.event_type = s.event_type)
+        |SELECT event_type, n_days, s_stat, var_num,
+        |  CASE WHEN var_num > 0 THEN CAST(round(
+        |    CAST(s_stat - sign(s_stat) AS double) /
+        |      sqrt(CAST(var_num AS double) / 18.0) * 1e4) AS BIGINT) END AS z_qm,
+        |  CASE WHEN (CASE WHEN var_num > 0 THEN CAST(round(
+        |         CAST(s_stat - sign(s_stat) AS double) /
+        |           sqrt(CAST(var_num AS double) / 18.0) * 1e4) AS BIGINT) END) > 19600
+        |       THEN 'increasing'
+        |       WHEN (CASE WHEN var_num > 0 THEN CAST(round(
+        |         CAST(s_stat - sign(s_stat) AS double) /
+        |           sqrt(CAST(var_num AS double) / 18.0) * 1e4) AS BIGINT) END) < -19600
+        |       THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM m""".stripMargin
+    )
+  )
+
+  /** Benford expected shares in integer permyriad — precomputed HERE
+    * and embedded as literals into both plans (no cross-engine log10).
+    */
+  private val BenfordPm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 10000)).toMap
+
+  private val benfordQ = Q(
+    "events_benford",
+    (s, d) => {
+      val bexp = typedLit((1 to 9).map(d0 => BenfordPm(d0)))
+      val ev = Tables
+        .events(s, d)
+        .select(round(col("value") * 1000).cast("long").as("mv"))
+        .filter(col("mv") >= 1)
+        .select(substring(col("mv").cast("string"), 1, 1).cast("int").as("digit"))
+      val n = ev.agg(count(lit(1)).as("nt"))
+      ev.groupBy("digit")
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("j", (col("n_obs") - col("n_obs") + 1).cast("int"))
+        .join(broadcast(n.select((col("nt") - col("nt") + 1).cast("int").as("j"), col("nt"))), Seq("j"))
+        .select(
+          col("digit").cast("long").as("digit"),
+          col("n_obs"),
+          expr("n_obs * 10000 div nt").as("share_pm"),
+          element_at(bexp, col("digit")).as("benford_pm")
+        )
+        .withColumn("excess_pm", col("share_pm") - col("benford_pm"))
+    },
+    Some {
+      val vals = (1 to 9).map(d0 => s"($d0, ${BenfordPm(d0)})").mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT CAST(substr(CAST(mv AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM (SELECT CAST(round(value * 1000) AS BIGINT) AS mv FROM events) _m
+         |  WHERE mv >= 1),
+         |n AS (SELECT count(*) AS nt FROM ev),
+         |b(digit, benford_pm) AS (VALUES $vals)
+         |SELECT CAST(ev.digit AS BIGINT) AS digit,
+         |  CAST(count(*) AS BIGINT) AS n_obs,
+         |  count(*) * 10000 // (SELECT nt FROM n) AS share_pm,
+         |  CAST(b.benford_pm AS BIGINT) AS benford_pm,
+         |  count(*) * 10000 // (SELECT nt FROM n) - b.benford_pm AS excess_pm
+         |FROM ev JOIN b ON b.digit = ev.digit
+         |GROUP BY ev.digit, b.benford_pm""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(mkQ, benfordQ)
+}

@@ -87,7 +87,7 @@ object TriangleQueries {
     * each family is a genuine 3-clique — the corpus the chain-shaped
     * docs_neardup_components fixture deliberately avoids.
     */
-  private def triCorpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def triCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val exact = docs
       .filter(col("doc_id") % 10 === 0)
@@ -110,54 +110,62 @@ object TriangleQueries {
       |  SELECT doc_id + 300000, text || ' extra tail words appended here' FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
+  /** Oracle CTE chain for the verified near-dup graph over the triangle
+    * fixture, ending at `vp(u, v)` (verified edges), `deg(id, dg)`, `o`
+    * (degree-oriented edges), and `tri(a, b, c)` — shared by
+    * graph_triangles and [[GraphMetrics]]. The candidate CTE mirrors
+    * verifiedNeardupEdges EXACTLY — incl. the heavy-bucket cap and its
+    * star edges (rep = bucket min id) — rather than riding SigSql's
+    * uncapped `pairs`: star edges change triangle counts (a hub has no
+    * within-bucket pairwise edges), so an uncapped oracle would diverge
+    * silently the day a band bucket of this fixture exceeds the cap.
+    */
+  private[operators] def neardupGraphCtesSql: String = {
+    val jac =
+      """cast(len(list_intersect(a.wset, b.wset)) as double) /
+        |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
+    val ord = "(e1.ddg < e2.ddg OR (e1.ddg = e2.ddg AND e1.dst < e2.dst))"
+    s"""$TriCorpusSql, ${LlmQueries.SigSql},
+       |wsets AS (SELECT doc_id, list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS wset FROM corpus),
+       |heavyb AS (
+       |  SELECT band_id, band_hash, min(doc_id) AS rep FROM bh
+       |  GROUP BY 1, 2 HAVING count(*) > ${LlmQueries.MaxBucketSize}),
+       |lightb AS (SELECT bh.* FROM bh ANTI JOIN heavyb USING (band_id, band_hash)),
+       |cpairs AS (
+       |  SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM lightb b1 JOIN lightb b2
+       |    ON b1.band_id = b2.band_id AND b1.band_hash = b2.band_hash
+       |   AND b1.doc_id < b2.doc_id
+       |  UNION
+       |  SELECT h.rep, b.doc_id
+       |  FROM bh b JOIN heavyb h
+       |    ON b.band_id = h.band_id AND b.band_hash = h.band_hash
+       |  WHERE b.doc_id != h.rep),
+       |vp AS (
+       |  SELECT p.doc_a AS u, p.doc_b AS v FROM cpairs p
+       |  JOIN wsets a ON p.doc_a = a.doc_id
+       |  JOIN wsets b ON p.doc_b = b.doc_id
+       |  WHERE $jac >= 0.5
+       |),
+       |deg AS (SELECT id, count(*) AS dg
+       |        FROM (SELECT u AS id FROM vp UNION ALL SELECT v FROM vp) GROUP BY id),
+       |o AS (
+       |  SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+       |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v) THEN e.v ELSE e.u END AS dst,
+       |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v) THEN dv.dg ELSE du.dg END AS ddg
+       |  FROM vp e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND $ord
+       |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)""".stripMargin
+  }
+
   private val trianglesQ = Q(
     "graph_triangles",
     (s, d) =>
       triangleCounts(LlmQueries8.verifiedNeardupEdges(triCorpus(s, d), 0.5)),
     Some {
-      val jac =
-        """cast(len(list_intersect(a.wset, b.wset)) as double) /
-          |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
-      val ord = "(e1.ddg < e2.ddg OR (e1.ddg = e2.ddg AND e1.dst < e2.dst))"
-      // The candidate CTE mirrors verifiedNeardupEdges EXACTLY — incl.
-      // the heavy-bucket cap and its star edges (rep = bucket min id) —
-      // rather than riding SigSql's uncapped `pairs`: star edges change
-      // triangle counts (a hub has no within-bucket pairwise edges), so
-      // an uncapped oracle would diverge silently the day a band bucket
-      // of this fixture exceeds ${LlmQueries.MaxBucketSize}.
-      s"""WITH $TriCorpusSql, ${LlmQueries.SigSql},
-         |wsets AS (SELECT doc_id, list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS wset FROM corpus),
-         |heavyb AS (
-         |  SELECT band_id, band_hash, min(doc_id) AS rep FROM bh
-         |  GROUP BY 1, 2 HAVING count(*) > ${LlmQueries.MaxBucketSize}),
-         |lightb AS (SELECT bh.* FROM bh ANTI JOIN heavyb USING (band_id, band_hash)),
-         |cpairs AS (
-         |  SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM lightb b1 JOIN lightb b2
-         |    ON b1.band_id = b2.band_id AND b1.band_hash = b2.band_hash
-         |   AND b1.doc_id < b2.doc_id
-         |  UNION
-         |  SELECT h.rep, b.doc_id
-         |  FROM bh b JOIN heavyb h
-         |    ON b.band_id = h.band_id AND b.band_hash = h.band_hash
-         |  WHERE b.doc_id != h.rep),
-         |vp AS (
-         |  SELECT p.doc_a AS u, p.doc_b AS v FROM cpairs p
-         |  JOIN wsets a ON p.doc_a = a.doc_id
-         |  JOIN wsets b ON p.doc_b = b.doc_id
-         |  WHERE $jac >= 0.5
-         |),
-         |deg AS (SELECT id, count(*) AS dg
-         |        FROM (SELECT u AS id FROM vp UNION ALL SELECT v FROM vp) GROUP BY id),
-         |o AS (
-         |  SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v) THEN e.u ELSE e.v END AS src,
-         |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v) THEN e.v ELSE e.u END AS dst,
-         |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v) THEN dv.dg ELSE du.dg END AS ddg
-         |  FROM vp e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
-         |tri AS (
-         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-         |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND $ord
-         |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+      s"""WITH $neardupGraphCtesSql
          |SELECT id AS doc_id, count(*) AS n_tri
          |FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          |GROUP BY id""".stripMargin

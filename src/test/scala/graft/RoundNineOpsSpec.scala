@@ -214,6 +214,55 @@ class RoundNineOpsSpec extends SparkSuite {
     assert(rm3Docs.contains(50L), rm3Docs)
   }
 
+  test("transitivity is exactly 1 on K4 and 0 on a path") {
+    import spark.implicits._
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toDF("doc_a", "doc_b")
+    val r = operators.GraphMetrics.transitivityOf(k4).collect().head
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 12L)
+    assert(r.getAs[Long]("transitivity_pm") == 10000L)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val p = operators.GraphMetrics.transitivityOf(path).collect().head
+    assert(p.getAs[Long]("n_triangles") == 0L)
+    assert(p.getAs[Long]("transitivity_pm") == 0L)
+  }
+
+  test("2-core keeps the triangle and fully peels the star") {
+    import spark.implicits._
+    // Star: hub 10 with leaves 11-15 (all leaves deg 1 → peel; hub then
+    // isolated → peel). Triangle 1-2-3 survives with core degree 2.
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      (11L to 15L).map(l => (10L, l))).toDF("doc_a", "doc_b")
+    val core = operators.GraphMetrics
+      .kcoreOf(edges)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg"))
+      .toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core)
+  }
+
+  test("Mann-Kendall flags a strict ramp and stays silent on a constant") {
+    import spark.implicits._
+    val ramp = (1 to 20).map(i => ("a", f"2026-01-$i%02d", i.toLong))
+    val const = (1 to 20).map(i => ("b", f"2026-01-$i%02d", 7L))
+    val out = operators.TrendQueries
+      .mannKendallOf((ramp ++ const).toDF("event_type", "day", "n"))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val a = out("a")
+    assert(a.getAs[Long]("s_stat") == 190L) // n(n-1)/2 strict increases
+    assert(a.getAs[String]("trend") == "increasing")
+    val b = out("b")
+    assert(b.getAs[Long]("s_stat") == 0L)
+    // All 20 values tied: the tie correction empties the variance.
+    assert(b.getAs[Long]("var_num") == 0L)
+    assert(b.isNullAt(b.fieldIndex("z_qm")))
+    assert(b.getAs[String]("trend") == "none")
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
