@@ -64,6 +64,9 @@ object SparkEntry {
       operators.QueryExpansion.all ++
       operators.TrendQueries.all ++
       operators.GraphMetrics.all ++
+      operators.CalibrationQueries.all ++
+      operators.IngestAudit.all ++
+      operators.TransitionQueries.all ++
       operators.CurationQueries.all ++
       operators.RepetitionQueries.all ++
       operators.CurationQueries2.all ++

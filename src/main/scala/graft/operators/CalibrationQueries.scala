@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** MinHash estimator calibration (Broder 1997 Thm 1: P[minhash
+  * agreement] = Jaccard) — the measurement that justifies every
+  * signature-based dedup decision the registry makes: bucket the LSH
+  * candidate pairs by how many of the k=12 signature positions agree
+  * and report the MEAN TRUE Jaccard per bucket next to the estimator's
+  * expectation (agree/k). A healthy pipeline shows the two tracking;
+  * drift (e.g. after changing the shingle width or hash mix) is the
+  * first sign the near-dup thresholds no longer mean what they did.
+  *
+  * Scale shape: rides the ALREADY-capped LSH candidate pairs (the
+  * production edge set — never all-pairs); signatures and word sets
+  * join on doc_id (fact-to-fact equi-joins on the pair's two sides);
+  * the report is a ≤ k+1-key aggregate. Everything is exact integers:
+  * agreement counts, and true Jaccard as integer permyriad
+  * (|∩|·10⁴ div |∪|), so bucket means are ratios of int64 sums.
+  */
+object CalibrationQueries {
+
+  private val K = 12
+
+  private val calibrationQ = Q(
+    "dedup_minhash_calibration",
+    (s, d) => {
+      val corpus = LlmQueries.corpus(s, d)
+      val sigs = corpus.select(
+        col("doc_id"),
+        TextFunctions.minhashSignature(col("text")).as("sig")
+      )
+      val wsets = corpus.select(
+        col("doc_id"),
+        array_distinct(TextFunctions.words(col("text"))).as("wset")
+      )
+      val pairs = LlmQueries.minhashPairsOf(corpus)
+      val agree = aggregate(
+        sequence(lit(1), lit(K)),
+        lit(0L),
+        (acc, k) =>
+          acc + when(
+            element_at(col("sa"), k.cast("int")) === element_at(col("sb"), k.cast("int")),
+            1L
+          ).otherwise(0L)
+      )
+      pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+        .join(wsets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
+        .join(wsets.select(col("doc_id").as("doc_b"), col("wset").as("wb")), Seq("doc_b"))
+        .select(
+          agree.as("m_agree"),
+          size(array_intersect(col("wa"), col("wb"))).cast("long").as("ni"),
+          size(array_distinct(concat(col("wa"), col("wb")))).cast("long").as("nu")
+        )
+        // `div`, not `/`: long / long is a DOUBLE division in the
+        // Column API; the oracle's `//` is integral.
+        .select(col("m_agree"), expr("(ni * 10000) div nu").as("true_pm"))
+        .groupBy("m_agree")
+        .agg(count(lit(1)).as("n_pairs"), sum("true_pm").as("tsum"))
+        .select(
+          col("m_agree"),
+          col("n_pairs"),
+          expr(s"(m_agree * 10000) div $K").as("expected_pm"),
+          expr("tsum div n_pairs").as("mean_true_pm")
+        )
+    },
+    Some {
+      import LlmQueries.{normSql, CorpusSql, SigSql}
+      s"""WITH $CorpusSql, $SigSql,
+         |wsets AS (SELECT doc_id, list_distinct(string_split(${normSql("text")}, ' ')) AS wset FROM corpus),
+         |pr AS (
+         |  SELECT
+         |    len(list_filter(range(1, ${K + 1}), k -> s1.sig[k] = s2.sig[k])) AS m_agree,
+         |    (len(list_intersect(a.wset, b.wset)) * 10000) //
+         |      len(list_distinct(list_concat(a.wset, b.wset))) AS true_pm
+         |  FROM pairs p
+         |  JOIN sg s1 ON s1.doc_id = p.doc_a
+         |  JOIN sg s2 ON s2.doc_id = p.doc_b
+         |  JOIN wsets a ON a.doc_id = p.doc_a
+         |  JOIN wsets b ON b.doc_id = p.doc_b)
+         |SELECT CAST(m_agree AS BIGINT) AS m_agree,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST((m_agree * 10000) // $K AS BIGINT) AS expected_pm,
+         |  CAST(sum(true_pm) // count(*) AS BIGINT) AS mean_true_pm
+         |FROM pr GROUP BY m_agree""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(calibrationQ)
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-order event-type transition matrix (the empirical Markov
+  * chain over per-user event sequences) — the behavioral-analytics
+  * primitive under funnel mining, next-action prediction, and
+  * bot-vs-human separation (bots have degenerate transition rows).
+  * Complements the registry's ordered-funnel and sessionization
+  * operators: the funnel checks ONE prescribed path; the transition
+  * matrix reports every observed adjacency.
+  *
+  * Scale shape: ONE lag window per user partition, ordered by the
+  * total (us, event_id) key — per-user partitions are bounded by the
+  * activity window (the events_asof/sessionize shape), never a global
+  * sort; the matrix itself is a ≤ |types|² aggregate with map-side
+  * combine, and row-normalization joins the ≤ |types| row totals back
+  * broadcast-side.
+  */
+object TransitionQueries {
+
+  /** Transition counts + row-normalized probabilities over an events
+    * frame carrying (event_id, user_id, us, event_type).
+    */
+  def transitionsOf(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val steps = e
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("from_type").agg(sum("n").as("nt"))
+    steps
+      .join(broadcast(totals), "from_type")
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        expr("(n * 10000) div nt").as("p_pm")
+      )
+  }
+
+  private val transitionsQ = Q(
+    "events_transitions",
+    (s, d) => transitionsOf(JoinQueries.evts(s, d)),
+    Some(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events),
+        |steps AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS nt FROM steps GROUP BY 1)
+        |SELECT s.from_type, s.to_type, CAST(s.n AS BIGINT) AS n,
+        |  CAST((s.n * 10000) // t.nt AS BIGINT) AS p_pm
+        |FROM steps s JOIN tot t ON t.from_type = s.from_type""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(transitionsQ)
+}

@@ -174,5 +174,42 @@ object TrendQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(mkQ, benfordQ)
+  /** Day-of-week seasonality profile — the companion the MK trend test
+    * needs before anyone believes it (weekly periodicity masquerades as
+    * short-window trend): per event type, ISO weekday counts, share,
+    * and integer lift vs the uniform 1/7 (10000 = flat). One ≤ 7·types
+    * map-side-combined aggregate.
+    */
+  private val dowQ = Q(
+    "events_dow_profile",
+    (s, d) => {
+      val byDow = Tables
+        .events(s, d)
+        // weekday(): 0=Monday … 6 → +1 matches DuckDB isodow (1=Monday).
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val tot = byDow.groupBy("event_type").agg(sum("n").as("nt"))
+      byDow
+        .join(broadcast(tot), "event_type")
+        .select(
+          col("event_type"),
+          col("dow"),
+          col("n"),
+          expr("(n * 10000) div nt").as("share_pm"),
+          expr("(n * 7 * 10000) div nt").as("lift_pm")
+        )
+    },
+    Some(
+      """WITH byd AS (
+        |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n) AS nt FROM byd GROUP BY 1)
+        |SELECT b.event_type, b.dow, CAST(b.n AS BIGINT) AS n,
+        |  CAST((b.n * 10000) // t.nt AS BIGINT) AS share_pm,
+        |  CAST((b.n * 7 * 10000) // t.nt AS BIGINT) AS lift_pm
+        |FROM byd b JOIN tot t ON t.event_type = b.event_type""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(mkQ, benfordQ, dowQ)
 }

@@ -263,6 +263,48 @@ class RoundNineOpsSpec extends SparkSuite {
     assert(b.getAs[String]("trend") == "none")
   }
 
+  test("event transitions count adjacent pairs per user with exact shares") {
+    import spark.implicits._
+    // user 1: a→b→a ; user 2: a→b. Transitions: a→b ×2, b→a ×1.
+    val e = Seq(
+      (1L, 1L, 10L, "a"),
+      (2L, 1L, 20L, "b"),
+      (3L, 1L, 30L, "a"),
+      (4L, 2L, 10L, "a"),
+      (5L, 2L, 20L, "b")
+    ).toDF("event_id", "user_id", "us", "event_type")
+    val out = operators.TransitionQueries
+      .transitionsOf(e)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Long]("n"), r.getAs[Long]("p_pm")))
+      .toMap
+    assert(out(("a", "b")) == ((2L, 10000L)))
+    assert(out(("b", "a")) == ((1L, 10000L)))
+    assert(out.size == 2)
+  }
+
+  test("utf8 audit counts planted control and zero-width characters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("utf9").toString
+    Seq(
+      (1L, "clean text here", "en", "s"),
+      (2L, "bad" + 0x07.toChar + "text" + 0xfffd.toChar + "with" + 0x200b.toChar +
+        "junk" + 0x200b.toChar, "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("docs_utf8_audit")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out(1L).getAs[Boolean]("clean"))
+    val bad = out(2L)
+    assert(bad.getAs[Long]("n_control") == 1L)
+    assert(bad.getAs[Long]("n_replacement") == 1L)
+    assert(bad.getAs[Long]("n_zero_width") == 2L)
+    assert(!bad.getAs[Boolean]("clean"))
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
