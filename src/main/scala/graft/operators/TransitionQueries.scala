@@ -61,5 +61,62 @@ object TransitionQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(transitionsQ)
+  /** The TransitionStream batch-boundary contract as a hash-certified
+    * row: split the stream at the midpoint of its time axis (the
+    * integer midpoint rides the computed-key broadcast — no driver
+    * scalar), compute each batch's WITHIN-batch transitions by the
+    * ordinary lag window, add the BOUNDARY transition per user (batch
+    * 1's last event → batch 2's first event — exactly the carried
+    * flatMapGroupsWithState state), and aggregate. Equal to the
+    * one-shot matrix — the same oracle as `events_transitions`.
+    */
+  private val transitionsReplayQ = Q(
+    "stream_transitions_replay",
+    (s, d) => {
+      val e = JoinQueries.evts(s, d)
+      val mid = e.agg((min(col("us")) + max(col("us"))).as("mm"))
+      val withMid = e
+        .withColumn("j", (col("us") - col("us") + 1).cast("int"))
+        .join(
+          broadcast(mid.select((col("mm") - col("mm") + 1).cast("int").as("j"), expr("mm div 2").as("mid"))),
+          Seq("j")
+        )
+      val b1 = withMid.filter(col("us") <= col("mid"))
+      val b2 = withMid.filter(col("us") > col("mid"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      def within(b: DataFrame): DataFrame =
+        b.withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .select(col("from_type"), col("event_type").as("to_type"))
+      // Carried state: batch 1's last event per user; boundary step to
+      // batch 2's first event per user. Struct min/max give the total
+      // (us, event_id) order.
+      val last1 = b1
+        .groupBy("user_id")
+        .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("l"))
+        .select(col("user_id"), col("l.event_type").as("from_type"))
+      val first2 = b2
+        .groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_id"), col("event_type"))).as("f"))
+        .select(col("user_id"), col("f.event_type").as("to_type"))
+      val boundary = last1.join(first2, "user_id").select("from_type", "to_type")
+      val steps = within(b1)
+        .unionByName(boundary)
+        .unionByName(within(b2))
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = steps.groupBy("from_type").agg(sum("n").as("nt"))
+      steps
+        .join(broadcast(totals), "from_type")
+        .select(
+          col("from_type"),
+          col("to_type"),
+          col("n"),
+          expr("(n * 10000) div nt").as("p_pm")
+        )
+    },
+    transitionsQ.oracle
+  )
+
+  val all: Seq[Q] = Seq(transitionsQ, transitionsReplayQ)
 }
