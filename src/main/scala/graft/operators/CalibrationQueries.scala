@@ -90,5 +90,45 @@ object CalibrationQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(calibrationQ)
+  /** IVF cell-balance diagnostic — the index-health check every IVF
+    * deployment monitors: per-cell population, share, and lift vs the
+    * uniform 1/cells (10000 = balanced). A skewed quantizer silently
+    * turns "probe 2 of 8 cells" into "probe half the corpus"; this row
+    * quantifies exactly that before queries pay for it. ONE
+    * ≤cells-key aggregate over the cell assignment.
+    */
+  private val ivfBalanceQ = Q(
+    "ann_ivf_balance",
+    (s, d) => {
+      val cells = graft.Tables
+        .embeddings(s, d)
+        .select(LlmQueries2.ivfCell(col("embedding"), 8).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum("n_vecs").as("nt"))
+      cells
+        .withColumn("j", (col("n_vecs") - col("n_vecs") + 1).cast("int"))
+        .join(
+          broadcast(tot.select((col("nt") - col("nt") + 1).cast("int").as("j"), col("nt"))),
+          Seq("j")
+        )
+        .select(
+          col("cell").cast("long").as("cell"),
+          col("n_vecs"),
+          expr("(n_vecs * 10000) div nt").as("share_pm"),
+          expr("(n_vecs * 8 * 10000) div nt").as("lift_pm")
+        )
+    },
+    Some {
+      s"""WITH ${LlmQueries2.IvfCellCteSql},
+         |c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY 1),
+         |t2 AS (SELECT sum(n_vecs) AS nt FROM c)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+         |  CAST((n_vecs * 10000) // t2.nt AS BIGINT) AS share_pm,
+         |  CAST((n_vecs * 8 * 10000) // t2.nt AS BIGINT) AS lift_pm
+         |FROM c, t2""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ)
 }

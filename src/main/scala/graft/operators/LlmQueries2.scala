@@ -110,6 +110,20 @@ object LlmQueries2 {
     array_position(scores, array_max(scores))
   }
 
+  /** DuckDB mirror of [[ivfCell]] over the embeddings table (8 cells):
+    * CTEs ending at `b(vec_id, e, cell)` — shared by ann_ivf and the
+    * cell-balance diagnostic.
+    */
+  private[operators] val IvfCellCteSql: String = {
+    val weight =
+      "(strpos('0123456789abcdef', substr(md5('ivf' || cast(c as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
+    val scores =
+      s"list_transform(range(0, 8), c -> list_sum(list_transform(range(1, len(e) + 1), dd -> e[dd] * $weight)))"
+    s"""t AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, list_position(sc, list_max(sc)) AS cell
+       |      FROM (SELECT vec_id, e, $scores AS sc FROM t) _s)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "docs_clean",
@@ -192,13 +206,7 @@ object LlmQueries2 {
         cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       },
       Some {
-        val weight =
-          "(strpos('0123456789abcdef', substr(md5('ivf' || cast(c as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
-        val scores =
-          s"list_transform(range(0, 8), c -> list_sum(list_transform(range(1, len(e) + 1), dd -> e[dd] * $weight)))"
-        s"""WITH t AS (SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings),
-           |b AS (SELECT vec_id, e, list_position(sc, list_max(sc)) AS cell
-           |      FROM (SELECT vec_id, e, $scores AS sc FROM t) _s),
+        s"""WITH $IvfCellCteSql,
            |q AS (SELECT vec_id AS query_id, e AS qvec, cell FROM b WHERE vec_id < 5),
            |cand AS (
            |  SELECT q.query_id, x.vec_id AS neighbor_id,

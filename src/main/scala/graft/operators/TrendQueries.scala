@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Monotone-trend testing and value-distribution auditing over the
@@ -211,5 +212,65 @@ object TrendQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(mkQ, benfordQ, dowQ)
+  /** User-concentration Gini coefficient (Gini 1912; the Lorenz-curve
+    * summary every abuse/engagement dashboard carries: 0 = every user
+    * equally active, →1 = a handful of users generate everything).
+    *
+    * Scale shape: computed WITHOUT ordering users — ranking 10⁹ users
+    * by activity is the forbidden global sort. Instead the exact rank
+    * sum S = Σᵢ i·cᵢ comes from the COUNT-OF-COUNTS histogram
+    * (distinct per-user activity values — bounded by max activity, the
+    * docs_ppl_buckets bounded-histogram discipline): a group of m users
+    * at count c, preceded by r users, contributes c·(m·r + m(m+1)/2).
+    * The cumulative window runs over the bounded histogram only. Gini
+    * = (2S − (n+1)T) / (nT), evaluated as ONE fixed-shape double
+    * expression over exact int64 components (headroom-free at any n).
+    */
+  private val giniQ = Q(
+    "events_user_gini",
+    (s, d) => {
+      val cnts = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+      val hist = cnts.groupBy("c").agg(count(lit(1)).as("m"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+      val s2 = hist
+        .withColumn("r", coalesce(sum("m").over(w), lit(0L)))
+        .agg(
+          sum(col("c") * (col("m") * col("r") + expr("(m * (m + 1)) div 2"))).as("s2")
+        )
+      val tot = cnts.agg(count(lit(1)).as("n_users"), sum("c").as("total_events"))
+      tot
+        .withColumn("j", (col("n_users") - col("n_users") + 1).cast("int"))
+        .join(
+          broadcast(s2.select((col("s2") - col("s2") + 1).cast("int").as("j"), col("s2"))),
+          Seq("j")
+        )
+        .select(
+          col("n_users"),
+          col("total_events"),
+          round(
+            lit(1e4) *
+              (lit(2.0) * col("s2").cast("double") -
+                (col("n_users") + 1).cast("double") * col("total_events").cast("double")) /
+              (col("n_users").cast("double") * col("total_events").cast("double"))
+          ).cast("long").as("gini_qm")
+        )
+    },
+    Some(
+      """WITH cnts AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, count(*) AS m FROM cnts GROUP BY 1),
+        |h2 AS (
+        |  SELECT c, m,
+        |    coalesce(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+        |  FROM hist),
+        |s2 AS (SELECT CAST(sum(c * (m * r + (m * (m + 1)) // 2)) AS BIGINT) AS s2 FROM h2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(c) AS BIGINT) AS total_events FROM cnts)
+        |SELECT n_users, total_events,
+        |  CAST(round(10000.0 *
+        |    (2.0 * CAST(s2 AS double) - CAST(n_users + 1 AS double) * CAST(total_events AS double)) /
+        |    (CAST(n_users AS double) * CAST(total_events AS double))) AS BIGINT) AS gini_qm
+        |FROM tot, s2""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(mkQ, benfordQ, dowQ, giniQ)
 }
