@@ -67,6 +67,7 @@ object SparkEntry {
       operators.CalibrationQueries.all ++
       operators.IngestAudit.all ++
       operators.TransitionQueries.all ++
+      operators.UnigramLm.all ++
       operators.CurationQueries.all ++
       operators.RepetitionQueries.all ++
       operators.CurationQueries2.all ++

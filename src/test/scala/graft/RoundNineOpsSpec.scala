@@ -305,6 +305,30 @@ class RoundNineOpsSpec extends SparkSuite {
     assert(!bad.getAs[Boolean]("clean"))
   }
 
+  test("unigram Viterbi prefers the whole-word piece when its mass dominates") {
+    import spark.implicits._
+    // Corpus: "ab"×6, "c"×1. Pieces: a/b/c singles + "ab" (count 6 ≥
+    // MinCount). tp = 19. ln p(ab) > ln p(a)+ln p(b), so "ab" segments
+    // as ONE piece with score round(1e6·ln(6/19)).
+    val docs = Seq((1L, "ab ab ab ab ab ab c")).toDF("doc_id", "text")
+    val out = operators.UnigramLm
+      .viterbiOf(docs)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    def mu(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ab = out("ab")
+    assert(ab.getAs[Long]("n_pieces") == 1L, ab)
+    assert(ab.getAs[Long]("score_mu") == mu(math.log(6.0 / 19)), ab)
+    val c = out("c")
+    assert(c.getAs[Long]("n_pieces") == 1L)
+    assert(c.getAs[Long]("score_mu") == mu(math.log(1.0 / 19)))
+    // Vocabulary: exactly the three singles + "ab".
+    val vocab = operators.UnigramLm.vocabOf(docs).collect().map(_.getString(0)).toSet
+    assert(vocab == Set("a", "b", "c", "ab"))
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
