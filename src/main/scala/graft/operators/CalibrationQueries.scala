@@ -130,5 +130,94 @@ object CalibrationQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ)
+  /** Near-dup cluster quality report — the post-clustering audit a
+    * dedup run ships with its cluster assignments: per multi-member
+    * cluster, the member count, verified-edge count, edge DENSITY
+    * (2E/(n(n−1)) permyriad — 10000 = clique/template family, low =
+    * chain/revision history; the same clique-vs-chain axis as
+    * graph_transitivity but per cluster), and mean verified Jaccard.
+    *
+    * Scale shape: rides the already-capped verified edge set and the
+    * certified cluster labels; per-edge Jaccard is the
+    * docs_jaccard_pairs fact-to-dimension join; the report is one
+    * cluster-keyed aggregate. (Like docs_neardup_clusters' oracle, the
+    * heavy-bucket star edges never fire on this fixture — documented
+    * there.)
+    */
+  private val clusterQualityQ = Q(
+    "dedup_cluster_quality",
+    (s, d) => {
+      val corpus = LlmQueries.corpus(s, d)
+      val clusters = LlmQueries8
+        .neardupClusters(corpus, 0.8)
+        .select(col("doc_id"), col("cluster_id"))
+      val wsets = corpus.select(
+        col("doc_id"),
+        array_distinct(TextFunctions.words(col("text"))).as("wset")
+      )
+      val edges = LlmQueries8
+        .verifiedNeardupEdges(corpus, 0.8)
+        .join(wsets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
+        .join(wsets.select(col("doc_id").as("doc_b"), col("wset").as("wb")), Seq("doc_b"))
+        .select(
+          col("doc_a"),
+          size(array_intersect(col("wa"), col("wb"))).cast("long").as("ni"),
+          size(array_distinct(concat(col("wa"), col("wb")))).cast("long").as("nu")
+        )
+        .select(col("doc_a"), expr("(ni * 10000) div nu").as("jac_pm"))
+        .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_edges"), sum("jac_pm").as("jsum"))
+      val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      sizes
+        .filter(col("n_docs") >= 2)
+        .join(edges, Seq("cluster_id"), "left")
+        .select(
+          col("cluster_id"),
+          col("n_docs"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          expr("(coalesce(n_edges, 0L) * 2 * 10000) div (n_docs * (n_docs - 1))").as("density_pm"),
+          when(col("n_edges") > 0, expr("jsum div n_edges")).as("mean_jac_pm")
+        )
+    },
+    Some {
+      import LlmQueries.{normSql, CorpusSql, SigSql}
+      val jac =
+        """cast(len(list_intersect(a.wset, b.wset)) as double) /
+          |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
+      s"""WITH RECURSIVE $CorpusSql, $SigSql,
+         |wsets AS (SELECT doc_id, list_distinct(string_split(${normSql("text")}, ' ')) AS wset FROM corpus),
+         |vpairs AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    (len(list_intersect(a.wset, b.wset)) * 10000) //
+         |      len(list_distinct(list_concat(a.wset, b.wset))) AS jac_pm
+         |  FROM pairs p
+         |  JOIN wsets a ON p.doc_a = a.doc_id
+         |  JOIN wsets b ON p.doc_b = b.doc_id
+         |  WHERE $jac >= 0.8
+         |),
+         |sym AS (SELECT doc_a AS id, doc_b AS peer FROM vpairs
+         |        UNION ALL SELECT doc_b, doc_a FROM vpairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM sym)
+         |  UNION
+         |  SELECT reach.id, sym.peer FROM reach JOIN sym ON sym.id = reach.r
+         |),
+         |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+         |          FROM labels GROUP BY 1 HAVING count(*) >= 2),
+         |ec AS (
+         |  SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(v.jac_pm) AS BIGINT) AS jsum
+         |  FROM vpairs v JOIN labels l ON l.id = v.doc_a
+         |  GROUP BY 1)
+         |SELECT s.cluster_id, s.n_docs,
+         |  coalesce(ec.n_edges, 0) AS n_edges,
+         |  (coalesce(ec.n_edges, 0) * 2 * 10000) // (s.n_docs * (s.n_docs - 1)) AS density_pm,
+         |  CASE WHEN ec.n_edges > 0 THEN ec.jsum // ec.n_edges END AS mean_jac_pm
+         |FROM sizes s LEFT JOIN ec ON ec.cluster_id = s.cluster_id""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ)
 }
