@@ -272,5 +272,58 @@ object TrendQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(mkQ, benfordQ, dowQ, giniQ)
+  /** Exponentially-weighted moving level (Brown/Holt simple smoothing,
+    * α = 0.3) over the per-type daily counts — the forecasting-side
+    * complement of the detectors: CUSUM asks "did the level shift?",
+    * the EWMA IS the level. The recursion runs as ONE in-row integer
+    * fold over the bounded day series (milli-units, S ← (3·x·1000 +
+    * 7·S) div 10 — exact in both engines; DuckDB replays with
+    * list_reduce over the day-ordered list, seeded by the first
+    * observation). Output: final level + the last-day residual the
+    * alerting rule consumes.
+    */
+  private val ewmaQ = Q(
+    "events_ewma_level",
+    (s, d) => {
+      val byDay = daily(s, d)
+      byDay
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sort_array(collect_list(struct(col("day"), col("n")))).as("ds")
+        )
+        .withColumn("xs", transform(col("ds"), e => e.getField("n")))
+        .select(
+          col("event_type"),
+          col("n_days"),
+          element_at(col("xs"), -1).as("last_n"),
+          // SQL-lambda form: the Column API has no integral division,
+          // and `/` on longs would go double (inexact past 2^53).
+          expr(
+            "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), " +
+              "element_at(xs, 1) * 1000L, (s, x) -> (3L * x * 1000L + 7L * s) div 10)"
+          ).as("level_milli")
+        )
+        .withColumn("resid_milli", col("last_n") * 1000 - col("level_milli"))
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    list(CAST(n AS BIGINT) ORDER BY day) AS xs
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  xs[len(xs)] AS last_n,
+        |  list_reduce(list_prepend(xs[1] * 1000, xs[2:]),
+        |    (s, x) -> (3 * x * 1000 + 7 * s) // 10) AS level_milli,
+        |  xs[len(xs)] * 1000 - list_reduce(list_prepend(xs[1] * 1000, xs[2:]),
+        |    (s, x) -> (3 * x * 1000 + 7 * s) // 10) AS resid_milli
+        |FROM ser""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(mkQ, benfordQ, dowQ, giniQ, ewmaQ)
 }
