@@ -41,13 +41,21 @@ object AllPairsJoin {
   private val Den = 5
 
   /** All pairs with Jaccard(word sets) ≥ 4/5 over (doc_id, text). */
-  def allPairs(docs: DataFrame): DataFrame = {
-    val wsets = docs
-      .select(
+  def allPairs(docs: DataFrame): DataFrame =
+    allPairsOfSets(
+      docs.select(
         col("doc_id"),
         array_distinct(graft.functions.TextFunctions.words(col("text"))).as("ws")
       )
-      .persist()
+    )
+
+  /** The exact join over ANY (doc_id, ws: array<string>) set frame —
+    * the set definition is the caller's metric choice (word sets here;
+    * the LSH recall curve passes SHINGLE sets, the banding's own
+    * metric).
+    */
+  def allPairsOfSets(wsets0: DataFrame): DataFrame = {
+    val wsets = wsets0.persist()
     val toks = wsets.select(col("doc_id"), explode(col("ws")).as("token"))
     val tf = toks.groupBy("token").agg(count(lit(1)).as("f"))
     // Per-document prefix: sort the doc's OWN tokens by (global freq,

@@ -260,6 +260,10 @@ object BlockingEval {
       Array.fill(nf)(FsQuantum / 10)
     )
     val n = census.map(_._2).sum
+    // Degenerate corpora with no candidate pairs keep the init params
+    // (the oracle's n-guard mirrors this) — without the guard the
+    // p-update rounds NaN and the engines diverge.
+    if (n == 0) return par
     for (_ <- 1 to FsIters) {
       var sw = 0L
       val swf = Array.fill(nf)(0L)
@@ -413,14 +417,15 @@ object BlockingEval {
         .mkString(",\n    ")
       s"""$out AS MATERIALIZED (
          |  SELECT
-         |    greatest(1, least(${q - 1},
-         |      CAST(round(CAST(sw AS double) / CAST(n AS double)) AS BIGINT))) AS p_q,
+         |    CASE WHEN n > 0 THEN greatest(1, least(${q - 1},
+         |      CAST(round(CAST(sw AS double) / CAST(n AS double)) AS BIGINT)))
+         |    ELSE (SELECT p_q FROM $parPrev) END AS p_q,
          |    $ms,
          |    $us
          |  FROM (
-         |    SELECT CAST(sum(c) AS BIGINT) AS n,
-         |      CAST(sum(c * w_q) AS BIGINT) AS sw,
-         |      CAST(sum(c) AS BIGINT) * $q - CAST(sum(c * w_q) AS BIGINT) AS su,
+         |    SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+         |      CAST(coalesce(sum(c * w_q), 0) AS BIGINT) AS sw,
+         |      CAST(coalesce(sum(c), 0) AS BIGINT) * $q - CAST(coalesce(sum(c * w_q), 0) AS BIGINT) AS su,
          |      $sums
          |    FROM $eCte) _m)""".stripMargin
     }

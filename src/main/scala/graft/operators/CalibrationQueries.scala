@@ -219,5 +219,90 @@ object CalibrationQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ)
+  /** Empirical LSH recall curve — the measured counterpart of the
+    * banding S-curve P(candidate | J) = 1 − (1 − Jʳ)ᵇ: ground truth =
+    * the EXACT prefix-filter all-pairs join at θ = 4/5 over SHINGLE
+    * sets ([[AllPairsJoin.allPairsOfSets]] — the banding's OWN metric;
+    * word sets would conflate metrics: on a small-vocabulary corpus
+    * every pair is word-set-similar while only true near-copies are
+    * shingle-similar), probe = the capped MinHash-LSH candidate set;
+    * per true-Jaccard bucket, the fraction of exact pairs the banding
+    * admitted. This is the number that justifies (or indicts) the
+    * production (bands, rows) choice — theory says ≥ 1−(1−0.8³)⁴ ≈
+    * 94% capture at the θ = 0.8 knee rising to ~100% at J = 1, and
+    * this row certifies it on data every round.
+    *
+    * Runs over the same deterministic 1-in-4 subsample as
+    * `docs_allpairs_join` (exact output is pair-quadratic in clone
+    * families; the sample keeps families intact — companions share
+    * the base id mod 4).
+    */
+  private val lshRecallQ = Q(
+    "dedup_lsh_recall_curve",
+    (s, d) => {
+      val sub = LlmQueries.corpus(s, d).filter(col("doc_id") % 4 === 1)
+      val exact = AllPairsJoin
+        .allPairsOfSets(
+          sub.select(
+            col("doc_id"),
+            array_distinct(TextFunctions.shingles(col("text"))).as("ws")
+          )
+        )
+        .select("doc_a", "doc_b", "jac_pm")
+      val lsh = LlmQueries
+        .minhashPairsOf(sub)
+        .withColumn("cand", lit(1L))
+      exact
+        .join(lsh, Seq("doc_a", "doc_b"), "left")
+        .select(expr("jac_pm div 25").as("bucket"), coalesce(col("cand"), lit(0L)).as("cand"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"), sum("cand").as("n_captured"))
+        .select(
+          col("bucket"),
+          col("n_pairs"),
+          col("n_captured"),
+          expr("(n_captured * 10000) div n_pairs").as("recall_pm")
+        )
+    },
+    Some {
+      import LlmQueries.{normSql, CorpusSql, SigSql}
+      val Num = 4
+      val Den = 5
+      // SigSql reads a CTE named `corpus`; rebind it to the subsample.
+      val corpusSub = CorpusSql.replaceFirst("corpus AS", "corpus_all AS") +
+        ",\ncorpus AS (SELECT doc_id, text FROM corpus_all WHERE doc_id % 4 = 1)"
+      s"""WITH $corpusSub, $SigSql,
+         |wsets AS (SELECT doc_id, list_distinct(shingles) AS ws FROM sh),
+         |toks AS (SELECT doc_id, unnest(ws) AS token FROM wsets),
+         |tf AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+         |ranked AS (
+         |  SELECT t.doc_id, t.token,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY tf.f, t.token) AS pos,
+         |    count(*) OVER (PARTITION BY t.doc_id) AS len
+         |  FROM toks t JOIN tf ON t.token = tf.token),
+         |posts AS (
+         |  SELECT doc_id, token, len FROM ranked
+         |  WHERE pos <= len - (($Num * len + $Num) // $Den) + 1),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM posts a JOIN posts b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  WHERE b.len * $Den >= a.len * $Num AND a.len * $Den >= b.len * $Num),
+         |exact AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    (1000 * len(list_intersect(wa.ws, wb.ws))) // len(list_distinct(list_concat(wa.ws, wb.ws))) AS jac_pm
+         |  FROM cands c
+         |  JOIN wsets wa ON c.doc_a = wa.doc_id
+         |  JOIN wsets wb ON c.doc_b = wb.doc_id
+         |  WHERE len(list_intersect(wa.ws, wb.ws)) * $Den >= len(list_distinct(list_concat(wa.ws, wb.ws))) * $Num)
+         |SELECT jac_pm // 25 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_captured,
+         |  CAST((sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS recall_pm
+         |FROM exact e
+         |LEFT JOIN pairs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+         |GROUP BY 1""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ, lshRecallQ)
 }
