@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   * walks RIFF/WAVE chunks with [[graft.plans.AudioMetaExpr]] (fmt +
   * data chunk → channels/rate/bits/duration) — all public container
   * formats, no codec library needed, corrupt payloads quarantined per
-  * row. Full pixel/sample decode and the video codecs remain STUBBED
-  * (`decodeStub` — the container has no media libraries): a production
-  * deployment swaps the stub for a `mapPartitions` codec invocation
-  * with the same output schema.
+  * row.
+  *
+  * PIXEL/SAMPLE-level decode is REAL for the uncompressed containers
+  * (round 9): [[bmpPixelStats]] walks 24-bpp BMP pixel rows and
+  * [[wavSampleStats]] decodes signed PCM16 samples, both in pure byte
+  * arithmetic over the binary column — certified against an ANALYTIC
+  * oracle and (for BMP) against JDK ImageIO in RoundNineOpsSpec.
+  * Entropy-coded formats (PNG/JPEG pixels, compressed audio, video
+  * codecs) still require a codec library the container doesn't ship
+  * and remain stubbed (`decodeStub`): a production deployment swaps
+  * the stub for a `mapPartitions` codec invocation with the same
+  * output schema.
   */
 object Multimodal {
 
@@ -186,7 +194,242 @@ object Multimodal {
       unhex(lit("FFD9")) // EOI
     )
 
+  // ---------------------------------------------------------------------
+  // REAL pixel/sample decode for the uncompressed containers (round 9)
+  // ---------------------------------------------------------------------
+
+  /** Lowercase two-hex-digit byte of a (non-negative) long column. */
+  private def h2(c: Column): Column =
+    lower(lpad(hex(pmod(c, lit(256L)).cast("int")), 2, "0"))
+
+  private def le16h(c: Column): Column =
+    concat(h2(c), h2(expr2(c, 256L)))
+
+  private def le32h(c: Column): Column =
+    concat(h2(c), h2(expr2(c, 256L)), h2(expr2(c, 65536L)), h2(expr2(c, 16777216L)))
+
+  /** c div k without the Column API's double division. */
+  private def expr2(c: Column, k: Long): Column = ((c - pmod(c, lit(k))) / k).cast("long")
+
+  /** A COMPLETE 24-bpp uncompressed BMP as a hex string: 54-byte
+    * header + bottom-up padded pixel rows. Channel bytes follow the
+    * deterministic formula the oracle recomputes analytically:
+    * B=(id+3x+7y)%256, G=(2id+5x+y)%256, R=(3id+x+11y)%256.
+    */
+  private def bmpFullHex(id: Column, w: Column, h: Column): Column = {
+    // ((3w+3) div 4)·4 without a named column: subtract the mod.
+    val t = w * 3 + 3
+    val rowSize = t - pmod(t, lit(4L))
+    val imgSize = rowSize * h
+    val header = concat(
+      lit("424d"), le32h(lit(54L) + imgSize), lit("00000000"), le32h(lit(54L)),
+      le32h(lit(40L)), le32h(w), le32h(h), le16h(lit(1L)), le16h(lit(24L)),
+      le32h(lit(0L)), le32h(imgSize),
+      le32h(lit(2835L)), le32h(lit(2835L)), le32h(lit(0L)), le32h(lit(0L))
+    )
+    val pixels = array_join(
+      transform(
+        sequence(lit(0L), h - 1),
+        j => {
+          val y = h - 1 - j
+          concat(
+            array_join(
+              transform(
+                sequence(lit(0L), w - 1),
+                x =>
+                  concat(
+                    h2(id + lit(3L) * x + lit(7L) * y),
+                    h2(lit(2L) * id + lit(5L) * x + y),
+                    h2(lit(3L) * id + x + lit(11L) * y)
+                  )
+              ),
+              ""
+            ),
+            // row padding: "00" × ((4 − 3w mod 4) mod 4)
+            lit("000000").substr(lit(1), pmod(lit(4L) - pmod(w * 3, lit(4L)), lit(4L)).cast("int") * 2)
+          )
+        }
+      ),
+      ""
+    )
+    concat(header, pixels)
+  }
+
+  /** A COMPLETE canonical-44 PCM WAV (mono, 16-bit, 8 kHz) as a hex
+    * string; the stored unsigned word is u_k = (id·31 + k·17) % 65536,
+    * i.e. the signed sample is u_k two's-complement-reinterpreted
+    * (u − 65536 when u ≥ 32768).
+    */
+  private def wavFullHex(id: Column, n: Column): Column = {
+    val header = concat(
+      lit("52494646"), le32h(lit(36L) + n * 2), lit("57415645"),
+      lit("666d7420"), le32h(lit(16L)),
+      le16h(lit(1L)), le16h(lit(1L)), le32h(lit(8000L)), le32h(lit(16000L)),
+      le16h(lit(2L)), le16h(lit(16L)),
+      lit("64617461"), le32h(n * 2)
+    )
+    val samples = array_join(
+      transform(
+        sequence(lit(0L), n - 1),
+        k => {
+          // unsigned 16-bit two's complement of the signed sample
+          val u = pmod(id * 31 + k * 17, lit(65536L))
+          concat(h2(u), h2(expr2(u, 256L)))
+        }
+      ),
+      ""
+    )
+    concat(header, samples)
+  }
+
+  /** REAL pixel decode of 24-bpp uncompressed BMP payloads — pure byte
+    * arithmetic over the binary column (no media library): parse dims
+    * and the pixel-data offset from the headers, walk the bottom-up
+    * padded rows, and aggregate per-channel sums. This retires the
+    * pixel-level half of the long-standing media-decode stub for the
+    * UNCOMPRESSED container (entropy-coded formats still need a codec
+    * library and stay stubbed). Map-only; the per-row fold is bounded
+    * by the image size. The oracle never decodes — it recomputes the
+    * channel means ANALYTICALLY from the pixel formula, so a hash
+    * match certifies the decoder against independent ground truth
+    * (and MultimodalSpec cross-checks against JDK ImageIO).
+    */
+  def bmpPixelStats(media: DataFrame): DataFrame =
+    media
+      .withColumn("hx", lower(hex(col("payload"))))
+      .withColumn("w", expr(bmpLe32Sql(18)))
+      .withColumn("h", expr(bmpLe32Sql(22)))
+      .withColumn("off", expr(bmpLe32Sql(10)))
+      .withColumn("rs", expr("((3 * w + 3) div 4) * 4"))
+      .withColumn(
+        "sums",
+        expr(
+          """aggregate(
+            |  sequence(0L, w * h - 1L),
+            |  array(0L, 0L, 0L),
+            |  (acc, i) -> array(
+            |    acc[0] + conv(substring(hx, cast((off + (h - 1 - i div w) * rs + 3 * (i % w)) * 2 + 1 as int), 2), 16, 10),
+            |    acc[1] + conv(substring(hx, cast((off + (h - 1 - i div w) * rs + 3 * (i % w) + 1) * 2 + 1 as int), 2), 16, 10),
+            |    acc[2] + conv(substring(hx, cast((off + (h - 1 - i div w) * rs + 3 * (i % w) + 2) * 2 + 1 as int), 2), 16, 10)))""".stripMargin
+        )
+      )
+      .select(
+        col("media_id"),
+        col("w"),
+        col("h"),
+        (col("w") * col("h")).as("n_pixels"),
+        expr("(sums[2] * 100) div (w * h)").as("mean_r_c"),
+        expr("(sums[1] * 100) div (w * h)").as("mean_g_c"),
+        expr("(sums[0] * 100) div (w * h)").as("mean_b_c")
+      )
+
+  /** LE32 read at 0-based byte offset `p` from the hex column `hx`. */
+  private def bmpLe32Sql(p: Int): String =
+    (0 to 3)
+      .map(b => s"conv(substring(hx, ${(p + b) * 2 + 1}, 2), 16, 10) * ${1L << (8 * b)}L")
+      .mkString("cast(", " + ", " as long)")
+
+  /** REAL sample decode of canonical-44 PCM16 WAV payloads: parse the
+    * sample rate and data size from the headers, decode each signed
+    * little-endian sample, aggregate Σ|s| and Σs². Same contract as
+    * [[bmpPixelStats]] (analytic oracle; JDK AudioSystem parity in the
+    * spec would need javax.sound — byte math is asserted hand-built
+    * instead).
+    */
+  def wavSampleStats(media: DataFrame): DataFrame = {
+    // Signed LE16 sample at index k, as a SQL snippet over the hex
+    // column (lo + 256·hi, two's complement via the hi-byte sign test).
+    val smp =
+      "(conv(substring(hx, cast((44 + 2 * k) * 2 + 1 as int), 2), 16, 10) " +
+        "+ conv(substring(hx, cast((45 + 2 * k) * 2 + 1 as int), 2), 16, 10) * 256 " +
+        "- (CASE WHEN conv(substring(hx, cast((45 + 2 * k) * 2 + 1 as int), 2), 16, 10) >= 128 " +
+        "THEN 65536 ELSE 0 END))"
+    media
+      .withColumn("hx", lower(hex(col("payload"))))
+      .withColumn("rate", expr(bmpLe32Sql(24)))
+      .withColumn("n", expr(s"${bmpLe32Sql(40)} div 2"))
+      .withColumn(
+        "sums",
+        expr(
+          s"aggregate(sequence(0L, n - 1L), array(0L, 0L), " +
+            s"(acc, k) -> array(acc[0] + abs($smp), acc[1] + $smp * $smp))"
+        )
+      )
+      .select(
+        col("media_id"),
+        col("rate").as("sample_rate"),
+        col("n").as("n_samples"),
+        expr("(sums[0] * 100) div n").as("mean_abs_c"),
+        col("sums").getItem(1).as("sum_sq")
+      )
+  }
+
+  /** The full-payload fixtures for the pixel/sample decoders. */
+  def bmpTable(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        unhex(
+          bmpFullHex(col("doc_id"), col("doc_id") % 8 + 2, col("doc_id") % 6 + 2)
+        ).as("payload")
+      )
+
+  def wavTable(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        unhex(wavFullHex(col("doc_id"), col("doc_id") % 50 + 10)).as("payload")
+      )
+
+  private val bmpPixelsQ = Q(
+    "multimodal_bmp_pixels",
+    (s, d) => bmpPixelStats(bmpTable(s, d)),
+    Some {
+      def chanSum(f: String) =
+        s"list_sum(flatten(list_transform(range(0, h), y -> " +
+          s"list_transform(range(0, w), x -> ($f) % 256))))"
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT media_id, w, h,
+         |    ${chanSum("3 * media_id + x + 11 * y")} AS sr,
+         |    ${chanSum("2 * media_id + 5 * x + y")} AS sg,
+         |    ${chanSum("media_id + 3 * x + 7 * y")} AS sb
+         |  FROM m)
+         |SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         |  CAST(w * h AS BIGINT) AS n_pixels,
+         |  CAST((sr * 100) // (w * h) AS BIGINT) AS mean_r_c,
+         |  CAST((sg * 100) // (w * h) AS BIGINT) AS mean_g_c,
+         |  CAST((sb * 100) // (w * h) AS BIGINT) AS mean_b_c
+         |FROM px""".stripMargin
+    }
+  )
+
+  private val wavSamplesQ = Q(
+    "multimodal_wav_samples",
+    (s, d) => wavSampleStats(wavTable(s, d)),
+    Some {
+      val u = "((media_id * 31 + k * 17) % 65536)"
+      val smp = s"(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+      s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 50 + 10 AS n FROM documents),
+         |s AS (
+         |  SELECT media_id, n,
+         |    list_sum(list_transform(range(0, n), k -> abs($smp))) AS sa,
+         |    list_sum(list_transform(range(0, n), k -> $smp * $smp)) AS sq
+         |  FROM m)
+         |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+         |  CAST((sa * 100) // n AS BIGINT) AS mean_abs_c,
+         |  CAST(sq AS BIGINT) AS sum_sq
+         |FROM s""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(
+    bmpPixelsQ,
+    wavSamplesQ,
     Q(
       // Real byte-level image header decode: even media_ids carry PNG
       // payloads (color type cycling gray/rgb/rgba), odd ones JFIF JPEG;

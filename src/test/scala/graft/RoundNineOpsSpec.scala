@@ -329,6 +329,41 @@ class RoundNineOpsSpec extends SparkSuite {
     assert(vocab == Set("a", "b", "c", "ab"))
   }
 
+  test("BMP pixel decoder matches JDK ImageIO on the same bytes") {
+    import org.apache.spark.sql.functions.col
+    val media = operators.Multimodal
+      .bmpTable(spark, "/root/testdata/sf0.001")
+      .filter(col("media_id") < 12)
+      .persist()
+    val ours = operators.Multimodal
+      .bmpPixelStats(media)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") -> r)
+      .toMap
+    val rows = media.collect()
+    assert(rows.nonEmpty && ours.nonEmpty)
+    rows.foreach { row =>
+      val id = row.getAs[Long]("media_id")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("payload"))
+      )
+      assert(img != null, s"ImageIO rejected payload $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+      }
+      val o = ours(id)
+      assert(o.getAs[Long]("w") == w.toLong && o.getAs[Long]("h") == h.toLong, o)
+      assert(o.getAs[Long]("mean_r_c") == sr * 100 / (w * h), s"$id r")
+      assert(o.getAs[Long]("mean_g_c") == sg * 100 / (w * h), s"$id g")
+      assert(o.getAs[Long]("mean_b_c") == sb * 100 / (w * h), s"$id b")
+    }
+  }
+
   test("promoted join-property corpus is non-trivial and matches brute force") {
     import spark.implicits._
     val corpus = operators.JoinQueries.propertyCorpus(1L, 40)
