@@ -591,6 +591,21 @@ object ScaleProbe {
           .topkPerGroup(big.select("doc_id", "lang", "q4"), "lang", "q4", "doc_id", 100)
           .count()
         println(f"SCALE mode=topktie mult=$mult docs=$total kept=$kept time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "unigram" =>
+        // Tokenizer-scale probe: replica word-renaming grows the DISTINCT
+        // vocabulary linearly while document structure stays constant, so
+        // piece mining, the vocab join, and the per-word DP must all
+        // scale with vocabulary — the dimension that actually grows at
+        // 100 TB (the DP itself is O(len·S) per word, corpus-independent).
+        val corpus = docsReplicated
+        val t0 = System.nanoTime()
+        val words = operators.UnigramLm.viterbiOf(corpus).count()
+        val t1 = System.nanoTime()
+        val pieces = operators.UnigramLm.vocabOf(corpus).count()
+        println(
+          f"SCALE mode=unigram mult=$mult words=$words pieces=$pieces " +
+            f"viterbi=${(t1 - t0) / 1e9}%.1f s vocab=${(System.nanoTime() - t1) / 1e9}%.1f s"
+        )
       case "stridedspans" =>
         // Strided duplicate-span guarantee probe: every doc_id % 10 == 3
         // doc gets a 47-char payload (exactly G+S−1) shared within its

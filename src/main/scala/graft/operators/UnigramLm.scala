@@ -87,8 +87,10 @@ object UnigramLm {
       )
 
   /** Mined vocabulary: piece, corpus count, integer micro log-prob. */
-  def vocabOf(docs: DataFrame): DataFrame = {
-    val occ = occurrencesOf(wordsOf(docs))
+  def vocabOf(docs: DataFrame): DataFrame = vocabOfWf(wordsOf(docs))
+
+  private def vocabOfWf(wf: DataFrame): DataFrame = {
+    val occ = occurrencesOf(wf)
     val pc = occ.groupBy("piece").agg(sum("cnt").as("pc"))
     val kept = pc.filter(length(col("piece")) === 1 || col("pc") >= MinCount)
     val tot = kept.agg(sum("pc").as("tp"))
@@ -111,7 +113,7 @@ object UnigramLm {
   def viterbiOf(docs: DataFrame): DataFrame = {
     val wf = wordsOf(docs).persist()
     val occ = occurrencesOf(wf)
-    val vocab = vocabOf(docs).select("piece", "lp_mu")
+    val vocab = vocabOfWf(wf).select("piece", "lp_mu")
     val edges = occ
       .join(vocab, Seq("piece"))
       .select(col("word"), col("cnt"), col("i"), col("j"), col("lp_mu").as("lp"))
