@@ -304,5 +304,86 @@ object CalibrationQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ, lshRecallQ)
+  /** One-row precision/recall/F1 of LSH candidate generation against
+    * the exact shingle-Jaccard join at θ = 4/5 — the summary the
+    * recall CURVE buckets expand: recall = true pairs the banding
+    * admitted; precision = candidates that are truly ≥ θ (the verify
+    * stage's workload — low precision is wasted verification compute,
+    * low recall is silent dedup loss). Same subsample and ground truth
+    * as `dedup_lsh_recall_curve`; F1 in exact integer permyriad
+    * (2·hit·10⁴ div (true + cand)).
+    */
+  private val lshPrQ = Q(
+    "dedup_lsh_pr_summary",
+    (s, d) => {
+      val sub = LlmQueries.corpus(s, d).filter(col("doc_id") % 4 === 1)
+      val exact = AllPairsJoin
+        .allPairsOfSets(
+          sub.select(
+            col("doc_id"),
+            array_distinct(TextFunctions.shingles(col("text"))).as("ws")
+          )
+        )
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+        .persist()
+      val cand = LlmQueries.minhashPairsOf(sub).withColumn("c", lit(1L))
+      val j = exact.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      j.agg(
+          sum(coalesce(col("t"), lit(0L))).as("n_true"),
+          sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("t"), lit(0L)) * coalesce(col("c"), lit(0L))).as("n_hit")
+        )
+        .select(
+          col("n_true"),
+          col("n_cand"),
+          col("n_hit"),
+          expr("(n_hit * 10000) div n_cand").as("precision_pm"),
+          expr("(n_hit * 10000) div n_true").as("recall_pm"),
+          expr("(2 * n_hit * 10000) div (n_true + n_cand)").as("f1_pm")
+        )
+    },
+    Some {
+      import LlmQueries.{CorpusSql, SigSql}
+      val Num = 4
+      val Den = 5
+      val corpusSub = CorpusSql.replaceFirst("corpus AS", "corpus_all AS") +
+        ",\ncorpus AS (SELECT doc_id, text FROM corpus_all WHERE doc_id % 4 = 1)"
+      s"""WITH $corpusSub, $SigSql,
+         |wsets AS (SELECT doc_id, list_distinct(shingles) AS ws FROM sh),
+         |toks AS (SELECT doc_id, unnest(ws) AS token FROM wsets),
+         |tf AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+         |ranked AS (
+         |  SELECT t.doc_id, t.token,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY tf.f, t.token) AS pos,
+         |    count(*) OVER (PARTITION BY t.doc_id) AS len
+         |  FROM toks t JOIN tf ON t.token = tf.token),
+         |posts AS (
+         |  SELECT doc_id, token, len FROM ranked
+         |  WHERE pos <= len - (($Num * len + $Num) // $Den) + 1),
+         |cands0 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM posts a JOIN posts b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  WHERE b.len * $Den >= a.len * $Num AND a.len * $Den >= b.len * $Num),
+         |exact AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cands0 c
+         |  JOIN wsets wa ON c.doc_a = wa.doc_id
+         |  JOIN wsets wb ON c.doc_b = wb.doc_id
+         |  WHERE len(list_intersect(wa.ws, wb.ws)) * $Den >= len(list_distinct(list_concat(wa.ws, wb.ws))) * $Num),
+         |m AS (
+         |  SELECT
+         |    CAST(count(*) FILTER (t.doc_a IS NOT NULL) AS BIGINT) AS n_true,
+         |    CAST(count(*) FILTER (p.doc_a IS NOT NULL) AS BIGINT) AS n_cand,
+         |    CAST(count(*) FILTER (t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL) AS BIGINT) AS n_hit
+         |  FROM exact t
+         |  FULL OUTER JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+         |SELECT n_true, n_cand, n_hit,
+         |  (n_hit * 10000) // n_cand AS precision_pm,
+         |  (n_hit * 10000) // n_true AS recall_pm,
+         |  (2 * n_hit * 10000) // (n_true + n_cand) AS f1_pm
+         |FROM m""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ, lshRecallQ, lshPrQ)
 }
