@@ -280,4 +280,84 @@ class PlanSpec extends SparkSuite {
       }
     }
   }
+
+  test("round-9 additions keep their scale shapes") {
+    def innerPlanOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    // Map-only operators: ONE scan, zero shuffle, zero window. The
+    // unigram Viterbi DP and the pixel/sample decoders are per-row
+    // folds; readability and the UTF-8 audit are per-row regexp counts.
+    Seq("docs_readability", "docs_utf8_audit", "multimodal_bmp_pixels", "multimodal_wav_samples")
+      .foreach { name =>
+        val plan = innerPlanOf(name)
+        assert(
+          plan.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }.isEmpty,
+          s"$name should be shuffle-free (map-only)"
+        )
+        assert(
+          plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+          s"$name should be window-free"
+        )
+      }
+    // Viterbi segmentation: the DP is an in-row fold — joins and
+    // aggregates yes, windows never (a per-word rank would be the wrong
+    // shape), and only equi-joins.
+    Seq("docs_unigram_viterbi", "dedup_fs_em", "graph_kcore", "graph_transitivity").foreach {
+      name =>
+        val plan = innerPlanOf(name)
+        assert(
+          plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+          s"$name should be window-free"
+        )
+        assert(
+          plan.collect {
+            case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }.isEmpty,
+          s"$name should contain only equi-joins"
+        )
+    }
+    // The rerank window may partition ONLY on the query id and ONLY
+    // over the TopK-cut shortlist (bounded by construction): its child
+    // must reach an aggregate or broadcast gate, never a raw scan.
+    locally {
+      val plan = innerPlanOf("docs_rerank")
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, "docs_rerank: expected the bounded shortlist window")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, "docs_rerank has a global (unpartitioned) window")
+        val gated = w.child.collectFirst {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(gated.nonEmpty, "docs_rerank window reads an ungated corpus-sized frame")
+      }
+    }
+    // The Gini window is global BY DESIGN but runs over the bounded
+    // count-of-counts histogram: the window child must contain an
+    // aggregate whose grouping is the count value, not a per-user or
+    // per-document key.
+    locally {
+      val plan = innerPlanOf("events_user_gini")
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, "events_user_gini: expected the histogram window")
+      windows.foreach { w =>
+        val nearestAgg = w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        val idGrouped = nearestAgg.exists(_.groupingExpressions.exists(_.collectFirst {
+          case att: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if Set("user_id", "event_id")(att.name) =>
+            att
+        }.nonEmpty))
+        assert(
+          nearestAgg.nonEmpty && !idGrouped,
+          s"events_user_gini window must read the bounded histogram, got ${w.partitionSpec}"
+        )
+      }
+    }
+  }
 }
