@@ -324,8 +324,10 @@ object CalibrationQueries {
             array_distinct(TextFunctions.shingles(col("text"))).as("ws")
           )
         )
+        // No persist: the exact-pair frame feeds exactly ONE consumer
+        // (the full-outer join below), so caching it would only pin
+        // blocks past the query with no reuse to pay for them.
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-        .persist()
       val cand = LlmQueries.minhashPairsOf(sub).withColumn("c", lit(1L))
       val j = exact.join(cand, Seq("doc_a", "doc_b"), "full_outer")
       j.agg(

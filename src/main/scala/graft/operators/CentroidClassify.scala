@@ -71,9 +71,28 @@ object CentroidClassify {
     * over the held-out rows.
     */
   def confusionOf(embs: DataFrame): DataFrame = {
-    val eq = eqOf(embs).persist()
-    val ctr = centroids(eq)
+    // The cache only serves the centroid collect; the returned frame's
+    // map-only classify pass recomputes eqOf cheaply, so the cache is
+    // scoped to the training action (no block outlives this call).
+    val eqCached = eqOf(embs).persist()
+    val ctr =
+      try centroids(eqCached)
+      finally eqCached.unpersist(false)
+    val eq = eqOf(embs)
     val present = (0 until Labels).filter(ctr.contains)
+    // Empty training split (e.g. an empty embeddings table): no
+    // centroids exist, so there is nothing to classify — return an
+    // empty frame with the output schema instead of building a
+    // degenerate descending sequence(0, -1) fold (the oracle's join
+    // against an empty `carr` likewise yields zero rows).
+    if (present.isEmpty)
+      return eq
+        .filter(lit(false))
+        .select(
+          col("label").cast("long").as("label"),
+          lit(0L).as("pred"),
+          lit(0L).as("n")
+        )
     // label-major flat centroid table: carr[l*Dim + j] = c_l[j].
     val flat = typedLit(present.flatMap(l => ctr(l).toSeq))
     val lbls = typedLit(present.map(_.toLong))

@@ -46,7 +46,13 @@ object GraphMetrics {
 
   /** One-row transitivity summary of an undirected edge list. */
   def transitivityOf(edges0: DataFrame): DataFrame = {
-    val edges = canonical(edges0).persist()
+    // localCheckpoint, not persist: the canonical edge set is read by
+    // three branches of ONE returned plan, so a synchronous unpersist
+    // is impossible — checkpoint blocks are released by the context
+    // cleaner once the frame is unreferenced, keeping a full registry
+    // sweep's footprint bounded (persist entries would pin blocks in
+    // the CacheManager until an explicit clearCache).
+    val edges = canonical(edges0).localCheckpoint()
     val deg = edges
       .select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
@@ -80,17 +86,33 @@ object GraphMetrics {
   }
 
   /** Vertices surviving R peeling rounds at threshold k, with their
-    * final within-core degree.
+    * final within-core degree — plus convergence TELEMETRY: peeling is
+    * monotone (degrees only shrink), so round r's degree table equals
+    * round r−1's iff their (vertex count, degree sum) pair is equal;
+    * `rounds_used` is the first such r (R if none) and `converged`
+    * flags whether a fixpoint was reached within the budget. A graph
+    * whose peeling cascade outruns R (a long chain) now SAYS so in the
+    * output instead of silently reporting a superset core.
+    *
+    * The per-round summary is one (count, sum) aggregate over the
+    * just-checkpointed degree table, itself checkpointed to one row —
+    * so the big per-round tables can still be released as soon as the
+    * next round materializes past them.
     */
   def kcoreOf(edges0: DataFrame, k: Int = CoreK, rounds: Int = PeelRounds): DataFrame = {
-    val edges = canonical(edges0).persist()
+    val edges = canonical(edges0).localCheckpoint()
+    def summaryOf(d: DataFrame, r: Int): DataFrame =
+      d.agg(count(lit(1)).as("n"), coalesce(sum("dg"), lit(0L)).as("s"))
+        .withColumn("r", lit(r))
+        .localCheckpoint()
     var deg = edges
       .select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
       .groupBy("id")
       .agg(count(lit(1)).as("dg"))
+    var summaries = Vector(summaryOf(deg, 0))
     var kept: Option[org.apache.spark.rdd.RDD[_]] = None
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val alive = deg.filter(col("dg") >= k).select("id")
       val e2 = edges
         .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
@@ -101,12 +123,35 @@ object GraphMetrics {
         .groupBy("id")
         .agg(count(lit(1)).as("dg"))
         .localCheckpoint()
+      summaries :+= summaryOf(next, r)
       val prev = kept
       kept = Lineage.checkpointRdd(next, "kcore")
       deg = next
       prev.foreach(_.unpersist(false))
     }
-    deg.filter(col("dg") >= k).select(col("id").as("doc_id"), col("dg").as("core_deg"))
+    val smu = summaries.reduce(_ unionByName _)
+    val nxt = smu.select(col("r").as("r2"), col("n").as("n2"), col("s").as("s2"))
+    val tele = smu
+      .join(
+        nxt,
+        col("r2") === col("r") + 1 && col("n2") === col("n") && col("s2") === col("s")
+      )
+      .agg(min(col("r2")).as("rmin"))
+      .select(
+        coalesce(col("rmin"), lit(rounds)).cast("long").as("rounds_used"),
+        when(col("rmin").isNotNull, lit(1L)).otherwise(lit(0L)).as("converged")
+      )
+    deg
+      .filter(col("dg") >= k)
+      .select(col("id").as("doc_id"), col("dg").as("core_deg"))
+      .withColumn("j", (col("core_deg") - col("core_deg") + 1).cast("int"))
+      .join(
+        broadcast(
+          tele.withColumn("j", (col("converged") - col("converged") + 1).cast("int"))
+        ),
+        Seq("j")
+      )
+      .drop("j")
   }
 
   /** The peeling oracle: R unrolled (alive, edges, degree) CTE rounds
@@ -125,14 +170,22 @@ object GraphMetrics {
          |dg$r AS MATERIALIZED (
          |  SELECT id, count(*) AS dg
          |  FROM (SELECT u AS id FROM ed$r UNION ALL SELECT v FROM ed$r) _d GROUP BY id)""".stripMargin
+    def summary(r: Int): String =
+      s"sm$r AS (SELECT $r AS r, count(*) AS n, coalesce(sum(dg), 0) AS s FROM dg$r)"
     s"""WITH ${TriangleQueries.neardupGraphCtesSql},
        |ce AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM vp WHERE u != v),
-       |dg0 AS (
+       |dg0 AS MATERIALIZED (
        |  SELECT id, count(*) AS dg
        |  FROM (SELECT u AS id FROM ce UNION ALL SELECT v FROM ce) _d GROUP BY id),
-       |${(1 to PeelRounds).map(round).mkString(",\n")}
-       |SELECT id AS doc_id, CAST(dg AS BIGINT) AS core_deg
-       |FROM dg$PeelRounds WHERE dg >= $CoreK""".stripMargin
+       |${(1 to PeelRounds).map(round).mkString(",\n")},
+       |${(0 to PeelRounds).map(summary).mkString(",\n")},
+       |smu AS (${(0 to PeelRounds).map(r => s"SELECT * FROM sm$r").mkString(" UNION ALL ")}),
+       |tele AS (
+       |  SELECT CAST(coalesce(min(b.r), $PeelRounds) AS BIGINT) AS rounds_used,
+       |    CAST(CASE WHEN min(b.r) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS converged
+       |  FROM smu a JOIN smu b ON b.r = a.r + 1 AND a.n = b.n AND a.s = b.s)
+       |SELECT id AS doc_id, CAST(dg AS BIGINT) AS core_deg, rounds_used, converged
+       |FROM dg$PeelRounds, tele WHERE dg >= $CoreK""".stripMargin
   }
 
   private val transitivityQ = Q(

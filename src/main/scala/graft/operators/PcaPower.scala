@@ -68,8 +68,17 @@ object PcaPower {
     * expression by the oracle CTEs.
     */
   private[graft] def fit(eq: DataFrame): (Array[Long], Array[Long]) = {
-    val spark = eq.sparkSession
     val cached = eq.persist()
+    try fitCached(cached)
+    finally cached.unpersist(false)
+  }
+
+  /** The iteration body over an already-persisted frame; every read of
+    * the corpus happens in here, so the caller can scope the cache with
+    * try/finally (the whole model collects to the driver — nothing
+    * downstream re-reads `eq`).
+    */
+  private def fitCached(cached: DataFrame): (Array[Long], Array[Long]) = {
     val n = math.max(cached.count(), 1L)
     val sums = cached
       .select(posexplode(col("e")).as(Seq("j", "x")))
@@ -145,7 +154,7 @@ object PcaPower {
        |nrow AS (SELECT count(*) AS n FROM eq),
        |m AS MATERIALIZED (
        |  SELECT dims.j,
-       |    CAST(round(CAST(sum(e[dims.j]) AS double) / (SELECT n FROM nrow)) AS BIGINT) AS mq
+       |    CAST(round(CAST(sum(e[dims.j]) AS double) / (SELECT greatest(n, 1) FROM nrow)) AS BIGINT) AS mq
        |  FROM eq CROSS JOIN dims GROUP BY dims.j),
        |ma AS MATERIALIZED (SELECT list(mq ORDER BY j) AS marr FROM m),
        |v0 AS (SELECT j, CAST(${math.round(VQ.toDouble / 8.0)} AS BIGINT) AS v FROM dims),

@@ -142,9 +142,6 @@ object QueryExpansion {
           log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6
         ).cast("long").as("idf_mu")
       )
-    val den =
-      col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-        (col("dl") * col("n")).cast("double") / col("sumdl").cast("double"))
     val termScore = tfAll
       .join(idf, "term")
       .join(wq, Seq("term"))

@@ -111,7 +111,11 @@ object UnigramLm {
 
   /** Viterbi-segment every distinct word under the mined vocab. */
   def viterbiOf(docs: DataFrame): DataFrame = {
-    val wf = wordsOf(docs).persist()
+    // localCheckpoint (vocab-bounded frame), not persist: both the edge
+    // and the vocab branch of the ONE returned plan read it, and the
+    // context cleaner releases checkpoint blocks once the frame is
+    // unreferenced — no cache entry outlives the query.
+    val wf = wordsOf(docs).localCheckpoint()
     val occ = occurrencesOf(wf)
     val vocab = vocabOfWf(wf).select("piece", "lp_mu")
     val edges = occ
