@@ -216,7 +216,7 @@ object Multimodal {
     * deterministic formula the oracle recomputes analytically:
     * B=(id+3x+7y)%256, G=(2id+5x+y)%256, R=(3id+x+11y)%256.
     */
-  private def bmpFullHex(id: Column, w: Column, h: Column): Column = {
+  private[graft] def bmpFullHex(id: Column, w: Column, h: Column): Column = {
     // ((3w+3) div 4)·4 without a named column: subtract the mod.
     val t = w * 3 + 3
     val rowSize = t - pmod(t, lit(4L))
@@ -260,7 +260,7 @@ object Multimodal {
     * i.e. the signed sample is u_k two's-complement-reinterpreted
     * (u − 65536 when u ≥ 32768).
     */
-  private def wavFullHex(id: Column, n: Column): Column = {
+  private[graft] def wavFullHex(id: Column, n: Column): Column = {
     val header = concat(
       lit("52494646"), le32h(lit(36L) + n * 2), lit("57415645"),
       lit("666d7420"), le32h(lit(16L)),
@@ -282,36 +282,61 @@ object Multimodal {
     concat(header, samples)
   }
 
+  /** One payload byte at 0-based offset `p` as a bigint — a ONE-byte
+    * binary substring + hex + conv, so reading never copies more than a
+    * single byte of the payload per evaluation (the r9 version hex'd
+    * the WHOLE payload into a 2× string column first).
+    */
+  private def byteAtSql(p: String): String =
+    s"cast(conv(hex(substring(payload, cast(($p) as int) + 1, 1)), 16, 10) as bigint)"
+
   /** REAL pixel decode of 24-bpp uncompressed BMP payloads — pure byte
     * arithmetic over the binary column (no media library): parse dims
     * and the pixel-data offset from the headers, walk the bottom-up
     * padded rows, and aggregate per-channel sums. This retires the
     * pixel-level half of the long-standing media-decode stub for the
     * UNCOMPRESSED container (entropy-coded formats still need a codec
-    * library and stay stubbed). Map-only; the per-row fold is bounded
-    * by the image size. The oracle never decodes — it recomputes the
-    * channel means ANALYTICALLY from the pixel formula, so a hash
-    * match certifies the decoder against independent ground truth
-    * (and MultimodalSpec cross-checks against JDK ImageIO).
+    * library and stay stubbed).
+    *
+    * Memory shape (the r10 hardening): the fold is TWO-LEVEL — an
+    * outer fold over the h stored rows and an inner fold over the w
+    * pixels of one row, each byte read as a one-byte binary substring
+    * — so transient per-row memory is O(w + h) (two sequence arrays),
+    * NOT O(w·h): a 12-MP photo folds with ~60 KB of transient state
+    * instead of the r9 version's ~300 MB (one long per pixel plus a 2×
+    * hex copy of the payload). Map-only; total work stays linear in
+    * the payload. The oracle never decodes — it recomputes the channel
+    * means ANALYTICALLY from the pixel formula, so a hash match
+    * certifies the decoder against independent ground truth (and
+    * MultimodalSpec cross-checks against JDK ImageIO). The `media`
+    * ScaleProbe mode drives MB-scale payloads and reports the flat
+    * per-task memory.
     */
-  def bmpPixelStats(media: DataFrame): DataFrame =
+  def bmpPixelStats(media: DataFrame): DataFrame = {
+    // Per-channel sum of ONE stored row r (bottom-up order is
+    // irrelevant to a sum): bytes off + r·rs + 3x + c, c = B,G,R.
+    def rowSum(c: Int): String =
+      s"aggregate(sequence(0L, w - 1L), 0L, (a, x) -> a + ${byteAtSql(s"off + r * rs + 3 * x + $c")})"
     media
-      .withColumn("hx", lower(hex(col("payload"))))
-      .withColumn("w", expr(bmpLe32Sql(18)))
-      .withColumn("h", expr(bmpLe32Sql(22)))
-      .withColumn("off", expr(bmpLe32Sql(10)))
+      .withColumn("hdr", lower(hex(substring(col("payload"), 1, 26))))
+      .withColumn("w", expr(hdrLe32Sql(18)))
+      .withColumn("h", expr(hdrLe32Sql(22)))
+      .withColumn("off", expr(hdrLe32Sql(10)))
       .withColumn("rs", expr("((3 * w + 3) div 4) * 4"))
       .withColumn(
         "sums",
-        expr(
-          """aggregate(
-            |  sequence(0L, w * h - 1L),
-            |  array(0L, 0L, 0L),
-            |  (acc, i) -> array(
-            |    acc[0] + conv(substring(hx, cast((off + (h - 1 - i div w) * rs + 3 * (i % w)) * 2 + 1 as int), 2), 16, 10),
-            |    acc[1] + conv(substring(hx, cast((off + (h - 1 - i div w) * rs + 3 * (i % w) + 1) * 2 + 1 as int), 2), 16, 10),
-            |    acc[2] + conv(substring(hx, cast((off + (h - 1 - i div w) * rs + 3 * (i % w) + 2) * 2 + 1 as int), 2), 16, 10)))""".stripMargin
-        )
+        when(
+          col("w") > 0 && col("h") > 0,
+          expr(
+            s"""aggregate(
+               |  sequence(0L, h - 1L),
+               |  array(0L, 0L, 0L),
+               |  (acc, r) -> array(
+               |    acc[0] + ${rowSum(0)},
+               |    acc[1] + ${rowSum(1)},
+               |    acc[2] + ${rowSum(2)}))""".stripMargin
+          )
+        ).otherwise(typedLit(Seq(0L, 0L, 0L)))
       )
       .select(
         col("media_id"),
@@ -322,38 +347,59 @@ object Multimodal {
         expr("(sums[1] * 100) div (w * h)").as("mean_g_c"),
         expr("(sums[0] * 100) div (w * h)").as("mean_b_c")
       )
+  }
 
-  /** LE32 read at 0-based byte offset `p` from the hex column `hx`. */
-  private def bmpLe32Sql(p: Int): String =
+  /** LE32 read at 0-based byte offset `p` from the bounded header-hex
+    * column `hdr` (the first ≤64 payload bytes — never the full
+    * payload).
+    */
+  private def hdrLe32Sql(p: Int): String =
     (0 to 3)
-      .map(b => s"conv(substring(hx, ${(p + b) * 2 + 1}, 2), 16, 10) * ${1L << (8 * b)}L")
+      .map(b => s"conv(substring(hdr, ${(p + b) * 2 + 1}, 2), 16, 10) * ${1L << (8 * b)}L")
       .mkString("cast(", " + ", " as long)")
+
+  /** Samples per inner chunk of the WAV fold: bounds the transient
+    * sequence array at 32 KB whatever the payload size.
+    */
+  private val SampleChunk = 4096L
 
   /** REAL sample decode of canonical-44 PCM16 WAV payloads: parse the
     * sample rate and data size from the headers, decode each signed
     * little-endian sample, aggregate Σ|s| and Σs². Same contract as
     * [[bmpPixelStats]] (analytic oracle; JDK AudioSystem parity in the
     * spec would need javax.sound — byte math is asserted hand-built
-    * instead).
+    * instead), and the same r10 memory shape: a two-level fold —
+    * outer over ⌈n/4096⌉ chunks, inner over one 4096-sample chunk,
+    * each byte a one-byte binary substring — caps transient per-row
+    * memory at O(chunk) instead of one long per sample plus a 2× hex
+    * copy of the payload.
     */
   def wavSampleStats(media: DataFrame): DataFrame = {
-    // Signed LE16 sample at index k, as a SQL snippet over the hex
-    // column (lo + 256·hi, two's complement via the hi-byte sign test).
+    // Signed LE16 sample at index k (lo + 256·hi, two's complement via
+    // the hi-byte sign test), each byte read straight off the binary.
     val smp =
-      "(conv(substring(hx, cast((44 + 2 * k) * 2 + 1 as int), 2), 16, 10) " +
-        "+ conv(substring(hx, cast((45 + 2 * k) * 2 + 1 as int), 2), 16, 10) * 256 " +
-        "- (CASE WHEN conv(substring(hx, cast((45 + 2 * k) * 2 + 1 as int), 2), 16, 10) >= 128 " +
-        "THEN 65536 ELSE 0 END))"
+      s"(${byteAtSql("44 + 2 * k")} + 256 * ${byteAtSql("45 + 2 * k")} " +
+        s"- (CASE WHEN ${byteAtSql("45 + 2 * k")} >= 128 THEN 65536 ELSE 0 END))"
+    def chunkSum(term: String): String =
+      s"aggregate(sequence(c * ${SampleChunk}L, least(c * ${SampleChunk}L + ${SampleChunk}L, n) - 1L), " +
+        s"0L, (a, k) -> a + $term)"
     media
-      .withColumn("hx", lower(hex(col("payload"))))
-      .withColumn("rate", expr(bmpLe32Sql(24)))
-      .withColumn("n", expr(s"${bmpLe32Sql(40)} div 2"))
+      .withColumn("hdr", lower(hex(substring(col("payload"), 1, 44))))
+      .withColumn("rate", expr(hdrLe32Sql(24)))
+      .withColumn("n", expr(s"${hdrLe32Sql(40)} div 2"))
       .withColumn(
         "sums",
-        expr(
-          s"aggregate(sequence(0L, n - 1L), array(0L, 0L), " +
-            s"(acc, k) -> array(acc[0] + abs($smp), acc[1] + $smp * $smp))"
-        )
+        when(
+          col("n") > 0,
+          expr(
+            s"""aggregate(
+               |  sequence(0L, (n + ${SampleChunk - 1}L) div ${SampleChunk}L - 1L),
+               |  array(0L, 0L),
+               |  (acc, c) -> array(
+               |    acc[0] + ${chunkSum(s"abs($smp)")},
+               |    acc[1] + ${chunkSum(s"$smp * $smp")}))""".stripMargin
+          )
+        ).otherwise(typedLit(Seq(0L, 0L)))
       )
       .select(
         col("media_id"),
