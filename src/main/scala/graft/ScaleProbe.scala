@@ -752,6 +752,88 @@ object ScaleProbe {
         println(
           f"SCALE mode=allpairs mult=$mult docs=$total pairs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s"
         )
+      case "transskew" =>
+        // Hot-user skew for the transition matrix: the events corpus
+        // replicated mult× with 90% of all events reassigned to ONE bot
+        // user (timestamps keep their spread, so the bot's history
+        // covers the full day range). The r9 per-user lag window would
+        // sort the bot's whole history on one task — the day-salted
+        // segment window + boundary stitch must keep per-task work at
+        // one user-day and total time linear in mult.
+        val base = operators.JoinQueries
+          .evts(spark, sfDir)
+          .select("event_id", "user_id", "us", "event_type")
+        val big = (0 until mult)
+          .map { i =>
+            if (i == 0) base
+            else
+              base.select(
+                (col("event_id") + i * 1000000000L).as("event_id"),
+                col("user_id"),
+                (col("us") + i).as("us"),
+                col("event_type")
+              )
+          }
+          .reduce(_ union _)
+          .withColumn(
+            "user_id",
+            when(col("event_id") % 10 < 9, lit(999999999L)).otherwise(col("user_id"))
+          )
+        val total = big.count()
+        val t0 = System.nanoTime()
+        val steps = operators.TransitionQueries
+          .transitionsOf(big)
+          .agg(sum("n"))
+          .collect()(0)
+          .getLong(0)
+        println(
+          f"SCALE mode=transskew mult=$mult events=$total steps=$steps time=${(System.nanoTime() - t0) / 1e9}%.1f s"
+        )
+      case "media" =>
+        // MB-scale payload probe for the chunked BMP/WAV decoders: 8
+        // BMPs of (128·mult)² pixels (~48·mult² KB payload each) and 8
+        // WAVs of 500k·mult samples (~1 MB·mult each). The r9 fold
+        // allocated one long PER pixel/sample plus a 2× hex copy of the
+        // whole payload (O(payload) transient per row — a 12-MP photo
+        // would have needed ~300 MB inside one expression evaluation);
+        // the r10 two-level fold is O(w+h) / O(chunk), so time must
+        // grow linearly with the payload while SCALE-MEM stays flat.
+        // Payloads are materialized (persist + count) BEFORE timing so
+        // the probe measures decode, not synthesis.
+        val ids = spark.range(1, 9).select((col("id") + 100L).as("media_id"))
+        val dim = lit(128L * mult)
+        val bmp = ids
+          .select(
+            col("media_id"),
+            unhex(operators.Multimodal.bmpFullHex(col("media_id"), dim, dim)).as("payload")
+          )
+          .persist()
+        val wav = ids
+          .select(
+            col("media_id"),
+            unhex(operators.Multimodal.wavFullHex(col("media_id"), lit(500000L * mult))).as("payload")
+          )
+          .persist()
+        val bmpBytes = bmp.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+        val wavBytes = wav.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+        val t0 = System.nanoTime()
+        val px = operators.Multimodal
+          .bmpPixelStats(bmp)
+          .agg(sum("n_pixels"))
+          .collect()(0)
+          .getLong(0)
+        val t1 = System.nanoTime()
+        val sm = operators.Multimodal
+          .wavSampleStats(wav)
+          .agg(sum("n_samples"))
+          .collect()(0)
+          .getLong(0)
+        println(
+          f"SCALE mode=media mult=$mult bmp_mb=${bmpBytes / 1048576.0}%.1f pixels=$px bmp_t=${(t1 - t0) / 1e9}%.1f s " +
+            f"wav_mb=${wavBytes / 1048576.0}%.1f samples=$sm wav_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
+        )
+        bmp.unpersist(false)
+        wav.unpersist(false)
       case "priority" =>
         // One-group skew for priority sampling: every replicated doc in
         // a single group, k=100. The bit-length histogram cut must keep

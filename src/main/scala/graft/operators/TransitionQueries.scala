@@ -13,24 +13,32 @@ import org.apache.spark.sql.functions._
   * operators: the funnel checks ONE prescribed path; the transition
   * matrix reports every observed adjacency.
   *
-  * Scale shape: ONE lag window per user partition, ordered by the
-  * total (us, event_id) key — per-user partitions are bounded by the
-  * activity window (the events_asof/sessionize shape), never a global
-  * sort; the matrix itself is a ≤ |types|² aggregate with map-side
-  * combine, and row-normalization joins the ≤ |types| row totals back
-  * broadcast-side.
+  * Scale shape (r10 de-skew): the lag window partitions on (user_id,
+  * DAY), never on the bare user — a bot with a year of history at
+  * 100× scale sorts one day per task, not its whole timeline. The
+  * within-day lag misses exactly the day-boundary transitions; those
+  * are stitched back the way [[graft.streaming.TransitionStream]]
+  * stitches micro-batch boundaries: per (user, day) keep the first/
+  * last event (a map-side-combinable min/max of ONE struct — no sort),
+  * then one lag window over the per-user DAY SUMMARIES (bounded by
+  * days-per-user, thousands of times smaller than events-per-user)
+  * yields last(prev day) → first(next day). The matrix itself is a
+  * ≤ |types|² aggregate with map-side combine, and row-normalization
+  * joins the ≤ |types| row totals back broadcast-side.
   */
 object TransitionQueries {
+
+  /** Day bucket of the microsecond timestamp — the salt that bounds a
+    * window task at one user-day.
+    */
+  private val SegUs = 86400000000L
 
   /** Transition counts + row-normalized probabilities over an events
     * frame carrying (event_id, user_id, us, event_type).
     */
   def transitionsOf(e: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val steps = e
-      .withColumn("from_type", lag(col("event_type"), 1).over(w))
-      .filter(col("from_type").isNotNull)
-      .groupBy(col("from_type"), col("event_type").as("to_type"))
+    val steps = stepsOf(e)
+      .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
     val totals = steps.groupBy("from_type").agg(sum("n").as("nt"))
     steps
@@ -41,6 +49,37 @@ object TransitionQueries {
         col("n"),
         expr("(n * 10000) div nt").as("p_pm")
       )
+  }
+
+  /** Every adjacent (from_type, to_type) pair of the per-user event
+    * sequences, extracted with the de-skewed day-salted shape (one row
+    * per transition; the matrix is an aggregate over these).
+    */
+  private[graft] def stepsOf(e: DataFrame): DataFrame = {
+    val seg = e.withColumn("seg", expr(s"us div ${SegUs}L"))
+    // Within-day adjacencies: the (us, event_id) total order restricted
+    // to one user-day. Ordering by seg then (us, event_id) equals the
+    // global per-user order because seg is monotone in us.
+    val w = Window.partitionBy("user_id", "seg").orderBy("us", "event_id")
+    val within = seg
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    // Day-boundary adjacencies: last event of a user's day → first
+    // event of the user's NEXT POPULATED day. Struct min/max carry the
+    // total order; the summary window sees ≤ days-per-user rows.
+    val daySummaries = seg
+      .groupBy("user_id", "seg")
+      .agg(
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("l")
+      )
+    val ws = Window.partitionBy("user_id").orderBy("seg")
+    daySummaries
+      .withColumn("prev_l", lag(col("l"), 1).over(ws))
+      .filter(col("prev_l").isNotNull)
+      .select(col("prev_l.event_type").as("from_type"), col("f.event_type").as("to_type"))
+      .unionByName(within)
   }
 
   private val transitionsQ = Q(
@@ -83,11 +122,10 @@ object TransitionQueries {
         )
       val b1 = withMid.filter(col("us") <= col("mid"))
       val b2 = withMid.filter(col("us") > col("mid"))
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      // Within-batch steps ride the same de-skewed day-salted extractor
+      // as the one-shot matrix.
       def within(b: DataFrame): DataFrame =
-        b.withColumn("from_type", lag(col("event_type"), 1).over(w))
-          .filter(col("from_type").isNotNull)
-          .select(col("from_type"), col("event_type").as("to_type"))
+        stepsOf(b.select("event_id", "user_id", "us", "event_type"))
       // Carried state: batch 1's last event per user; boundary step to
       // batch 2's first event per user. Struct min/max give the total
       // (us, event_id) order.

@@ -235,12 +235,33 @@ class RoundNineOpsSpec extends SparkSuite {
     // isolated → peel). Triangle 1-2-3 survives with core degree 2.
     val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
       (11L to 15L).map(l => (10L, l))).toDF("doc_a", "doc_b")
-    val core = operators.GraphMetrics
-      .kcoreOf(edges)
-      .collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg"))
-      .toMap
+    val rows = operators.GraphMetrics.kcoreOf(edges).collect()
+    val core = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core)
+    // Telemetry: round 1 peels the star, round 2 re-proves the triangle
+    // stable — converged at rounds_used = 2.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("converged") == 1L)
+      assert(r.getAs[Long]("rounds_used") == 2L)
+    }
+  }
+
+  test("k-core telemetry flags a peeling cascade deeper than the round budget") {
+    import spark.implicits._
+    // A 30-vertex path peels 2 endpoints per round: 14 rounds to drain,
+    // so the 12-round budget leaves a 6-vertex residue whose interior
+    // still has degree 2 — the output is a SUPERSET of the true (empty)
+    // 2-core and must say so via converged = 0, rounds_used = 12.
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val rows = operators.GraphMetrics.kcoreOf(chain).collect()
+    assert(rows.nonEmpty, "the truncated peel should leave a residue")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("converged") == 0L)
+      assert(r.getAs[Long]("rounds_used") == 12L)
+    }
+    // With enough rounds the same chain converges to the empty 2-core.
+    val full = operators.GraphMetrics.kcoreOf(chain, rounds = 16).collect()
+    assert(full.isEmpty, full.mkString(","))
   }
 
   test("Mann-Kendall flags a strict ramp and stays silent on a constant") {
@@ -281,6 +302,29 @@ class RoundNineOpsSpec extends SparkSuite {
     assert(out(("a", "b")) == ((2L, 10000L)))
     assert(out(("b", "a")) == ((1L, 10000L)))
     assert(out.size == 2)
+  }
+
+  test("event transitions stitch day boundaries exactly (de-skewed segment window)") {
+    import spark.implicits._
+    val day = 86400000000L
+    // user 1 spans FOUR days with a two-day gap: a(d0 end) → b(d1
+    // start) → b(d1 end) → c(d3). The within-day window sees only
+    // b→b; a→b and b→c exist only via the boundary stitch (including
+    // across the EMPTY day 2). user 2 is single-day control.
+    val e = Seq(
+      (1L, 1L, day - 1L, "a"),
+      (2L, 1L, day + 5L, "b"),
+      (3L, 1L, 2L * day - 1L, "b"),
+      (4L, 1L, 3L * day + 7L, "c"),
+      (5L, 2L, 10L, "a"),
+      (6L, 2L, 20L, "c")
+    ).toDF("event_id", "user_id", "us", "event_type")
+    val out = operators.TransitionQueries
+      .transitionsOf(e)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "b") -> 1L, ("b", "c") -> 1L, ("a", "c") -> 1L), out)
   }
 
   test("utf8 audit counts planted control and zero-width characters") {
