@@ -305,7 +305,13 @@ class PlanSpec extends SparkSuite {
     // Viterbi segmentation: the DP is an in-row fold — joins and
     // aggregates yes, windows never (a per-word rank would be the wrong
     // shape), and only equi-joins.
-    Seq("docs_unigram_viterbi", "dedup_fs_em", "graph_kcore", "graph_transitivity").foreach {
+    Seq(
+      "docs_unigram_viterbi",
+      "docs_unigram_train",
+      "dedup_fs_em",
+      "graph_kcore",
+      "graph_transitivity"
+    ).foreach {
       name =>
         val plan = innerPlanOf(name)
         assert(
