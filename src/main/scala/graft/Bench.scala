@@ -22,8 +22,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Group 1: the headline set, FROZEN since r4 so per-query numbers
+    // and the reported total compare round-over-round. Group 2 (r10):
+    // the newer hot families (BM25, bounded top-k, strided spans,
+    // unigram Viterbi, k-core, near-dup clustering) — measured and
+    // reported per-query + as total_g2, but kept OUT of the headline
+    // total so the trajectory stays one metric.
     val headline = SparkEntry.registry.filter(_.bench)
-    val chosen = if (headline.nonEmpty) headline else SparkEntry.registry
+    val group2 = SparkEntry.registry.filter(_.bench2)
+    val chosen =
+      if (headline.nonEmpty) headline ++ group2 else SparkEntry.registry
     // Untimed warmup pass over every measured query so the timed pass
     // measures steady-state execution, not JVM/janino/JIT compilation of
     // each query's generated code (at bench scale codegen latency rivals
@@ -70,9 +78,19 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val g1Names = headline.map(_.name).toSet
+    val total = results
+      .filter { case (n, _) => g1Names.isEmpty || g1Names(n) }
+      .map(_._2)
+      .filter(_ >= 0)
+      .sum
+    val totalG2 = results
+      .filter { case (n, _) => !g1Names(n) }
+      .map(_._2)
+      .filter(_ >= 0)
+      .sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_g2":$totalG2,"queries":$qs,"sf":"$sfDir"}"""
     // Persist the result where log interleaving can't clobber it, then stop
     // Spark BEFORE the final stdout print: every prior round's driver record
     // came back `parsed: null` because sbt/Spark shutdown noise landed after

@@ -12,7 +12,14 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** Included in the Bench headline set when true. */
-    bench: Boolean = false
+    bench: Boolean = false,
+    /** Included in the Bench SECOND group (round-5+ hot families) when
+      * true. Group 1 is frozen since r4 so its per-query numbers stay
+      * comparable round-over-round; group 2 makes perf regressions in
+      * the newer operators visible. The reported headline total stays
+      * group-1-only for the same reason.
+      */
+    bench2: Boolean = false
 )
 
 /** Lineage-truncation helper shared by the iterative operators

@@ -260,7 +260,8 @@ object CurationQueries {
          |  cast(max(e) - min(pos) + 1 AS bigint) AS span_len,
          |  cast(count(*) AS bigint) AS n_anchors
          |FROM isl2 GROUP BY doc_id, island""".stripMargin
-    }
+    },
+    bench2 = true
   )
 
   /** Winnowed anchor grams (doc_id, pos, g) of a (doc_id, text) frame —

@@ -219,7 +219,8 @@ object GraphMetrics {
     "graph_kcore",
     (s, d) =>
       kcoreOf(LlmQueries8.verifiedNeardupEdges(TriangleQueries.triCorpus(s, d), 0.5)),
-    Some(kcoreOracle)
+    Some(kcoreOracle),
+    bench2 = true
   )
 
   val all: Seq[Q] = Seq(transitivityQ, kcoreQ)

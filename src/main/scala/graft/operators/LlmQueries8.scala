@@ -520,7 +520,8 @@ object LlmQueries8 {
       // the test corpus (cap 1000), so the oracle mirrors the light-pair
       // path only; multi-hop chain semantics are additionally asserted by
       // Llm8Spec.
-      Some(neardupClusterOracle("0.8"))
+      Some(neardupClusterOracle("0.8")),
+      bench2 = true
     ),
     Q(
       // The SAME transitive-closure oracle certifies the star-contraction

@@ -118,7 +118,8 @@ object Retrieval {
   private val bm25 = Q(
     "docs_bm25_search",
     (s, d) => bm25Of(docs(s, d)),
-    bm25Oracle
+    bm25Oracle,
+    bench2 = true
   )
 
   /** The BM25 pipeline over any (doc_id, text) frame — exposed for the

@@ -141,7 +141,8 @@ object TopK {
            |    row_number() OVER (PARTITION BY lang ORDER BY q4 DESC, doc_id) AS rk
            |  FROM sc)
            |SELECT doc_id, lang, q4, cast(rk as bigint) AS rk FROM r WHERE rk <= $K""".stripMargin
-      }
+      },
+      bench2 = true
     )
   )
 }

@@ -308,7 +308,8 @@ object UnigramLm {
   private val viterbiQ = Q(
     "docs_unigram_viterbi",
     (s, d) => viterbiOf(Tables.documents(s, d)),
-    Some {
+    bench2 = true,
+    oracle = Some {
       val n = MaxWordLen + 1
       val initList =
         (Init0 +: Seq.fill(MaxWordLen)(Sent)).map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
