@@ -34,7 +34,13 @@ object MetadataQueries {
     "Ιλιάς",
     "Αντιγόνη",
     "Πολιτεία",
-    "Война и мир War and Peace 1869"
+    "Война и мир War and Peace 1869",
+    // Arabic / Persian classics (ISO 233 rows; r10)
+    "ألف ليلة وليلة",
+    "كتاب الحيوان",
+    "مقدمة ابن خلدون",
+    "شاهنامه فردوسی",
+    "العدد ٣ سنة ١٩٢٥"
   )
 
   def nkSql(x: String): String =
@@ -222,14 +228,27 @@ object MetadataQueries {
       },
       Some {
         val list = TranslitTitles.map(t => s"'$t'").mkString("[", ", ", "]")
-        val chain = (graft.plans.KeyFoldRulesExpr.CyrillicLatin ++
-          graft.plans.KeyFoldRulesExpr.GreekLatin)
-          .foldLeft("lower(t)") { case (acc, (from, to)) => s"replace($acc, '$from', '$to')" }
-        s"""SELECT p_partkey, t AS title_raw,
-           |  regexp_replace($chain, '$KeyStripRe', '', 'g') AS translit_key
-           |FROM (SELECT p_partkey,
-           |        ($list)[cast(p_partkey % ${TranslitTitles.size} as int) + 1] AS t
-           |      FROM part) _q""".stripMargin
+        // The full table (Cyrillic + Greek + Arabic) is 130+ mappings —
+        // one nested replace() chain would blow DuckDB's 128-deep
+        // expression binder, so the chain is CHUNKED across nested
+        // subselects (each layer ≤ 60 replaces, binder depth resets per
+        // SELECT).
+        val chunks = (graft.plans.KeyFoldRulesExpr.CyrillicLatin ++
+          graft.plans.KeyFoldRulesExpr.GreekLatin ++
+          graft.plans.KeyFoldRulesExpr.ArabicLatin).grouped(60).toSeq
+        var src =
+          s"""(SELECT p_partkey, t AS title_raw, lower(t) AS x
+             |  FROM (SELECT p_partkey,
+             |          ($list)[cast(p_partkey % ${TranslitTitles.size} as int) + 1] AS t
+             |        FROM part) _q0)""".stripMargin
+        chunks.zipWithIndex.foreach { case (chunk, idx) =>
+          val chain =
+            chunk.foldLeft("x") { case (acc, (from, to)) => s"replace($acc, '$from', '$to')" }
+          src = s"(SELECT p_partkey, title_raw, $chain AS x FROM $src _q${idx + 1})"
+        }
+        s"""SELECT p_partkey, title_raw,
+           |  regexp_replace(x, '$KeyStripRe', '', 'g') AS translit_key
+           |FROM $src _qf""".stripMargin
       }
     ),
     Q(

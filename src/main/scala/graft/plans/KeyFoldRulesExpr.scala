@@ -33,8 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * combining marks the Remove stage strips anyway, so `ж → z` directly
   * is the same key). This is a documented APPROXIMATION of ICU: per
   * character, no Greek context rules (γγ→ng, αυ→av), hard/soft signs
-  * dropped; scripts outside the table (CJK, Arabic, …) still pass
-  * through unromanized. Default remains `romanize = false` — exact
+  * dropped. Round 10 extends the table with Arabic (ISO 233:1984 —
+  * also per-char like ISO 9 — plus the Persian extensions and the
+  * Arabic-Indic digit rows ICU's `:: Latin;` converts); the harakat
+  * vowel marks are category Mn, so the Remove stage strips them with
+  * no table entry, and the hamza/ʿayn rows whose ISO images are
+  * modifier letters are dropped like the Cyrillic signs. Presentation
+  * forms (U+FB50…) are NOT folded (they would need a pre-NFKC pass —
+  * rare in bibliographic data); CJK still passes through unromanized
+  * (needs ICU data). Default remains `romanize = false` — exact
   * Latin-script parity, no behavior change for existing keys.
   */
 case class KeyFoldRulesExpr(child: Expression, romanize: Boolean = false)
@@ -102,9 +109,39 @@ object KeyFoldRulesExpr {
     'ΰ' -> "y"
   )
 
+  /** Arabic → Latin, the post-fold ASCII image of ISO 233:1984: the
+    * ISO mapping is per-character with diacritics (ṯ, ǧ, ḫ, š…) whose
+    * marks the Remove stage strips, so the stored value is the
+    * mark-stripped base. Hamza forms and ʿayn map to ISO 233's
+    * modifier-letter glottal signs (ʾ/ʿ) — no key information, dropped
+    * like the Cyrillic hard/soft signs; hamza CARRIERS keep their
+    * carrier letter. The harakat (U+064B–U+0652) need no rows: they
+    * are combining marks the fold strips anyway. Persian letters and
+    * both Arabic-Indic digit blocks are included because ICU's
+    * `:: Latin;` converts them too.
+    */
+  val ArabicLatin: Seq[(Char, String)] = Seq(
+    'ء' -> "", 'آ' -> "a", 'أ' -> "a", 'ؤ' -> "w", 'إ' -> "i",
+    'ئ' -> "y", 'ا' -> "a", 'ب' -> "b", 'ة' -> "t", 'ت' -> "t",
+    'ث' -> "t", 'ج' -> "g", 'ح' -> "h", 'خ' -> "h", 'د' -> "d",
+    'ذ' -> "d", 'ر' -> "r", 'ز' -> "z", 'س' -> "s", 'ش' -> "s",
+    'ص' -> "s", 'ض' -> "d", 'ط' -> "t", 'ظ' -> "z", 'ع' -> "",
+    'غ' -> "g", 'ف' -> "f", 'ق' -> "q", 'ك' -> "k", 'ل' -> "l",
+    'م' -> "m", 'ن' -> "n", 'ه' -> "h", 'و' -> "w", 'ى' -> "y",
+    'ي' -> "y", 'ٱ' -> "a",
+    // Persian
+    'پ' -> "p", 'چ' -> "c", 'ژ' -> "z", 'گ' -> "g", 'ک' -> "k",
+    'ی' -> "y",
+    // Arabic-Indic and Extended (Persian) digits
+    '٠' -> "0", '١' -> "1", '٢' -> "2", '٣' -> "3", '٤' -> "4",
+    '٥' -> "5", '٦' -> "6", '٧' -> "7", '٨' -> "8", '٩' -> "9",
+    '۰' -> "0", '۱' -> "1", '۲' -> "2", '۳' -> "3", '۴' -> "4",
+    '۵' -> "5", '۶' -> "6", '۷' -> "7", '۸' -> "8", '۹' -> "9"
+  )
+
   private val romanMap: java.util.HashMap[Character, String] = {
     val m = new java.util.HashMap[Character, String]()
-    (CyrillicLatin ++ GreekLatin).foreach { case (c, v) => m.put(c, v) }
+    (CyrillicLatin ++ GreekLatin ++ ArabicLatin).foreach { case (c, v) => m.put(c, v) }
     m
   }
 

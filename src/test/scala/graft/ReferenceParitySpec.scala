@@ -65,6 +65,15 @@ class ReferenceParitySpec extends SparkSuite {
         "Ιλιάς" -> "ilias",
         "Αντιγόνη" -> "antigoni",
         "Ψυχή και Χάος" -> "psychikaichaos",
+        // Arabic ISO 233 rows (r10): carriers keep their letter, hamza
+        // and ʿayn drop (modifier-letter images), ة → t, and the
+        // harakat need no table rows (the fatha/shadda here are
+        // combining marks the Remove stage strips).
+        "ألف ليلة وليلة" -> "alflyltwlylt",
+        "كتاب الحيوان" -> "ktabalhywan",
+        "مَكْتَبَة" -> "mktbt",
+        "شاهنامه فردوسی" -> "sahnamhfrdwsy",
+        "العدد ٣ سنة ١٩٢٥" -> "aldd3snt1925",
         // Latin input is untouched by the flag (same key as romanize=off)
         "Tähtien Sota!" -> "tahtiensota"
       ),
