@@ -786,8 +786,19 @@ object ScaleProbe {
           .agg(sum("n"))
           .collect()(0)
           .getLong(0)
+        val t1 = System.nanoTime()
+        // The de-skewed as-of join shares the day-salt shape; `big`
+        // carries ts only implicitly, so rebuild it for asofOf's
+        // (event_id, ts, user_id, event_type, us) contract.
+        val asofIn = big.withColumn("ts", timestamp_micros(col("us")))
+        val matched = operators.JoinQueries
+          .asofOf(asofIn)
+          .agg(count(col("click_event_id")))
+          .collect()(0)
+          .getLong(0)
         println(
-          f"SCALE mode=transskew mult=$mult events=$total steps=$steps time=${(System.nanoTime() - t0) / 1e9}%.1f s"
+          f"SCALE mode=transskew mult=$mult events=$total steps=$steps trans_t=${(t1 - t0) / 1e9}%.1f s " +
+            f"asof_matched=$matched asof_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
         )
       case "media" =>
         // MB-scale payload probe for the chunked BMP/WAV decoders: 8

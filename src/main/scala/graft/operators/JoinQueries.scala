@@ -39,31 +39,66 @@ object JoinQueries {
   def evts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
 
+  /** Day bucket of the microsecond timestamp — the salt bounding any
+    * per-user window task at one user-day (the TransitionQueries r10
+    * de-skew, applied here too).
+    */
+  private val SegUs = 86400000000L
+
   /** As-of core over an events frame carrying (event_id, ts, user_id,
     * event_type, us). Union-tag: clicks carry their payload, purchases
-    * carry null; a single ordered window then drags the latest click
-    * forward. The current row is inside the frame but never matches
-    * itself (a purchase's click-payload is null), giving
-    * backward-inclusive as-of semantics under the total (ts, event_id)
-    * order.
+    * carry null; an ordered window drags the latest click forward. The
+    * current row is inside the frame but never matches itself (a
+    * purchase's click-payload is null), giving backward-inclusive
+    * as-of semantics under the total (ts, event_id) order.
+    *
+    * De-skew (r10): the carry window partitions on (user, DAY), so a
+    * bot's multi-year history never sorts on one task. A purchase's
+    * match is either same-day (the within-day window, order restricted
+    * to one user-day) or the latest click of an EARLIER day — carried
+    * in from a per-(user, day) last-click summary via a second window
+    * over the per-user day summaries (≤ days-per-user rows, thousands
+    * of times smaller than events). Within-day beats carry-in by
+    * construction (it is later in the total order).
     */
   def asofOf(e: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy("user_id")
-      .orderBy("us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ec = e
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("seg", expr(s"us div ${SegUs}L"))
     val clickId = when(col("event_type") === "click", col("event_id"))
     val clickUs = when(col("event_type") === "click", col("us"))
-    e.filter(col("event_type").isin("click", "purchase"))
-      .withColumn("click_event_id", last(clickId, ignoreNulls = true).over(w))
-      .withColumn("click_us", last(clickUs, ignoreNulls = true).over(w))
+    val wd = Window
+      .partitionBy("user_id", "seg")
+      .orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withDay = ec
+      .withColumn("cw_id", last(clickId, ignoreNulls = true).over(wd))
+      .withColumn("cw_us", last(clickUs, ignoreNulls = true).over(wd))
+    // Latest click struct of each user-day (max of a null-when-not-click
+    // struct — map-side combinable, no sort), then the latest click of
+    // any PRIOR day per (user, day) via the small summary window.
+    val daySummaries = ec
+      .groupBy("user_id", "seg")
+      .agg(
+        max(when(col("event_type") === "click", struct(col("us"), col("event_id"))))
+          .as("dlc")
+      )
+    val ws = Window
+      .partitionBy("user_id")
+      .orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = daySummaries
+      .withColumn("carry", last(col("dlc"), ignoreNulls = true).over(ws))
+      .select(col("user_id"), col("seg"), col("carry"))
+    withDay
+      .join(carry, Seq("user_id", "seg"))
       .filter(col("event_type") === "purchase")
       .select(
         col("event_id"),
         col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
-        col("click_event_id"),
-        (col("us") - col("click_us")).as("gap_us")
+        coalesce(col("cw_id"), col("carry.event_id")).as("click_event_id"),
+        (col("us") - coalesce(col("cw_us"), col("carry.us"))).as("gap_us")
       )
   }
 

@@ -105,14 +105,33 @@ class JoinQueriesSpec extends SparkSuite {
     assert(runInterval(df) === Set((2L, 1L, 2000000L)))
   }
 
-  test("asof join plans one exchange and no join operator") {
-    val plan = SparkEntry
+  test("asof join keeps the de-skewed day-salted shape") {
+    // r10: the carry window partitions on (user, day) — never the bare
+    // user — so a hot user's history never sorts on one task. The only
+    // join is the equi-join stitching the day-summary carry back (no
+    // nested loop), and every event-sized window keys on (user, seg).
+    val exec = SparkEntry
       .queries("events_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution
       .executedPlan
-      .toString
-    assert(!plan.contains("Join"), plan)
-    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val plan = inner.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val windows = inner.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, plan)
+    // Every window over the EVENT-sized frame (the ones ordered by
+    // (us, event_id)) must carry the day salt in its partition keys;
+    // the day-summary window (ordered by seg alone) is bounded by
+    // days-per-user and may partition on the bare user.
+    windows.foreach { w =>
+      val eventSized = w.orderSpec.size > 1
+      if (eventSized)
+        assert(w.partitionSpec.size >= 2, s"event-sized window missing the day salt: $w")
+    }
   }
 
   test("interval join plans an equi-join, not a nested loop") {
