@@ -796,9 +796,24 @@ object ScaleProbe {
           .agg(count(col("click_event_id")))
           .collect()(0)
           .getLong(0)
+        val t2 = System.nanoTime()
+        // The de-skewed sessionize shares the shape; feed it through a
+        // temp view dir-free by writing nothing — call the registered
+        // query body on a parquet round-trip of the skewed frame.
+        val dir = java.nio.file.Files.createTempDirectory("transskew").toString
+        asofIn
+          .withColumn("value", lit(1.0))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/events.parquet")
+        val sessions = SparkEntry
+          .queries("events_sessionize")(spark, dir)
+          .count()
         println(
           f"SCALE mode=transskew mult=$mult events=$total steps=$steps trans_t=${(t1 - t0) / 1e9}%.1f s " +
-            f"asof_matched=$matched asof_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
+            f"asof_matched=$matched asof_t=${(System.nanoTime() - t1) / 1e9}%.1f s " +
+            f"sessions=$sessions sess_t=${(System.nanoTime() - t2) / 1e9}%.1f s"
         )
       case "media" =>
         // MB-scale payload probe for the chunked BMP/WAV decoders: 8

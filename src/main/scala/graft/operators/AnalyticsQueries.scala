@@ -137,28 +137,81 @@ object AnalyticsQueries {
     Q(
       // Sessionization: a new session starts after a >30 min gap per user.
       // Batch twin of EventStreams.sessionize (flatMapGroupsWithState).
+      //
+      // De-skew (r10, the last per-user-unbounded event window): the gap
+      // window runs within (user, DAY) — a bot's full history never
+      // sorts on one task — and sessions crossing midnight are stitched
+      // on the per-user DAY-SUMMARY frame (≤ days-per-user rows): a
+      // day's first LOCAL session merges into the previous populated
+      // day's last session iff the boundary gap is ≤ 30 min, chains
+      // included (a single-session merge day contributes zero new
+      // sessions, so a multi-midnight session keeps one global index).
+      // The global session_idx is reconstructed EXACTLY as the one-shot
+      // cumulative count: idx = (new sessions on prior days) + local
+      // index − merge flag; per-session aggregates fold from
+      // local-session partials (decimal partials stay exact). Every
+      // stage is bounded: event-sized windows carry the day salt,
+      // summary windows see days, the final groupBy keys on (user, idx).
       "events_sessionize",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val withGap = Tables
+        val segUs = 86400000000L
+        val e = Tables
           .events(s, d)
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("seg", expr(s"us div ${segUs}L"))
+        val wd = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+        val locals = e
+          .withColumn("prev_us", lag(col("us"), 1).over(wd))
           .withColumn(
             "is_new",
-            when(
-              col("prev_us").isNull ||
-                unix_micros(col("ts")) - col("prev_us") > 1800000000L,
-              1
-            ).otherwise(0)
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+              .otherwise(0)
           )
-          .withColumn("session_idx", sum(col("is_new")).over(w))
-        withGap
+          .withColumn(
+            "lsess",
+            sum(col("is_new")).over(wd.rowsBetween(Window.unboundedPreceding, 0))
+          )
+          .groupBy("user_id", "seg", "lsess")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("ts")).as("min_ts"),
+            min(col("us")).as("first_us"),
+            max(col("us")).as("last_us"),
+            sum(col("value").cast("decimal(18,2)")).as("v")
+          )
+        val ws = Window.partitionBy("user_id").orderBy("seg")
+        val dayFlags = locals
+          .groupBy("user_id", "seg")
+          .agg(
+            min(col("first_us")).as("day_first_us"),
+            max(col("last_us")).as("day_last_us"),
+            max(col("lsess")).as("k")
+          )
+          .withColumn("prev_last", lag(col("day_last_us"), 1).over(ws))
+          .withColumn(
+            "mrg",
+            when(
+              col("prev_last").isNotNull &&
+                col("day_first_us") - col("prev_last") <= 1800000000L,
+              1L
+            ).otherwise(0L)
+          )
+          .withColumn(
+            "off",
+            coalesce(
+              sum(col("k") - col("mrg")).over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+        locals
+          .join(dayFlags.select("user_id", "seg", "mrg", "off"), Seq("user_id", "seg"))
+          .withColumn("session_idx", col("off") + col("lsess") - col("mrg"))
           .groupBy("user_id", "session_idx")
           .agg(
-            count(lit(1)).as("n_events"),
-            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            cast_decimal_sum(col("value")).as("sum_value")
+            sum(col("n")).as("n_events"),
+            date_format(min(col("min_ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            sum(col("v")).cast("double").as("sum_value")
           )
       },
       Some(

@@ -30,6 +30,56 @@ class RoundTenOpsSpec extends SparkSuite {
     assert(out("b") == ((1L, mu(math.log(1.0 / 9)))))
   }
 
+  test("de-skewed sessionize stitches sessions across midnights, chains included") {
+    import spark.implicits._
+    val day = 86400000000L
+    val m = 60000000L
+    // user 1: cross-midnight merge, then a fresh same-day session, then
+    // a session chaining day1→day2, then a fresh day3 session.
+    val u1 = Seq(
+      day - 10 * m, // d0                        session 1
+      day + 5 * m, // d1, gap 15m  → merges      session 1
+      day + 50 * m, // d1, gap 45m → new         session 2
+      2 * day - 1 * m, // d1, gap big → new      session 3
+      2 * day + 10 * m, // d2, gap 11m → merges  session 3
+      3 * day + 10 * m // d3, gap 24h → new      session 4
+    ).map((1L, _))
+    // user 2: ONE session spanning two midnights — every gap is 25m, so
+    // day1 contributes a single local session that merges backward AND
+    // forwards (a zero-new-sessions day, the chain case).
+    val u2 = (0L to ((3 * day + 120 * m - (day - 60 * m)) / (25 * m)))
+      .map(k => (2L, day - 60 * m + k * 25 * m))
+    val all = (u1 ++ u2).zipWithIndex.map { case ((u, us), i) =>
+      (i.toLong, us, u, "click", 1.5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sess10").toString
+    all
+      .toDF("event_id", "usv", "user_id", "event_type", "value")
+      .select(
+        col("event_id"),
+        timestamp_micros(col("usv")).as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value")
+      )
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("events_sessionize")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) -> r.getAs[Long]("n_events"))
+      .toMap
+    val u1Sessions = out.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted
+    assert(u1Sessions == Seq(1L, 2L, 3L, 4L), out)
+    assert(out((1L, 1L)) == 2L)
+    assert(out((1L, 3L)) == 2L)
+    // user 2 collapses to ONE session holding every event.
+    val u2Sessions = out.keys.filter(_._1 == 2L).toSeq
+    assert(u2Sessions == Seq((2L, 1L)), out)
+    assert(out((2L, 1L)) == u2.size.toLong)
+  }
+
   test("unigram EM counts repeated piece uses within one word") {
     import spark.implicits._
     // "abab"×4 + "ab"×6 + "c": every multi-char piece except "ab"
