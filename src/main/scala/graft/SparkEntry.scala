@@ -58,6 +58,7 @@ object SparkEntry {
       operators.Bpe.all ++
       operators.Retrieval.all ++
       operators.Rerank.all ++
+      operators.PqTrain.all ++
       operators.PcaPower.all ++
       operators.CentroidClassify.all ++
       operators.Readability.all ++

@@ -459,6 +459,78 @@ object CurationQueries {
     }
   )
 
+  /** HELD-OUT perplexity evaluation — the train/eval separation the
+    * in-corpus scorers (docs_lm_score, docs_ppl_buckets) deliberately
+    * skip: the unigram LM trains on the 90% TRAIN split (doc_id % 10 ≠
+    * 7) and scores only the held-out 10%, with add-one smoothing over
+    * the train vocabulary so out-of-vocabulary tokens get the +1 OOV
+    * mass instead of −∞ (p(w) = (c(w)+1)/(NT+V+1)). This is the
+    * number a data pipeline trusts for corpus-quality drift: in-corpus
+    * perplexity rewards memorizing the very duplicates dedup removes.
+    *
+    * Scale shape: train counts are a vocab-bounded groupBy; the (NT, V)
+    * pair broadcasts as one row; scoring is a vocab-keyed equi-join +
+    * map pass; per-doc rollup is map-side combinable. Engine
+    * determinism: per-token scores quantize to round(1e6·ln(exact
+    * integer ratio)) BEFORE summing, so the per-doc mean is an integer
+    * div — order-independent, unlike an avg-of-doubles.
+    */
+  private val pplHoldout = Q(
+    "docs_ppl_holdout",
+    (s, d) => {
+      val toks = Tables
+        .documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val isTest = col("doc_id") % 10 === 7
+      val cu = toks.filter(!isTest).groupBy("w").agg(count(lit(1)).as("cu"))
+      val stats = cu.agg(sum("cu").as("nt"), count(lit(1)).as("v"))
+      toks
+        .filter(isTest)
+        .join(cu, Seq("w"), "left")
+        .withColumn("j", (col("doc_id") - col("doc_id") + 1).cast("int"))
+        .join(
+          broadcast(stats.select((col("nt") - col("nt") + 1).cast("int").as("j"), col("nt"), col("v"))),
+          Seq("j")
+        )
+        .withColumn(
+          "t_mu",
+          round(
+            log(
+              (coalesce(col("cu"), lit(0L)) + 1).cast("double") /
+                (col("nt") + col("v") + 1).cast("double")
+            ) * 1e6
+          ).cast("long")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("cu").isNull, 1L).otherwise(0L)).as("n_oov"),
+          expr("sum(t_mu) div count(1)").as("avg_lp_mu")
+        )
+    },
+    Some {
+      val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, w
+         |  FROM (SELECT doc_id, lang, unnest(string_split($norm, ' ')) AS w FROM documents) _t
+         |  WHERE length(w) > 0),
+         |cu AS (SELECT w, count(*) AS cu FROM toks WHERE doc_id % 10 != 7 GROUP BY w),
+         |st AS (SELECT sum(cu) AS nt, count(*) AS v FROM cu),
+         |sc AS (
+         |  SELECT t.doc_id, t.lang,
+         |    CAST(round(ln(CAST(coalesce(cu.cu, 0) + 1 AS double) /
+         |                  CAST(st.nt + st.v + 1 AS double)) * 1e6) AS BIGINT) AS t_mu,
+         |    CASE WHEN cu.cu IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM toks t LEFT JOIN cu ON cu.w = t.w CROSS JOIN st
+         |  WHERE t.doc_id % 10 = 7)
+         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(sum(t_mu) // count(*) AS BIGINT) AS avg_lp_mu
+         |FROM sc GROUP BY doc_id, lang""".stripMargin
+    }
+  )
+
   /** Attrition funnel over the duplicate-planted corpus: document count
     * surviving each cumulative stage (word count, mean word length,
     * stopword presence, exact dedup). The report every curation run
@@ -527,5 +599,5 @@ object CurationQueries {
   )
 
   val all: Seq[Q] =
-    Seq(gopherRules, duplicateSpans, duplicateSpansStrided, pplBuckets, filterChain)
+    Seq(gopherRules, duplicateSpans, duplicateSpansStrided, pplBuckets, pplHoldout, filterChain)
 }

@@ -154,6 +154,76 @@ object GraphMetrics {
       .drop("j")
   }
 
+  /** Newman modularity of a vertex partition over an undirected edge
+    * list (Newman & Girvan 2004): Q = Σ_c [e_c/m − (deg_c/2m)²] —
+    * measured here with the STRICT near-dup clustering (Jaccard ≥ 0.8)
+    * as the partition and the LOOSE verified graph (≥ 0.5) as the
+    * edges, i.e. "how much of the 0.5-similarity structure does the
+    * 0.8 clustering explain vs the degree-preserving null model". The
+    * cluster-granularity diagnostic a dedup pipeline reads before
+    * loosening its threshold: Q near 1 = the strict clusters already
+    * close over the loose graph; low Q = mass cross-cluster similarity
+    * the partition ignores.
+    *
+    * Scale shape: two label equi-joins on the edge endpoints (labels
+    * are the certified clustering output), ONE degree aggregate, ONE
+    * per-cluster aggregate — every key space is vertices/clusters,
+    * never pairs. Exact integer output: with no cross-partition edge
+    * counted twice (canonical u < v edges), Q = (4·m·intra −
+    * Σ deg_c²) / (4m²); the permyriad rides decimal(38,0) products
+    * (both engines truncate integer division toward zero — probed).
+    */
+  def modularityOf(edges0: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = canonical(edges0).localCheckpoint()
+    val lab = labels.select(col("doc_id"), col("cluster_id"))
+    val tagged = edges
+      .join(lab.select(col("doc_id").as("u"), col("cluster_id").as("cu")), Seq("u"))
+      .join(lab.select(col("doc_id").as("v"), col("cluster_id").as("cv")), Seq("v"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val intra = tagged.agg(
+      coalesce(sum(when(col("cu") === col("cv"), 1L).otherwise(0L)), lit(0L)).as("n_intra")
+    )
+    val degc = edges
+      .select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+      .join(lab.select(col("doc_id").as("id"), col("cluster_id")), Seq("id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("dc"))
+    val sums = degc.agg(
+      coalesce(sum(expr("cast(dc as decimal(38,0)) * dc")), lit(0L).cast("decimal(38,0)"))
+        .as("sum_deg_sq"),
+      count(lit(1)).as("n_clusters")
+    )
+    m.withColumn("j", (col("m") - col("m") + 1).cast("int"))
+      .join(
+        broadcast(
+          intra.select((col("n_intra") - col("n_intra") + 1).cast("int").as("j"), col("n_intra"))
+        ),
+        Seq("j")
+      )
+      .join(
+        broadcast(
+          sums.select(
+            (col("n_clusters") - col("n_clusters") + 1).cast("int").as("j"),
+            col("sum_deg_sq"),
+            col("n_clusters")
+          )
+        ),
+        Seq("j")
+      )
+      .select(
+        col("m").as("n_edges"),
+        col("n_intra"),
+        col("n_clusters"),
+        when(
+          col("m") > 0,
+          expr(
+            "cast(((4 * cast(m as decimal(38,0)) * n_intra - sum_deg_sq) * 10000) div (4 * cast(m as decimal(38,0)) * m) as bigint)"
+          )
+        ).as("modularity_pm")
+      )
+  }
+
   /** The peeling oracle: R unrolled (alive, edges, degree) CTE rounds
     * over the shared near-dup graph CTEs.
     */
@@ -215,6 +285,62 @@ object GraphMetrics {
     }
   )
 
+  private val modularityQ = Q(
+    "graph_modularity",
+    (s, d) =>
+      modularityOf(
+        LlmQueries8.verifiedNeardupEdges(TriangleQueries.triCorpus(s, d), 0.5),
+        LlmQueries8
+          .neardupClusters(TriangleQueries.triCorpus(s, d), 0.8)
+          .select(col("doc_id"), col("cluster_id"))
+      ),
+    Some {
+      val jac8 =
+        """cast(len(list_intersect(a.wset, b.wset)) as double) /
+          |        len(list_distinct(list_concat(a.wset, b.wset)))""".stripMargin
+      // Labels: the certified 0.8-clustering as a recursive closure over
+      // the uncapped verified pairs (component-equal to the capped+star
+      // kernel — the docs_neardup_clusters equivalence); edges: the
+      // capped 0.5 graph the other graph metrics measure.
+      s"""WITH RECURSIVE ${TriangleQueries.neardupGraphCtesSql},
+         |ce AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM vp WHERE u != v),
+         |vp8 AS (
+         |  SELECT p.doc_a, p.doc_b FROM pairs p
+         |  JOIN wsets a ON p.doc_a = a.doc_id
+         |  JOIN wsets b ON p.doc_b = b.doc_id
+         |  WHERE $jac8 >= 0.8),
+         |sym AS (SELECT doc_a AS id, doc_b AS peer FROM vp8
+         |        UNION ALL SELECT doc_b, doc_a FROM vp8),
+         |reach AS (
+         |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM sym)
+         |  UNION
+         |  SELECT reach.id, sym.peer FROM reach JOIN sym ON sym.id = reach.r
+         |),
+         |clab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |lab AS MATERIALIZED (
+         |  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN clab l ON c.doc_id = l.id),
+         |mm AS (SELECT count(*) AS m FROM ce),
+         |intra AS (
+         |  SELECT coalesce(sum(CASE WHEN lu.cluster_id = lv.cluster_id THEN 1 ELSE 0 END), 0) AS n_intra
+         |  FROM ce JOIN lab lu ON lu.doc_id = ce.u JOIN lab lv ON lv.doc_id = ce.v),
+         |degc AS (
+         |  SELECT lab.cluster_id, count(*) AS dc
+         |  FROM (SELECT u AS id FROM ce UNION ALL SELECT v FROM ce) e
+         |  JOIN lab ON lab.doc_id = e.id GROUP BY 1),
+         |sums AS (
+         |  SELECT coalesce(sum(CAST(dc AS HUGEINT) * dc), 0) AS sum_deg_sq,
+         |    count(*) AS n_clusters
+         |  FROM degc)
+         |SELECT CAST(m AS BIGINT) AS n_edges, CAST(n_intra AS BIGINT) AS n_intra,
+         |  CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(CASE WHEN m > 0
+         |    THEN ((4 * CAST(m AS HUGEINT) * n_intra - sum_deg_sq) * 10000) // (4 * CAST(m AS HUGEINT) * m)
+         |  END AS BIGINT) AS modularity_pm
+         |FROM mm, intra, sums""".stripMargin
+    }
+  )
+
   private val kcoreQ = Q(
     "graph_kcore",
     (s, d) =>
@@ -223,5 +349,5 @@ object GraphMetrics {
     bench2 = true
   )
 
-  val all: Seq[Q] = Seq(transitivityQ, kcoreQ)
+  val all: Seq[Q] = Seq(transitivityQ, kcoreQ, modularityQ)
 }

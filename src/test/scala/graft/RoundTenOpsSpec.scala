@@ -80,6 +80,74 @@ class RoundTenOpsSpec extends SparkSuite {
     assert(out((2L, 1L)) == u2.size.toLong)
   }
 
+  test("PQ training recovers planted per-subspace clusters exactly") {
+    import spark.implicits._
+    // 80 vectors: vector i sits at value (i%16)·0.1 + 0.001·(i div 16)
+    // on EVERY dim, so each subspace has 16 planted clusters of 5
+    // members centered on the 16 seed vectors (vec_id < 16 ARE the
+    // centers). Two Lloyd rounds must keep the planted assignment and
+    // report the exact integer statistics: n = 5 members, s_mu =
+    // 5·100000·c + 1000·(0+1+2+3+4) per (sub, code=c, dim).
+    val embs = (0 until 80)
+      .map { i =>
+        (i.toLong, Array.fill(64)(((i % 16) * 0.1 + 0.001 * (i / 16)).toFloat))
+      }
+      .toDF("vec_id", "embedding")
+    val out = operators.PqTrain
+      .trainOf(embs)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("sub"), r.getAs[Long]("code"), r.getAs[Long]("dim")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("s_mu"))
+      )
+      .toMap
+    assert(out.size == 8 * 16 * 8, out.size)
+    for (m <- 0L until 8L; c <- 0L until 16L; d <- 1L to 8L) {
+      val (n, s) = out((m, c, d))
+      assert(n == 5L, s"($m,$c,$d)")
+      assert(s == 500000L * c + 10000L, s"($m,$c,$d) -> $s")
+    }
+  }
+
+  test("modularity matches the hand-computed two-triangle graph") {
+    import spark.implicits._
+    // Two triangles bridged by one edge; the partition = the triangles.
+    // m=7, intra=6, deg_A=deg_B=7 => Q = (4*7*6 - 98)/(4*49) = 70/196.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val r = operators.GraphMetrics.modularityOf(edges, labels).collect().head
+    assert(r.getAs[Long]("n_edges") == 7L)
+    assert(r.getAs[Long]("n_intra") == 6L)
+    assert(r.getAs[Long]("n_clusters") == 2L)
+    assert(r.getAs[Long]("modularity_pm") == 3571L) // 700000 div 196
+  }
+
+  test("held-out perplexity trains on the train split only and charges OOV mass") {
+    import spark.implicits._
+    // Train: "a a b" + "a b" (cu: a=3, b=2; NT=5, V=2 => denom 8).
+    // Test doc 17: "a c" => p(a)=4/8, p(c)=1/8 (pure OOV mass).
+    val dir = java.nio.file.Files.createTempDirectory("ppl10").toString
+    Seq(
+      (1L, "a a b", "en", "s"),
+      (2L, "a b", "en", "s"),
+      (17L, "a c", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_ppl_holdout")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 17L)
+    assert(r.getAs[Long]("n_tokens") == 2L)
+    assert(r.getAs[Long]("n_oov") == 1L)
+    val tA = math.round(math.log(4.0 / 8) * 1e6) // -693147
+    val tC = math.round(math.log(1.0 / 8) * 1e6) // -2079442
+    assert(r.getAs[Long]("avg_lp_mu") == (tA + tC) / 2)
+  }
+
   test("unigram EM counts repeated piece uses within one word") {
     import spark.implicits._
     // "abab"×4 + "ab"×6 + "c": every multi-char piece except "ab"
