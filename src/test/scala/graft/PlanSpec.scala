@@ -366,4 +366,43 @@ class PlanSpec extends SparkSuite {
       }
     }
   }
+
+  test("round-10 additions keep their scale shapes") {
+    def innerPlanOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    // PQ training, modularity, the EM trainer and held-out perplexity
+    // are joins + bounded aggregates: window-free, equi-joins only
+    // (broadcast codebooks/labels — never a nested loop).
+    Seq("embed_pq_train", "graph_modularity", "docs_ppl_holdout").foreach { name =>
+      val plan = innerPlanOf(name)
+      assert(
+        plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"$name should be window-free"
+      )
+      assert(
+        plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty,
+        s"$name should contain only equi-joins"
+      )
+    }
+    // De-skewed sessionize: every event-sized window (ordered by more
+    // than the day key) must carry the (user, day) salt.
+    locally {
+      val plan = innerPlanOf("events_sessionize")
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, "events_sessionize: expected the day-salted windows")
+      windows.foreach { w =>
+        if (w.orderSpec.size > 1)
+          assert(
+            w.partitionSpec.size >= 2,
+            s"events_sessionize event-sized window missing the day salt: $w"
+          )
+      }
+    }
+  }
 }
