@@ -269,6 +269,33 @@ object CurationQueries {
     * `stridedspans` probe can report the anchor-vs-gram row-cost ratio.
     */
   private[graft] def anchorsOf(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    // Native one-pass kernel (r10): the composed HOF form below is the
+    // specification, but it evaluates interpreted — one Catalyst tree
+    // walk per gram position — and dominated the registry's bench; the
+    // compiled expression is ~10× the throughput with identical output
+    // (spec-asserted, and the unchanged oracle replays the composed
+    // form, so the hash gate certifies the kernel every round).
+    corpus
+      .filter(length(col("text")) >= G)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(
+          GraftColumn.of(
+            graft.plans.WinnowAnchorsExpr(GraftColumn.exprOf(col("text")), G, SpanStride)
+          )
+        ).as("pos")
+      )
+      .select(col("doc_id"), col("pos"), col("text").substr(col("pos"), lit(G)).as("g"))
+  }
+
+  /** The composed-builtin anchor selection — the cross-checkable
+    * specification of [[graft.plans.WinnowAnchorsExpr]] (RoundTenOpsSpec
+    * asserts set equality on the corpus) and the form the DuckDB oracle
+    * replays.
+    */
+  private[graft] def anchorsOfComposed(corpus: DataFrame): DataFrame = {
     import graft.functions.MetadataFunctions.bindOnce
     val hashOf = (g: Column) => conv(substring(md5(g), 1, 12), 16, 10).cast("long")
     corpus

@@ -148,6 +148,26 @@ class RoundTenOpsSpec extends SparkSuite {
     assert(r.getAs[Long]("avg_lp_mu") == (tA + tC) / 2)
   }
 
+  test("native winnow-anchor kernel equals the composed HOF specification") {
+    // Set equality over the real corpus (positions AND gram content),
+    // plus the short-text degenerate window (< stride hashes) case.
+    import spark.implicits._
+    val corpus = operators.LlmQueries.corpus(spark, "/root/testdata/sf0.001")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getString(2))).toSet
+    val native = setOf(operators.CurationQueries.anchorsOf(corpus))
+    val composed = setOf(operators.CurationQueries.anchorsOfComposed(corpus))
+    assert(native.nonEmpty)
+    assert(native == composed)
+    // Short text: G=40 fits once, so ONE degenerate window of 8 hashes
+    // or fewer — both forms must pick the same rightmost-min anchor.
+    val short = Seq((1L, "x" * 45)).toDF("doc_id", "text")
+    assert(
+      setOf(operators.CurationQueries.anchorsOf(short)) ==
+        setOf(operators.CurationQueries.anchorsOfComposed(short))
+    )
+  }
+
   test("unigram EM counts repeated piece uses within one word") {
     import spark.implicits._
     // "abab"×4 + "ab"×6 + "c": every multi-char piece except "ab"
