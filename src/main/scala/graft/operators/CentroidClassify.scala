@@ -122,6 +122,99 @@ object CentroidClassify {
       )
   }
 
+  /** Simplified silhouette of the trained nearest-class-mean model
+    * (Hruschka 2004's centroid-based silhouette, over the Rocchio
+    * centroids instead of O(n²) pairwise distances): per vector, a =
+    * distance to the NEAREST centroid, b = distance to the second
+    * nearest, s = 1 − a/b ∈ [0, 1] — the class-separability report an
+    * embedding pipeline reads next to the confusion matrix (mean s
+    * near 0 = classes collapse onto shared centroids).
+    *
+    * Scale shape: the ≤10×64 centroid model rides in as literals (the
+    * confusion-matrix discipline) so scoring is MAP-ONLY; the rollup is
+    * a ≤ |classes| aggregate. Determinism: squared distances are exact
+    * int64; s quantizes PER ROW as round((1 − sqrt(a/b))·10⁴) — one
+    * IEEE division + sqrt on identical inputs — and the per-cluster
+    * mean is an integer div, order-independent.
+    */
+  def silhouetteOf(embs: DataFrame): DataFrame = {
+    val eqCached = eqOf(embs).persist()
+    val ctr =
+      try centroids(eqCached)
+      finally eqCached.unpersist(false)
+    val eq = eqOf(embs)
+    val present = (0 until Labels).filter(ctr.contains)
+    if (present.size < 2)
+      return eq
+        .filter(lit(false))
+        .select(lit(0L).as("cluster"), lit(0L).as("n"), lit(0L).as("mean_sil_pm"))
+    val flat = typedLit(present.flatMap(l => ctr(l).toSeq))
+    val lbls = typedLit(present.map(_.toLong))
+    val dist = (li: Column) =>
+      aggregate(
+        sequence(lit(0), lit(Dim - 1)),
+        lit(0L),
+        (acc, j) => {
+          val d = element_at(col("e"), j.cast("int") + 1) -
+            element_at(flat, (li * Dim + j).cast("int") + 1)
+          acc + d * d
+        }
+      )
+    val dists = transform(sequence(lit(0), lit(present.size - 1)), li => dist(li))
+    val bestKey = aggregate(
+      sequence(lit(0), lit(present.size - 1)),
+      lit(Long.MaxValue),
+      (acc, li) => least(acc, dist(li) * 16 + element_at(lbls, li.cast("int") + 1))
+    )
+    eq.withColumn("ds", dists)
+      .withColumn("cluster", (bestKey % 16).cast("long"))
+      .withColumn("d1", element_at(array_sort(col("ds")), 1))
+      .withColumn("d2", element_at(array_sort(col("ds")), 2))
+      .withColumn(
+        "s_pm",
+        when(
+          col("d2") > 0,
+          round((lit(1.0) - sqrt(col("d1").cast("double") / col("d2").cast("double"))) * 10000)
+            .cast("long")
+        ).otherwise(lit(0L))
+      )
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), expr("sum(s_pm) div count(1)").as("mean_sil_pm"))
+  }
+
+  private def silhouetteOracle: String =
+    s"""WITH eq AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS double) * $EQ) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |dims AS (SELECT CAST(j AS INT) AS j FROM range(1, ${Dim + 1}) t(j)),
+       |ctr AS MATERIALIZED (
+       |  SELECT label, dims.j,
+       |    CAST(round(CAST(sum(e[dims.j]) AS double) / count(*)) AS BIGINT) AS c
+       |  FROM eq CROSS JOIN dims WHERE vec_id % 5 != 0 GROUP BY label, dims.j),
+       |carr AS MATERIALIZED (
+       |  SELECT label AS clabel, list(c ORDER BY j) AS cs FROM ctr GROUP BY label),
+       |scored AS (
+       |  SELECT t.vec_id, c.clabel,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      j -> (t.e[j] - c.cs[j]) * (t.e[j] - c.cs[j]))) AS BIGINT) AS dist
+       |  FROM eq t CROSS JOIN carr c),
+       |rk AS (
+       |  SELECT vec_id, clabel, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn,
+       |    min(dist * 16 + clabel) OVER (PARTITION BY vec_id) AS bestkey
+       |  FROM scored),
+       |sv AS (
+       |  SELECT vec_id, any_value(bestkey) % 16 AS cluster,
+       |    min(CASE WHEN rn = 1 THEN dist END) AS d1,
+       |    min(CASE WHEN rn = 2 THEN dist END) AS d2
+       |  FROM rk GROUP BY vec_id)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN d2 > 0
+       |    THEN CAST(round((1.0 - sqrt(CAST(d1 AS double) / CAST(d2 AS double))) * 10000) AS BIGINT)
+       |    ELSE 0 END) // count(*) AS BIGINT) AS mean_sil_pm
+       |FROM sv GROUP BY cluster""".stripMargin
+
   private def oracleSql: String =
     s"""WITH eq AS MATERIALIZED (
        |  SELECT vec_id, label,
@@ -150,5 +243,11 @@ object CentroidClassify {
     Some(oracleSql)
   )
 
-  val all: Seq[Q] = Seq(confusionQ)
+  private val silhouetteQ = Q(
+    "embed_silhouette",
+    (s, d) => silhouetteOf(Tables.embeddings(s, d)),
+    Some(silhouetteOracle)
+  )
+
+  val all: Seq[Q] = Seq(confusionQ, silhouetteQ)
 }

@@ -63,6 +63,102 @@ object PcaPower {
   private def eqOf(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), eqArr.as("e"))
 
+  /** Embedding-health / ANISOTROPY report (Ethayarajh 2019's "how
+    * anisotropic is my embedding space" diagnostic, in its cheapest
+    * sound form): one row with the corpus size, the mean vector norm,
+    * and the mean (signed and absolute) cosine of every vector to the
+    * CORPUS MEAN direction — mean |cos| near 1 = the space has
+    * collapsed onto a cone (the failure the power-iteration row
+    * detects structurally, here as a monitorable scalar); near 0 =
+    * directions are balanced.
+    *
+    * Scale shape: ONE dimension-keyed aggregate builds the mean vector
+    * (64 keys, map-side combine), it rides back as a one-row broadcast,
+    * scoring is MAP-ONLY int64 dots, and the rollup is a single
+    * aggregate. Determinism: per-row scores quantize BEFORE summing
+    * (norm to milli-units, cosine to permyriad — one IEEE
+    * division/sqrt chain on exact int64 inputs per row), so the means
+    * are integer divs, order-independent.
+    */
+  def anisotropyOf(embs: DataFrame): DataFrame = {
+    val eq = eqOf(embs)
+    val sums = eq
+      .select(posexplode(col("e")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    val mrow = sums.agg(
+      transform(
+        array_sort(
+          collect_list(
+            struct(
+              col("j"),
+              round(col("s").cast("double") / col("n")).cast("long").as("m")
+            )
+          )
+        ),
+        _.getField("m")
+      ).as("mq")
+    )
+    val dot = expr("aggregate(sequence(0, 63), 0L, (acc, j) -> acc + e[j] * mq[j])")
+    val nrm2 = expr("aggregate(e, 0L, (acc, x) -> acc + x * x)")
+    val mq2 = expr("aggregate(mq, 0L, (acc, x) -> acc + x * x)")
+    eq.withColumn("j", (col("vec_id") - col("vec_id") + 1).cast("int"))
+      .join(
+        broadcast(mrow.select((size(col("mq")) - size(col("mq")) + 1).cast("int").as("j"), col("mq"))),
+        Seq("j")
+      )
+      .withColumn("nrm2", nrm2)
+      .withColumn("mq2", mq2)
+      .withColumn("dot", dot)
+      .withColumn("norm_mu", round(sqrt(col("nrm2").cast("double"))).cast("long"))
+      .withColumn(
+        "cos_pm",
+        when(
+          col("nrm2") > 0 && col("mq2") > 0,
+          round(
+            col("dot").cast("double") /
+              (sqrt(col("nrm2").cast("double")) * sqrt(col("mq2").cast("double"))) * 10000
+          ).cast("long")
+        ).otherwise(lit(0L))
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sum(norm_mu) div count(1)").as("mean_norm_mu"),
+        expr("sum(cos_pm) div count(1)").as("mean_cos_pm"),
+        expr("sum(abs(cos_pm)) div count(1)").as("mean_abs_cos_pm")
+      )
+  }
+
+  private def anisotropyOracle: String =
+    s"""WITH eq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS double) * $EQ) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |dims AS (SELECT CAST(j AS INT) AS j FROM range(1, ${Dim + 1}) t(j)),
+       |m AS (
+       |  SELECT dims.j,
+       |    CAST(round(CAST(sum(e[dims.j]) AS double) / count(*)) AS BIGINT) AS mq
+       |  FROM eq CROSS JOIN dims GROUP BY dims.j),
+       |ma AS (SELECT list(mq ORDER BY j) AS mq FROM m),
+       |sc AS (
+       |  SELECT
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), j -> e[j] * e[j])) AS BIGINT) AS nrm2,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), j -> mq[j] * mq[j])) AS BIGINT) AS mq2,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), j -> e[j] * mq[j])) AS BIGINT) AS dot
+       |  FROM eq, ma),
+       |q AS (
+       |  SELECT CAST(round(sqrt(CAST(nrm2 AS double))) AS BIGINT) AS norm_mu,
+       |    CASE WHEN nrm2 > 0 AND mq2 > 0
+       |      THEN CAST(round(CAST(dot AS double) /
+       |        (sqrt(CAST(nrm2 AS double)) * sqrt(CAST(mq2 AS double))) * 10000) AS BIGINT)
+       |      ELSE 0 END AS cos_pm
+       |  FROM sc)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(norm_mu) // count(*) AS BIGINT) AS mean_norm_mu,
+       |  CAST(sum(cos_pm) // count(*) AS BIGINT) AS mean_cos_pm,
+       |  CAST(sum(abs(cos_pm)) // count(*) AS BIGINT) AS mean_abs_cos_pm
+       |FROM q""".stripMargin
+
   /** The K power iterations over a quantized frame; returns (mean,
     * final v), both integer-quantized. Mirrored expression-for-
     * expression by the oracle CTEs.
@@ -169,5 +265,11 @@ object PcaPower {
     Some(oracleSql)
   )
 
-  val all: Seq[Q] = Seq(pcaQ)
+  private val anisotropyQ = Q(
+    "embed_anisotropy",
+    (s, d) => anisotropyOf(Tables.embeddings(s, d)),
+    Some(anisotropyOracle)
+  )
+
+  val all: Seq[Q] = Seq(pcaQ, anisotropyQ)
 }

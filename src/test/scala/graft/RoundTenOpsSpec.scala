@@ -168,6 +168,35 @@ class RoundTenOpsSpec extends SparkSuite {
     )
   }
 
+  test("silhouette is exactly 10000 pm for two coincident-member classes") {
+    import spark.implicits._
+    // Every class-0 vector sits exactly at 0.1, every class-1 vector at
+    // 0.9: d1 = 0, d2 > 0 for all rows, so s = 1 - sqrt(0/d2) = 1.
+    val embs = (0 until 20)
+      .map(i => (i.toLong, i % 2, Array.fill(64)(if (i % 2 == 0) 0.1f else 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = operators.CentroidClassify
+      .silhouetteOf(embs)
+      .collect()
+      .map(r => r.getAs[Long]("cluster") -> (r.getAs[Long]("n"), r.getAs[Long]("mean_sil_pm")))
+      .toMap
+    assert(out == Map(0L -> ((10L, 10000L)), 1L -> ((10L, 10000L))), out)
+  }
+
+  test("anisotropy reports perfect alignment for a rank-one corpus") {
+    import spark.implicits._
+    // All vectors identical (0.5 per dim): mean = the vector, cosine to
+    // the mean = 1 exactly; nrm2 = 64 * 500^2 => norm_mu = 4000.
+    val embs = (0 until 12)
+      .map(i => (i.toLong, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = operators.PcaPower.anisotropyOf(embs).collect().head
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Long]("mean_norm_mu") == 4000L)
+    assert(r.getAs[Long]("mean_cos_pm") == 10000L)
+    assert(r.getAs[Long]("mean_abs_cos_pm") == 10000L)
+  }
+
   test("unigram EM counts repeated piece uses within one word") {
     import spark.implicits._
     // "abab"×4 + "ab"×6 + "c": every multi-char piece except "ab"
