@@ -163,6 +163,51 @@ object JoinQueries {
     bench = false
   )
 
+  /** The [[graft.streaming.AsofStream]] batch-boundary contract as a
+    * hash-certified row: split the stream at the midpoint of its time
+    * axis (the integer midpoint rides the computed-key broadcast — no
+    * driver scalar), run the as-of core on batch 1, and on batch 2 run
+    * it with batch 1's carried state PREPENDED — the per-user latest
+    * click of batch 1 re-enters as a plain click row (original id/us),
+    * exactly the flatMapGroupsWithState carry. The union equals the
+    * one-shot join: a batch-2 purchase's latest prior click is either
+    * in batch 2 or is batch 1's last click. Same oracle as
+    * `events_asof_join`.
+    */
+  private val asofReplay = Q(
+    "stream_asof_replay",
+    (s, d) => {
+      val e = evts(s, d).filter(col("event_type").isin("click", "purchase"))
+      val mid = e.agg((min(col("us")) + max(col("us"))).as("mm"))
+      val withMid = e
+        .withColumn("j", (col("us") - col("us") + 1).cast("int"))
+        .join(
+          broadcast(
+            mid.select((col("mm") - col("mm") + 1).cast("int").as("j"), expr("mm div 2").as("mid"))
+          ),
+          Seq("j")
+        )
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "us")
+      val b1 = withMid.filter(col("us") <= col("mid")).select(cols.map(col): _*)
+      val b2 = withMid.filter(col("us") > col("mid")).select(cols.map(col): _*)
+      // Carried state: batch 1's latest click per user, re-entering
+      // batch 2 as an ordinary click row (struct max = total order).
+      val carried = b1
+        .filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(max(struct(col("us"), col("event_id"), col("ts"))).as("l"))
+        .select(
+          col("l.event_id").as("event_id"),
+          col("l.ts").as("ts"),
+          col("user_id"),
+          lit("click").as("event_type"),
+          col("l.us").as("us")
+        )
+      asofOf(b1).unionByName(asofOf(b2.unionByName(carried.select(b2.columns.map(col): _*))))
+    },
+    asof.oracle
+  )
+
   private val interval = Q(
     "events_interval_join",
     (s, d) => intervalOf(evts(s, d)),
@@ -307,5 +352,5 @@ object JoinQueries {
   )
 
   val all: Seq[Q] =
-    Seq(asof, interval, intervalReplay, intervalProperty, asofProperty)
+    Seq(asof, asofReplay, interval, intervalReplay, intervalProperty, asofProperty)
 }
