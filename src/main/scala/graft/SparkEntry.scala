@@ -59,6 +59,7 @@ object SparkEntry {
       operators.Retrieval.all ++
       operators.Rerank.all ++
       operators.PqTrain.all ++
+      operators.TableProfile.all ++
       operators.PcaPower.all ++
       operators.CentroidClassify.all ++
       operators.Readability.all ++
