@@ -86,9 +86,23 @@ object IvfPq {
       lookup: DataFrame,
       assigned: DataFrame,
       probes: DataFrame
+  ): DataFrame =
+    adcRerankCodes(emb, qvecs, lookup, assigned, probes, LlmQueries2.pqCodesOf(emb))
+
+  /** The same stages with an EXPLICIT (vec_id, sub, code) frame — the
+    * entry point for trained codebooks, where `code` is the 1-based
+    * position in the same per-subspace codeword array the lookup tables
+    * were built from.
+    */
+  private[operators] def adcRerankCodes(
+      emb: DataFrame,
+      qvecs: DataFrame,
+      lookup: DataFrame,
+      assigned: DataFrame,
+      probes: DataFrame,
+      codesOf: DataFrame
   ): DataFrame = {
-    val cand = LlmQueries2
-      .pqCodesOf(emb)
+    val cand = codesOf
       .join(assigned, Seq("vec_id"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -172,6 +186,94 @@ object IvfPq {
         ).as("tvals")
       )
     adcRerank(emb, qbase.select(col("query_id"), col("qv")), lookup, assigned, probes)
+  }
+
+  /** FULLY-trained variant: KMeans-trained coarse routing AND
+    * PqTrain-trained fine codebooks — the end-to-end production IVF-PQ
+    * shape (the registered oracle row keeps the deterministic codebooks
+    * so DuckDB can mirror every stage; this composition is certified by
+    * IvfPqSpec's planted-neighbor recall floor like `searchTrained`).
+    *
+    * `pqStats` is [[PqTrain.trainOf]] output; codewords quantize to
+    * exact integer micro-units (s_mu div n), vectors and queries
+    * likewise, so code assignment (packed argmin over the per-subspace
+    * codeword ARRAY position — robust to dropped empty cells) and the
+    * ADC lookup dots are pure int64.
+    */
+  def searchFullyTrained(emb: DataFrame, cents: DataFrame, pqStats: DataFrame): DataFrame = {
+    val books = pqStats
+      .groupBy("sub", "code")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), expr("s_mu div n").as("c")))),
+          _.getField("c")
+        ).as("cw")
+      )
+      .groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("code"), col("cw")))).as("cents"))
+    val sub = emb
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+      .select(
+        col("vec_id"),
+        col("m").cast("long").as("sub"),
+        expr(
+          "transform(slice(embedding, cast(m * 8 + 1 as int), 8), x -> cast(round(cast(x as double) * 1e6) as bigint))"
+        ).as("sv")
+      )
+    val withBooks = sub.join(broadcast(books), Seq("sub"))
+    val codes = withBooks
+      .withColumn(
+        "k",
+        expr(
+          """aggregate(sequence(1, size(cents)), 9223372036854775807L,
+            |  (acc, i) -> least(acc,
+            |    aggregate(sequence(0, 7), 0L,
+            |      (a, d) -> a + (sv[d] - cents[i-1].cw[d]) * (sv[d] - cents[i-1].cw[d])) * 64 + i))""".stripMargin
+        )
+      )
+      .select(col("vec_id"), col("sub"), pmod(col("k"), lit(64L)).cast("long").as("code"))
+    val lookup = withBooks
+      .filter(col("vec_id") < 5)
+      .select(
+        col("vec_id").as("query_id"),
+        col("sub"),
+        expr(
+          "transform(cents, c -> aggregate(sequence(0, 7), 0L, (a, d) -> a + sv[d] * c.cw[d]))"
+        ).as("tvals")
+      )
+    // Coarse routing: identical to searchTrained.
+    val withCents = emb
+      .withColumn("j", (size(col("embedding")) * 0 + 1).cast("int"))
+      .join(broadcast(KMeans.centroidsRow(cents)), Seq("j"))
+    val assigned = withCents.select(
+      col("vec_id"),
+      KMeans.nearestCell(col("embedding"), col("cents")).as("cell")
+    )
+    val nearestCells = slice(
+      transform(
+        array_sort(
+          transform(
+            col("cents"),
+            c => struct(
+              KMeans.l2sq(col("embedding"), c.getField("cv")).as("dist"),
+              c.getField("cell").as("cell")
+            )
+          )
+        ),
+        s => s.getField("cell")
+      ),
+      1,
+      NProbe
+    )
+    val qbase = withCents
+      .filter(col("vec_id") < 5)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        nearestCells.as("probe_cells")
+      )
+    val probes = qbase.select(col("query_id"), explode(col("probe_cells")).as("cell"))
+    adcRerankCodes(emb, qbase.select(col("query_id"), col("qv")), lookup, assigned, probes, codes)
   }
 
   val all: Seq[Q] = Seq(
