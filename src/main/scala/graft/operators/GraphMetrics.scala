@@ -101,18 +101,28 @@ object GraphMetrics {
     */
   def kcoreOf(edges0: DataFrame, k: Int = CoreK, rounds: Int = PeelRounds): DataFrame = {
     val edges = canonical(edges0).localCheckpoint()
-    def summaryOf(d: DataFrame, r: Int): DataFrame =
-      d.agg(count(lit(1)).as("n"), coalesce(sum("dg"), lit(0L)).as("s"))
-        .withColumn("r", lit(r))
-        .localCheckpoint()
+    // One-row (vertex count, degree sum) summary, collected DRIVER-side
+    // per round (the Bpe.train argmax-collect discipline): peeling is
+    // monotone, so summary equality means the degree table is at its
+    // fixpoint and every remaining round is a no-op — the loop STOPS
+    // there, producing the identical output to the full budget (the
+    // oracle unrolls all R rounds; post-fixpoint CTE rounds are
+    // identities) while a converged graph pays only rounds_used + 1
+    // passes instead of R.
+    def summaryOf(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(sum("dg"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     var deg = edges
       .select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
       .groupBy("id")
       .agg(count(lit(1)).as("dg"))
-    var summaries = Vector(summaryOf(deg, 0))
+    var prevSummary = summaryOf(deg)
     var kept: Option[org.apache.spark.rdd.RDD[_]] = None
-    for (r <- 1 to rounds) {
+    var stable = -1
+    var r = 1
+    while (r <= rounds && stable < 0) {
       val alive = deg.filter(col("dg") >= k).select("id")
       val e2 = edges
         .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
@@ -123,35 +133,22 @@ object GraphMetrics {
         .groupBy("id")
         .agg(count(lit(1)).as("dg"))
         .localCheckpoint()
-      summaries :+= summaryOf(next, r)
+      val sm = summaryOf(next)
+      if (sm == prevSummary) stable = r
+      prevSummary = sm
       val prev = kept
       kept = Lineage.checkpointRdd(next, "kcore")
       deg = next
       prev.foreach(_.unpersist(false))
+      r += 1
     }
-    val smu = summaries.reduce(_ unionByName _)
-    val nxt = smu.select(col("r").as("r2"), col("n").as("n2"), col("s").as("s2"))
-    val tele = smu
-      .join(
-        nxt,
-        col("r2") === col("r") + 1 && col("n2") === col("n") && col("s2") === col("s")
-      )
-      .agg(min(col("r2")).as("rmin"))
-      .select(
-        coalesce(col("rmin"), lit(rounds)).cast("long").as("rounds_used"),
-        when(col("rmin").isNotNull, lit(1L)).otherwise(lit(0L)).as("converged")
-      )
+    val roundsUsed = if (stable > 0) stable.toLong else rounds.toLong
+    val converged = if (stable > 0) 1L else 0L
     deg
       .filter(col("dg") >= k)
       .select(col("id").as("doc_id"), col("dg").as("core_deg"))
-      .withColumn("j", (col("core_deg") - col("core_deg") + 1).cast("int"))
-      .join(
-        broadcast(
-          tele.withColumn("j", (col("converged") - col("converged") + 1).cast("int"))
-        ),
-        Seq("j")
-      )
-      .drop("j")
+      .withColumn("rounds_used", lit(roundsUsed))
+      .withColumn("converged", lit(converged))
   }
 
   /** Newman modularity of a vertex partition over an undirected edge
