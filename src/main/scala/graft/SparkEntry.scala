@@ -107,7 +107,8 @@ object SparkEntry {
       operators.TriangleQueries.all ++
       operators.AllPairsJoin.all ++
       operators.AmsSketch.all ++
-      operators.HybridFusion.all
+      operators.HybridFusion.all ++
+      operators.DeflateMedia.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,364 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.zip.{CRC32, Deflater, GZIPInputStream, GZIPOutputStream, Inflater}
+
+/** REAL entropy-coded decode for the two DEFLATE-based containers the
+  * JDK ships a codec for: PNG (RGB8, all five scanline filters) and
+  * gzip text. This narrows the long-documented media gap one more
+  * step — after r9's uncompressed BMP/WAV byte walks, the remaining
+  * stub covered *entropy-coded* formats; `java.util.zip.Inflater` IS
+  * the entropy decoder for PNG/gzip, so those two no longer need any
+  * external library. (JPEG/video stay stubbed: their entropy coders
+  * are not in the JDK.)
+  *
+  * Architecture (the codec tier, same contract as
+  * [[graft.sources.Iso2709]] / [[Multimodal.decodeBatched]]): payloads
+  * live in ONE parquet binary column; decode runs in `mapPartitions`
+  * with codec state (one `Inflater`, three row buffers) allocated once
+  * per partition and reused across rows — per-row transient memory is
+  * O(scanline) for PNG and O(8 KiB) for gzip regardless of payload
+  * size, and the payload is never hex-stringified. Map-only: no
+  * shuffle, no window; the plan is scan → project per partition.
+  *
+  * Certification is two-sided, mirroring the r9 BMP/WAV discipline:
+  * the fixtures synthesize REAL compressed streams (PNG via `Deflater`
+  * over properly filtered scanlines with the filter TYPE CYCLING y%5 so
+  * every unfilter path executes; gzip via `GZIPOutputStream`), the
+  * oracle recomputes the expected statistics ANALYTICALLY from the
+  * deterministic pixel/text formulas without ever touching the
+  * compressed bytes, and PngCodecSpec cross-checks the decoder against
+  * JDK ImageIO on the same byte streams. A hash match therefore
+  * certifies inflate + unfilter against two independent grounds.
+  *
+  * At 100 TB this is the ingest shape that matters: web corpora arrive
+  * as .gz (WARC/WET) and image corpora as PNG/JPEG — decode must be a
+  * streaming per-partition pass, not a collect or a per-row library
+  * spin-up.
+  */
+object DeflateMedia {
+
+  // ---------------------------------------------------------------
+  // PNG encode (fixture synthesis) — a real, spec-conformant stream.
+  // ---------------------------------------------------------------
+
+  /** Deterministic RGB pixel formula the oracle replays analytically. */
+  private[graft] def pixR(id: Long, x: Int, y: Int): Int = (((5 * id + 2 * x + 3 * y) % 256) + 256).toInt % 256
+  private[graft] def pixG(id: Long, x: Int, y: Int): Int = (((id + 7 * x + 5 * y) % 256) + 256).toInt % 256
+  private[graft] def pixB(id: Long, x: Int, y: Int): Int = (((4 * id + x + 13 * y) % 256) + 256).toInt % 256
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 12)
+    def be32(v: Long): Unit =
+      out.write(Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte))
+    be32(body.length.toLong)
+    val tb = tag.getBytes("US-ASCII")
+    out.write(tb); out.write(body)
+    val crc = new CRC32
+    crc.update(tb); crc.update(body)
+    be32(crc.getValue)
+    out.toByteArray
+  }
+
+  /** Encode a w×h RGB8 PNG of the deterministic pixels; scanline y uses
+    * filter type y % 5, so a decoder must implement None/Sub/Up/Average/
+    * Paeth to recover the image. Single IDAT; `idatSplit` re-chunks the
+    * IDAT payload (spec-legal, exercises multi-IDAT reassembly).
+    */
+  private[graft] def encodePng(id: Long, w: Int, h: Int, idatSplit: Int = 0): Array[Byte] = {
+    val bpp = 3
+    val rowBytes = w * bpp
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    val prev = new Array[Int](rowBytes)
+    val cur = new Array[Int](rowBytes)
+    var y = 0
+    var o = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cur(x * 3) = pixR(id, x, y); cur(x * 3 + 1) = pixG(id, x, y); cur(x * 3 + 2) = pixB(id, x, y)
+        x += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < rowBytes) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val ul = if (i >= bpp) prev(i - bpp) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - left
+          case 2 => cur(i) - up
+          case 3 => cur(i) - (left + up) / 2
+          case 4 => cur(i) - paeth(left, up, ul)
+        }
+        raw(o) = f.toByte; o += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    val idat = comp.toByteArray
+    val ihdr = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(w).putInt(h).put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val out = new java.io.ByteArrayOutputStream(idat.length + 96)
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(chunk("IHDR", ihdr))
+    if (idatSplit > 0)
+      idat.grouped(idatSplit).foreach(g => out.write(chunk("IDAT", g)))
+    else out.write(chunk("IDAT", idat))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // PNG decode — inflate + unfilter, O(scanline) transient memory.
+  // ---------------------------------------------------------------
+
+  final case class PngStats(
+      media_id: Long,
+      w: Long,
+      h: Long,
+      n_pixels: Long,
+      mean_r_c: Long,
+      mean_g_c: Long,
+      mean_b_c: Long,
+      filter_mask: Long
+  )
+
+  private def be32At(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) | ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  /** Decode one RGB8 PNG payload with a caller-owned (partition-reused)
+    * Inflater. Returns None for anything malformed (bad signature, CRC
+    * mismatch, non-RGB8, truncated stream) — corrupt rows are
+    * quarantined, never poison the partition.
+    */
+  private[graft] def decodePng(inf: Inflater, mediaId: Long, payload: Array[Byte]): Option[PngStats] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (payload.length < 8 + 25 || !payload.take(8).sameElements(sig)) return None
+    var p = 8
+    var w = -1; var h = -1
+    val idatSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val crc = new CRC32
+    var sawEnd = false
+    while (p + 12 <= payload.length && !sawEnd) {
+      val len = be32At(payload, p).toInt
+      if (len < 0 || p + 12 + len > payload.length) return None
+      val tag = new String(payload, p + 4, 4, "US-ASCII")
+      crc.reset(); crc.update(payload, p + 4, 4 + len)
+      if (crc.getValue != be32At(payload, p + 8 + len)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32At(payload, p + 8).toInt
+          h = be32At(payload, p + 12).toInt
+          // RGB8, no interlace — the only profile the fixture emits.
+          if (payload(p + 16) != 8 || payload(p + 17) != 2 || payload(p + 20) != 0) return None
+        case "IDAT" => idatSpans += ((p + 8, len))
+        case "IEND" => sawEnd = true
+        case _ => ()
+      }
+      p += 12 + len
+    }
+    if (w <= 0 || h <= 0 || idatSpans.isEmpty || !sawEnd) return None
+    val rowBytes = w * 3
+    inf.reset()
+    var span = 0
+    var spanOff = 0
+    val row = new Array[Byte](1 + rowBytes)
+    val prev = new Array[Int](rowBytes)
+    val cur = new Array[Int](rowBytes)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mask = 0L
+    var y = 0
+    while (y < h) {
+      // fill one scanline from the inflater, feeding IDAT spans as needed
+      var got = 0
+      while (got < row.length) {
+        val n = inf.inflate(row, got, row.length - got)
+        if (n == 0) {
+          if (inf.finished() || inf.needsDictionary()) return None
+          if (span >= idatSpans.length) return None
+          val (off, len) = idatSpans(span)
+          if (spanOff >= len) { span += 1; spanOff = 0 }
+          else {
+            inf.setInput(payload, off + spanOff, len - spanOff)
+            spanOff = len
+          }
+        } else got += n
+      }
+      val ft = row(0) & 0xff
+      if (ft > 4) return None
+      mask |= (1L << ft)
+      var i = 0
+      while (i < rowBytes) {
+        val x = row(1 + i) & 0xff
+        val left = if (i >= 3) cur(i - 3) else 0
+        val up = prev(i)
+        val ul = if (i >= 3) prev(i - 3) else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (left + up) / 2) & 0xff
+          case 4 => (x + paeth(left, up, ul)) & 0xff
+        }
+        cur(i) = v
+        (i % 3: @unchecked) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+        }
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(PngStats(mediaId, w.toLong, h.toLong, n, sr * 100 / n, sg * 100 / n, sb * 100 / n, mask))
+  }
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
+
+  /** Partition-level PNG decode: one Inflater per partition, reset per
+    * row (codec-state reuse — the decodeBatched discipline).
+    */
+  def pngPixelStats(media: Dataset[MediaRow]): Dataset[PngStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val inf = new Inflater
+      it.flatMap(m => decodePng(inf, m.media_id, m.payload))
+    }
+  }
+
+  /** Fixture: one real PNG per document, dims (id%8+2)×(id%6+2), filter
+    * types cycling y%5. Synthesized per partition in the same codec tier.
+    */
+  def pngTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, encodePng(id, (id % 8 + 2).toInt, (id % 6 + 2).toInt))
+      })
+  }
+
+  private val pngPixelsQ = Q(
+    "multimodal_png_pixels",
+    (s, d) => pngPixelStats(pngTable(s, d)).toDF(),
+    Some {
+      def chanSum(f: String) =
+        s"list_sum(flatten(list_transform(range(0, h), y -> " +
+          s"list_transform(range(0, w), x -> ($f) % 256))))"
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT media_id, w, h,
+         |    ${chanSum("5 * media_id + 2 * x + 3 * y")} AS sr,
+         |    ${chanSum("media_id + 7 * x + 5 * y")} AS sg,
+         |    ${chanSum("4 * media_id + x + 13 * y")} AS sb
+         |  FROM m)
+         |SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         |  CAST(w * h AS BIGINT) AS n_pixels,
+         |  CAST((sr * 100) // (w * h) AS BIGINT) AS mean_r_c,
+         |  CAST((sg * 100) // (w * h) AS BIGINT) AS mean_g_c,
+         |  CAST((sb * 100) // (w * h) AS BIGINT) AS mean_b_c,
+         |  CAST((1 << least(h, 5)) - 1 AS BIGINT) AS filter_mask
+         |FROM px""".stripMargin
+    }
+  )
+
+  // ---------------------------------------------------------------
+  // gzip text ingest — the .gz corpus shape.
+  // ---------------------------------------------------------------
+
+  final case class GzStats(doc_id: Long, n_bytes: Long, n_tokens: Long, n_lines: Long)
+
+  private[graft] def gzipBytes(text: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(text.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(text.getBytes("UTF-8")); gz.close()
+    bos.toByteArray
+  }
+
+  /** Streaming gzip decode + tokenize: 8 KiB buffer, never materializes
+    * the decoded text — byte count, whitespace-token count (ASCII
+    * whitespace = space/tab/LF/CR/FF/VT), and LF count accumulate as the
+    * stream drains. Token runs spanning buffer boundaries are handled by
+    * the carried `inTok` flag. Returns None on a corrupt member.
+    */
+  private[graft] def gunzipStats(docId: Long, payload: Array[Byte]): Option[GzStats] =
+    try {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload), 8192)
+      val buf = new Array[Byte](8192)
+      var nb = 0L; var nt = 0L; var nl = 0L
+      var inTok = false
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          val b = buf(i) & 0xff
+          val ws = b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0d || b == 0x0c || b == 0x0b
+          if (b == 0x0a) nl += 1
+          if (!ws && !inTok) { nt += 1; inTok = true }
+          else if (ws) inTok = false
+          i += 1
+        }
+        nb += n
+        n = in.read(buf)
+      }
+      in.close()
+      Some(GzStats(docId, nb, nt, nl))
+    } catch { case _: java.io.IOException => None }
+
+  def gzipTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => MediaRow(id, gzipBytes(t)) })
+  }
+
+  def gzipIngest(media: Dataset[MediaRow]): Dataset[GzStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => gunzipStats(m.media_id, m.payload)))
+  }
+
+  private val gzipIngestQ = Q(
+    "docs_gzip_ingest",
+    (s, d) => gzipIngest(gzipTable(s, d)).toDF(),
+    Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(text) - len(replace(text, chr(10), '')) AS BIGINT) AS n_lines
+        |FROM documents""".stripMargin
+    )
+  )
+
+  def all: Seq[Q] = Seq(pngPixelsQ, gzipIngestQ)
+}
