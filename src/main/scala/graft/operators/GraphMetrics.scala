@@ -151,6 +151,50 @@ object GraphMetrics {
       .withColumn("converged", lit(converged))
   }
 
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees across
+    * edges. Near-dup graphs separate regimes cleanly — template farms
+    * (hubs linking to hubs) are assortative, star-shaped boilerplate
+    * (one canonical doc linked by many leaves) strongly DISassortative
+    * — so this one number tells a dedup operator which cluster topology
+    * dominates before they ever look at a sample.
+    *
+    * Scale shape: degrees come from one bounded aggregate; each edge is
+    * tagged with its two endpoint degrees via two vertex-keyed
+    * equi-joins; the correlation reduces to FOUR integer sums over
+    * edges. Exact integers end-to-end (decimal(38,0) products), one
+    * permyriad division at the end — over the symmetrized edge list,
+    * r = (2m·Σ2jk − (Σ(j+k))²) / (2m·Σ(j²+k²) − (Σ(j+k))²).
+    */
+  def assortativityOf(edges0: DataFrame): DataFrame = {
+    val edges = canonical(edges0)
+    val deg = edges
+      .select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("dg"))
+    edges
+      .join(deg.select(col("id").as("u"), col("dg").as("ju")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("dg").as("jv")), Seq("v"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(expr("cast(ju as decimal(38,0)) + jv")).as("sj"),
+        sum(expr("2 * cast(ju as decimal(38,0)) * jv")).as("sjk2"),
+        sum(expr("cast(ju as decimal(38,0)) * ju + cast(jv as decimal(38,0)) * jv")).as("sj2")
+      )
+      .select(
+        col("n_edges"),
+        col("sj").cast("long").as("sum_deg"),
+        when(
+          expr("2 * cast(n_edges as decimal(38,0)) * sj2 - sj * sj") > 0,
+          expr(
+            "cast(((2 * cast(n_edges as decimal(38,0)) * sjk2 - sj * sj) * 10000) div " +
+              "(2 * cast(n_edges as decimal(38,0)) * sj2 - sj * sj) as bigint)"
+          )
+        ).as("assortativity_pm")
+      )
+  }
+
   /** Newman modularity of a vertex partition over an undirected edge
     * list (Newman & Girvan 2004): Q = Σ_c [e_c/m − (deg_c/2m)²] —
     * measured here with the STRICT near-dup clustering (Jaccard ≥ 0.8)
@@ -346,5 +390,32 @@ object GraphMetrics {
     bench2 = true
   )
 
-  val all: Seq[Q] = Seq(transitivityQ, kcoreQ, modularityQ)
+  private val assortativityQ = Q(
+    "graph_assortativity",
+    (s, d) =>
+      assortativityOf(
+        LlmQueries8.verifiedNeardupEdges(TriangleQueries.triCorpus(s, d), 0.5)
+      ),
+    Some {
+      s"""WITH ${TriangleQueries.neardupGraphCtesSql},
+         |ce AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM vp WHERE u != v),
+         |dg AS (
+         |  SELECT id, count(*) AS dg
+         |  FROM (SELECT u AS id FROM ce UNION ALL SELECT v FROM ce) _d GROUP BY id),
+         |sums AS (
+         |  SELECT count(*) AS m,
+         |    sum(CAST(du.dg AS HUGEINT) + dv.dg) AS sj,
+         |    sum(2 * CAST(du.dg AS HUGEINT) * dv.dg) AS sjk2,
+         |    sum(CAST(du.dg AS HUGEINT) * du.dg + CAST(dv.dg AS HUGEINT) * dv.dg) AS sj2
+         |  FROM ce JOIN dg du ON du.id = ce.u JOIN dg dv ON dv.id = ce.v)
+         |SELECT CAST(m AS BIGINT) AS n_edges, CAST(sj AS BIGINT) AS sum_deg,
+         |  CAST(CASE WHEN 2 * CAST(m AS HUGEINT) * sj2 - sj * sj > 0
+         |    THEN ((2 * CAST(m AS HUGEINT) * sjk2 - sj * sj) * 10000) //
+         |         (2 * CAST(m AS HUGEINT) * sj2 - sj * sj)
+         |  END AS BIGINT) AS assortativity_pm
+         |FROM sums""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(transitivityQ, kcoreQ, modularityQ, assortativityQ)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Information-theoretic corpus signals:
@@ -468,5 +469,118 @@ object InfoTheory {
     }
   )
 
-  val all: Seq[Q] = Seq(entropyQ, ksQ, zipfQ, heapsQ, gtQ, burstQ)
+  /** Jensen-Shannon divergence of each source's unigram distribution
+    * from the corpus distribution (Lin 1991) — the lexical complement
+    * of `docs_ks_drift`'s quality axis: KS sees score drift, JSD sees
+    * VOCABULARY drift (a new crawl slice full of boilerplate legalese
+    * moves JSD long before its quality scores move). Bounded in
+    * [0, ln 2], symmetric, finite even for disjoint vocabularies —
+    * why it's preferred over raw KL for corpus documentation.
+    *
+    * JSD(P‖Q) = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q)) with P the
+    * source distribution and Q the corpus. Terms ABSENT from the
+    * source (p=0) contribute ½·q·ln 2 in closed form, so the plan only
+    * expands (source × present-term) — never source × vocabulary:
+    * jsd = Σ_present[...] + ½·ln 2·(1 − Σ_present q).
+    *
+    * Scale shape: one (source, term) aggregate and one term aggregate
+    * (vocab-bounded keys, map-side combine), one vocab-keyed equi-join
+    * between them, per-source totals broadcast, corpus total on the
+    * 1-row computed-key broadcast. Per-term contributions are quantized
+    * to integer micro-nats BEFORE the per-source sum (order-independent
+    * — the ppl_holdout discipline); ln arguments are ratios of exact
+    * counts with double-first multiplies (the DSIR overflow guard).
+    */
+  def jsDivergenceOf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(
+        coalesce(col("source"), lit(" ")).as("source"),
+        explode(words(col("text"))).as("w")
+      )
+      val cs = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      val perSource = cs.groupBy("source").agg(sum("cs").as("cstot"))
+      val corpus = cw.agg(sum("cw").as("ctot"))
+      val joined = cs
+        .join(cw, Seq("w"))
+        .join(broadcast(perSource), Seq("source"))
+        .withColumn("j", (col("cs") - col("cs") + 1).cast("int"))
+        .join(
+          broadcast(corpus.select((col("ctot") - col("ctot") + 1).cast("int").as("j"), col("ctot"))),
+          Seq("j")
+        )
+      // ln args as ratios of double-first products: a = cs·ctot,
+      // b = cw·cstot (both exact counts; the double product is IEEE-
+      // identical across engines).
+      val contrib = joined.withColumn(
+        "jt_mu",
+        round(
+          (col("cs").cast("double") / col("cstot").cast("double") *
+            log(
+              lit(2.0) * col("cs").cast("double") * col("ctot").cast("double") /
+                (col("cs").cast("double") * col("ctot").cast("double") +
+                  col("cw").cast("double") * col("cstot").cast("double"))
+            ) +
+            col("cw").cast("double") / col("ctot").cast("double") *
+              log(
+                lit(2.0) * col("cw").cast("double") * col("cstot").cast("double") /
+                  (col("cs").cast("double") * col("ctot").cast("double") +
+                    col("cw").cast("double") * col("cstot").cast("double"))
+              )) / 2.0 * 1e6
+        ).cast("long")
+      )
+      contrib
+        .groupBy("source")
+        .agg(
+          first(col("cstot")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          first(col("ctot")).as("ctot"),
+          sum("jt_mu").as("present_mu"),
+          sum("cw").as("qpresent")
+        )
+        .select(
+          col("source"),
+          col("n_tokens"),
+          col("n_types"),
+          (col("present_mu") +
+            round(
+              (lit(1.0) - col("qpresent").cast("double") / col("ctot").cast("double")) *
+                math.log(2.0) / 2.0 * 1e6
+            ).cast("long")).as("jsd_mu")
+        )
+  }
+
+  private val jsdQ = Q(
+    "docs_js_divergence",
+    (s, d) => jsDivergenceOf(Tables.documents(s, d)),
+    Some {
+      val ws = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+      s"""WITH tok AS (
+         |  SELECT coalesce(source, ' ') AS source, unnest($ws) AS w FROM documents),
+         |cs AS (SELECT source, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+         |cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+         |ps AS (SELECT source, sum(cs) AS cstot FROM cs GROUP BY 1),
+         |tot AS (SELECT sum(cw) AS ctot FROM cw),
+         |contrib AS (
+         |  SELECT cs.source,
+         |    CAST(round((
+         |      CAST(cs.cs AS DOUBLE) / cstot *
+         |        ln(2.0 * CAST(cs.cs AS DOUBLE) * ctot /
+         |           (CAST(cs.cs AS DOUBLE) * ctot + CAST(cw.cw AS DOUBLE) * cstot)) +
+         |      CAST(cw.cw AS DOUBLE) / ctot *
+         |        ln(2.0 * CAST(cw.cw AS DOUBLE) * cstot /
+         |           (CAST(cs.cs AS DOUBLE) * ctot + CAST(cw.cw AS DOUBLE) * cstot))
+         |    ) / 2.0 * 1e6) AS BIGINT) AS jt_mu,
+         |    cs.cs, cw.cw, ps.cstot, tot.ctot
+         |  FROM cs JOIN cw USING (w) JOIN ps USING (source), tot)
+         |SELECT source, CAST(any_value(cstot) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(jt_mu) + round(
+         |    (1.0 - CAST(sum(cw) AS DOUBLE) / any_value(ctot)) * ln(2.0) / 2.0 * 1e6
+         |  ) AS BIGINT) AS jsd_mu
+         |FROM contrib GROUP BY 1""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(entropyQ, ksQ, zipfQ, heapsQ, gtQ, burstQ, jsdQ)
 }

@@ -275,9 +275,10 @@ object Retrieval {
     * making each document's weight an integer sum — engine- and
     * partition-order-independent.
     */
-  private val dsir = Q(
-    "docs_dsir_weight",
-    (s, d) => {
+  /** The DSIR per-document weight frame (doc_id, n_tokens, w_mu) — the
+    * body of `docs_dsir_weight`, shared with the ESS diagnostic below.
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
       // explode_outer keeps empty documents (null term → null bucket →
       // null llr), so no corpus-keyed join-back is needed for them.
       val tok = docs(s, d)
@@ -319,9 +320,11 @@ object Retrieval {
           count(col("term")).cast("long").as("n_tokens"),
           coalesce(sum("llr_mu"), lit(0L)).cast("long").as("w_mu")
         )
-    },
-    Some {
-      s"""WITH base AS (SELECT doc_id, lang, $NormSql AS ws FROM documents),
+  }
+
+  /** The DSIR oracle SELECT, shared with the ESS diagnostic. */
+  private[operators] val DsirOracleSql =
+    s"""WITH base AS (SELECT doc_id, lang, $NormSql AS ws FROM documents),
          |tok AS (
          |  SELECT doc_id, lang, term, $BucketDuck AS bk
          |  FROM (SELECT doc_id, lang, unnest(ws) AS term FROM base) _t),
@@ -341,8 +344,65 @@ object Retrieval {
          |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
          |  coalesce(a.w_mu, 0) AS w_mu
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
-    }
+
+  private val dsir = Q("docs_dsir_weight", (s, d) => dsirWeights(s, d), Some(DsirOracleSql))
+
+  /** Kish effective sample size of the DSIR importance weights (Kish
+    * 1965: ESS = (Σw)²/Σw²) — THE go/no-go diagnostic before importance
+    * resampling: weights so skewed that a handful of documents carry
+    * all the mass make the resampled corpus tiny no matter how many raw
+    * documents went in. Log-weights are clipped at ±20 nats (the
+    * standard guard: one unclipped outlier otherwise IS the sample),
+    * exponentiated, and quantized to integer micro-units per document
+    * BEFORE the sums, so both Σw and Σw² are exact decimal(38,0)
+    * integer sums — engine- and partition-order-independent (the
+    * docs_ppl_holdout discipline). One double division at the end,
+    * quantized to centi-units.
+    *
+    * Scale shape: the weight frame's own shape (vocab-bounded joins),
+    * then ONE map pass + ONE one-row aggregate.
+    */
+  private val essQ = Q(
+    "docs_ess_weights",
+    (s, d) =>
+      dsirWeights(s, d)
+        .withColumn(
+          "wq",
+          round(exp(least(greatest(col("w_mu"), lit(-20000000L)), lit(20000000L)).cast("double") / 1e6) * 1e6)
+            .cast("decimal(38,0)")
+        )
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("wq").as("s1"),
+          sum(expr("wq * wq")).as("s2")
+        )
+        .select(
+          col("n_docs"),
+          when(
+            col("s2") > 0,
+            round(col("s1").cast("double") * col("s1").cast("double") / col("s2").cast("double") * 100)
+              .cast("long")
+          ).as("ess_c"),
+          when(
+            col("s2") > 0,
+            round(
+              col("s1").cast("double") * col("s1").cast("double") / col("s2").cast("double") /
+                col("n_docs").cast("double") * 1e4
+            ).cast("long")
+          ).as("ess_ratio_qm")
+        ),
+    Some(
+      s"""WITH w AS (SELECT * FROM ($DsirOracleSql) _w),
+         |q AS (
+         |  SELECT CAST(round(exp(CAST(least(greatest(w_mu, -20000000), 20000000) AS DOUBLE) / 1e6) * 1e6) AS HUGEINT) AS wq
+         |  FROM w),
+         |s AS (SELECT count(*) AS n_docs, sum(wq) AS s1, sum(wq * wq) AS s2 FROM q)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CASE WHEN s2 > 0 THEN CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE) * 100) AS BIGINT) END AS ess_c,
+         |  CASE WHEN s2 > 0 THEN CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e4) AS BIGINT) END AS ess_ratio_qm
+         |FROM s""".stripMargin
+    )
   )
 
-  val all: Seq[Q] = Seq(tfidf, bm25, dsir)
+  val all: Seq[Q] = Seq(tfidf, bm25, dsir, essQ)
 }

@@ -325,5 +325,116 @@ object TrendQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(mkQ, benfordQ, dowQ, giniQ, ewmaQ)
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..7 (Box & Jenkins 1970 §2.1.4): r_L = Σ(c_t−m)(c_{t+L}−m) /
+    * Σ(c_t−m)². The seasonality detector that pairs with the DOW
+    * profile — a weekly cycle shows as an r_7 spike — and with
+    * Mann-Kendall (trend inflates ALL lags; a lone lag-7 peak is pure
+    * seasonality).
+    *
+    * The day axis is DENSIFIED (empty days count 0) so lags mean
+    * calendar days, not observation ranks. Scale shape: one bounded
+    * (type, day) aggregate, one date-sequence explode over the bounded
+    * span, a 7-way lag explode joined back on the (type, day) key, and
+    * a bounded final aggregate — no windows, every key space is
+    * days×types. Exact integers throughout: multiplying through by n²,
+    * num_L = n²·P_L − n·S·(A_L+B_L) + (n−L)·S² and den = n²·Q − n·S²
+    * ride decimal(38,0); one double division quantized 1e-4 at the end
+    * (the z_qm discipline).
+    */
+  def acfOf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dailyD = events
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val dense = dailyD
+      .groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(dailyD, Seq("event_type", "day"), "left")
+      .withColumn("c", coalesce(col("n"), lit(0L)))
+      .select("event_type", "day", "c")
+    val tot = dense
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("nd"),
+        sum("c").as("s"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("q")
+      )
+    val lagged = dense
+      .select(
+        col("event_type"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"),
+        col("day"),
+        col("c").as("c1")
+      )
+      .withColumn("day2", expr("date_add(day, cast(lag as int))"))
+      .join(
+        dense.select(col("event_type"), col("day").as("day2"), col("c").as("c2")),
+        Seq("event_type", "day2")
+      )
+      .groupBy("event_type", "lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("cast(c1 as decimal(38,0)) * c2")).as("p"),
+        sum("c1").as("sa"),
+        sum("c2").as("sb")
+      )
+    lagged
+      .join(tot, Seq("event_type"))
+      .withColumn(
+        "num",
+        expr(
+          "cast(nd as decimal(38,0)) * nd * p - cast(nd as decimal(38,0)) * s * (sa + sb) + (nd - lag) * cast(s as decimal(38,0)) * s"
+        )
+      )
+      .withColumn("den", expr("cast(nd as decimal(38,0)) * nd * q - cast(nd as decimal(38,0)) * s * s"))
+      .select(
+        col("event_type"),
+        col("lag").cast("long").as("lag"),
+        col("nd").as("n_days"),
+        col("n_pairs"),
+        when(
+          col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double") * 1e4).cast("long")
+        ).as("acf_qm")
+      )
+  }
+
+  private val acfQ = Q(
+    "events_acf",
+    (s, d) => acfOf(Tables.events(s, d)),
+    Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1) sp),
+        |cnt AS (
+        |  SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS c
+        |  FROM dense LEFT JOIN daily USING (event_type, day)),
+        |tot AS (
+        |  SELECT event_type, count(*) AS nd, sum(c) AS s, sum(CAST(c AS HUGEINT) * c) AS q
+        |  FROM cnt GROUP BY 1),
+        |lagged AS (
+        |  SELECT a.event_type, l.lag, count(*) AS n_pairs,
+        |    sum(CAST(a.c AS HUGEINT) * b.c) AS p, sum(a.c) AS sa, sum(b.c) AS sb
+        |  FROM cnt a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN cnt b ON b.event_type = a.event_type AND b.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY 1, 2)
+        |SELECT g.event_type, CAST(g.lag AS BIGINT) AS lag,
+        |  CAST(t.nd AS BIGINT) AS n_days, CAST(g.n_pairs AS BIGINT) AS n_pairs,
+        |  CASE WHEN CAST(t.nd AS HUGEINT) * t.nd * t.q - CAST(t.nd AS HUGEINT) * t.s * t.s > 0
+        |    THEN CAST(round(
+        |      CAST(CAST(t.nd AS HUGEINT) * t.nd * g.p - CAST(t.nd AS HUGEINT) * t.s * (g.sa + g.sb)
+        |           + (t.nd - g.lag) * CAST(t.s AS HUGEINT) * t.s AS DOUBLE) /
+        |      CAST(CAST(t.nd AS HUGEINT) * t.nd * t.q - CAST(t.nd AS HUGEINT) * t.s * t.s AS DOUBLE)
+        |      * 1e4) AS BIGINT)
+        |  END AS acf_qm
+        |FROM lagged g JOIN tot t USING (event_type)""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(mkQ, benfordQ, dowQ, giniQ, ewmaQ, acfQ)
 }

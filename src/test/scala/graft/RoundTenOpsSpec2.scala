@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 second batch: degree assortativity, daily-series ACF,
+  * Jensen-Shannon source divergence, Kish ESS of importance weights.
+  */
+class RoundTenOpsSpec2 extends SparkSuite {
+
+  test("assortativity: path graph is perfectly disassortative, regular graph undefined") {
+    import spark.implicits._
+    // Path 1-2-3: degrees 1,2,1 — every edge pairs a leaf with the hub.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = operators.GraphMetrics.assortativityOf(path).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 2L)
+    assert(r.getAs[Long]("sum_deg") == 6L)
+    assert(r.getAs[Long]("assortativity_pm") == -10000L)
+    // Triangle: all degrees equal — zero degree variance, r undefined.
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val r3 = operators.GraphMetrics.assortativityOf(k3).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("assortativity_pm")))
+  }
+
+  test("acf: alternating daily series gives the hand-computed lag-1/lag-2 values") {
+    import spark.implicits._
+    val day = 86400000000L
+    // one click on days 0, 2, 4 → dense series c = [1,0,1,0,1], n=5.
+    val ev = Seq(0L, 2L, 4L).zipWithIndex
+      .map { case (d, i) => (i.toLong, d * day + 1000000L, 1L, "click", 1.0) }
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("user_id"), col("event_type"), col("value"))
+    val rows = operators.TrendQueries
+      .acfOf(ev)
+      .collect()
+      .map(r => r.getAs[Long]("lag") -> r)
+      .toMap
+    // n=5, S=3, Q=3; lag1: num = −24, den = 30 → −8000; lag2: num = 17 → 5667.
+    assert(rows(1L).getAs[Long]("n_days") == 5L)
+    assert(rows(1L).getAs[Long]("n_pairs") == 4L)
+    assert(rows(1L).getAs[Long]("acf_qm") == -8000L)
+    assert(rows(2L).getAs[Long]("acf_qm") == 5667L)
+    assert(rows(4L).getAs[Long]("n_pairs") == 1L)
+    assert(!rows.contains(5L)) // lag beyond the 5-day span yields no pairs
+  }
+
+  test("acf: constant series has zero variance → null acf") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = (0L to 3L)
+      .map(d => (d, d * day + 5L, 1L, "buy", 1.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("user_id"), col("event_type"), col("value"))
+    val rows = operators.TrendQueries.acfOf(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.isNullAt(r.fieldIndex("acf_qm"))))
+  }
+
+  test("JS divergence: symmetric two-source corpus gives equal hand-computed jsd") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x", "A"), (2L, "y y", "B")).toDF("doc_id", "text", "source")
+    val rows = operators.InfoTheory
+      .jsDivergenceOf(docs)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    // Per source: present term p=1, q=1/2 → ½[ln(4/3) + ½·ln(2/3)];
+    // absent mass ½ → + ½·ln2·½.
+    val present = math.round((1.0 * math.log(2.0 * 2 * 4 / (2.0 * 4 + 2.0 * 2)) +
+      0.5 * math.log(2.0 * 2 * 2 / (2.0 * 4 + 2.0 * 2))) / 2.0 * 1e6)
+    val absent = math.round((1.0 - 2.0 / 4.0) * math.log(2.0) / 2.0 * 1e6)
+    for (s <- Seq("A", "B")) {
+      val r = rows(s)
+      assert(r.getAs[Long]("n_tokens") == 2L)
+      assert(r.getAs[Long]("n_types") == 1L)
+      assert(r.getAs[Long]("jsd_mu") == present + absent, s"source $s")
+    }
+    // identical source = corpus → jsd 0
+    val one = operators.InfoTheory
+      .jsDivergenceOf(Seq((1L, "a b c", "only")).toDF("doc_id", "text", "source"))
+      .collect()(0)
+    assert(one.getAs[Long]("jsd_mu") == 0L)
+  }
+
+  test("ESS: registered query is bounded by n and positive on sf0.001") {
+    val r = SparkEntry.queries("docs_ess_weights")(spark, "/root/testdata/sf0.001").collect()(0)
+    val n = r.getAs[Long]("n_docs")
+    assert(n > 0)
+    assert(r.getAs[Long]("ess_c") > 0 && r.getAs[Long]("ess_c") <= n * 100)
+    assert(r.getAs[Long]("ess_ratio_qm") > 0 && r.getAs[Long]("ess_ratio_qm") <= 10000L)
+  }
+
+  test("assortativity and acf registered queries run end-to-end on sf0.001") {
+    assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
+    assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
+    assert(SparkEntry.queries("docs_js_divergence")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
+  }
+}
