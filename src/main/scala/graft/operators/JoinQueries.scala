@@ -351,6 +351,84 @@ object JoinQueries {
     bench = false
   )
 
+  /** Last-touch channel attribution: every purchase's value is credited
+    * to the event TYPE of the user's latest prior non-purchase event
+    * ('direct' when the purchase opens the history) — the classic
+    * marketing-attribution fold of the as-of join, aggregated to one
+    * row per channel with value shares. Prior purchases never reset the
+    * carry (IGNORE NULLS skips them), so a view → purchase → purchase
+    * run credits BOTH purchases to the view.
+    *
+    * Same de-skewed shape as [[asofOf]]: the carry window partitions on
+    * (user, DAY); earlier-day touches arrive via the bounded per-user
+    * day-summary window. Purchase values are quantized to integer cents
+    * per row BEFORE the channel sums (long sums are partition-order-
+    * independent; double sums are not).
+    */
+  def attributionOf(e: DataFrame): DataFrame = {
+    val ec = e.withColumn("seg", expr(s"us div ${SegUs}L"))
+    val touch = when(col("event_type") =!= "purchase", struct(col("us"), col("event_id"), col("event_type")))
+    val wd = Window
+      .partitionBy("user_id", "seg")
+      .orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withDay = ec.withColumn("tw", last(touch, ignoreNulls = true).over(wd))
+    val daySummaries = ec
+      .groupBy("user_id", "seg")
+      .agg(max(touch).as("dlt"))
+    val ws = Window
+      .partitionBy("user_id")
+      .orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = daySummaries
+      .withColumn("carry", last(col("dlt"), ignoreNulls = true).over(ws))
+      .select(col("user_id"), col("seg"), col("carry"))
+    val credited = withDay
+      .join(carry, Seq("user_id", "seg"))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("tw.event_type"), col("carry.event_type"), lit("direct")).as("channel"),
+        round(col("value") * 100).cast("long").as("value_c")
+      )
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("value_c").as("value_c"))
+    val tot = credited.agg(sum("value_c").as("tot"))
+    credited
+      .withColumn("j", (col("value_c") - col("value_c") + 1).cast("int"))
+      .join(
+        broadcast(tot.select((col("tot") - col("tot") + 1).cast("int").as("j"), col("tot"))),
+        Seq("j")
+      )
+      .select(
+        col("channel"),
+        col("n_purchases"),
+        col("value_c"),
+        when(col("tot") > 0, expr("(value_c * 10000) div tot")).as("share_pm")
+      )
+  }
+
+  private val attributionQ = Q(
+    "events_attribution",
+    (s, d) => attributionOf(evts(s, d)),
+    Some(
+      """WITH seq AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+        |  FROM events),
+        |p AS (
+        |  SELECT coalesce(ch, 'direct') AS channel, count(*) AS n_purchases,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |  FROM seq WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT sum(value_c) AS tot FROM p)
+        |SELECT channel, CAST(n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(value_c AS BIGINT) AS value_c,
+        |  CAST(CASE WHEN tot > 0 THEN (value_c * 10000) // tot END AS BIGINT) AS share_pm
+        |FROM p, t""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(asof, asofReplay, interval, intervalReplay, intervalProperty, asofProperty)
+    Seq(asof, asofReplay, interval, intervalReplay, intervalProperty, asofProperty, attributionQ)
 }

@@ -156,5 +156,94 @@ object TransitionQueries {
     transitionsQ.oracle
   )
 
-  val all: Seq[Q] = Seq(transitionsQ, transitionsReplayQ)
+  private val StatIters = 8
+
+  /** Stationary distribution of the empirical event-type Markov chain
+    * by fixed-iteration power method (the PageRank of the transition
+    * matrix — where does a user's behavior settle if the observed
+    * dynamics run forever). The long-run complement of the one-step
+    * matrix: a state can be a rare DESTINATION yet absorb most long-run
+    * mass if its self-loop dominates.
+    *
+    * Semantics: the chain is restricted to states with outgoing
+    * transitions (from-types), transitions leading outside that set are
+    * dropped and rows renormalize over what remains — a closed,
+    * well-defined chain on both engines. π₀ is uniform mass 1e6 per
+    * state; each step is π'(j) = Σ_i (π(i)·n(i,j)) div nt(i) — ALL
+    * integer arithmetic ([[GraphQueries]]'s PageRank discipline: long
+    * sums are partition-order-independent, floats are not), K = 8
+    * fixed rounds unrolled identically in the oracle.
+    *
+    * Scale shape: the state space is |event types| — tiny by
+    * construction — so each round is one broadcast-sized join + one
+    * bounded aggregate; the only corpus-scale work is the one-pass
+    * step extraction (day-salted, shared with `events_transitions`).
+    */
+  def stationaryOf(e: DataFrame, iters: Int = StatIters): DataFrame = {
+    val steps = stepsOf(e).groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val states = steps.select(col("from_type").as("state")).distinct()
+    val restricted = steps
+      .join(states.select(col("state").as("to_type")), Seq("to_type"), "left_semi")
+    val nt = restricted.groupBy("from_type").agg(sum("n").as("nt"))
+    val edges = restricted
+      .join(nt, Seq("from_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r0 = states.withColumn("pi_mu", lit(1000000L))
+    val fin = (1 to iters).foldLeft(r0) { (r, _) =>
+      edges
+        .join(broadcast(r.withColumnRenamed("state", "from_type")), Seq("from_type"))
+        .select(col("to_type").as("state"), expr("(pi_mu * n) div nt").as("c"))
+        .groupBy("state")
+        .agg(sum("c").as("pi_mu"))
+    }
+    val withZeros = states
+      .join(fin, Seq("state"), "left")
+      .withColumn("pi_mu", coalesce(col("pi_mu"), lit(0L)))
+    val tot = withZeros.agg(sum("pi_mu").as("tot"))
+    withZeros
+      .withColumn("j", (col("pi_mu") - col("pi_mu") + 1).cast("int"))
+      .join(
+        broadcast(tot.select((col("tot") - col("tot") + 1).cast("int").as("j"), col("tot"))),
+        Seq("j")
+      )
+      .select(
+        col("state"),
+        col("pi_mu"),
+        when(col("tot") > 0, expr("(pi_mu * 10000) div tot")).as("pi_pm")
+      )
+  }
+
+  private val stationaryQ = Q(
+    "events_stationary",
+    (s, d) => stationaryOf(JoinQueries.evts(s, d)),
+    Some {
+      def round(k: Int): String =
+        s"""r$k AS (
+           |  SELECT e.to_type AS state, sum((r.pi_mu * e.n) // e.nt) AS pi_mu
+           |  FROM e JOIN r${k - 1} r ON r.state = e.from_type
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS from_type
+         |  FROM events),
+         |steps AS (
+         |  SELECT from_type, event_type AS to_type, count(*) AS n
+         |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |st AS (SELECT DISTINCT from_type AS state FROM steps),
+         |re AS (SELECT * FROM steps WHERE to_type IN (SELECT state FROM st)),
+         |nt AS (SELECT from_type, sum(n) AS nt FROM re GROUP BY 1),
+         |e AS (SELECT re.from_type, re.to_type, re.n, nt.nt FROM re JOIN nt USING (from_type)),
+         |r0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi_mu FROM st),
+         |${(1 to StatIters).map(round).mkString(",\n")},
+         |fin AS (
+         |  SELECT st.state, coalesce(r$StatIters.pi_mu, 0) AS pi_mu
+         |  FROM st LEFT JOIN r$StatIters ON r$StatIters.state = st.state),
+         |tot AS (SELECT sum(pi_mu) AS tot FROM fin)
+         |SELECT state, CAST(pi_mu AS BIGINT) AS pi_mu,
+         |  CAST(CASE WHEN tot > 0 THEN (pi_mu * 10000) // tot END AS BIGINT) AS pi_pm
+         |FROM fin, tot""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(transitionsQ, transitionsReplayQ, stationaryQ)
 }

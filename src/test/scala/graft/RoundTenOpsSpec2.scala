@@ -89,9 +89,84 @@ class RoundTenOpsSpec2 extends SparkSuite {
     assert(r.getAs[Long]("ess_ratio_qm") > 0 && r.getAs[Long]("ess_ratio_qm") <= 10000L)
   }
 
+  private def evFrame(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(
+        col("event_id"),
+        timestamp_micros(col("us")).as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        col("us")
+      )
+  }
+
+  test("stationary distribution replays the integer power-method recurrence exactly") {
+    // user 1 sequence v,v,v,c,v → steps v→v ×2, v→c ×1, c→v ×1; both
+    // states have outgoing edges so nothing is restricted away. True
+    // stationary is (3/4, 1/4); the spec replays the IDENTICAL floor-
+    // division recurrence rather than trusting hand arithmetic.
+    val ev = evFrame(
+      Seq("view", "view", "view", "click", "view").zipWithIndex.map { case (t, i) =>
+        (i.toLong, i.toLong * 1000000L + 1L, 1L, t, 1.0)
+      }
+    )
+    val got = operators.TransitionQueries
+      .stationaryOf(ev)
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("pi_mu"), r.getAs[Long]("pi_pm")))
+      .toMap
+    var v = 1000000L; var c = 1000000L
+    for (_ <- 1 to 8) {
+      val nv = (v * 2) / 3 + c
+      val nc = v / 3
+      v = nv; c = nc
+    }
+    val tot = v + c
+    assert(got("view") == ((v, v * 10000 / tot)))
+    assert(got("click") == ((c, c * 10000 / tot)))
+    assert(math.abs(got("view")._2 - 7500L) <= 2, got("view"))
+    // dangling restriction: "a a a a b" — b never transitions out, so
+    // the chain closes over {a} alone with all the mass.
+    val ev2 = evFrame(
+      Seq("a", "a", "a", "a", "b").zipWithIndex.map { case (t, i) =>
+        (i.toLong, i.toLong * 1000000L + 1L, 1L, t, 1.0)
+      }
+    )
+    val got2 = operators.TransitionQueries.stationaryOf(ev2).collect()
+    assert(got2.length == 1 && got2(0).getString(0) == "a")
+    assert(got2(0).getAs[Long]("pi_pm") == 10000L)
+  }
+
+  test("last-touch attribution credits carry-across-days and direct purchases") {
+    val day = 86400000000L
+    val ev = evFrame(
+      Seq(
+        (1L, 1000000L, 1L, "view", 1.0),
+        (2L, 2000000L, 1L, "purchase", 10.0), // → view
+        (3L, 3000000L, 1L, "purchase", 5.0), // prior purchase skipped → view
+        (4L, 500000L, 2L, "purchase", 2.0), // no prior → direct
+        (5L, 1000L, 3L, "click", 1.0), // day 0
+        (6L, 2 * day + 1000L, 3L, "purchase", 1.0) // day 2 → click via carry
+      )
+    )
+    val got = operators.JoinQueries
+      .attributionOf(ev)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_purchases"), r.getAs[Long]("value_c"), r.getAs[Long]("share_pm"))))
+      .toMap
+    assert(got("view") == ((2L, 1500L, 1500L * 10000 / 1800)))
+    assert(got("direct") == ((1L, 200L, 200L * 10000 / 1800)))
+    assert(got("click") == ((1L, 100L, 100L * 10000 / 1800)))
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("docs_js_divergence")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
+    assert(SparkEntry.queries("events_stationary")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
+    assert(SparkEntry.queries("events_attribution")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
   }
 }
