@@ -108,7 +108,8 @@ object SparkEntry {
       operators.AllPairsJoin.all ++
       operators.AmsSketch.all ++
       operators.HybridFusion.all ++
-      operators.DeflateMedia.all
+      operators.DeflateMedia.all ++
+      operators.WordPiece.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

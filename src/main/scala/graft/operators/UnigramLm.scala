@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
-  private val MaxWordLen = 16
+  private[operators] val MaxWordLen = 16
   private val MaxPieceLen = 4
   private val MinCount = 5
 
@@ -50,7 +50,7 @@ object UnigramLm {
   /** Packed init: slot 0 = score 0, 0 pieces → 0·64 + 63. */
   private val Init0 = 63L
 
-  private def wordsOf(docs: DataFrame): DataFrame =
+  private[operators] def wordsOf(docs: DataFrame): DataFrame =
     docs
       .select(explode(Retrieval.tokens).as("word"))
       .groupBy("word")
@@ -60,7 +60,7 @@ object UnigramLm {
   /** Substring occurrences of each distinct word: one row per (word,
     * end i, piece length pl), with the 0-based start j = i − pl.
     */
-  private def occurrencesOf(wf: DataFrame): DataFrame =
+  private[operators] def occurrencesOf(wf: DataFrame): DataFrame =
     wf.select(
         col("word"),
         col("cnt"),
@@ -89,7 +89,7 @@ object UnigramLm {
   /** Mined vocabulary: piece, corpus count, integer micro log-prob. */
   def vocabOf(docs: DataFrame): DataFrame = vocabOfWf(wordsOf(docs))
 
-  private def vocabOfWf(wf: DataFrame): DataFrame = {
+  private[operators] def vocabOfWf(wf: DataFrame): DataFrame = {
     val occ = occurrencesOf(wf)
     val pc = occ.groupBy("piece").agg(sum("cnt").as("pc"))
     val kept = pc.filter(length(col("piece")) === 1 || col("pc") >= MinCount)
@@ -279,7 +279,7 @@ object UnigramLm {
   }
 
   /** Shared oracle CTEs up to the vocabulary. */
-  private def vocabCtes: String =
+  private[operators] def vocabCtes: String =
     s"""base AS (SELECT ${Retrieval.NormSql} AS ws FROM documents),
        |wf AS (
        |  SELECT word, count(*) AS cnt

@@ -162,6 +162,21 @@ class RoundTenOpsSpec2 extends SparkSuite {
     assert(got("click") == ((1L, 100L, 100L * 10000 / 1800)))
   }
 
+  test("WordPiece MaxMatch segments by longest vocabulary prefix") {
+    import spark.implicits._
+    // corpus: "ab"×5 + "abc"×1 → mined vocab = singles {a,b,c} + "ab"
+    // (pc 6 ≥ MinCount); "abc"/"bc" stay below MinCount. Greedy on
+    // "abc": longest match at 0 is "ab", then "c".
+    val docs = Seq((1L, "ab ab ab ab ab abc")).toDF("doc_id", "text")
+    val got = operators.WordPiece
+      .encodeOf(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("wp_pieces"), r.getAs[String]("seg"))))
+      .toMap
+    assert(got("ab") == ((1L, "ab")))
+    assert(got("abc") == ((2L, "ab c")))
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
