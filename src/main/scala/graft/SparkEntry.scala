@@ -109,7 +109,8 @@ object SparkEntry {
       operators.AmsSketch.all ++
       operators.HybridFusion.all ++
       operators.DeflateMedia.all ++
-      operators.WordPiece.all
+      operators.WordPiece.all ++
+      operators.PrivacyQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -276,11 +276,10 @@ object IvfPq {
     adcRerankCodes(emb, qbase.select(col("query_id"), col("qv")), lookup, assigned, probes, codes)
   }
 
-  val all: Seq[Q] = Seq(
-    Q(
-      "embed_ivfpq_search",
-      (s, d) => searchDeterministic(Tables.embeddings(s, d).select("vec_id", "embedding")),
-      Some {
+  /** The full deterministic-codebook search as one oracle SELECT —
+    * shared by `embed_ivfpq_search` and the recall eval below.
+    */
+  private[operators] val SearchOracleSql: String = {
         val ivfWeight =
           "(strpos('0123456789abcdef', substr(md5('ivf' || cast(c as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
         val cellScores =
@@ -321,7 +320,53 @@ object IvfPq {
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM rr)
            |SELECT query_id, neighbor_id, score, cast(rank as bigint) AS rank
            |FROM ranked WHERE rank <= $TopK""".stripMargin
-      }
-    )
+  }
+
+  private val searchQ = Q(
+    "embed_ivfpq_search",
+    (s, d) => searchDeterministic(Tables.embeddings(s, d).select("vec_id", "embedding")),
+    Some(SearchOracleSql)
   )
+
+  /** Recall@TopK of the END-TO-END IVF-PQ search against brute-force
+    * cosine ground truth — closing the recall-eval family (sign-LSH,
+    * multi-probe, hybrid-RRF, dimension-ablated) over the one ANN path
+    * that had no measured loss number: nprobe coarse routing,
+    * 4-bit PQ quantization, and the bounded rerank compound in ways no single
+    * stage's eval predicts, and a 100-TB deployment tunes exactly these
+    * three knobs against this one curve. Same eval chassis as
+    * `ann_recall_eval` ([[AnnEval]]): deliberately small query sample,
+    * per-query exact integer per-mille recall.
+    */
+  private val recallQ = Q(
+    "ann_recall_ivfpq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val truth = AnnEval.truthTopK(emb, 5, TopK)
+      val approx = searchDeterministic(emb)
+        .select(col("query_id"), col("neighbor_id").as("approx_id"))
+      AnnEval.recallOf(truth, approx)
+    },
+    Some {
+      s"""WITH approx AS (SELECT query_id, neighbor_id FROM ($SearchOracleSql) _a),
+         |v AS (SELECT vec_id, cast(embedding as double[]) AS vec FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_dot_product(q.vec, e.vec) /
+         |              (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) DESC,
+         |        e.vec_id) AS rank
+         |    FROM v e JOIN v q ON q.vec_id < 5 AND e.vec_id != q.vec_id) _t
+         |  WHERE rank <= $TopK)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_overlap,
+         |  CAST((count(a.neighbor_id) * 1000) // count(*) AS BIGINT) AS recall_permille
+         |FROM truth t LEFT JOIN approx a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(searchQ, recallQ)
 }

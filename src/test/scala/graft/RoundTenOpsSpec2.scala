@@ -177,6 +177,37 @@ class RoundTenOpsSpec2 extends SparkSuite {
     assert(got("abc") == ((2L, "ab c")))
   }
 
+  test("k-anonymity flags cells under K distinct users and rolls up per type") {
+    val ev = evFrame(
+      // type "a": one day-0 band-0 cell, 3 events / 1 user → risky.
+      Seq((1L, 1000L, 7L, "a", 1.0), (2L, 2000L, 7L, "a", 2.0), (3L, 3000L, 7L, "a", 3.0)) ++
+        // type "b": one cell with 5 distinct users → safe at K=5.
+        (1L to 5L).map(u => (10L + u, 4000L + u, u, "b", 10.0))
+    )
+    val got = operators.PrivacyQueries
+      .kAnonymityOf(ev)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_cells") == 1L && a.getAs[Long]("risky_cells") == 1L)
+    assert(a.getAs[Long]("risky_events") == 3L && a.getAs[Long]("risky_share_pm") == 10000L)
+    assert(a.getAs[Long]("min_cell_users") == 1L)
+    val b = got("b")
+    assert(b.getAs[Long]("risky_cells") == 0L && b.getAs[Long]("risky_share_pm") == 0L)
+    assert(b.getAs[Long]("min_cell_users") == 5L)
+  }
+
+  test("IVF-PQ recall eval produces per-query permille rows on sf0.001") {
+    val rows = SparkEntry.queries("ann_recall_ivfpq")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rp = r.getAs[Long]("recall_permille")
+      assert(rp >= 0 && rp <= 1000, r)
+      assert(r.getAs[Long]("k") == 5L)
+    }
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
