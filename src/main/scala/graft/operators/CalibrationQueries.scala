@@ -387,5 +387,114 @@ object CalibrationQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ, lshRecallQ, lshPrQ)
+  /** The (bands, rows) grid sharing the K = 12 signature budget. */
+  private val PlanGrid = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+
+  /** Detection probability 1 − (1 − s^r)^b with the powers UNROLLED as
+    * multiplication chains — no libm pow crosses the engine boundary;
+    * a left-associated IEEE multiply chain is bit-identical everywhere.
+    * Quantized by FLOOR, not round: dyadic similarities (s = 1/2, 7/8…)
+    * land micro-values EXACTLY on .5 ties, where the engines' tie
+    * policies differ — floor has no tie.
+    */
+  private def detectExpr(b: Int, r: Int): String = {
+    // scientific-notation literals only: DuckDB types 1000.0 as DECIMAL
+    // (decimal division ≠ IEEE), while 1e3/1e0 are DOUBLE in both
+    // engines.
+    val s = "(jac_pm / 1e3)"
+    val sr = Seq.fill(r)(s).mkString("(", " * ", ")")
+    val q = s"(1e0 - $sr)"
+    val qb = Seq.fill(b)(q).mkString("(", " * ", ")")
+    s"cast(floor(1e6 * (1e0 - $qb)) as bigint)"
+  }
+
+  /** Data-driven banding PLANNER: for every (bands, rows) split of the
+    * 12-hash MinHash budget, the expected recall over the corpus's OWN
+    * measured duplicate-similarity distribution — Σ_pairs
+    * [1 − (1 − s^r)^b] with s each true pair's exact shingle Jaccard.
+    * The operational question the recall CURVE (which measures one
+    * deployed config) cannot answer: what would the OTHER configs have
+    * captured, without paying for a run of each. At 100 TB re-running
+    * LSH per candidate config is a day of cluster time; this planner
+    * is one aggregate over the already-certified ground-truth pairs.
+    *
+    * Determinism: per-pair detection probabilities quantize to integer
+    * micro-units before the sum (order-independent), and the powers are
+    * unrolled multiply chains — the only division is the final integer
+    * mean. Scale shape: the exact-pair frame is the certified
+    * prefix-filter join (output-bounded); the grid adds 6 aggregates
+    * over one checkpointed frame.
+    */
+  private val lshPlanQ = Q(
+    "dedup_lsh_plan",
+    (s, d) => {
+      val sub = LlmQueries.corpus(s, d).filter(col("doc_id") % 4 === 1)
+      val exact = AllPairsJoin
+        .allPairsOfSets(
+          sub.select(
+            col("doc_id"),
+            array_distinct(TextFunctions.shingles(col("text"))).as("ws")
+          )
+        )
+        .select("jac_pm")
+        .localCheckpoint()
+      PlanGrid
+        .map { case (b, r) =>
+          exact
+            .agg(
+              count(lit(1)).as("n_true_pairs"),
+              sum(expr(detectExpr(b, r))).as("exp_capture_mu")
+            )
+            .select(
+              lit(b.toLong).as("bands"),
+              lit(r.toLong).as("rows_per_band"),
+              col("n_true_pairs"),
+              col("exp_capture_mu"),
+              expr("exp_capture_mu div n_true_pairs").as("exp_recall_mu")
+            )
+        }
+        .reduce(_.unionByName(_))
+    },
+    Some {
+      import LlmQueries.{CorpusSql, SigSql}
+      val Num = 4
+      val Den = 5
+      val corpusSub = CorpusSql.replaceFirst("corpus AS", "corpus_all AS") +
+        ",\ncorpus AS (SELECT doc_id, text FROM corpus_all WHERE doc_id % 4 = 1)"
+      val arms = PlanGrid
+        .map { case (b, r) =>
+          s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+             |  CAST(count(*) AS BIGINT) AS n_true_pairs,
+             |  CAST(sum(${detectExpr(b, r)}) AS BIGINT) AS exp_capture_mu,
+             |  CAST(sum(${detectExpr(b, r)}) // count(*) AS BIGINT) AS exp_recall_mu
+             |FROM exact""".stripMargin
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH $corpusSub, $SigSql,
+         |wsets AS (SELECT doc_id, list_distinct(shingles) AS ws FROM sh),
+         |toks AS (SELECT doc_id, unnest(ws) AS token FROM wsets),
+         |tf AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+         |ranked AS (
+         |  SELECT t.doc_id, t.token,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY tf.f, t.token) AS pos,
+         |    count(*) OVER (PARTITION BY t.doc_id) AS len
+         |  FROM toks t JOIN tf ON t.token = tf.token),
+         |posts AS (
+         |  SELECT doc_id, token, len FROM ranked
+         |  WHERE pos <= len - (($Num * len + $Num) // $Den) + 1),
+         |cands0 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM posts a JOIN posts b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  WHERE b.len * $Den >= a.len * $Num AND a.len * $Den >= b.len * $Num),
+         |exact AS MATERIALIZED (
+         |  SELECT (1000 * len(list_intersect(wa.ws, wb.ws))) // len(list_distinct(list_concat(wa.ws, wb.ws))) AS jac_pm
+         |  FROM cands0 c
+         |  JOIN wsets wa ON c.doc_a = wa.doc_id
+         |  JOIN wsets wb ON c.doc_b = wb.doc_id
+         |  WHERE len(list_intersect(wa.ws, wb.ws)) * $Den >= len(list_distinct(list_concat(wa.ws, wb.ws))) * $Num)
+         |$arms""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ, lshRecallQ, lshPrQ, lshPlanQ)
 }

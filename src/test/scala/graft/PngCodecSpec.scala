@@ -65,7 +65,7 @@ class PngCodecSpec extends SparkSuite {
     texts.zipWithIndex.foreach { case (t, i) =>
       val got = DeflateMedia.gunzipStats(i.toLong, DeflateMedia.gzipBytes(t)).get
       assert(got.n_bytes == t.getBytes("UTF-8").length.toLong, s"bytes of '$t'")
-      assert(got.n_tokens == t.split("[ \t\n\r\f]+").count(_.nonEmpty).toLong, s"tokens of '$t'")
+      assert(got.n_tokens == t.split("[ \t\n\r\f\\x0B]+").count(_.nonEmpty).toLong, s"tokens of '$t'")
       assert(got.n_lines == t.count(_ == '\n').toLong, s"lines of '$t'")
     }
     assert(DeflateMedia.gunzipStats(0L, "garbage".getBytes).isEmpty)

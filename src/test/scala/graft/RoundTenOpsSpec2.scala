@@ -208,6 +208,23 @@ class RoundTenOpsSpec2 extends SparkSuite {
     }
   }
 
+  test("LSH banding planner: expected recall is monotone in rows-per-band") {
+    val rows = SparkEntry
+      .queries("dedup_lsh_plan")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[Long]("rows_per_band") -> r.getAs[Long]("exp_recall_mu"))
+      .sortBy(_._1)
+    assert(rows.length == 6)
+    // fixed hash budget: more rows per band = stricter bands = recall
+    // can only drop (equality allowed — exact duplicates detect at 1.0
+    // under every split).
+    rows.sliding(2).foreach { case Array((r1, e1), (r2, e2)) =>
+      assert(e1 >= e2, s"recall must not rise from r=$r1 ($e1) to r=$r2 ($e2)")
+    }
+    // the 12-band/1-row split detects an s ≥ 0.8 pair w.p. ≥ 1−0.2^12.
+    assert(rows.head._2 >= 990000L, rows.head)
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
