@@ -860,6 +860,40 @@ object ScaleProbe {
         )
         bmp.unpersist(false)
         wav.unpersist(false)
+      case "png" =>
+        // MB-scale probe for the DEFLATE codec tier: 8 PNGs of
+        // (256·mult)² RGB pixels, real Deflater streams with filter
+        // types cycling y%5. The decoder claims O(scanline) transient
+        // memory (three row buffers + an 8 KiB inflate buffer reused
+        // per partition), so decode time must grow linearly in pixels
+        // while SCALE-MEM stays flat. Synthesis (also per-partition
+        // JVM work) is timed separately so encode cost never pollutes
+        // the decode measurement.
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val png = spark
+          .range(1, 9)
+          .select((col("id") + 100L).as("media_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            operators.DeflateMedia.MediaRow(
+              id,
+              operators.DeflateMedia.encodePng(id, 256 * mult, 256 * mult)
+            )
+          })
+          .persist()
+        val pngBytes = png.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+        val t1 = System.nanoTime()
+        val decoded = operators.DeflateMedia
+          .pngPixelStats(png)
+          .agg(sum("n_pixels"), sum("filter_mask"))
+          .collect()(0)
+        println(
+          f"SCALE mode=png mult=$mult png_mb=${pngBytes / 1048576.0}%.1f " +
+            f"encode_t=${(t1 - t0) / 1e9}%.1f s pixels=${decoded.getLong(0)} " +
+            f"masksum=${decoded.getLong(1)} decode_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
+        )
+        png.unpersist(false)
       case "priority" =>
         // One-group skew for priority sampling: every replicated doc in
         // a single group, k=100. The bit-length histogram cut must keep

@@ -365,7 +365,13 @@ object JoinQueries {
     * per row BEFORE the channel sums (long sums are partition-order-
     * independent; double sums are not).
     */
-  def attributionOf(e: DataFrame): DataFrame = {
+  def attributionOf(e: DataFrame): DataFrame =
+    attributionRollup(creditedOf(e))
+
+  /** Per-purchase credited rows (channel, value_c) — the pre-aggregate
+    * form the streaming replay unions across micro-batches.
+    */
+  private[graft] def creditedOf(e: DataFrame): DataFrame = {
     val ec = e.withColumn("seg", expr(s"us div ${SegUs}L"))
     val touch = when(col("event_type") =!= "purchase", struct(col("us"), col("event_id"), col("event_type")))
     val wd = Window
@@ -383,13 +389,17 @@ object JoinQueries {
     val carry = daySummaries
       .withColumn("carry", last(col("dlt"), ignoreNulls = true).over(ws))
       .select(col("user_id"), col("seg"), col("carry"))
-    val credited = withDay
+    withDay
       .join(carry, Seq("user_id", "seg"))
       .filter(col("event_type") === "purchase")
       .select(
         coalesce(col("tw.event_type"), col("carry.event_type"), lit("direct")).as("channel"),
         round(col("value") * 100).cast("long").as("value_c")
       )
+  }
+
+  private def attributionRollup(creditedRows: DataFrame): DataFrame = {
+    val credited = creditedRows
       .groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"), sum("value_c").as("value_c"))
     val tot = credited.agg(sum("value_c").as("tot"))
@@ -429,6 +439,55 @@ object JoinQueries {
     )
   )
 
+  /** The attribution pipeline's batch-boundary contract as a
+    * hash-certified row (the [[asofReplay]] pattern applied to the
+    * aggregate): split the stream at the integer time midpoint, credit
+    * batch 1's purchases one-shot, credit batch 2's with batch 1's
+    * per-user LATEST TOUCH prepended as an ordinary touch row (the
+    * carried flatMapGroupsWithState state — touches only, so the
+    * prepended rows add no credited purchases of their own), and roll
+    * up the UNION of credited rows. A batch-2 purchase's latest prior
+    * touch is either in batch 2 or is batch 1's last touch, so the
+    * union equals the one-shot credit assignment — same oracle as
+    * `events_attribution`.
+    */
+  private val attributionReplayQ = Q(
+    "stream_attribution_replay",
+    (s, d) => {
+      val e = evts(s, d)
+      val mid = e.agg((min(col("us")) + max(col("us"))).as("mm"))
+      val withMid = e
+        .withColumn("j", (col("us") - col("us") + 1).cast("int"))
+        .join(
+          broadcast(
+            mid.select((col("mm") - col("mm") + 1).cast("int").as("j"), expr("mm div 2").as("mid"))
+          ),
+          Seq("j")
+        )
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "us")
+      val b1 = withMid.filter(col("us") <= col("mid")).select(cols.map(col): _*)
+      val b2 = withMid.filter(col("us") > col("mid")).select(cols.map(col): _*)
+      val carried = b1
+        .filter(col("event_type") =!= "purchase")
+        .groupBy("user_id")
+        .agg(max(struct(col("us"), col("event_id"), col("event_type"), col("ts"), col("value"))).as("l"))
+        .select(
+          col("l.event_id").as("event_id"),
+          col("l.ts").as("ts"),
+          col("user_id"),
+          col("l.event_type").as("event_type"),
+          col("l.value").as("value"),
+          col("l.us").as("us")
+        )
+      attributionRollup(
+        creditedOf(b1).unionByName(
+          creditedOf(b2.unionByName(carried.select(b2.columns.map(col): _*)))
+        )
+      )
+    },
+    attributionQ.oracle
+  )
+
   val all: Seq[Q] =
-    Seq(asof, asofReplay, interval, intervalReplay, intervalProperty, asofProperty, attributionQ)
+    Seq(asof, asofReplay, interval, intervalReplay, intervalProperty, asofProperty, attributionQ, attributionReplayQ)
 }

@@ -225,6 +225,26 @@ class RoundTenOpsSpec2 extends SparkSuite {
     assert(rows.head._2 >= 990000L, rows.head)
   }
 
+  test("tokenizer comparison joins both rules over one vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab ab ab abc")).toDF("doc_id", "text")
+    val rows = operators.WordPiece
+      .compareOf(docs)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(rows.keySet == Set("unigram_viterbi", "wordpiece_greedy"))
+    // both rules see the same 2 distinct words ("ab" ×5, "abc" ×1), and
+    // on this corpus both segment identically (ab → [ab], abc → [ab, c])
+    for (r <- rows.values) {
+      assert(r.getAs[Long]("n_words") == 2L)
+      assert(r.getAs[Long]("w_words") == 6L)
+      assert(r.getAs[Long]("w_pieces") == 5L * 1 + 1L * 2)
+      assert(r.getAs[Long]("agree_words") == 2L)
+      assert(r.getAs[Long]("mean_pieces_c") == (7L * 100) / 6)
+    }
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
