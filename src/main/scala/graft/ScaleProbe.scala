@@ -894,6 +894,36 @@ object ScaleProbe {
             f"masksum=${decoded.getLong(1)} decode_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
         )
         png.unpersist(false)
+      case "gif" =>
+        // LZW-decode probe: 8 GIFs of (256·mult)² pixels. The decoder
+        // claims O(dictionary) = 4096 entries of transient state
+        // regardless of image size (pixels stream through the palette
+        // into sums, never stored) — time linear, SCALE-MEM flat.
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val gif = spark
+          .range(1, 9)
+          .select((col("id") + 100L).as("media_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            operators.DeflateMedia.MediaRow(
+              id,
+              operators.GifCodec.encodeGif(id, 256 * mult, 256 * mult)
+            )
+          })
+          .persist()
+        val gifBytes = gif.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+        val t1 = System.nanoTime()
+        val px = operators.GifCodec
+          .gifPixelStats(gif)
+          .agg(sum("n_pixels"))
+          .collect()(0)
+          .getLong(0)
+        println(
+          f"SCALE mode=gif mult=$mult gif_mb=${gifBytes / 1048576.0}%.1f " +
+            f"encode_t=${(t1 - t0) / 1e9}%.1f s pixels=$px decode_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
+        )
+        gif.unpersist(false)
       case "priority" =>
         // One-group skew for priority sampling: every replicated doc in
         // a single group, k=100. The bit-length histogram cut must keep

@@ -110,7 +110,8 @@ object SparkEntry {
       operators.HybridFusion.all ++
       operators.DeflateMedia.all ++
       operators.WordPiece.all ++
-      operators.PrivacyQueries.all
+      operators.PrivacyQueries.all ++
+      operators.GifCodec.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
