@@ -192,5 +192,83 @@ object AnomalyQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(anomalyMad, cusumQ)
+  /** Per-user bot-likelihood features + a documented heuristic score —
+    * the abuse-detection read that pairs with the de-skew work
+    * elsewhere in the registry (the day-salted windows exist precisely
+    * because bots happen): sustained rate (events per active day),
+    * peak-day burst, and action-type concentration (bots hammer one
+    * action; the transition matrix's degenerate-row signal as one
+    * number). score_pm = min(10000, rate_c div 10 + concentration_pm
+    * div 2 + burst_pm div 5) — an explicitly-arbitrary, DOCUMENTED
+    * combination; the certified content is the exact integer features.
+    *
+    * Scale shape: two bounded aggregates — (user, day) and (user,
+    * type) — then one per-user rollup; map-side combinable, no windows,
+    * no corpus-keyed joins.
+    */
+  def botScoreOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byDay = events
+      .groupBy(col("user_id"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(
+        sum("n").as("n_events"),
+        count(lit(1)).as("n_days"),
+        max("n").as("max_day_events")
+      )
+    val byType = events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"), max("n").as("max_type_events"))
+    byDay
+      .join(byType, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("n_days"),
+        col("n_types"),
+        expr("(n_events * 100) div n_days").as("rate_c"),
+        expr("(max_day_events * 10000) div n_events").as("burst_pm"),
+        expr("(max_type_events * 10000) div n_events").as("concentration_pm"),
+        least(
+          lit(10000L),
+          expr("(n_events * 100) div n_days div 10") +
+            expr("(max_type_events * 10000) div n_events div 2") +
+            expr("(max_day_events * 10000) div n_events div 5")
+        ).as("bot_score_pm")
+      )
+  }
+
+  private val botScoreQ = Q(
+    "events_bot_score",
+    (s, d) => botScoreOf(Tables.events(s, d)),
+    Some(
+      """WITH byday AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |du AS (
+        |  SELECT user_id, sum(n) AS n_events, count(*) AS n_days, max(n) AS max_day_events
+        |  FROM byday GROUP BY 1),
+        |bytype AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |tu AS (
+        |  SELECT user_id, count(*) AS n_types, max(n) AS max_type_events
+        |  FROM bytype GROUP BY 1)
+        |SELECT du.user_id,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST((n_events * 100) // n_days AS BIGINT) AS rate_c,
+        |  CAST((max_day_events * 10000) // n_events AS BIGINT) AS burst_pm,
+        |  CAST((max_type_events * 10000) // n_events AS BIGINT) AS concentration_pm,
+        |  CAST(least(10000,
+        |    (n_events * 100) // n_days // 10 +
+        |    (max_type_events * 10000) // n_events // 2 +
+        |    (max_day_events * 10000) // n_events // 5) AS BIGINT) AS bot_score_pm
+        |FROM du JOIN tu ON tu.user_id = du.user_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(anomalyMad, cusumQ, botScoreQ)
 }

@@ -473,9 +473,129 @@ object Multimodal {
     }
   )
 
+  /** A canonical-44 G.711 µ-law WAV (format code 7, mono, 8-bit, 8 kHz)
+    * whose code bytes follow u_k = (id·13 + k·7) % 256.
+    */
+  private[graft] def mulawFullHex(id: Column, n: Column): Column = {
+    val header = concat(
+      lit("52494646"), le32h(lit(36L) + n), lit("57415645"),
+      lit("666d7420"), le32h(lit(16L)),
+      le16h(lit(7L)), le16h(lit(1L)), le32h(lit(8000L)), le32h(lit(8000L)),
+      le16h(lit(1L)), le16h(lit(8L)),
+      lit("64617461"), le32h(n)
+    )
+    val codes = array_join(
+      transform(sequence(lit(0L), n - 1), k => h2(id * 13 + k * 7)),
+      ""
+    )
+    concat(header, codes)
+  }
+
+  /** The G.711 µ-law expansion of one code byte `c` as pure integer
+    * SQL (ITU-T G.711 Table 2a/2b): u = ~c; t = (((u&15)<<3)+0x84) <<
+    * ((u>>4)&7); sample = ±(t − 0x84). Shifts spelled as multiplies by
+    * a power-of-two CASE so the expression is engine-portable.
+    */
+  private def mulawExpandSql(c: String): String = {
+    val u = s"(255 - ($c))" // ~c & 0xff for a byte
+    val exp = s"(($u div 16) % 8)"
+    val t = s"((((($u % 16) * 8) + 132)) * (CASE $exp WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END))"
+    s"(CASE WHEN $u >= 128 THEN (132 - $t) ELSE ($t - 132) END)"
+  }
+
+  /** JVM mirror of [[mulawExpandSql]] for the javax.sound parity spec. */
+  private[graft] def mulawExpand(c: Int): Int = {
+    val u = (~c) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** REAL G.711 µ-law sample decode — the first NON-LINEAR audio codec
+    * in the registry (PCM16 is a byte reinterpretation; µ-law is a
+    * companding law): parse the fmt chunk, REQUIRE format code 7 /
+    * 8-bit, expand every code byte through the G.711 law in pure
+    * integer arithmetic, aggregate Σ|s| and Σs². Same two-level
+    * chunked fold and one-byte-substring reads as [[wavSampleStats]]
+    * (O(chunk) transient memory); the oracle replays the expansion
+    * law from the closed-form code bytes, and MultimodalMulawSpec
+    * certifies the law against JDK javax.sound's own ULAW→PCM
+    * converter — an independent implementation of G.711.
+    */
+  def mulawSampleStats(media: DataFrame): DataFrame = {
+    val smp = mulawExpandSql(byteAtSql("44 + k"))
+    def chunkSum(term: String): String =
+      s"aggregate(sequence(c * ${SampleChunk}L, least(c * ${SampleChunk}L + ${SampleChunk}L, n) - 1L), " +
+        s"0L, (a, k) -> a + $term)"
+    media
+      .withColumn("hdr", lower(hex(substring(col("payload"), 1, 44))))
+      .withColumn("fmt", expr(hdrLe16Sql(20)))
+      .withColumn("bits", expr(hdrLe16Sql(34)))
+      .withColumn("rate", expr(hdrLe32Sql(24)))
+      .withColumn("n", expr(hdrLe32Sql(40)))
+      .filter(col("fmt") === 7 && col("bits") === 8)
+      .withColumn(
+        "sums",
+        when(
+          col("n") > 0,
+          expr(
+            s"""aggregate(
+               |  sequence(0L, (n + ${SampleChunk - 1}L) div ${SampleChunk}L - 1L),
+               |  array(0L, 0L),
+               |  (acc, c) -> array(
+               |    acc[0] + ${chunkSum(s"abs($smp)")},
+               |    acc[1] + ${chunkSum(s"$smp * $smp")}))""".stripMargin
+          )
+        ).otherwise(typedLit(Seq(0L, 0L)))
+      )
+      .select(
+        col("media_id"),
+        col("rate").as("sample_rate"),
+        col("n").as("n_samples"),
+        expr("(sums[0] * 100) div n").as("mean_abs_c"),
+        col("sums").getItem(1).as("sum_sq")
+      )
+  }
+
+  /** LE16 read at 0-based byte offset `p` from the bounded header hex. */
+  private def hdrLe16Sql(p: Int): String =
+    (0 to 1)
+      .map(b => s"conv(substring(hdr, ${(p + b) * 2 + 1}, 2), 16, 10) * ${1L << (8 * b)}L")
+      .mkString("cast(", " + ", " as long)")
+
+  def mulawTable(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        unhex(mulawFullHex(col("doc_id"), col("doc_id") % 60 + 8)).as("payload")
+      )
+
+  private val mulawSamplesQ = Q(
+    "multimodal_mulaw_samples",
+    (s, d) => mulawSampleStats(mulawTable(s, d)),
+    Some {
+      val c = "((media_id * 13 + k * 7) % 256)"
+      val u = s"(255 - $c)"
+      val ex = s"(($u // 16) % 8)"
+      val t = s"(((($u % 16) * 8) + 132) * (CASE $ex WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END))"
+      val smp = s"(CASE WHEN $u >= 128 THEN (132 - $t) ELSE ($t - 132) END)"
+      s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 60 + 8 AS n FROM documents),
+         |s AS (
+         |  SELECT media_id, n,
+         |    list_sum(list_transform(range(0, n), k -> abs($smp))) AS sa,
+         |    list_sum(list_transform(range(0, n), k -> $smp * $smp)) AS sq
+         |  FROM m)
+         |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+         |  CAST((sa * 100) // n AS BIGINT) AS mean_abs_c,
+         |  CAST(sq AS BIGINT) AS sum_sq
+         |FROM s""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(
     bmpPixelsQ,
     wavSamplesQ,
+    mulawSamplesQ,
     Q(
       // Real byte-level image header decode: even media_ids carry PNG
       // payloads (color type cycling gray/rgb/rgba), odd ones JFIF JPEG;

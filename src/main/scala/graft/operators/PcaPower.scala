@@ -271,5 +271,51 @@ object PcaPower {
     Some(anisotropyOracle)
   )
 
-  val all: Seq[Q] = Seq(pcaQ, anisotropyQ)
+  /** Per-dimension mean/variance profile of the embedding matrix — the
+    * quantization-prep diagnostic read before PQ/int8 codebook design
+    * (a dimension whose variance dwarfs the rest wrecks a uniform
+    * subspace split; a near-zero-variance dimension is free to prune)
+    * and the drift axis PCA summarizes away. One posexplode + one
+    * 64-key aggregate, map-side combinable; elements quantized to
+    * integer milli-units ([[eqOf]]) so all sums are exact, variance
+    * via (n·Σx² − (Σx)²) div n² — integer end-to-end.
+    */
+  def varianceProfileOf(embs: DataFrame): DataFrame =
+    eqOf(embs)
+      .select(posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("s"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("q")
+      )
+      .select(
+        col("dim").cast("long").as("dim"),
+        col("n"),
+        expr("s div n").as("mean_mq"),
+        expr("cast((n * q - cast(s as decimal(38,0)) * s) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("var_mq2")
+      )
+
+  private val varianceQ = Q(
+    "embed_variance_profile",
+    (s, d) => varianceProfileOf(graft.Tables.embeddings(s, d)),
+    Some(
+      s"""WITH eq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS double) * $EQ) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |px AS (
+         |  SELECT unnest(range(1, len(e) + 1)) AS d1, unnest(e) AS x FROM eq),
+         |agg AS (
+         |  SELECT d1 - 1 AS dim, count(*) AS n, sum(x) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+         |  FROM px GROUP BY 1)
+         |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+         |  CAST(s // n AS BIGINT) AS mean_mq,
+         |  CAST((n * q - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_mq2
+         |FROM agg""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(pcaQ, anisotropyQ, varianceQ)
 }

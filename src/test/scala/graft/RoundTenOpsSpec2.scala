@@ -245,6 +245,75 @@ class RoundTenOpsSpec2 extends SparkSuite {
     }
   }
 
+  test("mu-law expansion matches JDK javax.sound's independent G.711 decoder") {
+    import javax.sound.sampled._
+    val codes = (0 until 256).map(_.toByte).toArray
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(codes), ulawFmt, codes.length.toLong)
+    val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+    val buf = pcm.readAllBytes()
+    assert(buf.length == 512)
+    for (i <- 0 until 256) {
+      val jdk = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt
+      assert(jdk == operators.Multimodal.mulawExpand(i), s"code $i")
+    }
+  }
+
+  test("mu-law sample stats match the JVM expansion on sf0.001") {
+    val rows = SparkEntry
+      .queries("multimodal_mulaw_samples")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.take(5).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = (id % 60 + 8).toInt
+      val samples = (0 until n).map(k => operators.Multimodal.mulawExpand(((id * 13 + k * 7) % 256).toInt))
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("mean_abs_c") == samples.map(s => math.abs(s).toLong).sum * 100 / n)
+      assert(r.getAs[Long]("sum_sq") == samples.map(s => s.toLong * s).sum)
+    }
+  }
+
+  test("embedding variance profile is exact on a hand matrix") {
+    import spark.implicits._
+    // two 64-dim vectors: dim 0 carries (1.0, 3.0) → mean 2.0, var 1.0;
+    // every other dim is constant 0.5 → var 0.
+    def vec(d0: Float) = (Array(d0) ++ Array.fill(63)(0.5f)).toSeq
+    val embs = Seq((1L, vec(1.0f)), (2L, vec(3.0f))).toDF("vec_id", "embedding")
+    val rows = operators.PcaPower
+      .varianceProfileOf(embs)
+      .collect()
+      .map(r => r.getAs[Long]("dim") -> r)
+      .toMap
+    assert(rows(0L).getAs[Long]("mean_mq") == 2000L) // milli-units
+    assert(rows(0L).getAs[Long]("var_mq2") == 1000000L) // (1000 mq)^2
+    assert(rows(5L).getAs[Long]("var_mq2") == 0L)
+    assert(rows.size == 64)
+  }
+
+  test("bot score separates a hammering bot from a diverse human") {
+    val day = 86400000000L
+    val bot = (0L until 200L).map(k => (k, k * 1000000L, 1L, "click", 1.0))
+    val human = Seq(
+      (500L, 1000L, 2L, "view", 1.0),
+      (501L, day + 1000L, 2L, "click", 1.0),
+      (502L, 2 * day + 1000L, 2L, "purchase", 5.0)
+    )
+    val got = operators.AnomalyQueries
+      .botScoreOf(evFrame((bot ++ human).toSeq).drop("us"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r)
+      .toMap
+    val b = got(1L); val h = got(2L)
+    assert(b.getAs[Long]("concentration_pm") == 10000L)
+    assert(b.getAs[Long]("rate_c") == 20000L) // 200 events / 1 day
+    // 20000 div 10 + 10000 div 2 + 10000 div 5 = 2000+5000+2000 = 9000
+    assert(b.getAs[Long]("bot_score_pm") == 9000L)
+    assert(h.getAs[Long]("n_types") == 3L && h.getAs[Long]("rate_c") == 100L)
+    assert(h.getAs[Long]("bot_score_pm") < 4500L, h)
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
