@@ -51,7 +51,14 @@ class PlanSpec extends SparkSuite {
         .map(_.name)
         .toSet
         .subsetOf(
-          Set("knn_cosine", "ann_recall_eval", "ann_recall_multiprobe", "ann_recall_dims", "ann_recall_hybrid")
+          Set(
+            "knn_cosine",
+            "ann_recall_eval",
+            "ann_recall_multiprobe",
+            "ann_recall_dims",
+            "ann_recall_hybrid",
+            "ann_recall_ivfpq"
+          )
         ),
       offenders.map(_.name).mkString(",")
     )
@@ -401,6 +408,70 @@ class PlanSpec extends SparkSuite {
           assert(
             w.partitionSpec.size >= 2,
             s"events_sessionize event-sized window missing the day salt: $w"
+          )
+      }
+    }
+    // Codec-tier decoders and the structural audits are map-only: one
+    // scan, zero shuffle, zero window (the codec work is mapPartitions;
+    // the µ-law/gzip/PNG/GIF payload never leaves its partition).
+    Seq(
+      "multimodal_png_pixels",
+      "multimodal_gif_pixels",
+      "multimodal_mulaw_samples",
+      "docs_gzip_ingest"
+    ).foreach { name =>
+      val plan = innerPlanOf(name)
+      assert(
+        plan.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }.isEmpty,
+        s"$name should be shuffle-free (map-only codec tier)"
+      )
+      assert(
+        plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"$name should be window-free"
+      )
+    }
+    // The second-session analytics rows are bounded aggregates + equi-
+    // joins: window-free, no nested loops (the stationary chain, the
+    // planner, the audits, the divergence, the ACF lag join included).
+    Seq(
+      "graph_assortativity",
+      "events_acf",
+      "docs_js_divergence",
+      "docs_ess_weights",
+      "events_k_anonymity",
+      "events_bot_score",
+      "embed_variance_profile",
+      "dedup_lsh_plan",
+      "docs_wordpiece_encode",
+      "docs_tokenizer_compare"
+    ).foreach { name =>
+      val plan = innerPlanOf(name)
+      assert(
+        plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"$name should be window-free"
+      )
+      assert(
+        plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty,
+        s"$name should contain only equi-joins"
+      )
+    }
+    // Attribution and the stationary chain ride the de-skewed step
+    // extraction: every event-sized window (ordered by more than the
+    // day key) must carry the (user, day) salt, exactly like
+    // sessionize; the day-summary stitch windows (ordered by the day
+    // alone, ≤ days-per-user rows) are the accepted bounded shape.
+    Seq("events_attribution", "stream_attribution_replay", "events_stationary").foreach { name =>
+      val plan = innerPlanOf(name)
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected the day-salted carry windows")
+      windows.foreach { w =>
+        if (w.orderSpec.size > 1)
+          assert(
+            w.partitionSpec.size >= 2,
+            s"$name event-sized window missing the day salt: $w"
           )
       }
     }
