@@ -111,7 +111,8 @@ object SparkEntry {
       operators.DeflateMedia.all ++
       operators.WordPiece.all ++
       operators.PrivacyQueries.all ++
-      operators.GifCodec.all
+      operators.GifCodec.all ++
+      operators.AdpcmCodec.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
