@@ -67,7 +67,9 @@ object PqTrain {
   /** The full per-subspace training loop: seeds = the first 16 vectors'
     * sub-vectors, `Iters` Lloyd rounds, final-round statistics out.
     */
-  def trainOf(embs: DataFrame): DataFrame = {
+  def trainOf(embs: DataFrame): DataFrame = trainLoop(embs)._1
+
+  private def trainLoop(embs: DataFrame): (DataFrame, DataFrame) = {
     val sub = subvecs(embs)
     var seeds = sub
       .filter(col("vec_id") < Kc)
@@ -92,13 +94,58 @@ object PqTrain {
         )
       prev.foreach(_.unpersist(false))
     }
-    stats.select(
-      col("m").cast("long").as("sub"),
-      col("cell").cast("long").as("code"),
-      col("dim"),
-      col("n"),
-      col("s_mu")
+    (
+      stats.select(
+        col("m").cast("long").as("sub"),
+        col("cell").cast("long").as("code"),
+        col("dim"),
+        col("n"),
+        col("s_mu")
+      ),
+      seeds
     )
+  }
+
+  /** Explicit left-associated 8-term squared-L2 — both engines spell the
+    * identical double chain, so the distortion VALUE (not just the
+    * argmin) is bit-deterministic. `i0` is the engine's base index.
+    */
+  private def l2sqChain(a: String, b: String, i0: Int): String =
+    (i0 until i0 + Dsub)
+      .map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+      .mkString("(", " + ", ")")
+
+  /** Mean PQ quantization distortion per subspace under the TRAINED
+    * codebooks — the codebook-quality companion of `ann_recall_ivfpq`
+    * (recall measures end-to-end search; distortion isolates how much
+    * signal the 4-bit codes destroy, the number that decides Kc and M
+    * before any search runs). Per (vector, subspace): the MIN squared
+    * L2 to the 16 trained centroids — a min needs no tie-break — as an
+    * explicit left-associated double chain identical in both engines,
+    * FLOOR-quantized to micro-units per element before the exact
+    * integer rollup.
+    */
+  def distortionOf(embs: DataFrame): DataFrame = {
+    val (_, seeds) = trainLoop(embs)
+    val cents = seeds
+      .groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    subvecs(embs)
+      .join(broadcast(cents), Seq("m"))
+      .select(
+        col("m"),
+        expr(
+          s"cast(floor(1e6 * array_min(transform(cents, cc -> ${l2sqChain("sv", "cc.cv", 0)}))) as bigint)"
+        ).as("err_mu")
+      )
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_vecs"), sum("err_mu").as("sum_err_mu"))
+      .select(
+        col("m").cast("long").as("sub"),
+        col("n_vecs"),
+        col("sum_err_mu"),
+        expr("sum_err_mu div n_vecs").as("mean_err_mu")
+      )
   }
 
   private def oracleSql: String = {
@@ -141,5 +188,25 @@ object PqTrain {
     Some(oracleSql)
   )
 
-  val all: Seq[Q] = Seq(trainQ)
+  private val distortionQ = Q(
+    "embed_pq_distortion",
+    (s, d) => distortionOf(Tables.embeddings(s, d)),
+    Some {
+      // Reuse the training CTE chain verbatim, then one assignment-free
+      // min pass under the final codebooks.
+      val trainCtes = oracleSql.substring(0, oracleSql.lastIndexOf("SELECT cast(m as bigint)")).trim
+      s"""$trainCtes,
+         |cg AS (SELECT m, list(cv ORDER BY cell) AS cents FROM c$Iters GROUP BY m),
+         |err AS (
+         |  SELECT s.m,
+         |    CAST(floor(1e6 * list_min(list_transform(cg.cents, cc -> ${l2sqChain("s.sv", "cc", 1)}))) AS BIGINT) AS err_mu
+         |  FROM sv s JOIN cg ON cg.m = s.m)
+         |SELECT CAST(m AS BIGINT) AS sub, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(err_mu) AS BIGINT) AS sum_err_mu,
+         |  CAST(sum(err_mu) // count(*) AS BIGINT) AS mean_err_mu
+         |FROM err GROUP BY 1""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(trainQ, distortionQ)
 }

@@ -418,6 +418,7 @@ class PlanSpec extends SparkSuite {
       "multimodal_png_pixels",
       "multimodal_gif_pixels",
       "multimodal_mulaw_samples",
+      "multimodal_adpcm_samples",
       "docs_gzip_ingest"
     ).foreach { name =>
       val plan = innerPlanOf(name)
