@@ -314,6 +314,21 @@ class RoundTenOpsSpec2 extends SparkSuite {
     assert(h.getAs[Long]("bot_score_pm") < 4500L, h)
   }
 
+  test("PQ distortion is zero when every vector sits on a seed centroid") {
+    import spark.implicits._
+    // 64 vectors, each equal to one of the 16 seed vectors (vec_id < 16
+    // seed the codebooks) → Lloyd converges immediately and every
+    // vector reconstructs exactly: distortion 0 in all 8 subspaces.
+    def vec(c: Int) = Array.tabulate(64)(d => (c * 64 + d).toFloat / 100f).toSeq
+    val embs = (0 until 64).map(i => (i.toLong, vec(i % 16))).toDF("vec_id", "embedding")
+    val rows = operators.PqTrain.distortionOf(embs).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 64L)
+      assert(r.getAs[Long]("sum_err_mu") == 0L, r)
+    }
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
