@@ -112,7 +112,8 @@ object SparkEntry {
       operators.WordPiece.all ++
       operators.PrivacyQueries.all ++
       operators.GifCodec.all ++
-      operators.AdpcmCodec.all
+      operators.AdpcmCodec.all ++
+      operators.CompressedIngest.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

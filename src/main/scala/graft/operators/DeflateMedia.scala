@@ -311,8 +311,16 @@ object DeflateMedia {
     * the carried `inTok` flag. Returns None on a corrupt member.
     */
   private[graft] def gunzipStats(docId: Long, payload: Array[Byte]): Option[GzStats] =
+    streamStats(docId, new GZIPInputStream(new java.io.ByteArrayInputStream(payload), 8192))
+
+  /** Streaming byte/token/line stats over ANY decoded InputStream —
+    * shared by the gzip ingest here and the zstd/lz4/snappy ingest in
+    * [[CompressedIngest]]; 8 KiB buffer, token runs spanning buffer
+    * boundaries carried by `inTok`, corrupt members quarantined.
+    */
+  private[graft] def streamStats(docId: Long, mkIn: => java.io.InputStream): Option[GzStats] =
     try {
-      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(payload), 8192)
+      val in = mkIn
       val buf = new Array[Byte](8192)
       var nb = 0L; var nt = 0L; var nl = 0L
       var inTok = false

@@ -419,7 +419,10 @@ class PlanSpec extends SparkSuite {
       "multimodal_gif_pixels",
       "multimodal_mulaw_samples",
       "multimodal_adpcm_samples",
-      "docs_gzip_ingest"
+      "docs_gzip_ingest",
+      "docs_zstd_ingest",
+      "docs_lz4_ingest",
+      "docs_snappy_ingest"
     ).foreach { name =>
       val plan = innerPlanOf(name)
       assert(

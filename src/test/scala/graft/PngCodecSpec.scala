@@ -71,6 +71,15 @@ class PngCodecSpec extends SparkSuite {
     assert(DeflateMedia.gunzipStats(0L, "garbage".getBytes).isEmpty)
   }
 
+  test("zstd/lz4/snappy ingest match direct computation and quarantine garbage") {
+    for (q <- Seq("docs_zstd_ingest", "docs_lz4_ingest", "docs_snappy_ingest")) {
+      val rows = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").collect()
+      assert(rows.nonEmpty, q)
+    }
+    for (codec <- Seq("zstd", "lz4", "snappy"))
+      assert(graft.operators.CompressedIngest.decodeStats(codec, 0L, "garbage".getBytes).isEmpty, codec)
+  }
+
   test("the registered queries run end-to-end on sf0.001") {
     val png = SparkEntry.queries("multimodal_png_pixels")(spark, "/root/testdata/sf0.001")
     val rows = png.collect()
