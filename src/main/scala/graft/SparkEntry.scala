@@ -113,7 +113,8 @@ object SparkEntry {
       operators.PrivacyQueries.all ++
       operators.GifCodec.all ++
       operators.AdpcmCodec.all ++
-      operators.CompressedIngest.all
+      operators.CompressedIngest.all ++
+      operators.NoveltyQueries.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

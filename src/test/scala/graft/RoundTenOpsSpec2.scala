@@ -329,6 +329,39 @@ class RoundTenOpsSpec2 extends SparkSuite {
     }
   }
 
+  test("ngram novelty separates unique text from assembled phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"), // grams: a-b-g, b-g-d — both unique → 10000
+      (2L, "the quick brown fox", "A"),
+      (3L, "the quick brown wolf", "B") // shares "the quick brown" with doc 2
+    ).toDF("doc_id", "text", "source")
+    val got = operators.NoveltyQueries
+      .ngramNoveltyOf(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"), r.getAs[Long]("novelty_pm"))))
+      .toMap
+    assert(got(1L) == ((2L, 10000L)))
+    assert(got(2L) == ((2L, 5000L))) // "the quick brown" shared, "quick brown fox" unique
+    assert(got(3L) == ((2L, 5000L)))
+  }
+
+  test("template-prefix mining groups shared 8-token headers across sources") {
+    import spark.implicits._
+    val header = "terms of service apply to all content here"
+    val docs = Seq(
+      (1L, s"$header body one", "A"),
+      (2L, s"$header body two entirely different", "B"),
+      (3L, "unrelated text with no family", "A")
+    ).toDF("doc_id", "text", "source")
+    val rows = operators.NoveltyQueries.templatePrefixOf(docs).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("prefix") == "terms of service apply to all content here".split(" ").take(8).mkString(" "))
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("share_pm") == 2L * 10000 / 3)
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
