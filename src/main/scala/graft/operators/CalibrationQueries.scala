@@ -496,5 +496,112 @@ object CalibrationQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(calibrationQ, ivfBalanceQ, clusterQualityQ, lshRecallQ, lshPrQ, lshPlanQ)
+  /** Threshold-sensitivity sweep of the dedup graph ABOVE the deployed
+    * θ = 0.8 (the prefix-filter's certified floor): for each τ ∈
+    * {800, 850, 900, 950, 1000}‰, the surviving edge count, touched
+    * vertex count, and maximum degree. The decision read before
+    * tightening a dedup threshold — a cliff between 800 and 850 means
+    * the clusters are borderline and τ is load-bearing; a flat curve
+    * means the duplicates are unambiguous. One threshold explode over
+    * the checkpointed exact pairs + two bounded aggregates per τ.
+    */
+  private val ThresholdGrid = Seq(800, 850, 900, 950, 1000)
+
+  private val thresholdSweepQ = Q(
+    "dedup_threshold_sweep",
+    (s, d) => {
+      val sub = LlmQueries.corpus(s, d).filter(col("doc_id") % 4 === 1)
+      val exact = AllPairsJoin
+        .allPairsOfSets(
+          sub.select(
+            col("doc_id"),
+            array_distinct(TextFunctions.shingles(col("text"))).as("ws")
+          )
+        )
+        .select("doc_a", "doc_b", "jac_pm")
+        .localCheckpoint()
+      val taued = exact
+        .select(
+          explode(typedLit(ThresholdGrid.map(_.toLong))).as("tau_pm"),
+          col("doc_a"),
+          col("doc_b"),
+          col("jac_pm")
+        )
+        .filter(col("jac_pm") >= col("tau_pm"))
+      val edges = taued.groupBy("tau_pm").agg(count(lit(1)).as("n_edges"))
+      val verts = taued
+        .select(col("tau_pm"), col("doc_a").as("v"))
+        .unionByName(taued.select(col("tau_pm"), col("doc_b").as("v")))
+        .groupBy("tau_pm", "v")
+        .agg(count(lit(1)).as("dg"))
+        .groupBy("tau_pm")
+        .agg(count(lit(1)).as("n_vertices"), max("dg").as("max_degree"))
+      // scaffold the full grid: a τ that kills every edge must SAY so
+      // (n_edges 0), not vanish from the curve.
+      exact.sparkSession
+        .range(0, ThresholdGrid.size.toLong)
+        .select(element_at(typedLit(ThresholdGrid.map(_.toLong)), col("id").cast("int") + 1).as("tau_pm"))
+        .join(edges, Seq("tau_pm"), "left")
+        .join(verts, Seq("tau_pm"), "left")
+        .select(
+          col("tau_pm"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_vertices"), lit(0L)).as("n_vertices"),
+          coalesce(col("max_degree"), lit(0L)).as("max_degree")
+        )
+    },
+    Some {
+      import LlmQueries.{CorpusSql, SigSql}
+      val Num = 4
+      val Den = 5
+      val corpusSub = CorpusSql.replaceFirst("corpus AS", "corpus_all AS") +
+        ",\ncorpus AS (SELECT doc_id, text FROM corpus_all WHERE doc_id % 4 = 1)"
+      s"""WITH $corpusSub, $SigSql,
+         |wsets AS (SELECT doc_id, list_distinct(shingles) AS ws FROM sh),
+         |toks AS (SELECT doc_id, unnest(ws) AS token FROM wsets),
+         |tf AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+         |ranked AS (
+         |  SELECT t.doc_id, t.token,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY tf.f, t.token) AS pos,
+         |    count(*) OVER (PARTITION BY t.doc_id) AS len
+         |  FROM toks t JOIN tf ON t.token = tf.token),
+         |posts AS (
+         |  SELECT doc_id, token, len FROM ranked
+         |  WHERE pos <= len - (($Num * len + $Num) // $Den) + 1),
+         |cands0 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM posts a JOIN posts b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  WHERE b.len * $Den >= a.len * $Num AND a.len * $Den >= b.len * $Num),
+         |exact AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b,
+         |    (1000 * len(list_intersect(wa.ws, wb.ws))) // len(list_distinct(list_concat(wa.ws, wb.ws))) AS jac_pm
+         |  FROM cands0 c
+         |  JOIN wsets wa ON c.doc_a = wa.doc_id
+         |  JOIN wsets wb ON c.doc_b = wb.doc_id
+         |  WHERE len(list_intersect(wa.ws, wb.ws)) * $Den >= len(list_distinct(list_concat(wa.ws, wb.ws))) * $Num),
+         |taued AS (
+         |  SELECT t.tau_pm, e.doc_a, e.doc_b
+         |  FROM exact e
+         |  CROSS JOIN (SELECT unnest(${ThresholdGrid.mkString("[", ", ", "]")}) AS tau_pm) t
+         |  WHERE e.jac_pm >= t.tau_pm),
+         |edges AS (SELECT tau_pm, count(*) AS n_edges FROM taued GROUP BY 1),
+         |verts AS (
+         |  SELECT tau_pm, count(*) AS n_vertices, max(dg) AS max_degree
+         |  FROM (
+         |    SELECT tau_pm, v, count(*) AS dg
+         |    FROM (SELECT tau_pm, doc_a AS v FROM taued UNION ALL SELECT tau_pm, doc_b FROM taued) _u
+         |    GROUP BY 1, 2) _d
+         |  GROUP BY 1)
+         |SELECT CAST(g.tau_pm AS BIGINT) AS tau_pm,
+         |  CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+         |  CAST(coalesce(n_vertices, 0) AS BIGINT) AS n_vertices,
+         |  CAST(coalesce(max_degree, 0) AS BIGINT) AS max_degree
+         |FROM (SELECT unnest(${ThresholdGrid.mkString("[", ", ", "]")}) AS tau_pm) g
+         |LEFT JOIN edges ON edges.tau_pm = g.tau_pm
+         |LEFT JOIN verts ON verts.tau_pm = g.tau_pm""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(calibrationQ, ivfBalanceQ, clusterQualityQ, lshRecallQ, lshPrQ, lshPlanQ, thresholdSweepQ)
 }
