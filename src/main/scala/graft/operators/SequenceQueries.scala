@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,5 +150,131 @@ object SequenceQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(funnel, retention, trailing)
+  /** RFM customer segmentation (Hughes 1994 — the classic
+    * recency/frequency/monetary quintile grid) over purchase events:
+    * R = days since the user's last purchase (corpus max day as "now"),
+    * F = purchase count, M = integer cents. Scores 1..5 are QUINTILES
+    * of the corpus's own distributions, computed the certified
+    * bounded-histogram way (the ppl-buckets / gini discipline): each
+    * metric's value→count histogram is bounded (R by the day span, F
+    * by the count-of-counts, M banded to whole dollars), the four cuts
+    * come from a cumulative window over that bounded frame — never a
+    * per-user rank — and score = 1 + #cuts strictly below the value
+    * (ties share the lower bucket, identical in both engines).
+    * R is inverted (recent = 5) per the classic convention.
+    *
+    * Scale shape: one per-user aggregate; three bounded histograms +
+    * windows; cuts re-enter via tiny broadcasts. No corpus-sized sort.
+    */
+  def rfmOf(e: DataFrame): DataFrame = {
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("v_c")
+      )
+    val perUser = p
+      .groupBy("user_id")
+      .agg(max("day").as("lastday"), count(lit(1)).as("f"), sum("v_c").as("m_c"))
+    val maxDay = perUser.agg(max("lastday").as("maxday"))
+    val users = perUser
+      .withColumn("j", (col("f") - col("f") + 1).cast("int"))
+      .join(
+        broadcast(maxDay.select((col("maxday") - col("maxday") + 1).cast("int").as("j"), col("maxday"))),
+        Seq("j")
+      )
+      .select(
+        col("user_id"),
+        (col("maxday") - col("lastday")).as("r_days"),
+        col("f"),
+        col("m_c"),
+        expr("m_c div 100").as("m_band")
+      )
+      .localCheckpoint()
+    // quintile cuts of one bounded (value, n) histogram: the smallest
+    // value whose cumulative count reaches k/5 of the users, k=1..4.
+    def cutsOf(metric: String): DataFrame = {
+      val hist = users.groupBy(col(metric).as("value")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum("n").as("nt"))
+      hist
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("j", (col("n") - col("n") + 1).cast("int"))
+        .join(broadcast(tot.select((col("nt") - col("nt") + 1).cast("int").as("j"), col("nt"))), Seq("j"))
+        .groupBy("j")
+        .agg(
+          min(when(expr("cum * 5 >= nt"), col("value"))).as("c1"),
+          min(when(expr("cum * 5 >= 2 * nt"), col("value"))).as("c2"),
+          min(when(expr("cum * 5 >= 3 * nt"), col("value"))).as("c3"),
+          min(when(expr("cum * 5 >= 4 * nt"), col("value"))).as("c4")
+        )
+    }
+    def score(metric: String, cuts: String): Column =
+      lit(1L) + when(col(metric) > col(s"$cuts.c1"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"$cuts.c2"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"$cuts.c3"), 1L).otherwise(0L) +
+        when(col(metric) > col(s"$cuts.c4"), 1L).otherwise(0L)
+    val withCuts = users
+      .withColumn("j", (col("f") - col("f") + 1).cast("int"))
+      .join(broadcast(cutsOf("r_days").select(col("j"), struct(col("c1"), col("c2"), col("c3"), col("c4")).as("rc"))), Seq("j"))
+      .join(broadcast(cutsOf("f").select(col("j"), struct(col("c1"), col("c2"), col("c3"), col("c4")).as("fc"))), Seq("j"))
+      .join(broadcast(cutsOf("m_band").select(col("j"), struct(col("c1"), col("c2"), col("c3"), col("c4")).as("mc"))), Seq("j"))
+    withCuts
+      .select(
+        col("user_id"),
+        col("r_days"),
+        col("f"),
+        col("m_c"),
+        (lit(6L) - score("r_days", "rc")).as("r_score"),
+        score("f", "fc").as("f_score"),
+        score("m_band", "mc").as("m_score")
+      )
+      .withColumn("rfm", expr("r_score * 100 + f_score * 10 + m_score"))
+  }
+
+  private val rfmQ = Q(
+    "events_rfm",
+    (s, d) => rfmOf(Tables.events(s, d)),
+    Some {
+      def cuts(metric: String, name: String) =
+        s"""$name AS (
+           |  SELECT
+           |    min(CASE WHEN cum * 5 >= nt THEN value END) AS c1,
+           |    min(CASE WHEN cum * 5 >= 2 * nt THEN value END) AS c2,
+           |    min(CASE WHEN cum * 5 >= 3 * nt THEN value END) AS c3,
+           |    min(CASE WHEN cum * 5 >= 4 * nt THEN value END) AS c4
+           |  FROM (
+           |    SELECT value, sum(n) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |      sum(n) OVER () AS nt
+           |    FROM (SELECT $metric AS value, count(*) AS n FROM users GROUP BY 1) _h) _c)""".stripMargin
+      def score(metric: String, cu: String) =
+        s"(1 + (CASE WHEN $metric > $cu.c1 THEN 1 ELSE 0 END) + (CASE WHEN $metric > $cu.c2 THEN 1 ELSE 0 END) + (CASE WHEN $metric > $cu.c3 THEN 1 ELSE 0 END) + (CASE WHEN $metric > $cu.c4 THEN 1 ELSE 0 END))"
+      s"""WITH p AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS v_c
+         |  FROM events WHERE event_type = 'purchase'),
+         |pu AS (
+         |  SELECT user_id, max(day) AS lastday, count(*) AS f, sum(v_c) AS m_c
+         |  FROM p GROUP BY 1),
+         |md AS (SELECT max(lastday) AS maxday FROM pu),
+         |users AS (
+         |  SELECT user_id, maxday - lastday AS r_days, f, m_c, m_c // 100 AS m_band
+         |  FROM pu, md),
+         |${cuts("r_days", "rc")},
+         |${cuts("f", "fc")},
+         |${cuts("m_band", "mc")}
+         |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, CAST(f AS BIGINT) AS f,
+         |  CAST(m_c AS BIGINT) AS m_c,
+         |  CAST(6 - ${score("r_days", "rc")} AS BIGINT) AS r_score,
+         |  CAST(${score("f", "fc")} AS BIGINT) AS f_score,
+         |  CAST(${score("m_band", "mc")} AS BIGINT) AS m_score,
+         |  CAST((6 - ${score("r_days", "rc")}) * 100 + ${score("f", "fc")} * 10 + ${score("m_band", "mc")} AS BIGINT) AS rfm
+         |FROM users, rc, fc, mc""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(funnel, retention, trailing, rfmQ)
 }

@@ -362,6 +362,25 @@ class RoundTenOpsSpec2 extends SparkSuite {
     assert(r.getAs[Long]("share_pm") == 2L * 10000 / 3)
   }
 
+  test("RFM quintile scores: inverted recency, tie-flat frequency, monetary ladder") {
+    val day = 86400000000L
+    // five users, one purchase each: days 0..4, values $1..$5
+    val ev = evFrame(
+      (0 until 5).map(i => (i.toLong, i * day + 5L, 10L + i, "purchase", (i + 1).toDouble))
+    )
+    val got = operators.SequenceQueries
+      .rfmOf(ev.drop("us"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r)
+      .toMap
+    // user 14 bought most recently ($5): R=5, F=1 (all tie at 1), M=5.
+    assert(got(14L).getAs[Long]("rfm") == 515L, got(14L))
+    // user 10 bought first ($1): R=1, F=1, M=1.
+    assert(got(10L).getAs[Long]("rfm") == 111L, got(10L))
+    assert(got(12L).getAs[Long]("r_score") == 3L)
+    assert(got.values.forall(_.getAs[Long]("f_score") == 1L))
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
