@@ -114,7 +114,8 @@ object SparkEntry {
       operators.GifCodec.all ++
       operators.AdpcmCodec.all ++
       operators.CompressedIngest.all ++
-      operators.NoveltyQueries.all
+      operators.NoveltyQueries.all ++
+      operators.NprobeRecall.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

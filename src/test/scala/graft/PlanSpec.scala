@@ -57,7 +57,8 @@ class PlanSpec extends SparkSuite {
             "ann_recall_multiprobe",
             "ann_recall_dims",
             "ann_recall_hybrid",
-            "ann_recall_ivfpq"
+            "ann_recall_ivfpq",
+            "ann_recall_nprobe"
           )
         ),
       offenders.map(_.name).mkString(",")

@@ -381,6 +381,21 @@ class RoundTenOpsSpec2 extends SparkSuite {
     assert(got.values.forall(_.getAs[Long]("f_score") == 1L))
   }
 
+  test("nprobe recall curve is per-query monotone (probing more cells never hurts)") {
+    val rows = SparkEntry
+      .queries("ann_recall_nprobe")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nprobe")) -> r.getAs[Long]("recall_permille"))
+      .toMap
+    val queries = rows.keys.map(_._1).toSeq.distinct
+    assert(queries.nonEmpty)
+    // candidates(nprobe) is a superset chain and truth shares the score
+    // metric, so per-query recall can only rise with more probes.
+    queries.foreach { q =>
+      assert(rows((q, 1L)) <= rows((q, 2L)) && rows((q, 2L)) <= rows((q, 4L)), s"query $q")
+    }
+  }
+
   test("assortativity and acf registered queries run end-to-end on sf0.001") {
     assert(SparkEntry.queries("graph_assortativity")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
     assert(SparkEntry.queries("events_acf")(spark, "/root/testdata/sf0.001").collect().nonEmpty)
