@@ -276,5 +276,50 @@ object SequenceQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(funnel, retention, trailing, rfmQ)
+  /** Corpus-level session statistics — the one-row health read over the
+    * certified sessionization (the number a dashboard shows before
+    * anyone drills into per-session rows): session and user counts,
+    * mean/max session size, sessions per user, and the single-event
+    * (bounce) share. Implementation and ORACLE both wrap the
+    * `events_sessionize` row's own certified definitions, so the two
+    * cannot drift from the thing they summarize.
+    */
+  private val sessionStatsQ = Q(
+    "events_session_stats",
+    (s, d) =>
+      graft.SparkEntry
+        .queries("events_sessionize")(s, d)
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum("n_events").as("n_events"),
+          max("n_events").as("max_events"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce")
+        )
+        .select(
+          col("n_sessions"),
+          col("n_users"),
+          col("n_events"),
+          col("max_events"),
+          expr("(n_events * 100) div n_sessions").as("mean_events_c"),
+          expr("(n_sessions * 100) div n_users").as("sessions_per_user_c"),
+          expr("(n_bounce * 10000) div n_sessions").as("bounce_share_pm")
+        ),
+    AnalyticsQueries.all
+      .find(_.name == "events_sessionize")
+      .flatMap(_.oracle)
+      .map { inner =>
+        s"""WITH sess_rows AS ($inner)
+           |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(sum(n_events) AS BIGINT) AS n_events,
+           |  CAST(max(n_events) AS BIGINT) AS max_events,
+           |  CAST((sum(n_events) * 100) // count(*) AS BIGINT) AS mean_events_c,
+           |  CAST((count(*) * 100) // count(DISTINCT user_id) AS BIGINT) AS sessions_per_user_c,
+           |  CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS bounce_share_pm
+           |FROM sess_rows""".stripMargin
+      }
+  )
+
+  val all: Seq[Q] = Seq(funnel, retention, trailing, rfmQ, sessionStatsQ)
 }
