@@ -164,7 +164,7 @@ object AdpcmCodec {
       }
       pos += 8 + len + (len & 1)
     }
-    if (!fmtOk || dataOff < 0 || total < 0 || blockAlign < 5 || samplesPerBlock < 1) return None
+    if (!fmtOk || dataOff < 0 || total < 1 || blockAlign < 5 || samplesPerBlock < 1) return None
     var sa = 0L; var sq = 0L
     var emitted = 0L
     var block = dataOff

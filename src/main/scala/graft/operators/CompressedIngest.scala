@@ -39,6 +39,14 @@ object CompressedIngest {
     bos.toByteArray
   }
 
+  /** Test/fixture hook: encode one text under the named codec. */
+  private[graft] def encodeBytes(codec: String, text: String): Array[Byte] = codec match {
+    case "zstd" => zstdBytes(text)
+    case "lz4" => lz4Bytes(text)
+    case "snappy" => snappyBytes(text)
+    case "gzip" => DeflateMedia.gzipBytes(text)
+  }
+
   private[graft] def decodeStats(
       codec: String,
       docId: Long,

@@ -340,7 +340,7 @@ object DeflateMedia {
       }
       in.close()
       Some(GzStats(docId, nb, nt, nl))
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def gzipTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._

@@ -169,7 +169,7 @@ object GifCodec {
       while (pos < p.length && (p(pos) & 0xff) != 0) pos += (p(pos) & 0xff) + 1
       pos += 1
     }
-    if (pos >= p.length || (p(pos) & 0xff) != 0x2c) return None
+    if (pos + 10 >= p.length || (p(pos) & 0xff) != 0x2c) return None
     val w = u16(pos + 5); val h = u16(pos + 7)
     val ifl = p(pos + 9) & 0xff
     // No local color table. INTERLACE is fine: it only permutes

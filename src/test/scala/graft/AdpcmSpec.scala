@@ -60,6 +60,15 @@ class AdpcmSpec extends SparkSuite {
     assert(AdpcmCodec.decodeAdpcm(7L, pcm).isEmpty)
   }
 
+  test("a zero-sample fact chunk is quarantined, not a division crash") {
+    // RIFF(12) + fmt(8+20) + fact header(8) puts the declared sample
+    // count at offset 48; zeroing it must map to None, not
+    // ArithmeticException inside the task.
+    val z = AdpcmCodec.encodeAdpcm(7L, 40).clone()
+    z(48) = 0; z(49) = 0; z(50) = 0; z(51) = 0
+    assert(AdpcmCodec.decodeAdpcm(7L, z).isEmpty)
+  }
+
   test("the registered query runs end-to-end on sf0.001") {
     val rows = SparkEntry.queries("multimodal_adpcm_samples")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

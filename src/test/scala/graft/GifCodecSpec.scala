@@ -89,6 +89,19 @@ class GifCodecSpec extends SparkSuite {
     assert(GifCodec.decodeGif(3L, gif).isDefined)
   }
 
+  test("a GIF truncated inside the image descriptor is quarantined") {
+    // Insert an extension block after the GCT so the total length clears
+    // the header gate, then truncate a few bytes into the descriptor —
+    // the descriptor fields themselves must be bounds-checked.
+    val gif = GifCodec.encodeGif(3L, 40, 30)
+    val ext = Array[Byte](0x21, 0xfe.toByte, 3, 'a', 'b', 'c', 0)
+    val cut = 13 + 768
+    val spliced = gif.take(cut) ++ ext ++ gif.slice(cut, cut + 4) // descriptor cut off after 4 bytes
+    assert(GifCodec.decodeGif(3L, spliced).isEmpty)
+    // and with the descriptor removed entirely (stream ends at the extension)
+    assert(GifCodec.decodeGif(3L, gif.take(cut) ++ ext).isEmpty)
+  }
+
   test("the registered query runs end-to-end on sf0.001") {
     val rows = SparkEntry.queries("multimodal_gif_pixels")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

@@ -78,6 +78,18 @@ class PngCodecSpec extends SparkSuite {
     }
     for (codec <- Seq("zstd", "lz4", "snappy"))
       assert(graft.operators.CompressedIngest.decodeStats(codec, 0L, "garbage".getBytes).isEmpty, codec)
+    // MID-STREAM corruption: a valid frame header with a mangled body.
+    // lz4-java/zstd-jni surface this as RuntimeExceptions, not
+    // IOException — streamStats must still quarantine, not kill the task.
+    for (codec <- Seq("zstd", "lz4", "snappy", "gzip")) {
+      val good = graft.operators.CompressedIngest.encodeBytes(codec, "a reasonably long line of text to compress " * 8)
+      val bad = good.clone()
+      for (i <- good.length / 2 until good.length) bad(i) = (bad(i) ^ 0x5a).toByte
+      graft.operators.CompressedIngest.decodeStats(codec, 0L, bad) // Some or None — must not throw
+    }
+    assert(DeflateMedia.streamStats(0L, new java.io.InputStream {
+      override def read(): Int = throw new RuntimeException("codec blew up mid-stream")
+    }).isEmpty)
   }
 
   test("the registered queries run end-to-end on sf0.001") {
