@@ -924,6 +924,38 @@ object ScaleProbe {
             f"encode_t=${(t1 - t0) / 1e9}%.1f s pixels=$px decode_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
         )
         gif.unpersist(false)
+      case "jpeg" =>
+        // Huffman+IDCT probe: 8 JPEGs of (256·mult)² pixels (multiples
+        // of 8 always). The decoder claims O(1) transient state — three
+        // 64-int MCU buffers, no raster — so decode time must grow
+        // linearly in pixels while SCALE-MEM stays flat. The direct
+        // IDCT is O(64·nonzero) per block, constant per pixel for the
+        // fixture's coefficient density.
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val jpg = spark
+          .range(1, 9)
+          .select((col("id") + 100L).as("media_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            operators.DeflateMedia.MediaRow(
+              id,
+              operators.JpegCodec.encodeJpeg(id, 256 * mult, 256 * mult)
+            )
+          })
+          .persist()
+        val jpgBytes = jpg.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+        val t1 = System.nanoTime()
+        val px = operators.JpegCodec
+          .jpegPixelStats(jpg)
+          .agg(sum("n_pixels"))
+          .collect()(0)
+          .getLong(0)
+        println(
+          f"SCALE mode=jpeg mult=$mult jpeg_mb=${jpgBytes / 1048576.0}%.1f " +
+            f"encode_t=${(t1 - t0) / 1e9}%.1f s pixels=$px decode_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
+        )
+        jpg.unpersist(false)
       case "priority" =>
         // One-group skew for priority sampling: every replicated doc in
         // a single group, k=100. The bit-length histogram cut must keep

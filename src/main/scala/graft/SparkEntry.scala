@@ -112,6 +112,7 @@ object SparkEntry {
       operators.WordPiece.all ++
       operators.PrivacyQueries.all ++
       operators.GifCodec.all ++
+      operators.JpegCodec.all ++
       operators.AdpcmCodec.all ++
       operators.CompressedIngest.all ++
       operators.NoveltyQueries.all ++

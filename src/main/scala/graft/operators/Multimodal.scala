@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
   * [[wavSampleStats]] decodes signed PCM16 samples, both in pure byte
   * arithmetic over the binary column — certified against an ANALYTIC
   * oracle and (for BMP) against JDK ImageIO in RoundNineOpsSpec.
-  * Entropy-coded formats (PNG/JPEG pixels, compressed audio, video
-  * codecs) still require a codec library the container doesn't ship
-  * and remain stubbed (`decodeStub`): a production deployment swaps
-  * the stub for a `mapPartitions` codec invocation with the same
-  * output schema.
+  * Entropy-coded decode is now ALSO real, hand-written in the codec
+  * tier: PNG DEFLATE ([[DeflateMedia]]), GIF LZW ([[GifCodec]]),
+  * baseline JPEG Huffman+IDCT ([[JpegCodec]]), G.711 µ-law
+  * ([[mulawSampleStats]]), IMA ADPCM ([[AdpcmCodec]]) and the
+  * gzip/zstd/lz4/snappy text containers ([[CompressedIngest]]). Only
+  * VIDEO codecs remain stubbed (`decodeStub`): inter-frame decode
+  * genuinely needs a codec library the container doesn't ship; a
+  * production deployment swaps the stub for a `mapPartitions` codec
+  * invocation with the same output schema.
   */
 object Multimodal {
 
