@@ -190,9 +190,11 @@ object IvfPq {
 
   /** FULLY-trained variant: KMeans-trained coarse routing AND
     * PqTrain-trained fine codebooks — the end-to-end production IVF-PQ
-    * shape (the registered oracle row keeps the deterministic codebooks
-    * so DuckDB can mirror every stage; this composition is certified by
-    * IvfPqSpec's planted-neighbor recall floor like `searchTrained`).
+    * shape. Certified twice: IvfPqSpec's planted-neighbor recall floor
+    * (arbitrary trained inputs), and the registered
+    * `embed_ivfpq_search_trained` / `ann_recall_ivfpq_trained` rows
+    * whose oracle replays the full Lloyd + PQ training and every search
+    * stage ([[TrainedSearchOracleSql]]).
     *
     * `pqStats` is [[PqTrain.trainOf]] output; codewords quantize to
     * exact integer micro-units (s_mu div n), vectors and queries
@@ -368,5 +370,148 @@ object IvfPq {
     }
   )
 
-  val all: Seq[Q] = Seq(searchQ, recallQ)
+  /** The registered FULLY-trained composition: two Lloyd rounds of
+    * coarse training from the first-8 seeds ([[KMeans.step]] /
+    * [[KMeans.centroids]], the certified `embed_kmeans_step`
+    * arithmetic) plus the [[PqTrain.trainOf]] fine codebooks, feeding
+    * [[searchFullyTrained]]. This closes the round-10 gap where the
+    * trained search was spec-only: BOTH quantizer training paths are
+    * now end-to-end oracle-certified.
+    */
+  def searchFullyTrainedOf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val embIdVec = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    var cents = emb
+      .filter(col("vec_id") < KmSeeds)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    for (_ <- 1 to KmIters)
+      cents = KMeans.centroids(KMeans.step(embIdVec, cents))
+    searchFullyTrained(emb, cents, PqTrain.trainOf(emb))
+  }
+
+  private val KmSeeds = 8
+  private val KmIters = 2
+
+  /** The fully-trained search as one oracle SELECT: the PqTrain CTE
+    * chain (verbatim, via [[PqTrain.trainCtesSql]]) + a two-round
+    * unrolled Lloyd replay of the coarse quantizer + integer-exact code
+    * assignment/ADC + the shared rerank tail. Spark's `s_mu div n`
+    * truncates toward zero, so the codeword micro-units replay as
+    * trunc(s_mu / n) — NOT DuckDB's flooring `//`.
+    */
+  private[operators] val TrainedSearchOracleSql: String = {
+    def kmRound(r: Int): String =
+      s"""kd$r AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_sum(list_transform(range(1, len(e.v) + 1),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+         |  FROM e CROSS JOIN kc${r - 1} c),
+         |ka$r AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM kd$r),
+         |kx$r AS (SELECT a.cell, unnest(range(1, len(e.v) + 1)) AS dim, unnest(e.v) AS x
+         |  FROM (SELECT vec_id, cell FROM ka$r WHERE rn = 1) a JOIN e USING (vec_id)),
+         |kst$r AS MATERIALIZED (
+         |  SELECT cell, dim, count(*) AS n, sum(cast(round(x * 1e6) as bigint)) AS s_mu
+         |  FROM kx$r GROUP BY 1, 2),
+         |kc$r AS (SELECT cell, list(s_mu / (n * 1e6) ORDER BY dim) AS cv FROM kst$r GROUP BY cell)""".stripMargin
+    val cos =
+      "round(list_dot_product(q.qv, x.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 6)"
+    s"""${PqTrain.trainCtesSql},
+       |cwl AS (SELECT m, cell,
+       |    list(CAST(trunc(CAST(s_mu AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cwi
+       |  FROM st2 GROUP BY m, cell),
+       |cgi AS (SELECT m, list(cwi ORDER BY cell) AS cents FROM cwl GROUP BY m),
+       |kc0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $KmSeeds),
+       |${(1 to KmIters).map(kmRound).mkString(",\n")},
+       |kasn AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.v) + 1),
+       |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cell) AS rn
+       |    FROM e CROSS JOIN kc$KmIters c) _a WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_sum(list_transform(range(1, len(q.qv) + 1),
+       |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cell) AS rn
+       |    FROM qp q CROSS JOIN kc$KmIters c) _p WHERE rn <= $NProbe),
+       |svi AS (SELECT vec_id, m,
+       |    list_transform(sv, x -> cast(round(x * 1e6) as bigint)) AS svi
+       |  FROM sv),
+       |cd AS (SELECT s.vec_id, s.m, ii.i,
+       |    list_sum(list_transform(range(1, 9),
+       |      d -> (s.svi[d] - g.cents[ii.i][d]) * (s.svi[d] - g.cents[ii.i][d]))) AS dist
+       |  FROM svi s JOIN cgi g ON g.m = s.m,
+       |    (SELECT unnest(range(1, 17)) AS i) ii
+       |  WHERE ii.i <= len(g.cents)),
+       |codes AS (SELECT vec_id, m AS sub, i AS code FROM (
+       |    SELECT vec_id, m, i,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, i) AS rn
+       |    FROM cd) _c WHERE rn = 1),
+       |tq AS (SELECT s.vec_id AS query_id, s.m AS sub, ii.i AS c,
+       |    list_sum(list_transform(range(1, 9), d -> s.svi[d] * g.cents[ii.i][d])) AS t_micro
+       |  FROM svi s JOIN cgi g ON g.m = s.m,
+       |    (SELECT unnest(range(1, 17)) AS i) ii
+       |  WHERE s.vec_id < 5 AND ii.i <= len(g.cents)),
+       |cand AS (SELECT p.query_id, codes.vec_id, codes.sub, codes.code
+       |  FROM codes JOIN kasn ON kasn.vec_id = codes.vec_id
+       |  JOIN probes p ON kasn.cell = p.cell
+       |  WHERE codes.vec_id != p.query_id),
+       |adc AS (SELECT cand.query_id, cand.vec_id AS neighbor_id, sum(t.t_micro) AS adc_micro
+       |  FROM cand JOIN tq t ON t.query_id = cand.query_id AND t.sub = cand.sub AND t.c = cand.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS r FROM adc),
+       |rr AS (SELECT s.query_id, s.neighbor_id, $cos AS score
+       |  FROM short s JOIN e x ON x.vec_id = s.neighbor_id
+       |  JOIN qp q ON q.query_id = s.query_id
+       |  WHERE s.r <= $RerankN),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM rr)
+       |SELECT query_id, neighbor_id, score, cast(rank as bigint) AS rank
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+  }
+
+  private val searchTrainedQ = Q(
+    "embed_ivfpq_search_trained",
+    (s, d) => searchFullyTrainedOf(s, d),
+    Some(TrainedSearchOracleSql)
+  )
+
+  /** Recall@TopK of the FULLY-trained search against brute-force truth
+    * — the trained twin of `ann_recall_ivfpq`, so a deployment can read
+    * what training the quantizers buys over the deterministic
+    * codebooks at the same (nprobe, rerank) budget.
+    */
+  private val recallTrainedQ = Q(
+    "ann_recall_ivfpq_trained",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val truth = AnnEval.truthTopK(emb, 5, TopK)
+      val approx = searchFullyTrainedOf(s, d)
+        .select(col("query_id"), col("neighbor_id").as("approx_id"))
+      AnnEval.recallOf(truth, approx)
+    },
+    Some {
+      s"""WITH approx AS (SELECT query_id, neighbor_id FROM ($TrainedSearchOracleSql) _a),
+         |v AS (SELECT vec_id, cast(embedding as double[]) AS vec FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_dot_product(q.vec, e.vec) /
+         |              (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) DESC,
+         |        e.vec_id) AS rank
+         |    FROM v e JOIN v q ON q.vec_id < 5 AND e.vec_id != q.vec_id) _t
+         |  WHERE rank <= $TopK)
+         |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_overlap,
+         |  CAST((count(a.neighbor_id) * 1000) // count(*) AS BIGINT) AS recall_permille
+         |FROM truth t LEFT JOIN approx a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(searchQ, recallQ, searchTrainedQ, recallTrainedQ)
 }

@@ -182,6 +182,15 @@ object PqTrain {
        |FROM st$Iters""".stripMargin
   }
 
+  /** The training CTE chain (everything before the final SELECT) for
+    * composition into downstream oracles (distortion, trained search):
+    * ends with `st$Iters` (final sufficient statistics) and `c$Iters`
+    * (final double codebooks) in scope, plus `e` (the cast corpus) and
+    * `sv` (sub-vectors).
+    */
+  private[operators] def trainCtesSql: String =
+    oracleSql.substring(0, oracleSql.lastIndexOf("SELECT cast(m as bigint)")).trim.stripSuffix(",")
+
   private val trainQ = Q(
     "embed_pq_train",
     (s, d) => trainOf(Tables.embeddings(s, d)),

@@ -58,6 +58,7 @@ class PlanSpec extends SparkSuite {
             "ann_recall_dims",
             "ann_recall_hybrid",
             "ann_recall_ivfpq",
+            "ann_recall_ivfpq_trained",
             "ann_recall_nprobe"
           )
         ),
