@@ -180,10 +180,18 @@ object AnalyticsQueries {
             max(col("us")).as("last_us"),
             sum(col("value").cast("decimal(18,2)")).as("v")
           )
+        // Fused day pass (r11): ONE (user, day) aggregate carries both
+        // the boundary fields AND the local-session partials as a
+        // bounded array (≤48 sessions/day by the 30-min gap law), so
+        // the old dayFlags-join shuffle disappears; after the day
+        // window the partials explode back out, and the final
+        // (user, session_idx) groupBy is satisfied by the day frame's
+        // user partitioning — event-sized data shuffles exactly once.
         val ws = Window.partitionBy("user_id").orderBy("seg")
-        val dayFlags = locals
+        val days = locals
           .groupBy("user_id", "seg")
           .agg(
+            collect_list(struct(col("lsess"), col("n"), col("min_ts"), col("v"))).as("ls"),
             min(col("first_us")).as("day_first_us"),
             max(col("last_us")).as("day_last_us"),
             max(col("lsess")).as("k")
@@ -204,14 +212,14 @@ object AnalyticsQueries {
               lit(0L)
             )
           )
-        locals
-          .join(dayFlags.select("user_id", "seg", "mrg", "off"), Seq("user_id", "seg"))
-          .withColumn("session_idx", col("off") + col("lsess") - col("mrg"))
+        days
+          .select(col("user_id"), col("off"), col("mrg"), explode(col("ls")).as("sx"))
+          .withColumn("session_idx", col("off") + col("sx.lsess") - col("mrg"))
           .groupBy("user_id", "session_idx")
           .agg(
-            sum(col("n")).as("n_events"),
-            date_format(min(col("min_ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            sum(col("v")).cast("double").as("sum_value")
+            sum(col("sx.n")).as("n_events"),
+            date_format(min(col("sx.min_ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            sum(col("sx.v")).cast("double").as("sum_value")
           )
       },
       Some(
