@@ -116,7 +116,8 @@ object SparkEntry {
       operators.AdpcmCodec.all ++
       operators.CompressedIngest.all ++
       operators.NoveltyQueries.all ++
-      operators.NprobeRecall.all
+      operators.NprobeRecall.all ++
+      operators.ModelStore.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -180,6 +180,24 @@ object Bpe {
     split(merged.substr(lit(2), length(merged) - 2), S + S)
   }
 
+  /** The tokenizer-inference projection over an EXPLICIT merge table —
+    * the literal registered query passes [[EncodeMerges]]; the
+    * persisted-model twin (`docs_bpe_encode_stored`, [[ModelStore]])
+    * passes the same table round-tripped through a parquet model file.
+    */
+  def encodeDf(s: SparkSession, d: String, merges: Seq[(String, String)]): DataFrame = {
+    val clean = regexp_replace(coalesce(col("text"), lit("")), S, "")
+    val ws = filter(words(clean), w => length(w) > 0)
+    val toks = flatten(transform(ws, w => encodeWord(w, merges)))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        array_join(toks, " ").as("tokens_str")
+      )
+  }
+
   private def encodeMergeSql(wrapped: String): String =
     EncodeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
@@ -254,18 +272,7 @@ object Bpe {
       // shuffle at all. The DuckDB oracle replays the identical replace
       // chain, so the greedy-left semantics are certified end-to-end.
       "docs_bpe_encode",
-      (s, d) => {
-        val clean = regexp_replace(coalesce(col("text"), lit("")), S, "")
-        val ws = filter(words(clean), w => length(w) > 0)
-        val toks = flatten(transform(ws, w => encodeWord(w)))
-        Tables
-          .documents(s, d)
-          .select(
-            col("doc_id"),
-            size(toks).cast("long").as("n_tokens"),
-            array_join(toks, " ").as("tokens_str")
-          )
-      },
+      (s, d) => encodeDf(s, d, EncodeMerges),
       Some {
         val norm =
           "lower(trim(regexp_replace(replace(coalesce(text, ''), chr(1), ''), '\\s+', ' ', 'g')))"

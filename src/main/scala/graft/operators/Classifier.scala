@@ -288,13 +288,45 @@ object Classifier {
     */
   def scoreOf(docs: DataFrame): DataFrame = {
     val (docf, mass, mTot, wK) = train(docs)
-    scoredOf(docf, wK, mass, mTot)
-      .select(
-        col("doc_id"),
-        col("y"),
-        col("n").as("n_tokens"),
-        round(lit(1e6) / (lit(1.0) + exp(-(col("lmu") / lit(1e6))))).cast("long").as("p_mu")
-      )
+    finalScore(scoredOf(docf, wK, mass, mTot))
+  }
+
+  private def finalScore(scored: DataFrame): DataFrame =
+    scored.select(
+      col("doc_id"),
+      col("y"),
+      col("n").as("n_tokens"),
+      round(lit(1e6) / (lit(1.0) + exp(-(col("lmu") / lit(1e6))))).cast("long").as("p_mu")
+    )
+
+  /** Persisted-model production shape: train once, write the FULL
+    * inference state to a parquet model table — bias + 256 bucket
+    * weights AND the bucket-mass centering statistics (the
+    * feature-scaler half of the model a literal-weights dump forgets) —
+    * then score from the LOADED state only. Hash-equal to
+    * `docs_classifier_score` by construction; registered via
+    * [[ModelStore]].
+    */
+  def scoreStoredOf(s: SparkSession, d: String, path: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val (_, mass, _, wK) = train(docs)
+    val rows = (("w", -1L, wK.biasMu) +:
+      wK.wMu.zipWithIndex.toSeq.map { case (w, b) => ("w", b.toLong, w) }) ++
+      mass.toSeq.map { case (bk, mb) => ("m", bk.toLong, mb) }
+    rows.toDF("kind", "k", "v").coalesce(1).write.mode("overwrite").parquet(path)
+    val loaded = s.read.parquet(path).collect()
+    val lw = new Array[Long](B)
+    var bias = 0L
+    val lmass = scala.collection.mutable.Map[Int, Long]()
+    loaded.foreach { r =>
+      val v = r.getAs[Long]("v")
+      val k = r.getAs[Long]("k")
+      if (r.getAs[String]("kind") == "w") { if (k < 0) bias = v else lw(k.toInt) = v }
+      else lmass(k.toInt) = v
+    }
+    val mTot = math.max(lmass.values.sum, 1L)
+    finalScore(scoredOf(features(docs), Model(bias, lw), lmass.toMap, mTot))
   }
 
   private val classifier = Q(

@@ -392,6 +392,30 @@ object IvfPq {
   private val KmSeeds = 8
   private val KmIters = 2
 
+  /** Persisted-model twin of [[searchFullyTrainedOf]]: BOTH trained
+    * quantizers (the Lloyd coarse centroids and the PQ sufficient
+    * statistics) round-trip through parquet model tables before the
+    * search reads them — the train-once / load-forever production
+    * shape. Hash-equal to `embed_ivfpq_search_trained` by construction;
+    * registered via [[ModelStore]].
+    */
+  def searchStoredOf(s: SparkSession, d: String, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val embIdVec = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    var cents = emb
+      .filter(col("vec_id") < KmSeeds)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    for (_ <- 1 to KmIters)
+      cents = KMeans.centroids(KMeans.step(embIdVec, cents))
+    cents.write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    PqTrain.trainOf(emb).write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    searchFullyTrained(
+      emb,
+      s.read.parquet(s"$dir/ivf_centroids"),
+      s.read.parquet(s"$dir/pq_codebooks")
+    )
+  }
+
   /** The fully-trained search as one oracle SELECT: the PqTrain CTE
     * chain (verbatim, via [[PqTrain.trainCtesSql]]) + a two-round
     * unrolled Lloyd replay of the coarse quantizer + integer-exact code

@@ -133,8 +133,16 @@ object UnigramLm {
     // context cleaner releases checkpoint blocks once the frame is
     // unreferenced — no cache entry outlives the query.
     val wf = wordsOf(docs).localCheckpoint()
+    viterbiWithVocab(wf, vocabOfWf(wf).select("piece", "lp_mu"))
+  }
+
+  /** The Viterbi segmentation pass over an EXPLICIT (piece, lp_mu)
+    * vocabulary frame — [[viterbiOf]] mines it in-plan; the
+    * persisted-model twin (`docs_unigram_viterbi_stored`,
+    * [[ModelStore]]) loads it from a parquet model table.
+    */
+  private[operators] def viterbiWithVocab(wf: DataFrame, vocab: DataFrame): DataFrame = {
     val occ = occurrencesOf(wf)
-    val vocab = vocabOfWf(wf).select("piece", "lp_mu")
     val edges = occ
       .join(vocab, Seq("piece"))
       .select(col("word"), col("cnt"), col("i"), col("j"), col("lp_mu").as("lp"))

@@ -1,0 +1,44 @@
+package graft
+
+/** Persisted-model certification: every stored-model twin must be
+  * row-identical to its literal-embedded sibling — the parquet round
+  * trip of the model (merge table / weights+scaler / vocabulary / both
+  * ANN quantizers) loses nothing. The DuckDB oracle gate re-certifies
+  * the same identity against the shared oracle SQL; this spec pins it
+  * engine-side on sf0.001.
+  */
+class ModelStoreSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every stored-model twin is row-identical to its literal sibling") {
+    val pairs = Seq(
+      "docs_bpe_encode_stored" -> "docs_bpe_encode",
+      "docs_classifier_score_stored" -> "docs_classifier_score",
+      "docs_unigram_viterbi_stored" -> "docs_unigram_viterbi",
+      "embed_ivfpq_search_stored" -> "embed_ivfpq_search_trained"
+    )
+    for ((stored, literal) <- pairs) {
+      val a = SparkEntry.queries(stored)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(literal)(spark, sf).collect().map(_.toString).sorted
+      assert(a.nonEmpty, s"$stored returned no rows")
+      assert(a.sameElements(b), s"$stored differs from $literal")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("the model tables themselves are bounded (KB-scale) parquet") {
+    // guards the scale claim: models must stay vocab/K×D-bounded —
+    // a corpus-sized 'model' write would be a silent design regression.
+    SparkEntry.queries("embed_ivfpq_search_stored")(spark, sf).collect()
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_models/" +
+        sf.replaceAll("[^A-Za-z0-9]", "_")
+    )
+    assert(dir.isDirectory, "model directory missing")
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
+    val mb = sizeOf(dir) / 1048576.0
+    assert(mb < 8.0, f"model tables unexpectedly large: $mb%.1f MiB")
+  }
+}
