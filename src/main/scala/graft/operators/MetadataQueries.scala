@@ -40,7 +40,18 @@ object MetadataQueries {
     "كتاب الحيوان",
     "مقدمة ابن خلدون",
     "شاهنامه فردوسی",
-    "العدد ٣ سنة ١٩٢٥"
+    "العدد ٣ سنة ١٩٢٥",
+    // Japanese (Hepburn kana rows; r11) — yōon digraphs, sokuon
+    // gemination incl. tch, chōonpu, katakana+hiragana mixed
+    "ぎんが てつどう の よる",
+    "きゃべつ と しょうゆ",
+    "さっぽろ ラーメン まっちゃ",
+    "ノルウェイ の 森",
+    // Korean (Revised-Romanization rows; r11) — algorithmic syllable
+    // decomposition, double-consonant leads, cluster tails
+    "한국어 문법",
+    "훈민정음 해례본",
+    "아리랑 연가 1926"
   )
 
   def nkSql(x: String): String =
@@ -228,14 +239,27 @@ object MetadataQueries {
       },
       Some {
         val list = TranslitTitles.map(t => s"'$t'").mkString("[", ", ", "]")
-        // The full table (Cyrillic + Greek + Arabic) is 130+ mappings —
-        // one nested replace() chain would blow DuckDB's 128-deep
-        // expression binder, so the chain is CHUNKED across nested
-        // subselects (each layer ≤ 60 replaces, binder depth resets per
-        // SELECT).
-        val chunks = (graft.plans.KeyFoldRulesExpr.CyrillicLatin ++
-          graft.plans.KeyFoldRulesExpr.GreekLatin ++
-          graft.plans.KeyFoldRulesExpr.ArabicLatin).grouped(60).toSeq
+        // The full table (Cyrillic + Greek + Arabic + kana, r11) is
+        // 400+ mappings — one nested replace() chain would blow
+        // DuckDB's 128-deep expression binder, so the chain is CHUNKED
+        // across nested subselects (each layer ≤ 60 replaces, binder
+        // depth resets per SELECT). ORDER is semantic for the r11
+        // contextual rows: Hangul syllables (disjoint domain, derived
+        // from the SAME algorithmic decomposition for every syllable
+        // the titles use), then yōon digraphs BEFORE the per-char kana
+        // rows, then sokuon+consonant pairs over the already-romanized
+        // tail, then the leftover-sokuon drops.
+        import graft.plans.{KeyFoldRulesExpr => KF}
+        val hangul = TranslitTitles
+          .flatMap(_.toCharArray)
+          .filter(c => c >= 0xac00 && c <= 0xd7a3)
+          .distinct
+          .map(c => c.toString -> KF.hangulRoman(c))
+        val charPairs = (KF.CyrillicLatin ++ KF.GreekLatin ++ KF.ArabicLatin)
+          .map { case (c, v) => c.toString -> v }
+        val kanaPairs = KF.KanaLatin.map { case (c, v) => c.toString -> v }
+        val chunks = (hangul ++ KF.KanaDigraphs ++ charPairs ++ kanaPairs ++
+          KF.SokuonPairs ++ KF.SokuonDrops).grouped(60).toSeq
         var src =
           s"""(SELECT p_partkey, t AS title_raw, lower(t) AS x
              |  FROM (SELECT p_partkey,

@@ -40,9 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * no table entry, and the hamza/ʿayn rows whose ISO images are
   * modifier letters are dropped like the Cyrillic signs. Presentation
   * forms (U+FB50…) are NOT folded (they would need a pre-NFKC pass —
-  * rare in bibliographic data); CJK still passes through unromanized
-  * (needs ICU data). Default remains `romanize = false` — exact
-  * Latin-script parity, no behavior change for existing keys.
+  * rare in bibliographic data). Round 11 adds kana (modified Hepburn,
+  * with contextual yōon digraphs and sokuon gemination) and Hangul
+  * (Revised Romanization 2000, transliteration variant, via the
+  * algorithmic Unicode syllable decomposition — no table needed).
+  * Only Han still passes through unromanized: its readings genuinely
+  * need ICU's per-language data. Default remains `romanize = false` —
+  * exact Latin-script parity, no behavior change for existing keys.
   */
 case class KeyFoldRulesExpr(child: Expression, romanize: Boolean = false)
     extends UnaryExpression {
@@ -139,15 +143,121 @@ object KeyFoldRulesExpr {
     '۵' -> "5", '۶' -> "6", '۷' -> "7", '۸' -> "8", '۹' -> "9"
   )
 
+  /** Kana → Latin (r11): the post-fold ASCII image of Hepburn, per
+    * kana syllable, hiragana AND katakana (the JDK lowercases neither
+    * into the other). Long-vowel conventions: Hepburn's macron vowels
+    * are marks the Remove stage strips, so the chōonpu ー maps to ""
+    * and plain vowel sequences stay spelled out (the wāpuro image —
+    * `shouyu`, not `shōyu`). を → o (modified Hepburn). Yōon digraphs
+    * and sokuon gemination are handled contextually below — per-char
+    * rows here cover only the standalone fallbacks.
+    */
+  val KanaLatin: Seq[(Char, String)] = Seq(
+    'あ' -> "a", 'い' -> "i", 'う' -> "u", 'え' -> "e", 'お' -> "o",
+    'か' -> "ka", 'き' -> "ki", 'く' -> "ku", 'け' -> "ke", 'こ' -> "ko",
+    'が' -> "ga", 'ぎ' -> "gi", 'ぐ' -> "gu", 'げ' -> "ge", 'ご' -> "go",
+    'さ' -> "sa", 'し' -> "shi", 'す' -> "su", 'せ' -> "se", 'そ' -> "so",
+    'ざ' -> "za", 'じ' -> "ji", 'ず' -> "zu", 'ぜ' -> "ze", 'ぞ' -> "zo",
+    'た' -> "ta", 'ち' -> "chi", 'つ' -> "tsu", 'て' -> "te", 'と' -> "to",
+    'だ' -> "da", 'ぢ' -> "ji", 'づ' -> "zu", 'で' -> "de", 'ど' -> "do",
+    'な' -> "na", 'に' -> "ni", 'ぬ' -> "nu", 'ね' -> "ne", 'の' -> "no",
+    'は' -> "ha", 'ひ' -> "hi", 'ふ' -> "fu", 'へ' -> "he", 'ほ' -> "ho",
+    'ば' -> "ba", 'び' -> "bi", 'ぶ' -> "bu", 'べ' -> "be", 'ぼ' -> "bo",
+    'ぱ' -> "pa", 'ぴ' -> "pi", 'ぷ' -> "pu", 'ぺ' -> "pe", 'ぽ' -> "po",
+    'ま' -> "ma", 'み' -> "mi", 'む' -> "mu", 'め' -> "me", 'も' -> "mo",
+    'や' -> "ya", 'ゆ' -> "yu", 'よ' -> "yo",
+    'ら' -> "ra", 'り' -> "ri", 'る' -> "ru", 'れ' -> "re", 'ろ' -> "ro",
+    'わ' -> "wa", 'ゐ' -> "i", 'ゑ' -> "e", 'を' -> "o", 'ん' -> "n",
+    'ぁ' -> "a", 'ぃ' -> "i", 'ぅ' -> "u", 'ぇ' -> "e", 'ぉ' -> "o",
+    'ゃ' -> "ya", 'ゅ' -> "yu", 'ょ' -> "yo", 'ゎ' -> "wa", 'ゔ' -> "vu",
+    'ア' -> "a", 'イ' -> "i", 'ウ' -> "u", 'エ' -> "e", 'オ' -> "o",
+    'カ' -> "ka", 'キ' -> "ki", 'ク' -> "ku", 'ケ' -> "ke", 'コ' -> "ko",
+    'ガ' -> "ga", 'ギ' -> "gi", 'グ' -> "gu", 'ゲ' -> "ge", 'ゴ' -> "go",
+    'サ' -> "sa", 'シ' -> "shi", 'ス' -> "su", 'セ' -> "se", 'ソ' -> "so",
+    'ザ' -> "za", 'ジ' -> "ji", 'ズ' -> "zu", 'ゼ' -> "ze", 'ゾ' -> "zo",
+    'タ' -> "ta", 'チ' -> "chi", 'ツ' -> "tsu", 'テ' -> "te", 'ト' -> "to",
+    'ダ' -> "da", 'ヂ' -> "ji", 'ヅ' -> "zu", 'デ' -> "de", 'ド' -> "do",
+    'ナ' -> "na", 'ニ' -> "ni", 'ヌ' -> "nu", 'ネ' -> "ne", 'ノ' -> "no",
+    'ハ' -> "ha", 'ヒ' -> "hi", 'フ' -> "fu", 'ヘ' -> "he", 'ホ' -> "ho",
+    'バ' -> "ba", 'ビ' -> "bi", 'ブ' -> "bu", 'ベ' -> "be", 'ボ' -> "bo",
+    'パ' -> "pa", 'ピ' -> "pi", 'プ' -> "pu", 'ペ' -> "pe", 'ポ' -> "po",
+    'マ' -> "ma", 'ミ' -> "mi", 'ム' -> "mu", 'メ' -> "me", 'モ' -> "mo",
+    'ヤ' -> "ya", 'ユ' -> "yu", 'ヨ' -> "yo",
+    'ラ' -> "ra", 'リ' -> "ri", 'ル' -> "ru", 'レ' -> "re", 'ロ' -> "ro",
+    'ワ' -> "wa", 'ヰ' -> "i", 'ヱ' -> "e", 'ヲ' -> "o", 'ン' -> "n",
+    'ァ' -> "a", 'ィ' -> "i", 'ゥ' -> "u", 'ェ' -> "e", 'ォ' -> "o",
+    'ャ' -> "ya", 'ュ' -> "yu", 'ョ' -> "yo", 'ヮ' -> "wa", 'ヴ' -> "vu",
+    'ー' -> ""
+  )
+
+  private val KanaSmallY = Map('ゃ' -> "a", 'ゅ' -> "u", 'ょ' -> "o", 'ャ' -> "a", 'ュ' -> "u", 'ョ' -> "o")
+
+  private val KanaYoonBase = Seq(
+    'き' -> "ky", 'し' -> "sh", 'ち' -> "ch", 'に' -> "ny", 'ひ' -> "hy", 'み' -> "my",
+    'り' -> "ry", 'ぎ' -> "gy", 'じ' -> "j", 'ぢ' -> "j", 'び' -> "by", 'ぴ' -> "py",
+    'キ' -> "ky", 'シ' -> "sh", 'チ' -> "ch", 'ニ' -> "ny", 'ヒ' -> "hy", 'ミ' -> "my",
+    'リ' -> "ry", 'ギ' -> "gy", 'ジ' -> "j", 'ヂ' -> "j", 'ビ' -> "by", 'ピ' -> "py"
+  )
+
+  /** Yōon digraphs (i-row kana + small y-kana → one syllable: きゃ →
+    * kya, しゅ → shu). Must apply BEFORE the per-char rows on both
+    * engines; the oracle chain keeps this order.
+    */
+  val KanaDigraphs: Seq[(String, String)] =
+    for ((b, c) <- KanaYoonBase; (sm, v) <- KanaSmallY.toSeq.sortBy(_._1))
+      yield s"$b$sm" -> (c + v)
+
+  /** Sokuon gemination, expressed POST-base-mapping (the oracle's
+    * replace chain sees っ followed by the already-romanized next
+    * syllable): っ + consonant doubles it, with Hepburn's tch for ch;
+    * a leftover っ (final, or before a vowel) drops via the per-char
+    * fallback rows.
+    */
+  val SokuonPairs: Seq[(String, String)] = {
+    val doubling = "kstpgdbzjfhmnrwyv".map(c => s"$c" -> s"$c$c") :+ ("c" -> "tc")
+    for (tsu <- Seq('っ', 'ッ'); (c, d) <- doubling) yield s"$tsu$c" -> d
+  }
+
+  /** Leftover sokuon fallbacks — the LAST kana rows in the chain. */
+  val SokuonDrops: Seq[(String, String)] = Seq("っ" -> "", "ッ" -> "")
+
+  // Revised Romanization of Korean (2000), transliteration variant:
+  // Unicode Hangul syllables decompose algorithmically (syllable −
+  // U+AC00 = (lead·21 + vowel)·28 + tail) onto these three tables.
+  private val HangulLead = Array("g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss", "", "j", "jj", "ch",
+    "k", "t", "p", "h")
+  private val HangulVowel = Array("a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa", "wae", "oe", "yo",
+    "u", "wo", "we", "wi", "yu", "eu", "ui", "i")
+  private val HangulTail = Array("", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg", "lm", "lb", "ls", "lt",
+    "lp", "lh", "m", "b", "bs", "s", "ss", "ng", "j", "ch", "k", "t", "p", "h")
+
+  /** Revised-Romanization image of one precomposed Hangul syllable. */
+  def hangulRoman(c: Char): String = {
+    val s = c - 0xac00
+    HangulLead(s / 588) + HangulVowel(s % 588 / 28) + HangulTail(s % 28)
+  }
+
+  private def isHangulSyllable(cp: Int): Boolean = cp >= 0xac00 && cp <= 0xd7a3
+
   private val romanMap: java.util.HashMap[Character, String] = {
     val m = new java.util.HashMap[Character, String]()
-    (CyrillicLatin ++ GreekLatin ++ ArabicLatin).foreach { case (c, v) => m.put(c, v) }
+    (CyrillicLatin ++ GreekLatin ++ ArabicLatin ++ KanaLatin).foreach { case (c, v) => m.put(c, v) }
+    m
+  }
+
+  private val digraphMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    KanaDigraphs.foreach { case (k, v) => m.put(k, v) }
     m
   }
 
   /** Per-codepoint transliteration over NFC text: lowercase the char,
     * map it if tabled, pass it through otherwise. NFC first so
-    * decomposed й (и + breve) romanizes as й→j, not и→i.
+    * decomposed й (и + breve) romanizes as й→j, not и→i. Three
+    * contextual cases beyond the per-char table, all mirrored by the
+    * oracle's ordered replace chain: Hangul syllables decompose
+    * algorithmically; yōon digraphs consume two kana; sokuon doubles
+    * the next syllable's initial consonant (t for ch).
     */
   private def romanizeString(str: String): String = {
     val nfc = Normalizer.normalize(str, Normalizer.Form.NFC)
@@ -155,11 +265,45 @@ object KeyFoldRulesExpr {
     var i = 0
     while (i < nfc.length) {
       val cp = nfc.codePointAt(i)
-      val lc = Character.toLowerCase(cp)
-      val mapped = if (Character.isBmpCodePoint(lc)) romanMap.get(lc.toChar) else null
-      if (mapped != null) sb.append(mapped)
-      else sb.appendCodePoint(cp)
-      i += Character.charCount(cp)
+      if (isHangulSyllable(cp)) {
+        sb.append(hangulRoman(cp.toChar))
+        i += 1
+      } else {
+        val lc = Character.toLowerCase(cp)
+        val c = if (Character.isBmpCodePoint(lc)) lc.toChar else ' '
+        if (c == 'っ' || c == 'ッ') {
+          // gemination: double the next kana syllable's initial
+          // consonant (tch for ch); vowel-initial or non-kana → drop
+          // the "next image" mirrors the oracle chain's state after
+          // base mapping: romanized kana, decomposed Hangul, or the
+          // lowercased char itself when untabled
+          if (i + 1 < nfc.length) {
+            val nc = nfc.charAt(i + 1)
+            val nxt =
+              if (isHangulSyllable(nc.toInt)) hangulRoman(nc)
+              else {
+                val nl = Character.toLowerCase(nc)
+                val t = romanMap.get(nl)
+                if (t != null) t else nl.toString
+              }
+            if (nxt.nonEmpty) {
+              val f = nxt.charAt(0)
+              if (f == 'c') sb.append('t')
+              else if ("kstpgdbzjfhmnrwyv".indexOf(f.toInt) >= 0) sb.append(f)
+            }
+          }
+          i += 1
+        } else if (c != ' ' && i + 1 < nfc.length &&
+          digraphMap.containsKey(s"$c${nfc.charAt(i + 1)}")) {
+          sb.append(digraphMap.get(s"$c${nfc.charAt(i + 1)}"))
+          i += 2
+        } else {
+          val mapped = if (c != ' ') romanMap.get(c) else null
+          if (mapped != null) sb.append(mapped)
+          else sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+        }
+      }
     }
     sb.toString
   }

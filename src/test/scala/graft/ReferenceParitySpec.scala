@@ -74,6 +74,20 @@ class ReferenceParitySpec extends SparkSuite {
         "مَكْتَبَة" -> "mktbt",
         "شاهنامه فردوسی" -> "sahnamhfrdwsy",
         "العدد ٣ سنة ١٩٢٥" -> "aldd3snt1925",
+        // Kana Hepburn rows (r11): yōon digraphs (きゃ→kya, しょ→sho),
+        // sokuon gemination incl. Hepburn's tch, chōonpu drops (the
+        // macron image folds away), katakana and hiragana both tabled
+        "きゃべつ と しょうゆ" -> "kyabetsutoshouyu",
+        "さっぽろ ラーメン" -> "sappororamen",
+        "まっちゃ クッキー" -> "matchakukki",
+        "ぎんが てつどう の よる" -> "gingatetsudounoyoru",
+        // Korean Revised-Romanization rows (r11): algorithmic Unicode
+        // syllable decomposition — double-consonant leads (ㅃ/ㄲ…),
+        // cluster tails (ㄺ…), the RR transliteration variant
+        "한국어 문법" -> "hangugeomunbeob",
+        "훈민정음 해례본" -> "hunminjeongeumhaeryebon",
+        "아리랑 연가 1926" -> "arirangyeonga1926",
+        "닭갈비" -> "dalggalbi",
         // Latin input is untouched by the flag (same key as romanize=off)
         "Tähtien Sota!" -> "tahtiensota"
       ),
