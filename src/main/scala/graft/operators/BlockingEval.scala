@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Blocking-quality evaluation for the dedup pipeline — the record-
@@ -337,6 +337,78 @@ object BlockingEval {
       )
   }
 
+  /** FS-EM scoring from STORED parameters — the inference face of the
+    * unsupervised fit, and the sixth persisted-model family
+    * ([[ModelStore]]): the fitted (p, m_f, u_f) round-trip through a
+    * parquet model table and candidate pairs are scored from the
+    * LOADED state only. Output is per agreement PATTERN (≤ 2⁵ rows —
+    * under conditional independence the pattern determines the score):
+    * pair count, the Fellegi-Sunter total log-likelihood-ratio weight
+    * (integer 1e-4 units, fixed field order), and the quantized
+    * posterior match probability (the E-step law under the stored
+    * params). Scale shape: ONE ≤2⁵-key map-side-combinable aggregate
+    * over the capped pairs plus an 11-number literal-embedded model —
+    * no join, no window.
+    */
+  def fsScoreStoredOf(s: SparkSession, d: String, path: String): DataFrame = {
+    val keyed = Dedup.withKeys(DedupQueries.records(s, d))
+    fsEmOf(keyed).coalesce(1).write.mode("overwrite").parquet(path)
+    val st = s.read.parquet(path).collect()
+    val mm = st.map(r => r.getAs[String]("field") -> r.getAs[Long]("m_mu")).toMap
+    val uu = st.map(r => r.getAs[String]("field") -> r.getAs[Long]("u_mu")).toMap
+    val p = st.head.getAs[Long]("p_mu")
+    val q = FsQuantum
+    val patCols = FsFields.map(f => coalesce(col(s"f_$f"), lit(false)).as(s"f_$f"))
+    val pat = agreementFlags(keyed).groupBy(patCols: _*).agg(count(lit(1)).as("n_pairs"))
+    val a = FsFields.foldLeft(lit(p.toDouble)) { (acc, f) =>
+      acc * when(col(s"f_$f"), lit(mm(f).toDouble)).otherwise(lit((q - mm(f)).toDouble))
+    }
+    val b = FsFields.foldLeft(lit((q - p).toDouble)) { (acc, f) =>
+      acc * when(col(s"f_$f"), lit(uu(f).toDouble)).otherwise(lit((q - uu(f)).toDouble))
+    }
+    val w = FsFields
+      .map { f =>
+        when(col(s"f_$f"), lit(math.round(1e4 * math.log(mm(f).toDouble / uu(f).toDouble))))
+          .otherwise(lit(math.round(1e4 * math.log((q - mm(f)).toDouble / (q - uu(f)).toDouble))))
+      }
+      .reduce(_ + _)
+    pat.select(
+      FsFields.map(f => col(s"f_$f")) ++ Seq(
+        col("n_pairs"),
+        w.as("weight_mu"),
+        round(lit(q.toDouble) * a / (a + b)).cast("long").as("post_mu")
+      ): _*
+    )
+  }
+
+  /** Stored-params scoring oracle: the EM CTE chain re-derives the
+    * identical parameters (certifying the parquet round trip carries
+    * exactly the trained state), then one pattern-level projection
+    * replays the weight and posterior laws.
+    */
+  private[operators] def fsScoreOracleSql: String = {
+    val q = FsQuantum
+    val aTerms = FsFields
+      .map(f => s"(CASE WHEN pat.f_$f THEN par.m_$f ELSE $q - par.m_$f END)")
+      .mkString(" * ")
+    val bTerms = FsFields
+      .map(f => s"(CASE WHEN pat.f_$f THEN par.u_$f ELSE $q - par.u_$f END)")
+      .mkString(" * ")
+    val w = FsFields
+      .map(f =>
+        s"(CASE WHEN pat.f_$f THEN CAST(round(1e4 * ln(CAST(par.m_$f AS double) / CAST(par.u_$f AS double))) AS BIGINT) " +
+          s"ELSE CAST(round(1e4 * ln(CAST($q - par.m_$f AS double) / CAST($q - par.u_$f AS double))) AS BIGINT) END)"
+      )
+      .mkString(" + ")
+    s"""WITH $fsEmCtesSql
+       |SELECT ${FsFields.map(f => s"pat.f_$f").mkString(", ")},
+       |  CAST(pat.c AS BIGINT) AS n_pairs,
+       |  $w AS weight_mu,
+       |  CAST(round(($q.0 * (CAST(par.p_q AS double) * $aTerms)) /
+       |    ((CAST(par.p_q AS double) * $aTerms) + (CAST($q - par.p_q AS double) * $bTerms))) AS BIGINT) AS post_mu
+       |FROM pat CROSS JOIN par$FsIters par""".stripMargin
+  }
+
   /** Oracle CTE prefix shared by the Fellegi-Sunter oracles: records →
     * capped block pairs → per-pair agreement flags (+ the veto-chain
     * label `m`, used only by the supervised query).
@@ -372,11 +444,23 @@ object BlockingEval {
     * expression.
     */
   private def fsEmOracleSql: String = {
+    val unions = FsFields
+      .map(f => s"SELECT '$f' AS field, m_$f AS m_mu, u_$f AS u_mu, p_q AS p_mu FROM par$FsIters")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $fsEmCtesSql,
+       |u AS (
+       |  $unions)
+       |SELECT field, m_mu, u_mu, p_mu,
+       |  round(ln(CAST(m_mu AS double) / CAST(u_mu AS double)), 4) + 0.0 AS weight
+       |FROM u""".stripMargin
+  }
+
+  // E-step CTE: per pattern likelihoods a/b as fixed-order double
+  // products, then the quantized weight.
+  private def eStepSql(parPrev: String, out: String): String = {
     val q = FsQuantum
     val fields = FsFields
-    // E-step CTE: per pattern likelihoods a/b as fixed-order double
-    // products, then the quantized weight.
-    def eStep(parPrev: String, out: String): String = {
+    locally {
       val aTerms = fields
         .map(f => s"(CASE WHEN f_$f THEN par.m_$f ELSE $q - par.m_$f END)")
         .mkString(" * ")
@@ -392,9 +476,14 @@ object BlockingEval {
          |      (CAST($q - par.p_q AS double) * $bTerms) AS b
          |    FROM pat CROSS JOIN $parPrev par) _e)""".stripMargin
     }
-    // M-step CTE: int64 sums over the E-step rows, clamped quantized
-    // updates; zero-mass guards fall back to the previous parameter.
-    def mStep(parPrev: String, eCte: String, out: String): String = {
+  }
+
+  // M-step CTE: int64 sums over the E-step rows, clamped quantized
+  // updates; zero-mass guards fall back to the previous parameter.
+  private def mStepSql(parPrev: String, eCte: String, out: String): String = {
+    val q = FsQuantum
+    val fields = FsFields
+    locally {
       val sums = fields
         .map(f =>
           s"CAST(sum(CASE WHEN f_$f THEN c * w_q ELSE 0 END) AS BIGINT) AS sw_$f,\n      " +
@@ -429,26 +518,27 @@ object BlockingEval {
          |      $sums
          |    FROM $eCte) _m)""".stripMargin
     }
+  }
+
+  /** The EM training CTE chain (flags → pattern census → FsIters
+    * unrolled E/M rounds) without a final SELECT — `par$FsIters` holds
+    * the fitted parameters. Shared by the EM oracle and the
+    * stored-params scoring oracle.
+    */
+  private def fsEmCtesSql: String = {
+    val fields = FsFields
+    val init = s"SELECT CAST(${FsQuantum / 10} AS BIGINT) AS p_q, " +
+      fields.map(f => s"CAST(${FsQuantum / 10 * 9} AS BIGINT) AS m_$f").mkString(", ") + ", " +
+      fields.map(f => s"CAST(${FsQuantum / 10} AS BIGINT) AS u_$f").mkString(", ")
     val iters = (1 to FsIters)
-      .map(k => Seq(eStep(s"par${k - 1}", s"e$k"), mStep(s"par${k - 1}", s"e$k", s"par$k")).mkString(",\n"))
+      .map(k => Seq(eStepSql(s"par${k - 1}", s"e$k"), mStepSql(s"par${k - 1}", s"e$k", s"par$k")).mkString(",\n"))
       .mkString(",\n")
-    val init = s"SELECT CAST(${q / 10} AS BIGINT) AS p_q, " +
-      fields.map(f => s"CAST(${q / 10 * 9} AS BIGINT) AS m_$f").mkString(", ") + ", " +
-      fields.map(f => s"CAST(${q / 10} AS BIGINT) AS u_$f").mkString(", ")
-    val unions = fields
-      .map(f => s"SELECT '$f' AS field, m_$f AS m_mu, u_$f AS u_mu, p_q AS p_mu FROM par$FsIters")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH $flagsCtesSql,
+    s"""$flagsCtesSql,
        |pat AS MATERIALIZED (
        |  SELECT ${fields.map(f => s"coalesce(f_$f, false) AS f_$f").mkString(", ")}, count(*) AS c
        |  FROM flags GROUP BY ${fields.indices.map(_ + 1).mkString(", ")}),
        |par0 AS MATERIALIZED ($init),
-       |$iters,
-       |u AS (
-       |  $unions)
-       |SELECT field, m_mu, u_mu, p_mu,
-       |  round(ln(CAST(m_mu AS double) / CAST(u_mu AS double)), 4) + 0.0 AS weight
-       |FROM u""".stripMargin
+       |$iters""".stripMargin
   }
 
   private val fsEmQ = Q(

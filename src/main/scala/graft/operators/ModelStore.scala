@@ -96,6 +96,11 @@ object ModelStore {
       "embed_ivfpq_search_stored",
       (s, d) => IvfPq.searchStoredOf(s, d, modelDir(d)),
       oracleOf(IvfPq.all, "embed_ivfpq_search_trained")
+    ),
+    Q(
+      "dedup_fs_score_stored",
+      (s, d) => BlockingEval.fsScoreStoredOf(s, d, s"${modelDir(d)}/fs_params"),
+      Some(BlockingEval.fsScoreOracleSql)
     )
   )
 }

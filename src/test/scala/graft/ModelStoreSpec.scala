@@ -27,6 +27,35 @@ class ModelStoreSpec extends SparkSuite {
     }
   }
 
+  test("FS-EM scoring from stored params separates full-agree from full-disagree patterns") {
+    // the 6th family has no literal twin (it IS the new inference face);
+    // the oracle re-derives the params — here we pin the semantics.
+    val rows = SparkEntry.queries("dedup_fs_score_stored")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // blocking guarantees some agreement, so compare the least- and
+    // most-agreeing patterns actually present
+    val minAgree = rows.minBy(r => (0 until 5).count(r.getBoolean))
+    val maxAgree = rows.maxBy(r => (0 until 5).count(r.getBoolean))
+    assert(
+      minAgree.getAs[Long]("weight_mu") < maxAgree.getAs[Long]("weight_mu"),
+      "weight must increase with field agreement"
+    )
+    assert(
+      minAgree.getAs[Long]("post_mu") <= maxAgree.getAs[Long]("post_mu"),
+      "posterior must not decrease with field agreement"
+    )
+    // any pattern with MORE agreements than another must not score lower posterior
+    val byAgree = rows
+      .groupBy(r => (0 until 5).count(r.getBoolean))
+      .view
+      .mapValues(_.map(_.getAs[Long]("post_mu")))
+    for (k <- byAgree.keys if byAgree.contains(k + 2))
+      assert(
+        byAgree(k).min <= byAgree(k + 2).max + 1,
+        s"posterior not broadly increasing in agreement count at $k"
+      )
+  }
+
   test("the model tables themselves are bounded (KB-scale) parquet") {
     // guards the scale claim: models must stay vocab/K×D-bounded —
     // a corpus-sized 'model' write would be a silent design regression.
