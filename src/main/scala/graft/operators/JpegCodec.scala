@@ -211,12 +211,13 @@ object JpegCodec {
     * tables, SOF0 4:4:4, single interleaved scan. w and h must be
     * multiples of 8 (fixtures are).
     */
-  private[graft] def encodeJpeg(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def encodeJpeg(id: Long, w: Int, h: Int, restartInterval: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0 && w > 0 && h > 0)
     val out = new java.io.ByteArrayOutputStream(1024)
     def m(b: Int): Unit = { out.write(0xff); out.write(b) }
     def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     m(0xd8) // SOI
+    if (restartInterval > 0) { m(0xdd); w16(4); w16(restartInterval) } // DRI
     m(0xe0); w16(16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
     out.write(1); out.write(1); out.write(0); w16(1); w16(1); out.write(0); out.write(0)
     m(0xdb); w16(2 + 65 * 2) // DQT: both tables in one segment
@@ -244,10 +245,20 @@ object JpegCodec {
     val wb = w / 8
     val hb = h / 8
     val pred = new Array[Int](3)
+    var mcu = 0
+    var rst = 0
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align, emit RSTn, reset the DC predictors
+          bw.flush()
+          m(0xd0 + rst)
+          rst = (rst + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        mcu += 1
         val b = by * wb + bx
         var c = 0
         while (c < 3) {

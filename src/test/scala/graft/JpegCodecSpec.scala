@@ -117,6 +117,34 @@ class JpegCodecSpec extends SparkSuite {
     assert(maxD <= 2, s"max per-sample gray delta $maxD vs ImageIO's own decode")
   }
 
+  test("restart markers (DRI + RSTn) decode identically and ImageIO agrees") {
+    // NB on fixture choice: the coefficient field is synthetic, and ids
+    // whose blocks go far out of sample gamut (ideal IDCT outputs of
+    // ±2000) hit libjpeg-lineage decoders' range-limit ALIASING, where
+    // clamping semantics legally diverge — the exact-integer oracle is
+    // unaffected, but ImageIO comparisons need an in-gamut id (3 here;
+    // id 11 is a known aliasing fixture).
+    val (id, w, h) = (3L, 32, 16) // 8 MCUs, restart every 2 → 3 RST markers
+    val jpg = JpegCodec.encodeJpeg(id, w, h, restartInterval = 2)
+    assert(jpg.count(_ == 0xdd.toByte) >= 1) // DRI present
+    val (dw, dh, got) = JpegCodec.decodePixels(jpg).get
+    assert((dw, dh) == ((w, h)))
+    assert(got.sameElements(analyticPixels(id, w, h)), "RST path diverged from the integer-law replay")
+    // conformance: an independent decoder must read the restart stream
+    // to EXACTLY the pixels of the plain encoding of the same image
+    // (per-sample absolute comparison would re-enter the gamut-aliasing
+    // territory above; stream-vs-stream identity is gamut-free)
+    val ioRst = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val ioPlain =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(JpegCodec.encodeJpeg(id, w, h)))
+    assert(ioRst != null && ioRst.getWidth == w && ioRst.getHeight == h, "ImageIO rejected our restart stream")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ioRst.getRGB(x, y) == ioPlain.getRGB(x, y), s"ImageIO restart/plain divergence at ($x,$y)")
+    // and our decoder agrees stream-vs-stream as well
+    val (_, _, gotPlain) = JpegCodec.decodePixels(JpegCodec.encodeJpeg(id, w, h)).get
+    assert(got.sameElements(gotPlain))
+  }
+
   test("malformed JPEG payloads are quarantined") {
     val jpg = JpegCodec.encodeJpeg(5L, 16, 8)
     assert(JpegCodec.decodeJpeg(5L, "not a jpeg".getBytes).isEmpty)
