@@ -270,7 +270,7 @@ object KeyFoldRulesExpr {
         i += 1
       } else {
         val lc = Character.toLowerCase(cp)
-        val c = if (Character.isBmpCodePoint(lc)) lc.toChar else ' '
+        val c = if (Character.isBmpCodePoint(lc)) lc.toChar else '\u0000'
         if (c == 'っ' || c == 'ッ') {
           // gemination: double the next kana syllable's initial
           // consonant (tch for ch); vowel-initial or non-kana → drop
@@ -293,12 +293,12 @@ object KeyFoldRulesExpr {
             }
           }
           i += 1
-        } else if (c != ' ' && i + 1 < nfc.length &&
+        } else if (c != '\u0000' && i + 1 < nfc.length &&
           digraphMap.containsKey(s"$c${nfc.charAt(i + 1)}")) {
           sb.append(digraphMap.get(s"$c${nfc.charAt(i + 1)}"))
           i += 2
         } else {
-          val mapped = if (c != ' ') romanMap.get(c) else null
+          val mapped = if (c != '\u0000') romanMap.get(c) else null
           if (mapped != null) sb.append(mapped)
           else sb.appendCodePoint(cp)
           i += Character.charCount(cp)
