@@ -322,9 +322,18 @@ object CurationQueries {
     */
   def stridedSpansOf(corpus: DataFrame): DataFrame = {
     val anchors = anchorsOf(corpus)
-    val dup = anchors.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+    // One count-over-window on the gram replaces the old
+    // groupBy(g) → join-back-to-anchors shape: the rows were shuffling
+    // by g for the join anyway, but the join's SECOND anchor branch
+    // re-ran the winnow kernel (an md5 per gram position over the whole
+    // corpus, the pipeline's dominant cost) — the window keeps ONE
+    // anchor computation and ONE g-shuffle with identical output rows.
+    // Skew parity: a hot gram colocates on one task either way (join on
+    // g did too); occurrences of one gram are bounded by the corpus's
+    // duplication factor, not by corpus size.
     val occ = anchors
-      .join(dup, Seq("g"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("c") > 1)
       .select(col("doc_id"), col("pos"), (col("pos") + (G - 1)).as("e"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
