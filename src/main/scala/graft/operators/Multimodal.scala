@@ -596,10 +596,130 @@ object Multimodal {
     }
   )
 
+  /** A canonical-44 G.711 A-law WAV (format code 6, mono, 8-bit, 8 kHz)
+    * whose code bytes follow a_k = (id·11 + k·5) % 256.
+    */
+  private[graft] def alawFullHex(id: Column, n: Column): Column = {
+    val header = concat(
+      lit("52494646"), le32h(lit(36L) + n), lit("57415645"),
+      lit("666d7420"), le32h(lit(16L)),
+      le16h(lit(6L)), le16h(lit(1L)), le32h(lit(8000L)), le32h(lit(8000L)),
+      le16h(lit(1L)), le16h(lit(8L)),
+      lit("64617461"), le32h(n)
+    )
+    val codes = array_join(
+      transform(sequence(lit(0L), n - 1), k => h2(id * 11 + k * 5)),
+      ""
+    )
+    concat(header, codes)
+  }
+
+  /** The G.711 A-law expansion of one code byte `c` as pure integer
+    * SQL (ITU-T G.711 Table 1a/1b, the classic g711.c law): u = c⊕0x55;
+    * t = (u&15)<<4; seg 0 → t+8, seg 1 → t+0x108, seg≥2 →
+    * (t+0x108)<<(seg−1); the SIGN bit SET means positive (inverted vs
+    * µ-law). Shifts spelled as multiplies so the expression ports.
+    */
+  private def alawExpandSql(c: String): String = {
+    val u = s"(($c) ^ 85)"
+    val seg = s"(($u div 16) % 8)"
+    val t = s"(($u % 16) * 16)"
+    val mag = s"(CASE WHEN $seg = 0 THEN $t + 8 ELSE ($t + 264) * " +
+      s"(CASE $seg WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 ELSE 64 END) END)"
+    s"(CASE WHEN $u >= 128 THEN $mag ELSE -$mag END)"
+  }
+
+  /** JVM mirror of [[alawExpandSql]] for the javax.sound parity spec. */
+  private[graft] def alawExpand(c: Int): Int = {
+    val u = (c ^ 0x55) & 0xff
+    val seg = (u >> 4) & 7
+    val t = (u & 0x0f) << 4
+    val mag = if (seg == 0) t + 8 else (t + 0x108) << (seg - 1)
+    if ((u & 0x80) != 0) mag else -mag
+  }
+
+  /** REAL G.711 A-law sample decode — the companding COMPLEMENT of
+    * µ-law (Europe's half of G.711; a pipeline ingesting telephony
+    * audio meets both): parse the fmt chunk, REQUIRE format code 6 /
+    * 8-bit, expand every code byte through the A-law law in pure
+    * integer arithmetic, aggregate Σ|s| and Σs². Same two-level
+    * chunked fold as [[mulawSampleStats]] (O(chunk) transient memory);
+    * the oracle replays the law from the closed-form code bytes, and
+    * the spec certifies against JDK javax.sound's own ALAW→PCM
+    * converter on all 256 codes.
+    */
+  def alawSampleStats(media: DataFrame): DataFrame = {
+    val smp = alawExpandSql(byteAtSql("44 + k"))
+    def chunkSum(term: String): String =
+      s"aggregate(sequence(c * ${SampleChunk}L, least(c * ${SampleChunk}L + ${SampleChunk}L, n) - 1L), " +
+        s"0L, (a, k) -> a + $term)"
+    media
+      .withColumn("hdr", lower(hex(substring(col("payload"), 1, 44))))
+      .withColumn("fmt", expr(hdrLe16Sql(20)))
+      .withColumn("bits", expr(hdrLe16Sql(34)))
+      .withColumn("rate", expr(hdrLe32Sql(24)))
+      .withColumn("n", expr(hdrLe32Sql(40)))
+      .filter(col("fmt") === 6 && col("bits") === 8)
+      .withColumn(
+        "sums",
+        when(
+          col("n") > 0,
+          expr(
+            s"""aggregate(
+               |  sequence(0L, (n + ${SampleChunk - 1}L) div ${SampleChunk}L - 1L),
+               |  array(0L, 0L),
+               |  (acc, c) -> array(
+               |    acc[0] + ${chunkSum(s"abs($smp)")},
+               |    acc[1] + ${chunkSum(s"$smp * $smp")}))""".stripMargin
+          )
+        ).otherwise(typedLit(Seq(0L, 0L)))
+      )
+      .select(
+        col("media_id"),
+        col("rate").as("sample_rate"),
+        col("n").as("n_samples"),
+        expr("(sums[0] * 100) div n").as("mean_abs_c"),
+        col("sums").getItem(1).as("sum_sq")
+      )
+  }
+
+  def alawTable(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        unhex(alawFullHex(col("doc_id"), col("doc_id") % 60 + 8)).as("payload")
+      )
+
+  private val alawSamplesQ = Q(
+    "multimodal_alaw_samples",
+    (s, d) => alawSampleStats(alawTable(s, d)),
+    Some {
+      val c = "((media_id * 11 + k * 5) % 256)"
+      val u = s"(xor($c, 85))"
+      val seg = s"(($u // 16) % 8)"
+      val t = s"(($u % 16) * 16)"
+      val mag = s"(CASE WHEN $seg = 0 THEN $t + 8 ELSE ($t + 264) * " +
+        s"(CASE $seg WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 ELSE 64 END) END)"
+      val smp = s"(CASE WHEN $u >= 128 THEN $mag ELSE -$mag END)"
+      s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 60 + 8 AS n FROM documents),
+         |s AS (
+         |  SELECT media_id, n,
+         |    list_sum(list_transform(range(0, n), k -> abs($smp))) AS sa,
+         |    list_sum(list_transform(range(0, n), k -> $smp * $smp)) AS sq
+         |  FROM m)
+         |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+         |  CAST((sa * 100) // n AS BIGINT) AS mean_abs_c,
+         |  CAST(sq AS BIGINT) AS sum_sq
+         |FROM s""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(
     bmpPixelsQ,
     wavSamplesQ,
     mulawSamplesQ,
+    alawSamplesQ,
     Q(
       // Real byte-level image header decode: even media_ids carry PNG
       // payloads (color type cycling gray/rgb/rgba), odd ones JFIF JPEG;
