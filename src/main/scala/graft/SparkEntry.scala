@@ -117,7 +117,8 @@ object SparkEntry {
       operators.CompressedIngest.all ++
       operators.NoveltyQueries.all ++
       operators.NprobeRecall.all ++
-      operators.ModelStore.all
+      operators.ModelStore.all ++
+      operators.StupidBackoff.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -18,6 +18,37 @@ class RoundElevenOpsSpec extends SparkSuite {
     }
   }
 
+  test("Stupid Backoff fires all three levels with hand-computed scores") {
+    import spark.implicits._
+    // train: docs 1, 2 (ids % 10 != 0); eval: doc 20.
+    // Eval positions: (a,b,c) attested trigram; (d,b,x) backs off to the
+    // attested "b x" bigram; the other three bottom out at the unigram
+    // floor with c(w3) of 1, 1, 2.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "b x y"),
+      (20L, "a b c x d b x")
+    ).toDF("doc_id", "text")
+    val rows = operators.StupidBackoff.scoresOf(docs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 20L)
+    assert(r.getAs[Long]("n_trigrams") == 5L)
+    assert(r.getAs[Long]("n_tri_hit") == 1L)
+    assert(r.getAs[Long]("n_bi_back") == 1L)
+    assert(r.getAs[Long]("n_uni_back") == 3L)
+    val nPlusV = 7.0 + 6.0 // 7 train tokens, 6 distinct words
+    def q(x: Double): Long = math.round(1e6 * math.log(x))
+    val expected = Seq(
+      q(1.0 / 1.0), // (a,b,c): c123=1, c12=1
+      q((0.4 * 1.0) / 2.0), // (d,b,x): c("b x")=1, c(b)=2
+      q((0.16 * (1 + 1)) / nPlusV), // (b,c,x): c(x)=1
+      q((0.16 * (1 + 1)) / nPlusV), // (c,x,d): c(d)=1
+      q((0.16 * (2 + 1)) / nPlusV) // (x,d,b): c(b)=2
+    ).sum
+    assert(r.getAs[Long]("mean_score_mu") == expected / 5, s"sum=$expected")
+  }
+
   test("A-law sample stats match the JVM expansion on sf0.001") {
     val rows = SparkEntry
       .queries("multimodal_alaw_samples")(spark, "/root/testdata/sf0.001")
