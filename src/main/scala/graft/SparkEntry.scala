@@ -118,7 +118,8 @@ object SparkEntry {
       operators.NoveltyQueries.all ++
       operators.NprobeRecall.all ++
       operators.ModelStore.all ++
-      operators.StupidBackoff.all
+      operators.StupidBackoff.all ++
+      operators.Mp4Meta.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -49,6 +49,38 @@ class RoundElevenOpsSpec extends SparkSuite {
     assert(r.getAs[Long]("mean_score_mu") == expected / 5, s"sum=$expected")
   }
 
+  test("MP4 box walk reads v0/v1 mvhd, largesize mdat, and quarantines truncation") {
+    import graft.operators.Mp4Meta
+    // id 7: audio track + v1 mvhd (7%7=0); id 11: largesize mdat; id 2: video-only
+    for (id <- Seq(2L, 7L, 11L, 14L, 22L)) {
+      val st = Mp4Meta.decodeMp4(id, Mp4Meta.encodeMp4(id)).get
+      assert(st.brand == "isom")
+      assert(st.timescale == Mp4Meta.lawTimescale(id))
+      assert(st.duration_ms == Mp4Meta.lawDuration(id) * 1000 / Mp4Meta.lawTimescale(id))
+      assert(st.n_tracks == (if (Mp4Meta.lawHasAudio(id)) 2L else 1L))
+      assert(st.video_codec == "avc1" && st.width == Mp4Meta.lawWidth(id) && st.height == Mp4Meta.lawHeight(id))
+      if (Mp4Meta.lawHasAudio(id)) {
+        assert(st.audio_codec == "mp4a" && st.channels == Mp4Meta.lawChannels(id))
+        assert(st.sample_rate == Mp4Meta.lawRate(id))
+      } else assert(st.audio_codec == "" && st.channels == 0L && st.sample_rate == 0L)
+      assert(st.mdat_bytes == Mp4Meta.lawMdat(id))
+    }
+    // truncation (the id % 53 fixture) and garbage quarantine
+    assert(Mp4Meta.decodeMp4(53L, Mp4Meta.encodeMp4(53L)).isEmpty)
+    assert(Mp4Meta.decodeMp4(0L, "not an mp4 at all".getBytes).isEmpty)
+    val ok = Mp4Meta.encodeMp4(5L)
+    assert(Mp4Meta.decodeMp4(5L, ok.take(40)).isEmpty) // cut inside ftyp/free
+    // a corrupted box size must not loop or throw
+    val bad = ok.clone(); bad(0) = 0x7f
+    Mp4Meta.decodeMp4(5L, bad)
+  }
+
+  test("the mp4 registered query runs end-to-end on sf0.001") {
+    val rows = SparkEntry.queries("multimodal_mp4_meta")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_tracks") >= 1))
+  }
+
   test("A-law sample stats match the JVM expansion on sf0.001") {
     val rows = SparkEntry
       .queries("multimodal_alaw_samples")(spark, "/root/testdata/sf0.001")
