@@ -40,7 +40,7 @@ object IvfPq {
   /** The full search over any (vec_id, embedding) frame with the
     * deterministic centroids; `queryPred` selects the query rows.
     */
-  def searchDeterministic(emb: DataFrame): DataFrame = {
+  def searchDeterministic(emb: DataFrame, rerankN: Int = RerankN): DataFrame = {
     val assigned = emb
       .select(col("vec_id"), LlmQueries2.ivfCell(col("embedding"), Cells).as("cell"))
     val cscores = transform(
@@ -74,7 +74,7 @@ object IvfPq {
           c => round(LlmQueries2.pqSubScore(col("qv"), col("m"), c) * 1e6).cast("long")
         ).as("tvals")
       )
-    adcRerank(emb, qbase.select(col("query_id"), col("qv")), lookup, assigned, probes)
+    adcRerank(emb, qbase.select(col("query_id"), col("qv")), lookup, assigned, probes, rerankN)
   }
 
   /** Stages 3-4 (ADC shortlist + exact rerank), shared by the
@@ -85,9 +85,10 @@ object IvfPq {
       qvecs: DataFrame,
       lookup: DataFrame,
       assigned: DataFrame,
-      probes: DataFrame
+      probes: DataFrame,
+      rerankN: Int = RerankN
   ): DataFrame =
-    adcRerankCodes(emb, qvecs, lookup, assigned, probes, LlmQueries2.pqCodesOf(emb))
+    adcRerankCodes(emb, qvecs, lookup, assigned, probes, LlmQueries2.pqCodesOf(emb), rerankN)
 
   /** The same stages with an EXPLICIT (vec_id, sub, code) frame — the
     * entry point for trained codebooks, where `code` is the 1-based
@@ -100,7 +101,8 @@ object IvfPq {
       lookup: DataFrame,
       assigned: DataFrame,
       probes: DataFrame,
-      codesOf: DataFrame
+      codesOf: DataFrame,
+      rerankN: Int = RerankN
   ): DataFrame = {
     val cand = codesOf
       .join(assigned, Seq("vec_id"))
@@ -118,7 +120,7 @@ object IvfPq {
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
     val shortlist = adc
       .withColumn("r", row_number().over(wAdc))
-      .filter(col("r") <= RerankN)
+      .filter(col("r") <= rerankN)
       .select("query_id", "neighbor_id")
     val reranked = shortlist
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
@@ -281,7 +283,12 @@ object IvfPq {
   /** The full deterministic-codebook search as one oracle SELECT —
     * shared by `embed_ivfpq_search` and the recall eval below.
     */
-  private[operators] val SearchOracleSql: String = {
+  private[operators] val SearchOracleSql: String = searchOracleSqlAt(RerankN)
+
+  /** The deterministic search oracle at an explicit rerank budget —
+    * the `ann_recall_rerank` curve embeds one per grid arm.
+    */
+  private[operators] def searchOracleSqlAt(rerankN: Int): String = {
         val ivfWeight =
           "(strpos('0123456789abcdef', substr(md5('ivf' || cast(c as varchar) || ':' || cast(dd - 1 as varchar)), 1, 1)) - 1 - 7.5)"
         val cellScores =
@@ -318,7 +325,7 @@ object IvfPq {
            |rr AS (SELECT s.query_id, s.neighbor_id, $cos AS score
            |  FROM short s JOIN e x ON x.vec_id = s.neighbor_id
            |  JOIN qp q ON q.query_id = s.query_id
-           |  WHERE s.r <= $RerankN),
+           |  WHERE s.r <= $rerankN),
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM rr)
            |SELECT query_id, neighbor_id, score, cast(rank as bigint) AS rank
            |FROM ranked WHERE rank <= $TopK""".stripMargin
@@ -537,5 +544,62 @@ object IvfPq {
     }
   )
 
-  val all: Seq[Q] = Seq(searchQ, recallQ, searchTrainedQ, recallTrainedQ)
+  private val RerankGrid = Seq(5, 10, 20)
+
+  /** Recall-vs-rerank tuning curve (r11): recall@5 of the deterministic
+    * IVF-PQ search at rerank budgets 5 / 10 / 20 — the THIRD of the
+    * three knobs a deployment tunes (`ann_recall_nprobe` reads the
+    * probe axis, `embed_pq_distortion` the code size; this reads what
+    * each extra exact-rerank candidate buys, and the rerank budget is
+    * the per-query cost of shipping full vectors at serve time). A
+    * rerank of TopK means "trust ADC order entirely"; the gap between
+    * that arm and rerank 20 is exactly the damage 4-bit quantization
+    * does to the head of the ranking.
+    */
+  private val recallRerankQ = Q(
+    "ann_recall_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val truth = AnnEval.truthTopK(emb, 5, TopK)
+      RerankGrid
+        .map { r =>
+          val approx = searchDeterministic(emb, r)
+            .select(col("query_id"), col("neighbor_id").as("approx_id"))
+          AnnEval
+            .recallOf(truth, approx)
+            .select(
+              lit(r.toLong).as("rerank_n"),
+              col("query_id"),
+              col("k"),
+              col("n_overlap"),
+              col("recall_permille")
+            )
+        }
+        .reduce(_.unionByName(_))
+    },
+    Some {
+      def arm(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS rerank_n, t.query_id,
+           |  CAST(count(*) AS BIGINT) AS k,
+           |  CAST(count(a.neighbor_id) AS BIGINT) AS n_overlap,
+           |  CAST((count(a.neighbor_id) * 1000) // count(*) AS BIGINT) AS recall_permille
+           |FROM truth t LEFT JOIN
+           |  (SELECT query_id, neighbor_id FROM (${searchOracleSqlAt(r)}) _s$r) a
+           |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY 2""".stripMargin
+      s"""WITH v AS (SELECT vec_id, cast(embedding as double[]) AS vec FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_dot_product(q.vec, e.vec) /
+         |              (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(e.vec, e.vec))), 6) DESC,
+         |        e.vec_id) AS rank
+         |    FROM v e JOIN v q ON q.vec_id < 5 AND e.vec_id != q.vec_id) _t
+         |  WHERE rank <= $TopK)
+         |${RerankGrid.map(arm).mkString("\nUNION ALL\n")}""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(searchQ, recallQ, searchTrainedQ, recallTrainedQ, recallRerankQ)
 }

@@ -3,6 +3,20 @@ package graft
 /** Round-11 operator certification beyond the DuckDB oracle gate. */
 class RoundElevenOpsSpec extends SparkSuite {
 
+  test("recall is per-query monotone in the rerank budget") {
+    // a larger rerank budget reranks a SUPERSET of candidates under the
+    // truth's own metric, so per-query recall can only rise
+    val rows = SparkEntry
+      .queries("ann_recall_rerank")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rs) =>
+      val byR = rs.map(r => r.getAs[Long]("rerank_n") -> r.getAs[Long]("recall_permille")).toMap
+      assert(byR(5L) <= byR(10L) && byR(10L) <= byR(20L), s"query $q: $byR")
+    }
+  }
+
   test("A-law expansion matches JDK javax.sound's independent G.711 decoder") {
     import javax.sound.sampled._
     val codes = (0 until 256).map(_.toByte).toArray
