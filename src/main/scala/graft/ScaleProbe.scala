@@ -924,6 +924,30 @@ object ScaleProbe {
             f"encode_t=${(t1 - t0) / 1e9}%.1f s pixels=$px decode_t=${(System.nanoTime() - t1) / 1e9}%.1f s"
         )
         gif.unpersist(false)
+      case "backoff" =>
+        // Stupid-Backoff n-gram probe: the documents corpus replicated
+        // mult× (ids remapped so the 90/10 train/eval split holds).
+        // The n-gram tables are vocab-bounded count aggregates and the
+        // scoring side five vocab-keyed equi-joins — time must grow
+        // linearly in mult with flat task memory (the tables themselves
+        // grow sub-linearly: replicated text adds counts, not keys).
+        import spark.implicits._
+        val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val big = (0 until mult)
+          .map { i =>
+            if (i == 0) base
+            else base.select((col("doc_id") + i * 10000000L).as("doc_id"), col("text"))
+          }
+          .reduce(_ union _)
+        val t0 = System.nanoTime()
+        val r = operators.StupidBackoff
+          .scoresOf(big)
+          .agg(sum("n_trigrams"), sum("n_bi_back"), sum("n_uni_back"))
+          .collect()(0)
+        println(
+          f"SCALE mode=backoff mult=$mult docs=${base.count() * mult} positions=${r.getLong(0)} " +
+            f"bi_back=${r.getLong(1)} uni_back=${r.getLong(2)} time=${(System.nanoTime() - t0) / 1e9}%.1f s"
+        )
       case "jpeg" =>
         // Huffman+IDCT probe: 8 JPEGs of (256·mult)² pixels (multiples
         // of 8 always). The decoder claims O(1) transient state — three
