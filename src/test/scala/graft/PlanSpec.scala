@@ -59,6 +59,7 @@ class PlanSpec extends SparkSuite {
             "ann_recall_hybrid",
             "ann_recall_ivfpq",
             "ann_recall_ivfpq_trained",
+            "ann_recall_rerank",
             "ann_recall_nprobe"
           )
         ),
