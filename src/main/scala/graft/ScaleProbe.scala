@@ -665,6 +665,56 @@ object ScaleProbe {
           f"SCALE mode=stridedspans mult=$mult docs=$total grams=$grams anchors=$anchors " +
             f"density_pm=${anchors * 1000 / math.max(grams, 1)} spans=$nSpans missed=$missed time=$tSec%.1f s"
         )
+      case "stridedskew" =>
+        // Boilerplate MEGA-GRAM probe (r12): ≥90% of docs get ONE shared
+        // 64-char block (think license header / scraper chrome), so a
+        // single gram value `g` concentrates ~0.9 × docs × mult anchor
+        // occurrences. The r11 count-over-window on `g` put that whole
+        // partition on one non-splittable sorted WindowExec task; the
+        // restored map-side-combinable census + AQE-splittable join must
+        // stay LINEAR in mult with zero spill. (The shared block is
+        // offset-jittered so copies are unaligned, and the winnowing
+        // tie-break still selects identical anchors inside it.)
+        val G = operators.CurationQueries.G
+        val boiler = "BOILERPLATELICENSEHEADERSHAREDBYALMOSTEVERYDOCUMENTINTHECORPUS!"
+        require(boiler.length >= G + operators.CurationQueries.SpanStride - 1)
+        val corpus = docsReplicated
+          .withColumn("off", (col("doc_id") % 7 * 11).cast("int"))
+          .withColumn(
+            "text",
+            when(
+              col("doc_id") % 10 =!= 3, // 90% of docs share the block
+              concat(expr("substr(text, 1, off)"), lit(boiler), expr("substr(text, off + 1)"))
+            ).otherwise(col("text"))
+          )
+          .select("doc_id", "text")
+          .persist()
+        val total = corpus.count()
+        val t0 = System.nanoTime()
+        val spans = operators.CurationQueries.stridedSpansOf(corpus).persist()
+        val nSpans = spans.count()
+        val tSec = (System.nanoTime() - t0) / 1e9
+        // Every block-carrying doc must report a span covering its block.
+        val covered = corpus
+          .filter(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"), expr(s"locate('${boiler.substring(0, 16)}', text)").as("ppos"))
+          .join(spans, Seq("doc_id"), "left")
+          .groupBy("doc_id", "ppos")
+          .agg(
+            max(
+              when(
+                col("span_start") <= col("ppos") + (boiler.length - 1) &&
+                  col("span_end") >= col("ppos"),
+                1
+              ).otherwise(0)
+            ).as("hit")
+          )
+          .filter(col("hit") === 1)
+          .count()
+        println(
+          f"SCALE mode=stridedskew mult=$mult docs=$total hot_docs=${total * 9 / 10} " +
+            f"spans=$nSpans covered=$covered time=$tSec%.1f s"
+        )
       case "packing" =>
         // Writer-bucket sweep for the parameterized packing cumsum: a
         // mult× corpus packed at 4 / 16 / 64 buckets. More buckets →

@@ -119,7 +119,8 @@ object SparkEntry {
       operators.NprobeRecall.all ++
       operators.ModelStore.all ++
       operators.StupidBackoff.all ++
-      operators.Mp4Meta.all
+      operators.Mp4Meta.all ++
+      operators.Mjpeg.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -366,10 +366,29 @@ object BlockingEval {
     val b = FsFields.foldLeft(lit((q - p).toDouble)) { (acc, f) =>
       acc * when(col(s"f_$f"), lit(uu(f).toDouble)).otherwise(lit((q - uu(f)).toDouble))
     }
+    // Cross-engine ln guard (r11 advice): weight_mu bakes driver-side
+    // math.log while the oracle computes DuckDB ln — two libm
+    // implementations that agree to ~1 ulp but are not guaranteed
+    // identically rounded. A silent hash flip needs 1e4·ln(num/den) to
+    // sit within ~1 ulp (≈2e-12 at this magnitude) of a .5 rounding
+    // boundary; require a margin 10⁶× wider and fail LOUDLY at model
+    // time instead of diverging silently. (Multiplication/division in
+    // the posterior are IEEE-exact-rounded from identical integers in
+    // both engines — ln is the only libm call in the law.)
+    def lnMu(num: Long, den: Long): Long = {
+      val x = 1e4 * math.log(num.toDouble / den.toDouble)
+      val frac = x - math.floor(x)
+      require(
+        num == den || math.abs(frac - 0.5) > 1e-6,
+        s"FS weight 1e4*ln($num/$den)=$x is within 1e-6 of a rounding boundary; " +
+          "cross-engine libm rounding is not certifiable here"
+      )
+      math.round(x)
+    }
     val w = FsFields
       .map { f =>
-        when(col(s"f_$f"), lit(math.round(1e4 * math.log(mm(f).toDouble / uu(f).toDouble))))
-          .otherwise(lit(math.round(1e4 * math.log((q - mm(f)).toDouble / (q - uu(f)).toDouble))))
+        when(col(s"f_$f"), lit(lnMu(mm(f), uu(f))))
+          .otherwise(lit(lnMu(q - mm(f), q - uu(f))))
       }
       .reduce(_ + _)
     pat.select(

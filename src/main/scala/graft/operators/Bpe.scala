@@ -149,6 +149,120 @@ object Bpe {
     "u" -> "e"
   )
 
+  /** Fixed BYTE-level merge table for `docs_bpe_byte_encode` — the
+    * shipped byte tokenizer model. ASCII merges behave as at char level;
+    * the Ã-prefixed rows are genuine MULTIBYTE merges ('Ã' is the symbol
+    * of UTF-8 lead byte 0xC3, '©'/'¤'/'¶' of continuations 0xA9/0xA4/
+    * 0xB6 — é, ä, ö reassemble from their byte pairs).
+    */
+  val ByteEncodeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h",
+    "th" -> "e",
+    "i" -> "n",
+    "a" -> "n",
+    "e" -> "r",
+    "o" -> "r",
+    "Ã" -> "©", // 0xC3 0xA9 = é
+    "Ã" -> "¤", // 0xC3 0xA4 = ä
+    "Ã" -> "¶", // 0xC3 0xB6 = ö
+    "in" -> "g",
+    "an" -> "d"
+  )
+
+  /** Byte-level encode of one word: byte symbols through the sentinel
+    * replace chain — [[encodeWord]] with the alphabet swapped.
+    */
+  def encodeByteWord(w: Column, merges: Seq[(String, String)] = ByteEncodeMerges): Column = {
+    val wrapped = array_join(
+      transform(byteSymbols(w), s => concat(lit(S), s, lit(S))),
+      ""
+    )
+    val merged = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      replace(acc, lit(S + a + S + S + b + S), lit(S + a + b + S))
+    }
+    split(merged.substr(lit(2), length(merged) - 2), S + S)
+  }
+
+  /** The byte-level tokenizer-inference projection (the [[encodeDf]]
+    * twin over the byte alphabet).
+    */
+  def encodeByteDf(s: SparkSession, d: String, merges: Seq[(String, String)]): DataFrame = {
+    val clean = regexp_replace(coalesce(col("text"), lit("")), S, "")
+    val ws = filter(words(clean), w => length(w) > 0)
+    val toks = flatten(transform(ws, w => encodeByteWord(w, merges)))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        array_join(toks, " ").as("tokens_str")
+      )
+  }
+
+  /** GPT-2 byte↔unicode table (Radford et al. 2019 `bytes_to_unicode`,
+    * the public gpt-2 `encoder.py` law): the 188 printable/latin bytes
+    * ('!'..'~', '¡'..'¬', '®'..'ÿ') map to their own codepoint; the
+    * remaining 68 bytes map to 256+n in byte order. Every byte gets a
+    * VISIBLE single-char symbol, so byte-level BPE runs on plain
+    * strings with no escaping — the industry-standard tokenizer
+    * alphabet (GPT-2/RoBERTa/Llama). A plan-time literal; the inverse
+    * map makes detokenization lossless for arbitrary UTF-8.
+    */
+  private[graft] val ByteSyms: IndexedSeq[String] = {
+    val keep =
+      (('!'.toInt to '~'.toInt) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar.toString
+      else {
+        val s = (256 + n).toChar.toString; n += 1; s
+      }
+    }
+  }
+  private[graft] val ByteSymInv: Map[String, Int] =
+    ByteSyms.zipWithIndex.map { case (s, b) => s -> b }.toMap
+
+  /** JVM mirror of [[byteSymbols]] for specs and the losslessness law. */
+  private[graft] def byteSymsOf(w: String): Seq[String] =
+    w.getBytes("UTF-8").toSeq.map(b => ByteSyms(b & 0xff))
+
+  /** Inverse of the symbol mapping: token concatenation → UTF-8 bytes →
+    * the original string (bijective per byte, so lossless).
+    */
+  private[graft] def detokenize(tokens: Seq[String]): String = {
+    val bytes = tokens.flatMap(_.map(c => ByteSymInv(c.toString).toByte))
+    new String(bytes.toArray, "UTF-8")
+  }
+
+  /** Byte-level symbol array of a word: UTF-8 bytes through the GPT-2
+    * table. Hex-pair extraction over ONE bound encode (bindOnce — the
+    * shingles discipline) keeps it a map-only column expression.
+    */
+  def byteSymbols(w: Column): Column =
+    graft.functions.MetadataFunctions.bindOnce(hex(encode(w, "UTF-8"))) { hx =>
+      transform(
+        sequence(lit(1), (length(hx) / lit(2)).cast("int")),
+        i =>
+          element_at(
+            typedLit(ByteSyms),
+            conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1
+          )
+      )
+    }
+
+  /** Distinct-word table with byte symbols — the byte-level `vocabOf`.
+    * The ≥2 filter moves from chars to BYTES (a 1-char multibyte word
+    * still has mergeable symbols).
+    */
+  def byteVocabOf(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(octet_length(encode(col("w"), "UTF-8")) >= 2)
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+      .withColumn("syms", byteSymbols(col("w")))
+
   /** Sentinel wrapping each symbol on both sides. With every symbol slot
     * rendered as `S sym S`, the pair (a,b) occurs iff the string contains
     * `SaSSbS`, and one left-to-right non-overlapping literal replace of
@@ -198,10 +312,56 @@ object Bpe {
       )
   }
 
-  private def encodeMergeSql(wrapped: String): String =
-    EncodeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+  private def encodeMergeSql(wrapped: String, merges: Seq[(String, String)] = EncodeMerges): String =
+    merges.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
     }
+
+  /** The k unrolled argmax/merge oracle stages over a `v0(w, f, syms)`
+    * CTE — symbol-alphabet agnostic, shared by the char-level and
+    * byte-level training oracles.
+    */
+  private def trainStagesSql(k: Int): String =
+    (0 until k)
+      .map { i =>
+        s"""pc$i AS (
+           |  SELECT syms[p] AS a, syms[p + 1] AS b, sum(f) AS n
+           |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS p FROM v$i) _p$i
+           |  GROUP BY 1, 2),
+           |best$i AS (SELECT a, b FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
+           |m$i AS (
+           |  SELECT w, f, a, b, syms,
+           |    list_transform(range(1, len(syms)), p ->
+           |      syms[p] = a AND syms[p + 1] = b AND
+           |      (a != b OR
+           |       (p - 1 - coalesce(list_max(list_filter(range(1, p), j -> syms[j] != a)), 0)) % 2 = 0)
+           |    ) AS mask
+           |  FROM v$i CROSS JOIN best$i),
+           |v${i + 1} AS (
+           |  SELECT w, f,
+           |    list_filter(
+           |      list_transform(range(1, len(syms) + 1), p ->
+           |        CASE WHEN p <= len(mask) AND mask[p] THEN a || b
+           |             WHEN p > 1 AND mask[p - 1] THEN NULL
+           |             ELSE syms[p] END),
+           |      x -> x IS NOT NULL) AS syms
+           |  FROM m$i)""".stripMargin
+      }
+      .mkString(",\n")
+
+  private def trainOutSql(k: Int): String =
+    (0 until k)
+      .map(i => s"SELECT ${i + 1} AS step, a, b FROM best$i")
+      .mkString(" UNION ALL ")
+
+  /** DuckDB literal list of the 256 byte symbols, index = byte + 1. */
+  private def byteSymsSqlList: String =
+    "[" + ByteSyms.map(s => "'" + s.replace("'", "''") + "'").mkString(",") + "]"
+
+  /** DuckDB byte-symbol array of `w` (hex-pair walk over encode(w)). */
+  private def byteSymsSql(w: String): String =
+    s"list_transform(range(0, octet_length(encode($w))), i -> " +
+      s"($byteSymsSqlList)[('0x' || substr(to_hex(encode($w)), CAST(2*i+1 AS BIGINT), 2))::bigint + 1])"
 
   val all: Seq[Q] = Seq(
     Q(
@@ -224,35 +384,6 @@ object Bpe {
       Some {
         val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
         val k = 8
-        val stages = (0 until k)
-          .map { i =>
-            s"""pc$i AS (
-               |  SELECT syms[p] AS a, syms[p + 1] AS b, sum(f) AS n
-               |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS p FROM v$i) _p$i
-               |  GROUP BY 1, 2),
-               |best$i AS (SELECT a, b FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
-               |m$i AS (
-               |  SELECT w, f, a, b, syms,
-               |    list_transform(range(1, len(syms)), p ->
-               |      syms[p] = a AND syms[p + 1] = b AND
-               |      (a != b OR
-               |       (p - 1 - coalesce(list_max(list_filter(range(1, p), j -> syms[j] != a)), 0)) % 2 = 0)
-               |    ) AS mask
-               |  FROM v$i CROSS JOIN best$i),
-               |v${i + 1} AS (
-               |  SELECT w, f,
-               |    list_filter(
-               |      list_transform(range(1, len(syms) + 1), p ->
-               |        CASE WHEN p <= len(mask) AND mask[p] THEN a || b
-               |             WHEN p > 1 AND mask[p - 1] THEN NULL
-               |             ELSE syms[p] END),
-               |      x -> x IS NOT NULL) AS syms
-               |  FROM m$i)""".stripMargin
-          }
-          .mkString(",\n")
-        val out = (0 until k)
-          .map(i => s"SELECT ${i + 1} AS step, a, b FROM best$i")
-          .mkString(" UNION ALL ")
         s"""WITH wf AS (
            |  SELECT w, count(*) AS f
            |  FROM (SELECT unnest(string_split($norm, ' ')) AS w FROM documents) _t
@@ -260,8 +391,69 @@ object Bpe {
            |v0 AS (
            |  SELECT w, f, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
            |  FROM wf),
-           |$stages
-           |SELECT cast(step as int) AS step, a, b FROM ($out) _u""".stripMargin
+           |${trainStagesSql(k)}
+           |SELECT cast(step as int) AS step, a, b FROM (${trainOutSql(k)}) _u""".stripMargin
+      }
+    ),
+    Q(
+      // BYTE-level BPE training (r12): the GPT-2/Llama-family variant —
+      // the word table's initial symbols are UTF-8 BYTES through the
+      // bytes_to_unicode alphabet instead of characters, so the trained
+      // merges cross multibyte boundaries and no byte sequence is ever
+      // OOV. Same certified merge machinery (train/mergePair/pairCounts,
+      // checkpointEvery=3 exercises the lineage discipline under the
+      // hash gate); the oracle shares the unrolled stage CTEs and swaps
+      // only v0 (hex-pair walk through the same 256-entry literal).
+      "docs_bpe_byte_train",
+      (s, d) => {
+        val merges = train(byteVocabOf(s, d), 8, checkpointEvery = 3)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("step", "a", "b")
+      },
+      Some {
+        val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        val k = 8
+        s"""WITH wf AS (
+           |  SELECT w, count(*) AS f
+           |  FROM (SELECT unnest(string_split($norm, ' ')) AS w FROM documents) _t
+           |  WHERE octet_length(encode(w)) >= 2 GROUP BY w),
+           |v0 AS (
+           |  SELECT w, f, ${byteSymsSql("w")} AS syms
+           |  FROM wf),
+           |${trainStagesSql(k)}
+           |SELECT cast(step as int) AS step, a, b FROM (${trainOutSql(k)}) _u""".stripMargin
+      }
+    ),
+    Q(
+      // BYTE-level BPE encode: the shipped byte-merge table applied in
+      // learned order over byte symbols — including genuinely multibyte
+      // merges (Ã+© is U+00E9 'é''s UTF-8 pair, Ã+¤ is 'ä''s). Map-only
+      // like the char-level encode; losslessness (detokenize ∘ encode =
+      // id on arbitrary UTF-8) is property-tested in BpeSpec.
+      "docs_bpe_byte_encode",
+      (s, d) => encodeByteDf(s, d, ByteEncodeMerges),
+      Some {
+        val norm =
+          "lower(trim(regexp_replace(replace(coalesce(text, ''), chr(1), ''), '\\s+', ' ', 'g')))"
+        val wrapped =
+          s"array_to_string(list_transform(${byteSymsSql("w")}, s -> chr(1) || s || chr(1)), '')"
+        s"""WITH base AS (SELECT doc_id, $norm AS t FROM documents),
+           |wx AS (
+           |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+           |  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM base) _b),
+           |w AS (SELECT doc_id, i, ws[i] AS w FROM wx WHERE length(ws[i]) > 0),
+           |enc AS (SELECT doc_id, i, ${encodeMergeSql(wrapped, ByteEncodeMerges)} AS m FROM w),
+           |tok AS (SELECT doc_id, i,
+           |  string_split(substr(m, 2, length(m) - 2), chr(1) || chr(1)) AS toks FROM enc),
+           |agg AS (
+           |  SELECT doc_id, cast(sum(len(toks)) AS bigint) AS n_tokens,
+           |    string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS tokens_str
+           |  FROM tok GROUP BY doc_id)
+           |SELECT b.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           |  coalesce(a.tokens_str, '') AS tokens_str
+           |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
       }
     ),
     Q(

@@ -310,7 +310,7 @@ object Classifier {
   def scoreStoredOf(s: SparkSession, d: String, path: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val (_, mass, _, wK) = train(docs)
+    val (docf, mass, _, wK) = train(docs)
     val rows = (("w", -1L, wK.biasMu) +:
       wK.wMu.zipWithIndex.toSeq.map { case (w, b) => ("w", b.toLong, w) }) ++
       mass.toSeq.map { case (bk, mb) => ("m", bk.toLong, mb) }
@@ -326,7 +326,12 @@ object Classifier {
       else lmass(k.toInt) = v
     }
     val mTot = math.max(lmass.values.sum, 1L)
-    finalScore(scoredOf(features(docs), Model(bias, lw), lmass.toMap, mTot))
+    // Reuse the persisted training feature frame: recomputing
+    // features(docs) here would run the tokenize+bucket kernel a second
+    // time over the corpus (and the weights/mass are loaded state, so
+    // inference itself is unchanged). Released by the caller's
+    // clearCache() per the registry convention.
+    finalScore(scoredOf(docf, Model(bias, lw), lmass.toMap, mTot))
   }
 
   private val classifier = Q(
@@ -343,7 +348,11 @@ object Classifier {
   private val weights = Q(
     "docs_classifier_weights",
     (s, d) => {
-      val (_, _, _, wK) = train(Tables.documents(s, d))
+      val (docf, _, _, wK) = train(Tables.documents(s, d))
+      // The output is literal weight rows — nothing downstream reads the
+      // feature frame, so release it eagerly instead of waiting for the
+      // caller's clearCache().
+      docf.unpersist()
       import s.implicits._
       ((-1, wK.biasMu) +: wK.wMu.zipWithIndex.map { case (w, b) => (b, w) }.toSeq)
         .toDF("b", "w_mu")

@@ -321,19 +321,26 @@ object CurationQueries {
     * for the `stridedspans` probe and specs.
     */
   def stridedSpansOf(corpus: DataFrame): DataFrame = {
-    val anchors = anchorsOf(corpus)
-    // One count-over-window on the gram replaces the old
-    // groupBy(g) → join-back-to-anchors shape: the rows were shuffling
-    // by g for the join anyway, but the join's SECOND anchor branch
-    // re-ran the winnow kernel (an md5 per gram position over the whole
-    // corpus, the pipeline's dominant cost) — the window keeps ONE
-    // anchor computation and ONE g-shuffle with identical output rows.
-    // Skew parity: a hot gram colocates on one task either way (join on
-    // g did too); occurrences of one gram are bounded by the corpus's
-    // duplication factor, not by corpus size.
-    val occ = anchors
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+    // localCheckpoint the anchor frame ONCE (the Bpe.train discipline):
+    // the winnow kernel (an md5 per gram position over the whole corpus)
+    // is the pipeline's dominant cost, and both the duplicated-gram
+    // census and the position side below read it. Materializing it keeps
+    // the r11 one-anchor-pass win WITHOUT the r11 count-over-window on
+    // `g`, which was a skew trap: this operator's target corpus is
+    // mass-duplicated text, so a license block repeated in 10^8 docs is
+    // ONE gram whose whole partition lands on a single WindowExec task
+    // (non-AQE-splittable, and sorted). The aggregate below combines
+    // map-side (a mega-gram costs one partial per task), and the
+    // fact-to-unique-dimension join back is AQE-skew-splittable.
+    // PlanSpec's corpus-window guard pins this shape.
+    val anchors = anchorsOf(corpus).localCheckpoint()
+    val dup = anchors
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
+      .select("g")
+    val occ = anchors
+      .join(dup, Seq("g"))
       .select(col("doc_id"), col("pos"), (col("pos") + (G - 1)).as("e"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))

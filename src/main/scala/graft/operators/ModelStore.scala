@@ -41,11 +41,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ModelStore {
 
-  /** Per-SF model directory (tests and Verify run concurrently over
-    * different SF dirs; keyed by the data path so they never collide).
+  /** Per-SF, per-JVM model directory. Keyed by the data path (tests and
+    * Verify run concurrently over different SF dirs) AND by a per-process
+    * token: two JVMs over the SAME SF (parallel CI next to a Verify run)
+    * must not race overwrite-writes against reads, or a stored-twin query
+    * could load a partially written or foreign model and diverge from its
+    * literal sibling. A deployment would key this by model version; here
+    * the process id plus JVM start time is the version.
     */
+  private val runToken: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${rt.getName.takeWhile(_ != '@')}_${rt.getStartTime}"
+  }
   private def modelDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_models/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_models/$runToken/${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
   private def oracleOf(qs: Seq[Q], name: String): Option[String] =
     qs.find(_.name == name).flatMap(_.oracle)

@@ -61,6 +61,26 @@ object Mp4Meta {
     be32(8L + body.length) ++ fourcc(tpe) ++ body
   }
 
+  /** Per-video-track sample-table fields (r12): the routing/filtering
+    * statistics a video curation pipeline keys on, all derived from the
+    * stbl sample tables by pure box arithmetic — frame count and track
+    * duration from stts time deltas, payload mass and mean frame size
+    * from stsz (BOTH the compact constant-size form and the per-sample
+    * table), keyframe density from stss, chunk count from stco, bitrate
+    * from bytes × timescale / duration units.
+    */
+  final case class Mp4Tracks(
+      media_id: Long,
+      n_frames: Long,
+      n_keyframes: Long,
+      keyframe_permille: Long,
+      track_duration_ms: Long,
+      total_sample_bytes: Long,
+      mean_frame_bytes: Long,
+      bitrate_bps: Long,
+      n_chunks: Long
+  )
+
   /** The closed-form field law shared with the oracle. */
   private[graft] def lawTimescale(id: Long): Long = 600 + id % 100
   private[graft] def lawDuration(id: Long): Long = 600 + id % 3000 // in timescale units
@@ -70,6 +90,22 @@ object Mp4Meta {
   private[graft] def lawRate(id: Long): Long = Seq(8000L, 16000L, 44100L, 48000L)((id % 4).toInt)
   private[graft] def lawHasAudio(id: Long): Boolean = id % 2 == 1
   private[graft] def lawMdat(id: Long): Long = id % 1024
+  // Sample-table laws (video track). Odd ids exercise the two-run stts
+  // and the per-sample stsz table; even ids the single-run stts and the
+  // compact constant-size stsz form.
+  private[graft] def lawFrames(id: Long): Long = 24 + id % 240
+  private[graft] def lawDelta(id: Long): Long = 25 + id % 50
+  private[graft] def lawFrameSize(id: Long): Long = 200 + id % 800
+  private[graft] def lawDurUnits(id: Long): Long = {
+    val n = lawFrames(id); val d = lawDelta(id)
+    if (id % 2 == 0) n * d else (n / 2) * d + (n - n / 2) * 2 * d
+  }
+  private[graft] def lawSampleBytes(id: Long): Long = {
+    val n = lawFrames(id); val sz = lawFrameSize(id)
+    if (id % 2 == 0) n * sz else n * sz + n * (n - 1) / 2
+  }
+  private[graft] def lawKeyframes(id: Long): Long = (lawFrames(id) + 9) / 10
+  private[graft] def lawChunks(id: Long): Long = 1 + id % 3
 
   private[graft] def encodeMp4(id: Long): Array[Byte] = {
     val ftyp = box("ftyp", fourcc("isom"), be32(512), fourcc("isom"), fourcc("iso2"))
@@ -115,6 +151,49 @@ object Mp4Meta {
         be32(lawRate(id) << 16)
       be32(8L + body.length) ++ fourcc("mp4a") ++ body
     }
+    def sampleTables: Array[Byte] = {
+      val n = lawFrames(id).toInt
+      val d = lawDelta(id)
+      val sz = lawFrameSize(id)
+      val stts =
+        if (id % 2 == 0)
+          box("stts", Array[Byte](0, 0, 0, 0), be32(1), be32(n.toLong), be32(d))
+        else
+          box(
+            "stts",
+            Array[Byte](0, 0, 0, 0),
+            be32(2),
+            be32(n / 2L), be32(d),
+            be32(n - n / 2L), be32(2 * d)
+          )
+      val stsz =
+        if (id % 2 == 0)
+          // compact form: constant sample_size, no per-sample table
+          box("stsz", Array[Byte](0, 0, 0, 0), be32(sz), be32(n.toLong))
+        else
+          box(
+            "stsz",
+            Array[Byte](0, 0, 0, 0),
+            be32(0),
+            be32(n.toLong),
+            Array.tabulate(n)(k => be32(sz + k)).flatten.toArray
+          )
+      val nKey = lawKeyframes(id).toInt
+      val stss = box(
+        "stss",
+        Array[Byte](0, 0, 0, 0),
+        be32(nKey.toLong),
+        Array.tabulate(nKey)(k => be32(1L + 10L * k)).flatten.toArray
+      )
+      val nCh = lawChunks(id).toInt
+      val stco = box(
+        "stco",
+        Array[Byte](0, 0, 0, 0),
+        be32(nCh.toLong),
+        Array.tabulate(nCh)(k => be32(1024L * k)).flatten.toArray
+      )
+      stts ++ stsz ++ stss ++ stco
+    }
     def trak(handler: String, entry: Array[Byte]): Array[Byte] = {
       val hdlr = box(
         "hdlr",
@@ -122,14 +201,21 @@ object Mp4Meta {
         be32(0), fourcc(handler), be32(0), be32(0), be32(0), Array[Byte](0)
       )
       val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
-      val stbl = box("stbl", stsd)
+      val stbl =
+        if (handler == "vide") box("stbl", stsd, sampleTables) else box("stbl", stsd)
       val minf = box("minf", stbl)
       val mdhd = box(
         "mdhd",
         Array[Byte](0, 0, 0, 0),
         be32(0), be32(0), be32(lawTimescale(id)), be32(lawDuration(id)), be16(0x55c4), be16(0)
       )
-      val mdia = box("mdia", mdhd, hdlr, minf)
+      // Every 13th file orders minf BEFORE hdlr — ISO-BMFF does not
+      // mandate mdia child order, and the walk must not depend on having
+      // seen hdlr first (the r11 advice finding): handler resolution
+      // pre-scans the mdia subtree.
+      val mdia =
+        if (id % 13 == 0) box("mdia", mdhd, minf, hdlr)
+        else box("mdia", mdhd, hdlr, minf)
       val tkhd = box(
         "tkhd",
         Array[Byte](0, 0, 0, 7),
@@ -173,9 +259,16 @@ object Mp4Meta {
     var rate = 0L
     var mdat = -1L
     var curHandler = ""
+    // video-track sample-table accumulators (r12)
+    var vFrames = 0L
+    var vDurUnits = 0L
+    var vBytes = 0L
+    var vKeyframes = 0L
+    var vChunks = 0L
+    var vTimescale = -1L
   }
 
-  private[graft] def decodeMp4(mediaId: Long, p: Array[Byte]): Option[Mp4Stats] =
+  private def decodeAcc(p: Array[Byte]): Option[Acc] =
     try {
       def u16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
       def u32(o: Int): Long = (0 to 3).foldLeft(0L)((a, i) => (a << 8) | (p(o + i) & 0xff))
@@ -204,6 +297,27 @@ object Mp4Meta {
               acc.brand = new String(p, body, 4, "US-ASCII")
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
               if (tpe == "trak") { acc.nTracks += 1; acc.curHandler = "" }
+              // ISO-BMFF does not mandate mdia child order (minf may
+              // precede hdlr in a conformant file), but stsd/sample-table
+              // classification needs the handler — resolve it by a
+              // shallow pre-scan of the mdia children before descending.
+              if (tpe == "mdia") {
+                var o = body
+                while (o + 8 <= end && acc.curHandler.isEmpty) {
+                  var bsz = u32(o)
+                  var bh = 8
+                  if (bsz == 1) {
+                    if (o + 16 > end) return false
+                    bsz = u64(o + 8); bh = 16
+                  } else if (bsz == 0) bsz = (end - o).toLong
+                  if (bsz < bh || o + bsz > end) return false
+                  if (new String(p, o + 4, 4, "US-ASCII") == "hdlr") {
+                    if (o + bh + 12 > end) return false
+                    acc.curHandler = new String(p, o + bh + 8, 4, "US-ASCII")
+                  }
+                  o += bsz.toInt
+                }
+              }
               if (depth > 8 || !walk(body, end, depth + 1)) return false
             case "mvhd" =>
               val v = p(body) & 0xff
@@ -245,6 +359,51 @@ object Mp4Meta {
                 o += esz.toInt
                 i += 1
               }
+            case "mdhd" =>
+              if (acc.curHandler == "vide") {
+                val v = p(body) & 0xff
+                if (v == 1) {
+                  if (body + 28 > end) return false
+                  acc.vTimescale = u32(body + 20)
+                } else {
+                  if (body + 16 > end) return false
+                  acc.vTimescale = u32(body + 12)
+                }
+              }
+            case "stts" if acc.curHandler == "vide" =>
+              if (body + 8 > end) return false
+              val n = u32(body + 4)
+              var o = body + 8
+              var i = 0L
+              while (i < n) {
+                if (o + 8 > end) return false
+                val cnt = u32(o)
+                acc.vFrames += cnt
+                acc.vDurUnits += cnt * u32(o + 4)
+                o += 8
+                i += 1
+              }
+            case "stsz" if acc.curHandler == "vide" =>
+              if (body + 12 > end) return false
+              val const = u32(body + 4)
+              val n = u32(body + 8)
+              if (const != 0) acc.vBytes += const * n
+              else {
+                var o = body + 12
+                var i = 0L
+                while (i < n) {
+                  if (o + 4 > end) return false
+                  acc.vBytes += u32(o)
+                  o += 4
+                  i += 1
+                }
+              }
+            case "stss" if acc.curHandler == "vide" =>
+              if (body + 8 > end) return false
+              acc.vKeyframes += u32(body + 4)
+            case "stco" if acc.curHandler == "vide" =>
+              if (body + 8 > end) return false
+              acc.vChunks += u32(body + 4)
             case "mdat" =>
               acc.mdat = size - hdr
             case _ => () // free/skip/unknown: step over
@@ -255,23 +414,46 @@ object Mp4Meta {
       }
       if (p.length < 8 || !walk(0, p.length, 0)) return None
       if (acc.brand.isEmpty || acc.timescale <= 0 || acc.nTracks < 1 || acc.mdat < 0) return None
-      Some(
-        Mp4Stats(
-          mediaId,
-          acc.brand,
-          acc.timescale,
-          acc.duration * 1000 / acc.timescale,
-          acc.nTracks,
-          acc.videoCodec,
-          acc.width,
-          acc.height,
-          acc.audioCodec,
-          acc.channels,
-          acc.rate,
-          acc.mdat
-        )
-      )
+      Some(acc)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def decodeMp4(mediaId: Long, p: Array[Byte]): Option[Mp4Stats] =
+    decodeAcc(p).map { acc =>
+      Mp4Stats(
+        mediaId,
+        acc.brand,
+        acc.timescale,
+        acc.duration * 1000 / acc.timescale,
+        acc.nTracks,
+        acc.videoCodec,
+        acc.width,
+        acc.height,
+        acc.audioCodec,
+        acc.channels,
+        acc.rate,
+        acc.mdat
+      )
+    }
+
+  /** Video sample-table rollup: only files whose video track carries a
+    * parseable sample table (stts with ≥1 frame) produce a row — the
+    * quarantine discipline extended to the track level.
+    */
+  private[graft] def decodeMp4Tracks(mediaId: Long, p: Array[Byte]): Option[Mp4Tracks] =
+    decodeAcc(p).collect {
+      case acc if acc.vFrames > 0 && acc.vDurUnits > 0 && acc.vTimescale > 0 =>
+        Mp4Tracks(
+          mediaId,
+          acc.vFrames,
+          acc.vKeyframes,
+          acc.vKeyframes * 1000 / acc.vFrames,
+          acc.vDurUnits * 1000 / acc.vTimescale,
+          acc.vBytes,
+          acc.vBytes / acc.vFrames,
+          acc.vBytes * 8 * acc.vTimescale / acc.vDurUnits,
+          acc.vChunks
+        )
+    }
 
   def mp4Table(s: SparkSession, d: String): Dataset[DeflateMedia.MediaRow] = {
     import s.implicits._
@@ -285,6 +467,11 @@ object Mp4Meta {
   def mp4MetaStats(media: Dataset[DeflateMedia.MediaRow]): Dataset[Mp4Stats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(m => decodeMp4(m.media_id, m.payload)))
+  }
+
+  def mp4TrackStats(media: Dataset[DeflateMedia.MediaRow]): Dataset[Mp4Tracks] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(m => decodeMp4Tracks(m.media_id, m.payload)))
   }
 
   private val mp4Q = Q(
@@ -308,5 +495,38 @@ object Mp4Meta {
     )
   )
 
-  val all: Seq[Q] = Seq(mp4Q)
+  private val mp4TracksQ = Q(
+    "multimodal_mp4_tracks",
+    (s, d) => mp4TrackStats(mp4Table(s, d)).toDF(),
+    Some(
+      """WITH law AS (
+        |  SELECT doc_id,
+        |    CAST(24 + doc_id % 240 AS BIGINT) AS nf,
+        |    CAST(25 + doc_id % 50 AS BIGINT) AS dl,
+        |    CAST(200 + doc_id % 800 AS BIGINT) AS sz,
+        |    CAST(600 + doc_id % 100 AS BIGINT) AS ts
+        |  FROM documents
+        |  WHERE doc_id % 53 != 0 OR doc_id = 0),
+        |law2 AS (
+        |  SELECT doc_id, nf, ts,
+        |    CASE WHEN doc_id % 2 = 0 THEN nf * dl
+        |         ELSE (nf // 2) * dl + (nf - nf // 2) * 2 * dl END AS du,
+        |    CASE WHEN doc_id % 2 = 0 THEN nf * sz
+        |         ELSE nf * sz + nf * (nf - 1) // 2 END AS tb,
+        |    (nf + 9) // 10 AS nk
+        |  FROM law)
+        |SELECT doc_id AS media_id,
+        |  nf AS n_frames,
+        |  nk AS n_keyframes,
+        |  nk * 1000 // nf AS keyframe_permille,
+        |  du * 1000 // ts AS track_duration_ms,
+        |  tb AS total_sample_bytes,
+        |  tb // nf AS mean_frame_bytes,
+        |  tb * 8 * ts // du AS bitrate_bps,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_chunks
+        |FROM law2""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(mp4Q, mp4TracksQ)
 }

@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   * tier: PNG DEFLATE ([[DeflateMedia]]), GIF LZW ([[GifCodec]]),
   * baseline JPEG Huffman+IDCT ([[JpegCodec]]), G.711 µ-law
   * ([[mulawSampleStats]]), IMA ADPCM ([[AdpcmCodec]]) and the
-  * gzip/zstd/lz4/snappy text containers ([[CompressedIngest]]). Only
-  * VIDEO codecs remain stubbed (`decodeStub`): inter-frame decode
-  * genuinely needs a codec library the container doesn't ship; a
-  * production deployment swaps the stub for a `mapPartitions` codec
-  * invocation with the same output schema.
+  * gzip/zstd/lz4/snappy text containers ([[CompressedIngest]]), and —
+  * since r12 — intra-frame VIDEO: Motion-JPEG in an AVI RIFF container
+  * ([[Mjpeg]]), each frame through the certified JPEG path. Only
+  * INTER-frame video codecs (H.264 etc.) remain out of scope: they
+  * genuinely need a codec library the container doesn't ship; a
+  * production deployment drops one into [[decodeBatched]]'s codec slot
+  * with the same output schema.
   */
 object Multimodal {
 
@@ -58,26 +60,14 @@ object Multimodal {
         ).as("meta")
       )
 
-  /** STUB decode: deterministic fake standing in for the real codec.
-    * Returns (n_bytes, content digest, sampled frame count). The real
-    * implementation is a per-partition codec invocation with this exact
-    * output schema.
-    */
-  def decodeStub(df: DataFrame): DataFrame =
-    df.withColumn("n_bytes", length(col("payload")))
-      .withColumn("content_sig", md5(col("payload")))
-      .withColumn(
-        "frame_count",
-        when(col("media_type") === "video/mp4", col("n_bytes") % 24 + 1)
-          .otherwise(lit(1))
-      )
-
   final case class MediaIn(media_id: Long, payload: Array[Byte], media_type: String)
   final case class MediaOut(media_id: Long, n_bytes: Int, content_sig: String, frame_count: Int)
 
-  /** The deterministic fake codec, batch-shaped: same arithmetic as
-    * [[decodeStub]] but computed JVM-side over a payload batch — the
-    * signature a real decode library call drops into.
+  /** A deterministic fake codec body, batch-shaped (bytes, digest, and a
+    * synthetic frame count) — the signature an EXTERNAL decode library
+    * call drops into via [[decodeBatched]]. The in-repo codecs that need
+    * no library are real ([[JpegCodec]], [[Mjpeg]], [[GifCodec]], ...);
+    * this fake exists only so the batch plumbing itself is testable.
     */
   def fakeCodec(batch: Seq[MediaIn]): Seq[MediaOut] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -871,29 +861,30 @@ object Multimodal {
     ),
     Q(
       "multimodal_meta",
+      // The opaque-binary + typed-metadata plumbing row: payload stays a
+      // prunable binary column, metadata a prunable struct, the content
+      // signature is computed from the bytes. (Until r12 this carried a
+      // FAKE video frame_count via decodeStub; real frame counts now come
+      // from the container/codec tier — multimodal_mjpeg_pixels.n_frames
+      // and multimodal_mp4_tracks.n_frames — and the stub is gone.)
       (s, d) =>
-        decodeStub(mediaTable(s, d))
+        mediaTable(s, d)
           .select(
             col("media_id"),
             col("media_type"),
             col("meta.width").as("width"),
             col("meta.height").as("height"),
-            col("n_bytes"),
-            col("content_sig"),
-            col("frame_count")
+            length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("content_sig")
           ),
       Some(
-        """WITH m AS (
-          |  SELECT doc_id AS media_id,
-          |    (['image/png', 'audio/wav', 'video/mp4'])[cast(doc_id % 3 + 1 as int)] AS media_type,
-          |    cast(doc_id % 640 + 64 as int) AS width,
-          |    cast(doc_id % 480 + 48 as int) AS height,
-          |    octet_length(encode(text)) AS n_bytes,
-          |    md5(text) AS content_sig
-          |  FROM documents)
-          |SELECT media_id, media_type, width, height, n_bytes, content_sig,
-          |  (CASE WHEN media_type = 'video/mp4' THEN n_bytes % 24 + 1 ELSE 1 END) AS frame_count
-          |FROM m""".stripMargin
+        """SELECT doc_id AS media_id,
+          |  (['image/png', 'audio/wav', 'video/mp4'])[cast(doc_id % 3 + 1 as int)] AS media_type,
+          |  cast(doc_id % 640 + 64 as int) AS width,
+          |  cast(doc_id % 480 + 48 as int) AS height,
+          |  octet_length(encode(text)) AS n_bytes,
+          |  md5(text) AS content_sig
+          |FROM documents""".stripMargin
       )
     )
   )

@@ -148,7 +148,22 @@ object PqTrain {
       )
   }
 
-  private def oracleSql: String = {
+  private def oracleSql: String =
+    s"""$trainCtesSql
+       |SELECT cast(m as bigint) AS sub, cast(cell as bigint) AS code,
+       |  cast(dim as bigint) AS dim, cast(n as bigint) AS n, cast(s_mu as bigint) AS s_mu
+       |FROM st$Iters""".stripMargin
+
+  /** The training CTE chain (everything before the final SELECT) for
+    * composition into downstream oracles (distortion, trained search):
+    * ends with `st$Iters` (final sufficient statistics) and `c$Iters`
+    * (final double codebooks) in scope, plus `e` (the cast corpus) and
+    * `sv` (sub-vectors). Built as the explicit prefix `oracleSql` itself
+    * appends its final SELECT to — downstream composition must not
+    * reverse-parse the assembled string (the r11 advice finding: a
+    * lastIndexOf over the final SELECT breaks on any whitespace edit).
+    */
+  private[operators] def trainCtesSql: String = {
     def round(r: Int): String =
       s"""d$r AS (
          |  SELECT s.vec_id, s.m, c.cell,
@@ -176,20 +191,8 @@ object PqTrain {
        |    list_transform(range(1, ${Dsub + 1}), i -> v[m * $Dsub + i]) AS sv
        |  FROM (SELECT vec_id, v, unnest(range(0, $M)) AS m FROM e) _s),
        |c0 AS (SELECT m, vec_id AS cell, sv AS cv FROM sv WHERE vec_id < $Kc),
-       |${(1 to Iters).map(round).mkString(",\n")}
-       |SELECT cast(m as bigint) AS sub, cast(cell as bigint) AS code,
-       |  cast(dim as bigint) AS dim, cast(n as bigint) AS n, cast(s_mu as bigint) AS s_mu
-       |FROM st$Iters""".stripMargin
+       |${(1 to Iters).map(round).mkString(",\n")}""".stripMargin
   }
-
-  /** The training CTE chain (everything before the final SELECT) for
-    * composition into downstream oracles (distortion, trained search):
-    * ends with `st$Iters` (final sufficient statistics) and `c$Iters`
-    * (final double codebooks) in scope, plus `e` (the cast corpus) and
-    * `sv` (sub-vectors).
-    */
-  private[operators] def trainCtesSql: String =
-    oracleSql.substring(0, oracleSql.lastIndexOf("SELECT cast(m as bigint)")).trim.stripSuffix(",")
 
   private val trainQ = Q(
     "embed_pq_train",
@@ -203,8 +206,7 @@ object PqTrain {
     Some {
       // Reuse the training CTE chain verbatim, then one assignment-free
       // min pass under the final codebooks.
-      val trainCtes = oracleSql.substring(0, oracleSql.lastIndexOf("SELECT cast(m as bigint)")).trim
-      s"""$trainCtes,
+      s"""$trainCtesSql,
          |cg AS (SELECT m, list(cv ORDER BY cell) AS cents FROM c$Iters GROUP BY m),
          |err AS (
          |  SELECT s.m,

@@ -230,12 +230,17 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.value == n.toLong)
     assert(calls.value <= (n / 64) + 4, s"calls=${calls.value} n=$n")
     assert(calls.value >= 4 || n < 64 * 4)
-    // Byte-identical to the column-expression stub.
+    // Byte-identical to a driver-side replay of the fake-codec law.
     val want = Multimodal
-      .decodeStub(Multimodal.mediaTable(spark, "/root/testdata/sf0.001"))
-      .select("media_id", "n_bytes", "content_sig", "frame_count")
+      .mediaTable(spark, "/root/testdata/sf0.001")
+      .select("media_id", "payload", "media_type")
+      .as[MediaIn]
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSeq
+      .map { m =>
+        val out = Multimodal.fakeCodec(Seq(m)).head
+        (out.media_id, out.n_bytes, out.content_sig, out.frame_count)
+      }
       .toSet
     assert(got == want)
   }

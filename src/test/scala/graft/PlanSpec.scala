@@ -148,7 +148,16 @@ class PlanSpec extends SparkSuite {
         "docs_pack_sequences",
         "docs_canonical",
         "docs_topk_quality",
-        "docs_bm25_search"
+        "docs_bm25_search",
+        // r12: the duplicated-gram census must stay a map-side-combinable
+        // aggregate + AQE-splittable join — the r11 count-over-window on
+        // the gram put a boilerplate mega-gram's whole partition on one
+        // non-splittable WindowExec task. Its doc_id islands windows are
+        // single-key but sit above the g-census aggregate (anchors are
+        // checkpointed, so the only aggregate below them IS the census);
+        // a regression to the window-on-g shape has NO aggregate below
+        // and fails the nearestAgg assertion.
+        "docs_duplicate_spans_strided"
       )
     guarded.foreach { name =>
       val plan = innerPlanOf(name)

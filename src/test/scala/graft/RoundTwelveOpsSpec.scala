@@ -1,0 +1,137 @@
+package graft
+
+/** Round-12 operator certification beyond the DuckDB oracle gate. */
+class RoundTwelveOpsSpec extends SparkSuite {
+
+  test("MP4 sample tables: frames, duration, bytes, keyframes from stts/stsz/stss/stco") {
+    import graft.operators.Mp4Meta
+    // id 2: compact stsz + single-run stts; id 5: per-sample stsz +
+    // two-run stts; id 13/26: minf-BEFORE-hdlr mdia child order (the
+    // advice finding — handler must resolve without hdlr-first luck);
+    // id 7: v1 mvhd alongside the tables; id 11: largesize mdat.
+    for (id <- Seq(2L, 5L, 7L, 11L, 13L, 26L, 39L)) {
+      val t = Mp4Meta.decodeMp4Tracks(id, Mp4Meta.encodeMp4(id)).get
+      assert(t.n_frames == Mp4Meta.lawFrames(id), s"id $id frames")
+      assert(t.n_keyframes == Mp4Meta.lawKeyframes(id), s"id $id keyframes")
+      assert(t.keyframe_permille == Mp4Meta.lawKeyframes(id) * 1000 / Mp4Meta.lawFrames(id))
+      assert(
+        t.track_duration_ms == Mp4Meta.lawDurUnits(id) * 1000 / Mp4Meta.lawTimescale(id),
+        s"id $id duration"
+      )
+      assert(t.total_sample_bytes == Mp4Meta.lawSampleBytes(id), s"id $id bytes")
+      assert(t.mean_frame_bytes == Mp4Meta.lawSampleBytes(id) / Mp4Meta.lawFrames(id))
+      assert(
+        t.bitrate_bps ==
+          Mp4Meta.lawSampleBytes(id) * 8 * Mp4Meta.lawTimescale(id) / Mp4Meta.lawDurUnits(id)
+      )
+      assert(t.n_chunks == Mp4Meta.lawChunks(id), s"id $id chunks")
+    }
+    // truncated fixture quarantines at the track level too
+    assert(Mp4Meta.decodeMp4Tracks(53L, Mp4Meta.encodeMp4(53L)).isEmpty)
+  }
+
+  test("MJPEG: AVI frame decode aggregates exactly the per-frame JPEG decodes") {
+    import graft.operators.{JpegCodec, Mjpeg}
+    for (id <- Seq(0L, 2L, 3L, 7L, 11L, 26L)) {
+      val st = Mjpeg.decodeAvi(id, Mjpeg.encodeAvi(id)).get
+      val nf = Mjpeg.lawFrames(id).toInt
+      assert(st.n_frames == nf.toLong && st.w == 8L && st.h == 8L)
+      assert(st.n_pixels == 64L * nf)
+      // channel means must equal the certified single-frame JPEG
+      // decoder's raw channel sums aggregated over the same fixture ids
+      var rr = 0L; var gg = 0L; var bb = 0L
+      for (f <- 0 until nf) {
+        JpegCodec.decodeCore(JpegCodec.encodeJpeg(Mjpeg.frameFixtureId(id, f), 8, 8)) {
+          (_, _, r, g, b) => rr += r; gg += g; bb += b
+        }
+      }
+      assert(st.mean_r_c == rr * 100 / (64L * nf), s"id $id r")
+      assert(st.mean_g_c == gg * 100 / (64L * nf), s"id $id g")
+      assert(st.mean_b_c == bb * 100 / (64L * nf), s"id $id b")
+    }
+  }
+
+  test("MJPEG quarantine: truncation, foreign codec fourcc, and garbage") {
+    import graft.operators.Mjpeg
+    assert(Mjpeg.decodeAvi(53L, Mjpeg.encodeAvi(53L)).isEmpty) // truncated fixture
+    assert(Mjpeg.decodeAvi(1L, "RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Mjpeg.decodeAvi(1L, Array[Byte](1, 2, 3)).isEmpty)
+    // flip the declared handler to a codec we do not decode: the row
+    // must quarantine (route), not mis-decode
+    val avi = Mjpeg.encodeAvi(2L)
+    val s = new String(avi, "ISO-8859-1")
+    val hIdx = s.indexOf("vids") + 4
+    val forged = avi.clone()
+    "H264".getBytes("US-ASCII").copyToArray(forged, hIdx)
+    assert(Mjpeg.decodeAvi(2L, forged).isEmpty)
+  }
+
+  test("MJPEG frames are genuine JPEGs: ImageIO reads them within tolerance") {
+    import graft.operators.{JpegCodec, Mjpeg}
+    // Every frame must be a well-formed JPEG a FOREIGN decoder reads at
+    // the right dims. Per-pixel parity is asserted only on clamp-free
+    // frames: the fixture coefficient field is synthetic and can push
+    // YCbCr far out of gamut, where decoder clamping pipelines
+    // legitimately diverge (JpegCodecSpec pins parity on controlled
+    // fixtures); away from the clamp rails the decoders must agree to
+    // IDCT+color rounding (≤3).
+    // Interior-pixel detector: replay the analytic sample law and keep
+    // pixels whose PRE-clamp YCbCr samples and RGB all sit in [8, 247].
+    def interiorMask(fid: Long): Array[Boolean] = {
+      val samp = Array.ofDim[Int](3, 64)
+      val ok = Array.fill(64)(true)
+      for (c <- 0 until 3) {
+        val dqNat = new Array[Int](64)
+        for (k <- 0 until 64) {
+          val q = if (c == 0) JpegCodec.QLumZig(k) else JpegCodec.QChrZig(k)
+          dqNat(JpegCodec.Zig(k)) = JpegCodec.coefQ(fid, c, 0, k) * q
+        }
+        for (y <- 0 until 8; x <- 0 until 8) {
+          var acc = 0L
+          for (n <- 0 until 64)
+            acc += dqNat(n).toLong * JpegCodec.BM(n & 7)(x) * JpegCodec.BM(n >> 3)(y)
+          val v = (((acc + (1L << 27) + (1L << 45)) >> 28) - 131072 + 128).toInt
+          if (v < 8 || v > 247) ok(y * 8 + x) = false
+          samp(c)(y * 8 + x) = math.max(0, math.min(255, v))
+        }
+      }
+      for (i <- 0 until 64) {
+        val yv = samp(0)(i); val cb = samp(1)(i); val cr = samp(2)(i)
+        val r = yv + ((91881 * (cr - 128) + 32768) >> 16)
+        val g = yv - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+        val b = yv + ((116130 * (cb - 128) + 32768) >> 16)
+        if (Seq(r, g, b).exists(v => v < 8 || v > 247)) ok(i) = false
+      }
+      ok
+    }
+    var strictPixels = 0
+    for (id <- Seq(0L, 2L, 3L, 5L, 7L, 9L, 11L, 13L, 17L, 19L, 21L, 23L, 29L, 31L);
+         f <- 0 until Mjpeg.lawFrames(id).toInt) {
+      val fid = Mjpeg.frameFixtureId(id, f)
+      val jpg = JpegCodec.encodeJpeg(fid, 8, 8)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8, s"id=$id f=$f unreadable")
+      val (w, h, px) = JpegCodec.decodePixels(jpg).get
+      assert(w == 8 && h == 8)
+      val ok = interiorMask(fid)
+      for (y <- 0 until 8; x <- 0 until 8; if ok(y * 8 + x); sh <- Seq(16, 8, 0)) {
+        val d = math.abs(((img.getRGB(x, y) >> sh) & 0xff) - ((px(y * 8 + x) >> sh) & 0xff))
+        assert(d <= 3, s"id=$id f=$f ($x,$y) delta $d")
+        strictPixels += 1
+      }
+    }
+    assert(strictPixels >= 64, s"only $strictPixels interior samples — pixel parity near-vacuous")
+  }
+
+  test("MP4 meta decode is order-independent in the mdia children") {
+    import graft.operators.Mp4Meta
+    // id 13 (and 39, which also has audio) order minf before hdlr; the
+    // stsd classification must still land video/audio fields correctly.
+    for (id <- Seq(13L, 39L)) {
+      val st = Mp4Meta.decodeMp4(id, Mp4Meta.encodeMp4(id)).get
+      assert(st.video_codec == "avc1" && st.width == Mp4Meta.lawWidth(id))
+      assert(Mp4Meta.lawHasAudio(id))
+      assert(st.audio_codec == "mp4a" && st.sample_rate == Mp4Meta.lawRate(id))
+    }
+  }
+}
