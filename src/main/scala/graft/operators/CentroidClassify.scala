@@ -78,6 +78,16 @@ object CentroidClassify {
     val ctr =
       try centroids(eqCached)
       finally eqCached.unpersist(false)
+    confusionWithCentroids(embs, ctr)
+  }
+
+  /** The classify pass under an EXPLICIT centroid model — the seam the
+    * persisted-model twin loads through ([[ModelStore]]).
+    */
+  private[operators] def confusionWithCentroids(
+      embs: DataFrame,
+      ctr: Map[Int, Array[Long]]
+  ): DataFrame = {
     val eq = eqOf(embs)
     val present = (0 until Labels).filter(ctr.contains)
     // Empty training split (e.g. an empty embeddings table): no
@@ -242,6 +252,43 @@ object CentroidClassify {
     (s, d) => confusionOf(Tables.embeddings(s, d)),
     Some(oracleSql)
   )
+
+  /** Persisted-model twin: the Rocchio centroids round-trip through a
+    * (label, dim, c_mu) parquet model table and classification runs
+    * from the LOADED state only. Shares `embed_centroid_classify`'s
+    * oracle verbatim; registered via [[ModelStore]].
+    */
+  def confusionStoredOf(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      path: String
+  ): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val eqCached = eqOf(embs).persist()
+    val ctr =
+      try centroids(eqCached)
+      finally eqCached.unpersist(false)
+    import s.implicits._
+    ctr.toSeq
+      .flatMap { case (l, arr) => arr.zipWithIndex.map { case (v, j) => (l, j, v) } }
+      .toDF("label", "j", "c_mu")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    val loaded = s.read
+      .parquet(path)
+      .collect()
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (l, rs) =>
+        val arr = new Array[Long](Dim)
+        rs.foreach(r => arr(r.getAs[Int]("j")) = r.getAs[Long]("c_mu"))
+        l -> arr
+      }
+    confusionWithCentroids(embs, loaded)
+  }
+
+  private[operators] def confusionOracleSqlShared: String = confusionQ.oracle.get
 
   private val silhouetteQ = Q(
     "embed_silhouette",

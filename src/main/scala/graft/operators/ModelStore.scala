@@ -110,6 +110,40 @@ object ModelStore {
       "dedup_fs_score_stored",
       (s, d) => BlockingEval.fsScoreStoredOf(s, d, s"${modelDir(d)}/fs_params"),
       Some(BlockingEval.fsScoreOracleSql)
+    ),
+    Q(
+      "embed_ivfpq_incremental",
+      (s, d) => IvfPq.ivfpqIncrementalOf(s, d, modelDir(d)),
+      Some(IvfPq.IncrementalOracleSql)
+    ),
+    // r12: the remaining trained-state families get the same
+    // train-once / load-forever face (each twin shares its literal
+    // sibling's oracle verbatim, so the hash gate proves the stored
+    // path bit-identical to the in-plan path).
+    Q(
+      "docs_kn_score_stored",
+      (s, d) => SmoothedLm.knScoreStoredOf(s, d, s"${modelDir(d)}/kn_bigrams"),
+      Some(SmoothedLm.knOracleSqlShared)
+    ),
+    Q(
+      "docs_stupid_backoff_stored",
+      (s, d) => StupidBackoff.scoresStoredOf(s, d, s"${modelDir(d)}/sb_ngrams"),
+      Some(StupidBackoff.backoffOracleSqlShared)
+    ),
+    Q(
+      "docs_dsir_weight_stored",
+      (s, d) => Retrieval.dsirStoredOf(s, d, s"${modelDir(d)}/dsir_llr"),
+      Some(Retrieval.DsirOracleSql)
+    ),
+    Q(
+      "embed_pca_stored",
+      (s, d) => PcaPower.pcaStoredOf(s, d, s"${modelDir(d)}/pca_model"),
+      Some(PcaPower.pcaOracleSqlShared)
+    ),
+    Q(
+      "embed_centroid_classify_stored",
+      (s, d) => CentroidClassify.confusionStoredOf(s, d, s"${modelDir(d)}/rocchio_centroids"),
+      Some(CentroidClassify.confusionOracleSqlShared)
     )
   )
 }

@@ -265,6 +265,19 @@ object PcaPower {
     Some(oracleSql)
   )
 
+  /** Persisted-model twin: the fitted (mean, dominant vector) model —
+    * which IS this operator's output — round-trips through a parquet
+    * model table and the LOADED rows are emitted, certifying integer-
+    * exact model storage. Shares `embed_pca_power`'s oracle verbatim;
+    * registered via [[ModelStore]].
+    */
+  def pcaStoredOf(s: SparkSession, d: String, path: String): DataFrame = {
+    pcaOf(Tables.embeddings(s, d)).coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path).select(col("dim"), col("mean_mq"), col("v_mu"))
+  }
+
+  private[operators] def pcaOracleSqlShared: String = pcaQ.oracle.get
+
   private val anisotropyQ = Q(
     "embed_anisotropy",
     (s, d) => anisotropyOf(Tables.embeddings(s, d)),

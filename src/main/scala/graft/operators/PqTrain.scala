@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization codebook TRAINING (Jégou, Douze & Schmid 2011
@@ -163,36 +163,61 @@ object PqTrain {
     * reverse-parse the assembled string (the r11 advice finding: a
     * lastIndexOf over the final SELECT breaks on any whitespace edit).
     */
-  private[operators] def trainCtesSql: String = {
+  private[operators] def trainCtesSql: String =
+    s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+       |${trainChainSql("e")}""".stripMargin
+
+  /** The PQ Lloyd chain over any `$src(vec_id, v)` CTE, all CTE names
+    * prefixed with `$p` (so two chains — e.g. raw and residual — can
+    * coexist in one oracle). Ends with `${p}sv` (sub-vectors),
+    * `${p}st$Iters` (final statistics) and `${p}c$Iters` (final double
+    * codebooks) in scope.
+    */
+  private[operators] def trainChainSql(src: String, p: String = ""): String = {
     def round(r: Int): String =
-      s"""d$r AS (
+      s"""${p}d$r AS (
          |  SELECT s.vec_id, s.m, c.cell,
          |    list_sum(list_transform(range(1, ${Dsub + 1}),
          |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS dist
-         |  FROM sv s JOIN c${r - 1} c ON c.m = s.m),
-         |a$r AS (
+         |  FROM ${p}sv s JOIN ${p}c${r - 1} c ON c.m = s.m),
+         |${p}a$r AS (
          |  SELECT vec_id, m, cell,
          |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cell) AS rn
-         |  FROM d$r),
-         |x$r AS (
+         |  FROM ${p}d$r),
+         |${p}x$r AS (
          |  SELECT a.m, a.cell, unnest(range(1, ${Dsub + 1})) AS dim, unnest(s.sv) AS x
-         |  FROM (SELECT vec_id, m, cell FROM a$r WHERE rn = 1) a
-         |  JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m),
-         |st$r AS MATERIALIZED (
+         |  FROM (SELECT vec_id, m, cell FROM ${p}a$r WHERE rn = 1) a
+         |  JOIN ${p}sv s ON s.vec_id = a.vec_id AND s.m = a.m),
+         |${p}st$r AS MATERIALIZED (
          |  SELECT m, cell, dim, count(*) AS n,
          |    sum(cast(round(x * 1e6) as bigint)) AS s_mu
-         |  FROM x$r GROUP BY 1, 2, 3),
-         |c$r AS (
+         |  FROM ${p}x$r GROUP BY 1, 2, 3),
+         |${p}c$r AS (
          |  SELECT m, cell, list(s_mu / (n * 1e6) ORDER BY dim) AS cv
-         |  FROM st$r GROUP BY m, cell)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
-       |sv AS MATERIALIZED (
+         |  FROM ${p}st$r GROUP BY m, cell)""".stripMargin
+    s"""${p}sv AS MATERIALIZED (
        |  SELECT vec_id, m,
        |    list_transform(range(1, ${Dsub + 1}), i -> v[m * $Dsub + i]) AS sv
-       |  FROM (SELECT vec_id, v, unnest(range(0, $M)) AS m FROM e) _s),
-       |c0 AS (SELECT m, vec_id AS cell, sv AS cv FROM sv WHERE vec_id < $Kc),
+       |  FROM (SELECT vec_id, v, unnest(range(0, $M)) AS m FROM $src) _s$p),
+       |${p}c0 AS (SELECT m, vec_id AS cell, sv AS cv FROM ${p}sv WHERE vec_id < $Kc),
        |${(1 to Iters).map(round).mkString(",\n")}""".stripMargin
   }
+
+  /** Distortion rollup tail over a prefixed chain: min squared-L2 to
+    * the `${p}c$Iters` codebooks, micro-floored, aggregated per
+    * subspace as `${p}dist(sub, n_vecs, sum_err_mu, mean_err_mu)`.
+    */
+  private[operators] def distortionTailSql(p: String): String =
+    s"""${p}cg AS (SELECT m, list(cv ORDER BY cell) AS cents FROM ${p}c$Iters GROUP BY m),
+       |${p}err AS (
+       |  SELECT s.m,
+       |    CAST(floor(1e6 * list_min(list_transform(cg.cents, cc -> ${l2sqChain("s.sv", "cc", 1)}))) AS BIGINT) AS err_mu
+       |  FROM ${p}sv s JOIN ${p}cg cg ON cg.m = s.m),
+       |${p}dist AS (
+       |  SELECT CAST(m AS BIGINT) AS sub, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(err_mu) AS BIGINT) AS sum_err_mu,
+       |    CAST(sum(err_mu) // count(*) AS BIGINT) AS mean_err_mu
+       |  FROM ${p}err GROUP BY 1)""".stripMargin
 
   private val trainQ = Q(
     "embed_pq_train",
@@ -219,5 +244,75 @@ object PqTrain {
     }
   )
 
-  val all: Seq[Q] = Seq(trainQ, distortionQ)
+  /** Residuals r = v − coarse_centroid(assigned cell) under a trained
+    * Lloyd coarse quantizer — the FAISS-standard IVFADC formulation
+    * (Jégou, Douze & Schmid 2011 §III-A): the PQ codebooks quantize what
+    * the coarse quantizer leaves behind, so the 4-bit budget is spent on
+    * the informative within-cell variation instead of re-encoding the
+    * cell mean every vector in the cell shares.
+    */
+  def residualsOf(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb
+      .withColumn("j", (size(col("embedding")) * 0 + 1).cast("int"))
+      .join(broadcast(KMeans.centroidsRow(cents)), Seq("j"))
+      .withColumn("acell", KMeans.nearestCell(col("embedding"), col("cents")))
+      .select(
+        col("vec_id"),
+        expr(
+          "zip_with(embedding, filter(cents, c -> c.cell = acell)[0].cv, (a, b) -> cast(a as double) - b)"
+        ).as("embedding")
+      )
+
+  /** Residual-vs-raw PQ distortion — what residual encoding buys at the
+    * same code budget, per subspace: the same Lloyd training + min-L2
+    * rollup run twice (raw vectors; residuals under the registered
+    * coarse quantizer), joined on the subspace with an integer per-mille
+    * improvement. Two bounded trainings + two map-only min passes; the
+    * corpus shuffles only into the 1,024-key statistics aggregates.
+    */
+  def residualDistortionOf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cents = IvfPq.trainedCentsOf(emb)
+    val res = distortionOf(residualsOf(emb, cents))
+    val raw = distortionOf(emb)
+    res
+      .select(
+        col("sub"),
+        col("n_vecs"),
+        col("sum_err_mu").as("res_sum_err_mu"),
+        col("mean_err_mu").as("res_mean_err_mu")
+      )
+      .join(raw.select(col("sub"), col("mean_err_mu").as("raw_mean_err_mu")), Seq("sub"))
+      .withColumn(
+        "gain_permille",
+        // double divide + toward-zero cast in BOTH engines (Spark ANSI
+        // integral cast truncates; DuckDB needs explicit trunc — its
+        // bigint cast rounds and `//` floors).
+        expr(
+          "cast(cast((raw_mean_err_mu - res_mean_err_mu) * 1000 as double) / raw_mean_err_mu as bigint)"
+        )
+      )
+  }
+
+  private val residualQ = Q(
+    "embed_pq_residual",
+    (s, d) => residualDistortionOf(s, d),
+    Some {
+      s"""WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+         |${IvfPq.lloydCtesSql("e", "e")},
+         |re AS (SELECT e.vec_id,
+         |    list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS v
+         |  FROM e JOIN kasn a USING (vec_id) JOIN kc${IvfPq.KmIters} c ON c.cell = a.cell),
+         |${trainChainSql("e", "w")},
+         |${distortionTailSql("w")},
+         |${trainChainSql("re", "r")},
+         |${distortionTailSql("r")}
+         |SELECT r.sub, r.n_vecs, r.sum_err_mu AS res_sum_err_mu,
+         |  r.mean_err_mu AS res_mean_err_mu, w.mean_err_mu AS raw_mean_err_mu,
+         |  CAST(trunc(CAST((w.mean_err_mu - r.mean_err_mu) * 1000 AS DOUBLE) / w.mean_err_mu) AS BIGINT) AS gain_permille
+         |FROM rdist r JOIN wdist w USING (sub)""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(trainQ, distortionQ, residualQ)
 }

@@ -278,12 +278,21 @@ object Retrieval {
   /** The DSIR per-document weight frame (doc_id, n_tokens, w_mu) — the
     * body of `docs_dsir_weight`, shared with the ESS diagnostic below.
     */
-  def dsirWeights(s: SparkSession, d: String): DataFrame = {
-      // explode_outer keeps empty documents (null term → null bucket →
-      // null llr), so no corpus-keyed join-back is needed for them.
-      val tok = docs(s, d)
-        .select(col("doc_id"), col("lang"), explode_outer(tokens).as("term"))
-        .withColumn("bk", expr(BucketSpark))
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsWithModel(s, d, dsirLlrOf(s, d))
+
+  private def dsirTok(s: SparkSession, d: String): DataFrame =
+    // explode_outer keeps empty documents (null term → null bucket →
+    // null llr), so no corpus-keyed join-back is needed for them.
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), explode_outer(tokens).as("term"))
+      .withColumn("bk", expr(BucketSpark))
+
+  /** The trained DSIR model: the 64-row (bucket, llr_mu) table — the
+    * target-vs-raw hashed-unigram log-likelihood ratios.
+    */
+  private[operators] def dsirLlrOf(s: SparkSession, d: String): DataFrame = {
+      val tok = dsirTok(s, d)
       val cr = tok.filter(col("term").isNotNull).groupBy("bk").agg(count(lit(1)).as("cr"))
       val ct = tok
         .filter(col("term").isNotNull && col("lang") === "en")
@@ -313,13 +322,32 @@ object Retrieval {
             ) * 1e6
           ).cast("long").as("llr_mu")
         )
-      tok
-        .join(broadcast(dim), Seq("bk"), "left")
-        .groupBy("doc_id")
-        .agg(
-          count(col("term")).cast("long").as("n_tokens"),
-          coalesce(sum("llr_mu"), lit(0L)).cast("long").as("w_mu")
-        )
+      dim
+  }
+
+  /** Weighting under an EXPLICIT (bk, llr_mu) model — the seam the
+    * persisted-model twin loads through ([[ModelStore]]).
+    */
+  private[operators] def dsirWeightsWithModel(
+      s: SparkSession,
+      d: String,
+      llr: DataFrame
+  ): DataFrame =
+    dsirTok(s, d)
+      .join(broadcast(llr), Seq("bk"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("term")).cast("long").as("n_tokens"),
+        coalesce(sum("llr_mu"), lit(0L)).cast("long").as("w_mu")
+      )
+
+  /** Persisted-model twin: the 64-row llr model round-trips through a
+    * parquet model table before weighting. Shares `docs_dsir_weight`'s
+    * oracle verbatim; registered via [[ModelStore]].
+    */
+  def dsirStoredOf(s: SparkSession, d: String, path: String): DataFrame = {
+    dsirLlrOf(s, d).coalesce(1).write.mode("overwrite").parquet(path)
+    dsirWeightsWithModel(s, d, s.read.parquet(path))
   }
 
   /** The DSIR oracle SELECT, shared with the ESS diagnostic. */

@@ -42,23 +42,38 @@ object SmoothedLm {
 
   private val D = 0.75
 
+  /** Per-document bigram occurrences of a (doc_id, text) frame. */
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => concat(a, lit(" "), b)
+          )
+        ).as("bg")
+      )
+
   /** KN-scored frame of any (doc_id, text) input — factored for specs. */
   def knScoreOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
-      val bg = toks
-        .filter(size(col("ws")) >= 2)
-        .select(
-          col("doc_id"),
-          explode(
-            zip_with(
-              slice(col("ws"), lit(1), size(col("ws")) - 1),
-              slice(col("ws"), lit(2), size(col("ws")) - 1),
-              (a, b) => concat(a, lit(" "), b)
-            )
-          ).as("bg")
-        )
-      // The trained model: one bigram aggregation, then bounded rollups.
-      val bc = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val bg = bigramsOf(docs)
+    knScoreWithModel(bg, bg.groupBy("bg").agg(count(lit(1)).as("cb")))
+  }
+
+  /** Scoring under an EXPLICIT bigram-count model table `bc(bg, cb)` —
+    * the trained KN state is exactly that one table (the w1/w2
+    * continuation rollups and the bigram-type total derive from it), so
+    * the persisted-model twin stores `bc` and scores from the loaded
+    * copy ([[ModelStore]]).
+    */
+  private[operators] def knScoreWithModel(
+      bg: org.apache.spark.sql.DataFrame,
+      bc: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
       val byW1 = bc
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
         .groupBy("w1")
@@ -120,6 +135,23 @@ object SmoothedLm {
          |GROUP BY doc_id""".stripMargin
     }
   )
+
+  /** Persisted-model twin: the bigram-count model table round-trips
+    * through parquet before scoring. Shares `docs_kn_score`'s oracle
+    * verbatim; registered via [[ModelStore]].
+    */
+  def knScoreStoredOf(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      path: String
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bg = bigramsOf(docs)
+    bg.groupBy("bg").agg(count(lit(1)).as("cb")).write.mode("overwrite").parquet(path)
+    knScoreWithModel(bg, s.read.parquet(path))
+  }
+
+  private[operators] def knOracleSqlShared: String = knQ.oracle.get
 
   val all: Seq[Q] = Seq(knQ)
 }

@@ -35,16 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object StupidBackoff {
 
-  def scoresOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val train = toks.filter(col("doc_id") % 10 =!= 0)
-    val ev = toks.filter(col("doc_id") % 10 === 0 && size(col("ws")) >= 3)
-
+  /** The trained model: the three n-gram count tables of the 90% train
+    * split as ONE tall frame (kind u/b/t, gram, count) — the shape a
+    * deployment persists once and scores against forever.
+    */
+  private[operators] def ngramModelOf(docs: DataFrame): DataFrame = {
+    val train = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(col("doc_id") % 10 =!= 0)
     val uni = train
-      .select(explode(col("ws")).as("w"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("cu"))
-    val nv = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+      .select(explode(col("ws")).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("kind", lit("u"))
     val bi = train
       .filter(size(col("ws")) >= 2)
       .select(
@@ -58,6 +61,7 @@ object StupidBackoff {
       )
       .groupBy("g")
       .agg(count(lit(1)).as("c"))
+      .withColumn("kind", lit("b"))
     val tri = train
       .filter(size(col("ws")) >= 3)
       .select(
@@ -77,6 +81,24 @@ object StupidBackoff {
       )
       .groupBy("g")
       .agg(count(lit(1)).as("c"))
+      .withColumn("kind", lit("t"))
+    uni.unionByName(bi).unionByName(tri).select("kind", "g", "c")
+  }
+
+  def scoresOf(docs: DataFrame): DataFrame =
+    scoresWithModel(docs, ngramModelOf(docs))
+
+  /** Scoring under an EXPLICIT n-gram model frame — the seam the
+    * persisted-model twin loads through ([[ModelStore]]).
+    */
+  private[operators] def scoresWithModel(docs: DataFrame, model: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val ev = toks.filter(col("doc_id") % 10 === 0 && size(col("ws")) >= 3)
+
+    val uni = model.filter(col("kind") === "u").select(col("g").as("w"), col("c").as("cu"))
+    val nv = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+    val bi = model.filter(col("kind") === "b").select("g", "c")
+    val tri = model.filter(col("kind") === "t").select("g", "c")
 
     val pos = ev
       .select(
@@ -199,6 +221,19 @@ object StupidBackoff {
          |FROM sc GROUP BY doc_id""".stripMargin
     }
   )
+
+  /** Persisted-model twin: the three count tables round-trip through
+    * one parquet model table before scoring. Shares
+    * `docs_stupid_backoff`'s oracle verbatim; registered via
+    * [[ModelStore]].
+    */
+  def scoresStoredOf(s: SparkSession, d: String, path: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    ngramModelOf(docs).write.mode("overwrite").parquet(path)
+    scoresWithModel(docs, s.read.parquet(path))
+  }
+
+  private[operators] def backoffOracleSqlShared: String = scoreQ.oracle.get
 
   val all: Seq[Q] = Seq(scoreQ)
 }

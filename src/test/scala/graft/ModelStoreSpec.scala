@@ -16,7 +16,13 @@ class ModelStoreSpec extends SparkSuite {
       "docs_bpe_encode_stored" -> "docs_bpe_encode",
       "docs_classifier_score_stored" -> "docs_classifier_score",
       "docs_unigram_viterbi_stored" -> "docs_unigram_viterbi",
-      "embed_ivfpq_search_stored" -> "embed_ivfpq_search_trained"
+      "embed_ivfpq_search_stored" -> "embed_ivfpq_search_trained",
+      // r12 families
+      "docs_kn_score_stored" -> "docs_kn_score",
+      "docs_stupid_backoff_stored" -> "docs_stupid_backoff",
+      "docs_dsir_weight_stored" -> "docs_dsir_weight",
+      "embed_pca_stored" -> "embed_pca_power",
+      "embed_centroid_classify_stored" -> "embed_centroid_classify"
     )
     for ((stored, literal) <- pairs) {
       val a = SparkEntry.queries(stored)(spark, sf).collect().map(_.toString).sorted
@@ -60,14 +66,22 @@ class ModelStoreSpec extends SparkSuite {
     // guards the scale claim: models must stay vocab/K×D-bounded —
     // a corpus-sized 'model' write would be a silent design regression.
     SparkEntry.queries("embed_ivfpq_search_stored")(spark, sf).collect()
-    val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_models/" +
-        sf.replaceAll("[^A-Za-z0-9]", "_")
-    )
-    assert(dir.isDirectory, "model directory missing")
+    // modelDir is per-JVM since r12 (graft_models/<runToken>/<sf-key>) —
+    // locate every run's dir for this SF and bound EACH (a sum across
+    // stale runs of other JVMs would not measure one model set).
+    val root = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_models")
+    val key = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val dirs = Option(root.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(t => new java.io.File(t, key))
+      .filter(_.isDirectory)
+    assert(dirs.nonEmpty, "model directory missing")
     def sizeOf(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
-    val mb = sizeOf(dir) / 1048576.0
-    assert(mb < 8.0, f"model tables unexpectedly large: $mb%.1f MiB")
+    dirs.foreach { dir =>
+      val mb = sizeOf(dir) / 1048576.0
+      assert(mb < 8.0, f"model tables unexpectedly large: $dir $mb%.1f MiB")
+    }
   }
 }

@@ -53,6 +53,7 @@ class PlanSpec extends SparkSuite {
         .subsetOf(
           Set(
             "knn_cosine",
+            "ann_recall_residual",
             "ann_recall_eval",
             "ann_recall_multiprobe",
             "ann_recall_dims",

@@ -123,6 +123,62 @@ class RoundTwelveOpsSpec extends SparkSuite {
     assert(strictPixels >= 64, s"only $strictPixels interior samples — pixel parity near-vacuous")
   }
 
+  test("incremental ANN: base index streams from storage with zero exchange; base ∪ delta ≡ one-shot") {
+    import graft.operators.{IvfPq, PqTrain}
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    val df = IvfPq.ivfpqIncrementalOf(spark, "/root/testdata/sf0.001", dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty && got.exists(_._2 == "delta") && got.exists(_._2 == "base"))
+    // two-batch ≡ one-shot: encoding is a pure function of the stored
+    // models, so the union must equal a single encode of everything
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").select("vec_id", "embedding")
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val cents = IvfPq.trainedCentsOf(base)
+    val oneShot = IvfPq
+      .incrementalIndexOf(emb, cents, PqTrain.trainOf(base))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got.map(r => (r._1, r._3, r._4)).toSet == oneShot)
+    // the stored-base branch of the union must carry NO exchange: the
+    // index appends, it never reshuffles history (BucketingSpec's law)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val union = plan.collectFirst { case u: org.apache.spark.sql.execution.UnionExec => u }
+    assert(union.isDefined, "expected a UnionExec of base scan + delta encode")
+    val baseBranch = union.get.children.head
+    assert(
+      baseBranch.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("incr_index_base")) =>
+          s
+      }.isDefined,
+      s"base branch is not the stored index scan:\n$baseBranch"
+    )
+    assert(
+      baseBranch.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty,
+      "stored base index must stream through exchange-free"
+    )
+  }
+
+  test("residual PQ strictly reduces distortion in every subspace (sf0.001)") {
+    val rows = SparkEntry
+      .queries("embed_pq_residual")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(
+        r.getAs[Long]("res_mean_err_mu") <= r.getAs[Long]("raw_mean_err_mu"),
+        s"sub ${r.getAs[Long]("sub")}: residual worse than raw"
+      )
+    }
+  }
+
   test("MP4 meta decode is order-independent in the mdia children") {
     import graft.operators.Mp4Meta
     // id 13 (and 39, which also has audio) order minf before hdlr; the
