@@ -322,16 +322,21 @@ object CurationQueries {
     */
   def stridedSpansOf(corpus: DataFrame): DataFrame = {
     // localCheckpoint the anchor frame ONCE (the Bpe.train discipline):
-    // the winnow kernel (an md5 per gram position over the whole corpus)
-    // is the pipeline's dominant cost, and both the duplicated-gram
-    // census and the position side below read it. Materializing it keeps
-    // the r11 one-anchor-pass win WITHOUT the r11 count-over-window on
-    // `g`, which was a skew trap: this operator's target corpus is
-    // mass-duplicated text, so a license block repeated in 10^8 docs is
-    // ONE gram whose whole partition lands on a single WindowExec task
-    // (non-AQE-splittable, and sorted). The aggregate below combines
-    // map-side (a mega-gram costs one partial per task), and the
-    // fact-to-unique-dimension join back is AQE-skew-splittable.
+    // the winnow kernel (an md5 per gram position over the whole
+    // corpus) is the pipeline's dominant cost, and both the
+    // duplicated-gram census and the position side below read it.
+    // (A compact per-doc (text, positions-array) cache was measured
+    // too: ~1/9 the cached bytes, but each branch re-explodes and
+    // re-substrs — ~25% slower at sf0.1 local[32]; on a RAM-tight
+    // cluster the compact form is the fallback.)
+    // This keeps the r11 one-anchor-pass win WITHOUT the r11
+    // count-over-window on `g`, which was a skew trap: this operator's
+    // target corpus is mass-duplicated text, so a license block repeated
+    // in 10^8 docs is ONE gram whose whole partition lands on a single
+    // WindowExec task (non-AQE-splittable, and sorted). The aggregate
+    // below combines map-side (a mega-gram costs one partial per task),
+    // and the fact-to-unique-dimension join back is AQE-skew-splittable
+    // (and broadcast when the dup-gram dimension is small).
     // PlanSpec's corpus-window guard pins this shape.
     val anchors = anchorsOf(corpus).localCheckpoint()
     val dup = anchors
