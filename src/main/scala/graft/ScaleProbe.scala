@@ -665,6 +665,57 @@ object ScaleProbe {
           f"SCALE mode=stridedspans mult=$mult docs=$total grams=$grams anchors=$anchors " +
             f"density_pm=${anchors * 1000 / math.max(grams, 1)} spans=$nSpans missed=$missed time=$tSec%.1f s"
         )
+      case "imgfeat" =>
+        // Image feature pipeline at REAL image sizes: 200·mult BMPs of
+        // 256×192 (the registry fixtures are thumbnail-scale; this
+        // drives the per-cell byte folds over ~147 KB payloads and the
+        // banded near-dup join at growing image counts). Every 7th
+        // image also appears as a brightness-shifted copy. Expect
+        // linear time in image count, zero spill, flat task memory
+        // (the O(grid) fold claim).
+        val n = 200L * mult
+        val ids = spark.range(n).select(col("id").as("doc_id"))
+        def law(src: org.apache.spark.sql.Column, delta: Long)(
+            x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column
+        ) = Seq(
+          src + (lit(3L) + src % 11) * x + (lit(7L) + src % 7) * y + delta,
+          lit(2L) * src + (lit(5L) + src % 13) * x + (lit(1L) + src % 5) * y + delta,
+          lit(3L) * src + (lit(1L) + src % 9) * x + (lit(11L) + src % 3) * y + delta
+        )
+        val base = ids.select(
+          col("doc_id").as("media_id"),
+          unhex(operators.Multimodal.bmpFullHexWith(lit(256L), lit(192L), law(col("doc_id"), 0L)))
+            .as("payload")
+        )
+        val dups = ids
+          .filter(col("doc_id") % 7 === 3)
+          .select(
+            (col("doc_id") + 10000000L).as("media_id"),
+            unhex(operators.Multimodal.bmpFullHexWith(lit(256L), lit(192L), law(col("doc_id"), 5L)))
+              .as("payload")
+          )
+        // Materialize fixtures FIRST: hex-string image synthesis is
+        // probe scaffolding (real corpora read parquet binaries), and
+        // folding it into the hash timing would misattribute ~all the
+        // wall time.
+        val tg0 = System.nanoTime()
+        val media = base.unionByName(dups).persist()
+        val nImgs = media.count()
+        val tGen = (System.nanoTime() - tg0) / 1e9
+        val t0 = System.nanoTime()
+        val hashes = operators.ImageFeatures.dhashOf(media).persist()
+        val nh = hashes.count()
+        val t1 = System.nanoTime()
+        val pairs = operators.ImageFeatures.nearDupOf(hashes).persist()
+        val np = pairs.count()
+        val planted = pairs.filter(col("media_b") - col("media_a") === 10000000L).count()
+        val t2 = System.nanoTime()
+        println(
+          f"SCALE mode=imgfeat mult=$mult imgs=$nh/$nImgs bytes_per_img=${256 * 192 * 3} " +
+            f"gen=$tGen%.1f s hash=${(t1 - t0) / 1e9}%.1f s pairs=$np planted=$planted " +
+            f"neardup=${(t2 - t1) / 1e9}%.1f s"
+        )
       case "stridedskew" =>
         // Boilerplate MEGA-GRAM probe (r12): ≥90% of docs get ONE shared
         // 64-char block (think license header / scraper chrome), so a

@@ -120,7 +120,9 @@ object SparkEntry {
       operators.ModelStore.all ++
       operators.StupidBackoff.all ++
       operators.Mp4Meta.all ++
-      operators.Mjpeg.all
+      operators.Mjpeg.all ++
+      operators.ImageFeatures.all ++
+      operators.AudioFeatures.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

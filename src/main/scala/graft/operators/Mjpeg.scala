@@ -105,23 +105,43 @@ object Mjpeg {
   // Decoder.
   // ---------------------------------------------------------------
 
-  private[graft] def decodeAvi(mediaId: Long, p: Array[Byte]): Option[MjpegStats] =
+  final case class MjpegSample(
+      media_id: Long,
+      n_frames: Long,
+      n_sampled: Long,
+      w: Long,
+      h: Long,
+      mean_r_c: Long,
+      mean_g_c: Long,
+      mean_b_c: Long
+  )
+
+  /** Every-Nth-frame sampling — the standard video-curation cost lever:
+    * frame chunks are COUNTED from the container walk alone, but only
+    * every `every`-th frame pays the JPEG entropy decode (the skipped
+    * chunks are stepped over by size, zero codec work). Channel means
+    * are over the sampled frames only.
+    */
+  private[graft] def decodeAviSampled(
+      mediaId: Long,
+      p: Array[Byte],
+      every: Int
+  ): Option[MjpegSample] =
     try {
       def u32(o: Int): Long =
         (0 to 3).foldLeft(0L)((a, i) => a | ((p(o + i) & 0xffL) << (8 * i)))
       def cc(o: Int): String = new String(p, o, 4, "US-ASCII")
       if (p.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
       val riffEnd = 8 + u32(4)
-      if (riffEnd > p.length) return None // truncated container
+      if (riffEnd > p.length) return None
       var declared = -1L
       var handler = ""
       var nFrames = 0L
+      var nSampled = 0L
       var w = -1
       var h = -1
       var sr = 0L; var sg = 0L; var sb = 0L
       var bad = false
-
-      /** Walk chunks in [from, to); returns false on malformation. */
       def walk(from: Int, to: Int, depth: Int): Boolean = {
         var pos = from
         while (pos < to && !bad) {
@@ -129,40 +149,56 @@ object Mjpeg {
           val id = cc(pos)
           val size = u32(pos + 4)
           val body = pos + 8
-          if (size < 0 || body + size > to) return false
+          if (body + size > to) return false
           if (id == "LIST") {
             if (size < 4 || depth > 8) return false
-            // list type consumed; children follow
             if (!walk(body + 4, body + size.toInt, depth + 1)) return false
           } else if (id == "avih") {
             if (size < 32) return false
             declared = u32(body + 16)
           } else if (id == "strh") {
             if (size < 8) return false
-            // only the first VIDEO stream's handler routes the decode
             if (cc(body) == "vids" && handler.isEmpty) handler = cc(body + 4)
           } else if (id.length == 4 && id.substring(2) == "dc") {
-            // one complete JFIF stream per frame chunk
-            val frame = java.util.Arrays.copyOfRange(p, body, body + size.toInt)
-            JpegCodec.decodeCore(frame) { (_, _, r, g, b) => sr += r; sg += g; sb += b } match {
-              case Some((fw, fh)) =>
-                if (w < 0) { w = fw; h = fh }
-                else if (fw != w || fh != h) bad = true // dims changed mid-stream
-                nFrames += 1
-              case None => bad = true
+            // count every frame; DECODE only the sampled ones
+            if (nFrames % every == 0) {
+              val frame = java.util.Arrays.copyOfRange(p, body, body + size.toInt)
+              JpegCodec.decodeCore(frame) { (_, _, r, g, b) => sr += r; sg += g; sb += b } match {
+                case Some((fw, fh)) =>
+                  if (w < 0) { w = fw; h = fh }
+                  else if (fw != w || fh != h) bad = true
+                  nSampled += 1
+                case None => bad = true
+              }
             }
+            nFrames += 1
           }
-          // word alignment: chunks start on even offsets
           pos = body + size.toInt + (size % 2).toInt
         }
         !bad
       }
       if (!walk(12, riffEnd.toInt, 0)) return None
-      if (handler != "MJPG") return None // unsupported codec: route, don't guess
-      if (nFrames < 1 || declared != nFrames || w < 1) return None
-      val n = w.toLong * h * nFrames
-      Some(MjpegStats(mediaId, nFrames, w.toLong, h.toLong, n, sr * 100 / n, sg * 100 / n, sb * 100 / n))
+      if (handler != "MJPG") return None
+      if (nSampled < 1 || declared != nFrames || w < 1) return None
+      val n = w.toLong * h * nSampled
+      Some(
+        MjpegSample(mediaId, nFrames, nSampled, w.toLong, h.toLong, sr * 100 / n, sg * 100 / n, sb * 100 / n)
+      )
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def decodeAvi(mediaId: Long, p: Array[Byte]): Option[MjpegStats] =
+    decodeAviSampled(mediaId, p, 1).map { st =>
+      MjpegStats(
+        mediaId,
+        st.n_frames,
+        st.w,
+        st.h,
+        st.w * st.h * st.n_frames,
+        st.mean_r_c,
+        st.mean_g_c,
+        st.mean_b_c
+      )
+    }
 
   def aviTable(s: SparkSession, d: String): Dataset[DeflateMedia.MediaRow] = {
     import s.implicits._
@@ -184,7 +220,11 @@ object Mjpeg {
   // Generated from the SAME literal arrays as the JVM decoder.
   // ---------------------------------------------------------------
 
-  private def oracleSql: String = {
+  /** The per-(file, sampled-frame) pixel CTE chain through `rgb`,
+    * shared by the full decode and the every-Nth sampling query
+    * (`frFilter` restricts which frames pay the replay).
+    */
+  private def framePixelCtes(frFilter: String): String = {
     val zzRows = (0 until 64)
       .map(k => s"($k,${JpegCodec.Zig(k) & 7},${JpegCodec.Zig(k) >> 3},${JpegCodec.QLumZig(k)},${JpegCodec.QChrZig(k)})")
       .mkString(",")
@@ -193,7 +233,8 @@ object Mjpeg {
     s"""WITH m AS (
        |  SELECT doc_id AS id, 1 + doc_id % 4 AS nf FROM documents
        |  WHERE doc_id % 53 != 0 OR doc_id = 0),
-       |fr AS (SELECT id, nf, unnest(range(nf)) AS f FROM m),
+       |fr AS (SELECT id, nf, f FROM
+       |  (SELECT id, nf, unnest(range(nf)) AS f FROM m) _fr $frFilter),
        |zz(k, u, v, ql, qc) AS (VALUES $zzRows),
        |bm(u, x, val) AS (VALUES $bmRows),
        |coef AS (
@@ -227,7 +268,11 @@ object Mjpeg {
        |    least(255, greatest(0,
        |      yv - (((22554 * (cbv - 128) + 46802 * (crv - 128) + 32768 + 33554432) // 65536) - 512))) AS g,
        |    least(255, greatest(0, yv + ((116130 * (cbv - 128) + 32768 + 33554432) // 65536) - 512)) AS b
-       |  FROM pix)
+       |  FROM pix)""".stripMargin
+  }
+
+  private def oracleSql: String =
+    s"""${framePixelCtes("")}
        |SELECT id AS media_id, CAST(nf AS BIGINT) AS n_frames,
        |  CAST($FrameW AS BIGINT) AS w, CAST($FrameH AS BIGINT) AS h,
        |  CAST(${FrameW * FrameH} * nf AS BIGINT) AS n_pixels,
@@ -235,7 +280,18 @@ object Mjpeg {
        |  CAST((SUM(g) * 100) // (${FrameW * FrameH} * nf) AS BIGINT) AS mean_g_c,
        |  CAST((SUM(b) * 100) // (${FrameW * FrameH} * nf) AS BIGINT) AS mean_b_c
        |FROM rgb GROUP BY id, nf""".stripMargin
-  }
+
+  private val SampleEvery = 2
+
+  private def sampleOracleSql: String =
+    s"""${framePixelCtes(s"WHERE f % $SampleEvery = 0")}
+       |SELECT id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+       |  CAST((nf + ${SampleEvery - 1}) // $SampleEvery AS BIGINT) AS n_sampled,
+       |  CAST($FrameW AS BIGINT) AS w, CAST($FrameH AS BIGINT) AS h,
+       |  CAST((SUM(r) * 100) // (${FrameW * FrameH} * ((nf + ${SampleEvery - 1}) // $SampleEvery)) AS BIGINT) AS mean_r_c,
+       |  CAST((SUM(g) * 100) // (${FrameW * FrameH} * ((nf + ${SampleEvery - 1}) // $SampleEvery)) AS BIGINT) AS mean_g_c,
+       |  CAST((SUM(b) * 100) // (${FrameW * FrameH} * ((nf + ${SampleEvery - 1}) // $SampleEvery)) AS BIGINT) AS mean_b_c
+       |FROM rgb GROUP BY id, nf""".stripMargin
 
   private val mjpegQ = Q(
     "multimodal_mjpeg_pixels",
@@ -243,5 +299,16 @@ object Mjpeg {
     Some(oracleSql)
   )
 
-  val all: Seq[Q] = Seq(mjpegQ)
+  private val frameSampleQ = Q(
+    "multimodal_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      aviTable(s, d)
+        .mapPartitions(_.flatMap(m => decodeAviSampled(m.media_id, m.payload, SampleEvery)))
+        .toDF()
+    },
+    Some(sampleOracleSql)
+  )
+
+  val all: Seq[Q] = Seq(mjpegQ, frameSampleQ)
 }

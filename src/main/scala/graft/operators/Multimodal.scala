@@ -193,7 +193,7 @@ object Multimodal {
   // ---------------------------------------------------------------------
 
   /** Lowercase two-hex-digit byte of a (non-negative) long column. */
-  private def h2(c: Column): Column =
+  private[operators] def h2(c: Column): Column =
     lower(lpad(hex(pmod(c, lit(256L)).cast("int")), 2, "0"))
 
   private def le16h(c: Column): Column =
@@ -210,7 +210,33 @@ object Multimodal {
     * deterministic formula the oracle recomputes analytically:
     * B=(id+3x+7y)%256, G=(2id+5x+y)%256, R=(3id+x+11y)%256.
     */
-  private[graft] def bmpFullHex(id: Column, w: Column, h: Column): Column = {
+  private[graft] def bmpFullHex(
+      id: Column,
+      w: Column,
+      h: Column,
+      delta: Column = lit(0L)
+  ): Column =
+    bmpFullHexWith(
+      w,
+      h,
+      (x, y) =>
+        Seq(
+          id + lit(3L) * x + lit(7L) * y + delta,
+          lit(2L) * id + lit(5L) * x + y + delta,
+          lit(3L) * id + x + lit(11L) * y + delta
+        )
+    )
+
+  /** The same complete-BMP builder with a caller-supplied channel law
+    * `chan(x, y) = Seq(B, G, R)` (pre-mod values; image coordinates) —
+    * [[ImageFeatures]] uses an id-dependent-slope law so perceptual
+    * hashes discriminate between images.
+    */
+  private[graft] def bmpFullHexWith(
+      w: Column,
+      h: Column,
+      chan: (Column, Column) => Seq[Column]
+  ): Column = {
     // ((3w+3) div 4)·4 without a named column: subtract the mod.
     val t = w * 3 + 3
     val rowSize = t - pmod(t, lit(4L))
@@ -230,12 +256,7 @@ object Multimodal {
             array_join(
               transform(
                 sequence(lit(0L), w - 1),
-                x =>
-                  concat(
-                    h2(id + lit(3L) * x + lit(7L) * y),
-                    h2(lit(2L) * id + lit(5L) * x + y),
-                    h2(lit(3L) * id + x + lit(11L) * y)
-                  )
+                x => concat(chan(x, y).map(h2): _*)
               ),
               ""
             ),
@@ -281,7 +302,7 @@ object Multimodal {
     * single byte of the payload per evaluation (the r9 version hex'd
     * the WHOLE payload into a 2× string column first).
     */
-  private def byteAtSql(p: String): String =
+  private[operators] def byteAtSql(p: String): String =
     s"cast(conv(hex(substring(payload, cast(($p) as int) + 1, 1)), 16, 10) as bigint)"
 
   /** REAL pixel decode of 24-bpp uncompressed BMP payloads — pure byte
@@ -347,7 +368,7 @@ object Multimodal {
     * column `hdr` (the first ≤64 payload bytes — never the full
     * payload).
     */
-  private def hdrLe32Sql(p: Int): String =
+  private[operators] def hdrLe32Sql(p: Int): String =
     (0 to 3)
       .map(b => s"conv(substring(hdr, ${(p + b) * 2 + 1}, 2), 16, 10) * ${1L << (8 * b)}L")
       .mkString("cast(", " + ", " as long)")

@@ -179,6 +179,100 @@ class RoundTwelveOpsSpec extends SparkSuite {
     }
   }
 
+  test("image resize: byte-walked cell means match a JVM replay of the law") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry
+      .queries("multimodal_image_resize")(spark, "/root/testdata/sf0.001")
+      .filter(col("media_id").isin(2L, 5L, 11L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.size == 3 * 16)
+    def law(id: Long, x: Long, y: Long): Long =
+      Math.floorMod(id + (3 + id % 11) * x + (7 + id % 7) * y, 256) +
+        Math.floorMod(2 * id + (5 + id % 13) * x + (1 + id % 5) * y, 256) +
+        Math.floorMod(3 * id + (1 + id % 9) * x + (11 + id % 3) * y, 256)
+    for (id <- Seq(2L, 5L, 11L); cy <- 0L until 4L; cx <- 0L until 4L) {
+      val w = id % 17 + 16; val h = id % 13 + 12
+      val (x0, x1) = (cx * w / 4, (cx + 1) * w / 4)
+      val (y0, y1) = (cy * h / 4, (cy + 1) * h / 4)
+      val sum = (for (y <- y0 until y1; x <- x0 until x1) yield law(id, x, y)).sum
+      val npx = (x1 - x0) * (y1 - y0)
+      assert(rows((id, cy, cx)) == ((npx, sum * 100 / (3 * npx))), s"id=$id cell($cy,$cx)")
+    }
+  }
+
+  test("BoxGridExpr kernel equals the composed per-byte fold specification") {
+    import graft.operators.ImageFeatures
+    val media = ImageFeatures.imageTable(spark, "/root/testdata/sf0.001")
+    for ((gw, gh) <- Seq((4, 4), (9, 8))) {
+      val native = ImageFeatures
+        .cellSums(media, gw, gh)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      val composed = ImageFeatures
+        .cellSumsComposed(media, gw, gh)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(native.nonEmpty && native == composed, s"grid ${gw}x$gh")
+    }
+    // malformed payloads quarantine to zero cells, not task failures
+    assert(
+      graft.plans.BoxGridExpr.cellSums("not a bmp at all".getBytes, 4, 4).numElements() == 0
+    )
+    assert(graft.plans.BoxGridExpr.cellSums(Array[Byte](1, 2), 4, 4).numElements() == 0)
+  }
+
+  test("image near-dup: planted brightness copies are found with low Hamming") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry
+      .queries("dedup_image_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter(p => p._2 - p._1 == 10000000L)
+    val nPlantedImages = SparkEntry
+      .queries("multimodal_image_dhash")(spark, "/root/testdata/sf0.001")
+      .filter(col("media_id") >= 10000000L)
+      .count()
+    assert(nPlantedImages > 0)
+    // banding recall: most planted copies must surface as candidate
+    // pairs and verify under the Hamming budget
+    assert(
+      planted.length * 10 >= nPlantedImages * 6,
+      s"planted recall too low: ${planted.length} of $nPlantedImages"
+    )
+    // and the planted pairs are MUCH closer than the acceptance budget
+    // on average (brightness shifts mostly cancel in gradient bits)
+    val meanPlanted = planted.map(_._3).sum.toDouble / planted.length
+    assert(meanPlanted <= 6.0, s"planted mean hamming $meanPlanted")
+  }
+
+  test("audio spectrum: a pure tone peaks at its own bin") {
+    import spark.implicits._
+    // hand-built canonical-44 WAV around 32 samples of a bin-5 cosine
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    for (toneBin <- Seq(3, 5, 11)) {
+      val samples = (0 until 32).map(k =>
+        math.round(10000.0 * math.cos(2 * math.Pi * toneBin * k / 32)).toInt
+      )
+      val wav = "RIFF".getBytes ++ le32(36 + 64) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ "data".getBytes ++ le32(64) ++
+        samples.flatMap(s => le16(s & 0xffff)).toArray
+      val row = graft.operators.AudioFeatures
+        .spectrumOf(Seq((1L, wav)).toDF("media_id", "payload"))
+        .collect()
+        .head
+      assert(row.getAs[Long]("peak_bin") == toneBin.toLong, s"tone $toneBin")
+      // a pure tone concentrates essentially all AC energy in its bin
+      assert(row.getAs[Long]("peak_permille") >= 990L, s"tone $toneBin spread")
+    }
+  }
+
   test("MP4 meta decode is order-independent in the mdia children") {
     import graft.operators.Mp4Meta
     // id 13 (and 39, which also has audio) order minf before hdlr; the
