@@ -43,6 +43,7 @@ object Bench {
           System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      graft.Lineage.releaseHeld()
     }
     // Two timed passes, per-query minimum: a single pass is hostage to
     // transient machine load (round-3 recorded a 2× "regression" on
@@ -66,6 +67,7 @@ object Bench {
               false
           }
         spark.catalog.clearCache() // drop per-query persisted datasets
+        graft.Lineage.releaseHeld() // and any localCheckpoint blocks
         // A failed query must not read as a (fast) success: report -1.
         q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }

@@ -47,6 +47,32 @@ object Lineage {
         )
         None
     }
+
+  /** Deferred-release registry for NON-iterative checkpoint sites
+    * (ImageFeatures.nearDupOf, CurationQueries.stridedSpansOf): the
+    * operator returns a lazy frame riding a localCheckpoint, so it
+    * cannot release the blocks itself — `Dataset.unpersist`/clearCache
+    * would not free them, and GC is the only fallback. The operator
+    * registers the handle with [[hold]]; the consumer calls
+    * [[releaseHeld]] AFTER its action completes (Verify/Bench do, per
+    * query, next to `clearCache`). CONTRACT: release truncates the
+    * checkpointed lineage, so frames returned before a `releaseHeld()`
+    * must not be re-executed after it — re-derive them instead.
+    */
+  private val held = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  def hold(df: DataFrame, who: String): DataFrame = {
+    checkpointRdd(df, who).foreach(held.add)
+    df
+  }
+
+  def releaseHeld(): Unit = {
+    var r = held.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      r = held.poll()
+    }
+  }
 }
 
 /** Testdata star-schema loaders. All operators read these tables; at

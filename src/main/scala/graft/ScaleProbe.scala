@@ -675,14 +675,13 @@ object ScaleProbe {
         // (the O(grid) fold claim).
         val n = 200L * mult
         val ids = spark.range(n).select(col("id").as("doc_id"))
+        // The OPERATOR's own channel law (not a re-typed copy): if
+        // ImageFeatures.chanLaw's slopes ever change, the probe keeps
+        // measuring the fixture the operator actually ships.
         def law(src: org.apache.spark.sql.Column, delta: Long)(
             x: org.apache.spark.sql.Column,
             y: org.apache.spark.sql.Column
-        ) = Seq(
-          src + (lit(3L) + src % 11) * x + (lit(7L) + src % 7) * y + delta,
-          lit(2L) * src + (lit(5L) + src % 13) * x + (lit(1L) + src % 5) * y + delta,
-          lit(3L) * src + (lit(1L) + src % 9) * x + (lit(11L) + src % 3) * y + delta
-        )
+        ) = operators.ImageFeatures.chanLaw(src, lit(delta))(x, y)
         val base = ids.select(
           col("doc_id").as("media_id"),
           unhex(operators.Multimodal.bmpFullHexWith(lit(256L), lit(192L), law(col("doc_id"), 0L)))

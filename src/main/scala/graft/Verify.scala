@@ -31,7 +31,10 @@ object Verify {
       }
       // queries persist intermediates (dedup keys, LSH band tables);
       // release them so 60 queries don't accumulate cached blocks.
+      // releaseHeld frees localCheckpoint BLOCKS too — clearCache
+      // cannot (they live outside the CacheManager).
       spark.catalog.clearCache()
+      graft.Lineage.releaseHeld()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

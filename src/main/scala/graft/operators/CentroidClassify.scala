@@ -103,6 +103,15 @@ object CentroidClassify {
           lit(0L).as("pred"),
           lit(0L).as("n")
         )
+    // The packed argmin below encodes dist*16 + label and unpacks with
+    // % 16 — sound ONLY while every label fits in 4 bits. If the
+    // fixture's label law ever grows past 15, both engines would agree
+    // on the same ALIASED key and the hash gate could not catch it, so
+    // fail loudly at model time instead.
+    require(
+      present.forall(_ < 16),
+      s"CentroidClassify packs labels into 4 bits; got labels ${present.filter(_ >= 16).mkString(",")} >= 16"
+    )
     // label-major flat centroid table: carr[l*Dim + j] = c_l[j].
     val flat = typedLit(present.flatMap(l => ctr(l).toSeq))
     val lbls = typedLit(present.map(_.toLong))

@@ -338,7 +338,10 @@ object CurationQueries {
     // and the fact-to-unique-dimension join back is AQE-skew-splittable
     // (and broadcast when the dup-gram dimension is small).
     // PlanSpec's corpus-window guard pins this shape.
-    val anchors = anchorsOf(corpus).localCheckpoint()
+    // Held for deferred release: the blocks outlive clearCache, so the
+    // consumer frees them via Lineage.releaseHeld() after its action.
+    val anchors =
+      graft.Lineage.hold(anchorsOf(corpus).localCheckpoint(), "CurationQueries.stridedSpansOf")
     val dup = anchors
       .groupBy("g")
       .agg(count(lit(1)).as("c"))

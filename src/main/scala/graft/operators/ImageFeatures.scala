@@ -69,7 +69,7 @@ object ImageFeatures {
     * x/y slopes vary with the id, giving each image its own gradient
     * structure (the property real photos have and dHash relies on).
     */
-  private def chanLaw(src: org.apache.spark.sql.Column, delta: org.apache.spark.sql.Column)(
+  private[graft] def chanLaw(src: org.apache.spark.sql.Column, delta: org.apache.spark.sql.Column)(
       x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column
   ): Seq[org.apache.spark.sql.Column] =
@@ -199,7 +199,16 @@ object ImageFeatures {
     * set iff cell (cy, cx) is strictly darker than its right neighbor
     * (cy, cx+1) on the 9×8 mean-gray grid.
     */
-  def dhashOf(media: DataFrame): DataFrame = {
+  def dhashOf(media: DataFrame): DataFrame = dhashWithGrid(media)._1
+
+  /** [[dhashOf]] plus the persisted grid frame it rides — the release
+    * seam for library callers composing the hash into a longer job
+    * (the Classifier scoreStoredOf pattern): unpersist the returned
+    * grid once the hash table is materialized, instead of inheriting
+    * a 72-rows/image cache until `clearCache`. [[nearDupOf]] accepts
+    * it via `release` and frees it as soon as its checkpoint lands.
+    */
+  def dhashWithGrid(media: DataFrame): (DataFrame, DataFrame) = {
     // The byte-fold grid feeds BOTH sides of the gradient self-join;
     // persist it (72 rows/image, the bandTableOf convention — released
     // by the caller's clearCache) so the payload walk runs once, not
@@ -217,7 +226,7 @@ object ImageFeatures {
       (col("cx") - 1).as("cx"),
       col("g").as("gr")
     )
-    left
+    val hashes = left
       .join(right, Seq("media_id", "cy", "cx"))
       .withColumn("k", col("cy") * (HashW - 1) + col("cx"))
       .withColumn("bit", when(col("g") < col("gr"), 1L).otherwise(0L))
@@ -228,17 +237,26 @@ object ImageFeatures {
         sum(when(col("k") < 32, col("bit") * expr("shiftleft(1L, cast(k as int))"))
           .otherwise(0L)).as("hash_lo")
       )
+    (hashes, grid)
   }
 
   /** Banded near-dup pairing over the hash table: 4×16-bit bands →
     * capped bucket equi-join → exact Hamming ≤ `HammingMax` verify.
+    * `release`: upstream persisted frames (the [[dhashWithGrid]] grid)
+    * needed only to BUILD the hash table — freed as soon as the
+    * checkpoint below materializes, so a library caller composing the
+    * pipeline holds no stale cache.
     */
-  def nearDupOf(hashes: DataFrame): DataFrame = {
+  def nearDupOf(hashes: DataFrame, release: Seq[DataFrame] = Nil): DataFrame = {
     // The hash table is 16 bytes/image and feeds the census plus both
     // join sides — localCheckpoint it once (the Bpe.train discipline)
     // so the decode pipeline behind it never replays per branch and
     // the banding plan is a scan, not four copies of the byte fold.
-    val hs = hashes.localCheckpoint()
+    // The handle is registered with Lineage.hold: localCheckpoint
+    // blocks outlive unpersist/clearCache, so the consumer frees them
+    // via Lineage.releaseHeld() after its action (Verify/Bench do).
+    val hs = graft.Lineage.hold(hashes.localCheckpoint(), "ImageFeatures.nearDupOf")
+    release.foreach(_.unpersist())
     val banded = hs
       .select(
         col("media_id"),
@@ -368,7 +386,10 @@ object ImageFeatures {
 
   private val nearDupQ = Q(
     "dedup_image_neardup",
-    (s, d) => nearDupOf(dhashOf(imageTable(s, d))),
+    (s, d) => {
+      val (hashes, grid) = dhashWithGrid(imageTable(s, d))
+      nearDupOf(hashes, release = Seq(grid))
+    },
     Some(
       s"""WITH $mediaSql,
          |$dhashSql,

@@ -709,9 +709,12 @@ object IvfPq {
     * gate certifies the two-batch ≡ one-shot law; the spec asserts the
     * same identity in-plan.
     *
-    * The delta is `vec_id % 10 = 9` (a held-out tenth the quantizers
-    * never saw — training seeds `vec_id < 8` / `< 16` are unaffected,
-    * so both engines train on the identical base).
+    * The delta is `vec_id % 10 = 9` — a held-out tenth the quantizers
+    * never saw. The equivalence certified is that BOTH engines (and the
+    * spec's one-shot encode) train on the identical base split; the
+    * base-trained seed set is NOT claimed equal to a whole-corpus
+    * training (vec_id 9 is a seed candidate there but sits in the
+    * delta here).
     */
   def ivfpqIncrementalOf(s: SparkSession, d: String, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")

@@ -53,8 +53,48 @@ object ModelStore {
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
     s"${rt.getName.takeWhile(_ != '@')}_${rt.getStartTime}"
   }
-  private def modelDir(d: String): String =
+
+  /** Registered once, at the first model write: a shutdown hook deletes
+    * THIS run's model dirs, and siblings whose JVM died without firing
+    * theirs (crash/kill) are pruned when older than a day — so repeated
+    * CI/Verify runs no longer accumulate unbounded parquet under tmp.
+    * Live concurrent runs are safe: a sibling younger than the prune
+    * horizon is never touched, and the runToken keying already prevents
+    * cross-process reads of a pruned dir.
+    */
+  private lazy val cleanupRegistered: Unit = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_models")
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(c => deleteRec(c))
+        finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    try {
+      if (java.nio.file.Files.isDirectory(root)) {
+        val horizon = System.currentTimeMillis() - 24L * 3600 * 1000
+        val s = java.nio.file.Files.list(root)
+        try s.forEach { sib =>
+          if (sib.getFileName.toString != runToken &&
+            java.nio.file.Files.getLastModifiedTime(sib).toMillis < horizon)
+            try deleteRec(sib)
+            catch { case scala.util.control.NonFatal(_) => () }
+        } finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRec(root.resolve(runToken))
+      catch { case scala.util.control.NonFatal(_) => () }
+    ))
+  }
+
+  private def modelDir(d: String): String = {
+    cleanupRegistered
     s"${System.getProperty("java.io.tmpdir")}/graft_models/$runToken/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+  }
 
   private def oracleOf(qs: Seq[Q], name: String): Option[String] =
     qs.find(_.name == name).flatMap(_.oracle)
