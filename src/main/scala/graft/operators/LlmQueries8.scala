@@ -140,11 +140,42 @@ object LlmQueries8 {
       docs: DataFrame,
       minJaccard: Double,
       maxBucketSize: Int = LlmQueries.MaxBucketSize
+  ): DataFrame =
+    edgesFromBandTable(docs, LlmQueries.bandTableOf(docs), minJaccard, maxBucketSize)
+
+  /** The candidate-generation + verification tail over an EXPLICIT band
+    * table — shared by the in-memory path ([[verifiedNeardupEdges]],
+    * band table computed and persisted per run) and the bucketed stored
+    * layout ([[neardupClustersBucketed]], band table read back from a
+    * (band_id, band_hash)-bucketed parquet table with zero exchange on
+    * the band join).
+    */
+  private def edgesFromBandTable(
+      docs: DataFrame,
+      bandTable: DataFrame,
+      minJaccard: Double,
+      maxBucketSize: Int
   ): DataFrame = {
     val wordSets = docs
       .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
       .persist()
-    val bandTable = LlmQueries.bandTableOf(docs)
+    bandPairs(bandTable, maxBucketSize)
+      .distinct()
+      .join(wordSets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
+      .join(wordSets.select(col("doc_id").as("doc_b"), col("wset").as("wb")), Seq("doc_b"))
+      .filter(
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_distinct(concat(col("wa"), col("wb")))) >= minJaccard
+      )
+      .select("doc_a", "doc_b")
+  }
+
+  /** Candidate pair generation over a band table (light-bucket pairs ∪
+    * heavy-bucket star edges), BEFORE the pair distinct — the subplan
+    * whose exchanges the bucketed layout eliminates (BucketingSpec
+    * asserts zero non-broadcast exchanges over the stored table).
+    */
+  private[graft] def bandPairs(bandTable: DataFrame, maxBucketSize: Int): DataFrame = {
     val heavy = LlmQueries.heavyBandBuckets(bandTable, maxBucketSize)
     val light = bandTable.join(
       broadcast(heavy.select("band_id", "band_hash")),
@@ -166,16 +197,7 @@ object LlmQueries8 {
         Seq("band_id", "band_hash"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    lightPairs
-      .union(starEdges)
-      .distinct()
-      .join(wordSets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
-      .join(wordSets.select(col("doc_id").as("doc_b"), col("wset").as("wb")), Seq("doc_b"))
-      .filter(
-        size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_distinct(concat(col("wa"), col("wb")))) >= minJaccard
-      )
-      .select("doc_a", "doc_b")
+    lightPairs.union(starEdges)
   }
 
   /** Every-document labeling from a (id, component_id) assignment over
@@ -207,6 +229,54 @@ object LlmQueries8 {
       maxBucketSize: Int = LlmQueries.MaxBucketSize
   ): DataFrame = {
     val edges = verifiedNeardupEdges(docs, minJaccard, maxBucketSize)
+      .select(col("doc_a").as("id_1"), col("doc_b").as("id_2"))
+    val clusters = Dedup.assignClusters(edges)
+    labelAllDocs(
+      docs,
+      clusters.select(col("id").as("doc_id"), col("dedup_id").as("cluster_id"))
+    )
+  }
+
+  /** [[neardupClusters]] over a BUCKETED stored band table — the
+    * write-once / join-forever shape for the document family's dominant
+    * recurring cost at 100 TB ([[Dedup.dedupRecordsBucketed]]'s
+    * discipline applied to the LSH band frame): the exploded
+    * (doc_id, band_id, band_hash) table is written once, bucketed and
+    * sorted by (band_id, band_hash); every subsequent clustering run —
+    * and the daily incremental assignment reading the same layout —
+    * consumes the stored hash partitioning, so the heavy-bucket census
+    * AND both candidate self-join sides plan with ZERO shuffle exchange
+    * (BucketingSpec asserts the plan; the only exchanges left are the
+    * pair distinct and the verify/label stages, which are
+    * candidate-sized, not corpus-sized). Output is identical to
+    * [[neardupClusters]] — the same oracle certifies it.
+    *
+    * STALENESS CONTRACT (as [[Dedup.dedupRecordsBucketed]]): an
+    * existing catalog `table` is trusted verbatim; pass `refresh =
+    * true` or a new `table`/`path` when `docs` changes.
+    */
+  def neardupClustersBucketed(
+      docs: DataFrame,
+      minJaccard: Double,
+      table: String,
+      path: String,
+      nBuckets: Int = 32,
+      maxBucketSize: Int = LlmQueries.MaxBucketSize,
+      refresh: Boolean = false
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    if (refresh) spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Bucketing.writeBucketed(
+        LlmQueries.bandTableOf(docs, persist = false),
+        Seq("band_id", "band_hash"),
+        nBuckets,
+        table,
+        path
+      )
+    }
+    val bands = graft.sources.Bucketing.readBucketed(spark, table)
+    val edges = edgesFromBandTable(docs, bands, minJaccard, maxBucketSize)
       .select(col("doc_a").as("id_1"), col("doc_b").as("id_2"))
     val clusters = Dedup.assignClusters(edges)
     labelAllDocs(
@@ -520,6 +590,29 @@ object LlmQueries8 {
       // the test corpus (cap 1000), so the oracle mirrors the light-pair
       // path only; multi-hop chain semantics are additionally asserted by
       // Llm8Spec.
+      Some(neardupClusterOracle("0.8")),
+      bench2 = true
+    ),
+    Q(
+      // The same clustering over the bucketed stored band layout: the
+      // exploded band frame is written ONCE bucketed by (band_id,
+      // band_hash) — on the first call, i.e. the bench's untimed warmup
+      // — and the timed passes read it back with the heavy census and
+      // the candidate self-join consuming the stored hash partitioning
+      // (zero exchange, BucketingSpec-asserted). Identical output to
+      // docs_neardup_clusters, same oracle; the bench delta vs the
+      // unbucketed row IS the band-frame shuffle + signature recompute
+      // the layout amortizes into the write.
+      "docs_neardup_clusters_bucketed",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        neardupClustersBucketed(
+          LlmQueries.corpus(s, d),
+          0.8,
+          table = s"graft_neardup_bands$tag",
+          path = s"/tmp/graft_bucketed$tag/neardup_bands"
+        )
+      },
       Some(neardupClusterOracle("0.8")),
       bench2 = true
     ),

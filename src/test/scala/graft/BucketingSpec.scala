@@ -181,4 +181,42 @@ class BucketingSpec extends SparkSuite {
       deleteRecursively(dir)
     }
   }
+
+  test("neardupClustersBucketed: exchange-free band join, identical output") {
+    val dir = "/tmp/graft_bucketed_bands_" + System.nanoTime()
+    val table = "graft_bucketed_bands_spec"
+    val docs = graft.operators.LlmQueries.corpus(spark, "/root/testdata/sf0.001")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // First call writes the bucketed band layout...
+      val bucketed = graft.operators.LlmQueries8
+        .neardupClustersBucketed(docs, 0.8, table, dir)
+      // ...and candidate generation over the stored table must plan
+      // with NO shuffle exchange at all: the heavy-bucket census and
+      // both self-join sides consume the stored (band_id, band_hash)
+      // bucketing (only the heavy frame's BroadcastExchange remains).
+      val pairs = graft.operators.LlmQueries8
+        .bandPairs(Bucketing.readBucketed(spark, table), 1000)
+      val physical = pairs.queryExecution.executedPlan.toString
+      assert(physical.contains("Bucketed: true"), physical)
+      val exchanges = physical.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")
+      )
+      assert(exchanges == 0, s"want zero shuffle exchanges, got $exchanges:\n$physical")
+      // Identical output to the unbucketed pipeline.
+      val got = bucketed.collect().map(_.toSeq).toSet
+      val want = graft.operators.LlmQueries8
+        .neardupClusters(docs, 0.8)
+        .collect()
+        .map(_.toSeq)
+        .toSet
+      assert(got.nonEmpty && got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.catalog.clearCache()
+      deleteRecursively(dir)
+    }
+  }
 }
