@@ -122,7 +122,8 @@ object SparkEntry {
       operators.Mp4Meta.all ++
       operators.Mjpeg.all ++
       operators.ImageFeatures.all ++
-      operators.AudioFeatures.all
+      operators.AudioFeatures.all ++
+      operators.VideoShots.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

@@ -53,26 +53,43 @@ object Mjpeg {
   // Fixture encoder: a minimal conformant AVI around real JPEG frames.
   // ---------------------------------------------------------------
 
-  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-  private def le32(v: Long): Array[Byte] =
+  private[operators] def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private[operators] def le32(v: Long): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private[operators] def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
   /** RIFF chunk: id + size + body + word-alignment pad. */
-  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+  private[operators] def chunk(id: String, body: Array[Byte]): Array[Byte] = {
     val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
     fourcc(id) ++ le32(body.length.toLong) ++ body ++ pad
   }
-  private def list(tpe: String, parts: Array[Byte]*): Array[Byte] =
+  private[operators] def list(tpe: String, parts: Array[Byte]*): Array[Byte] =
     chunk("LIST", fourcc(tpe) ++ parts.flatten)
 
   private[graft] def encodeAvi(id: Long): Array[Byte] = {
     val nf = lawFrames(id).toInt
+    val frames = (0 until nf).map(f => JpegCodec.encodeJpeg(frameFixtureId(id, f), FrameW, FrameH))
+    buildAvi(id, frames, FrameW, FrameH, truncate = id % 53 == 0 && id > 0)
+  }
+
+  /** A minimal conformant MJPG AVI around the given complete JPEG
+    * streams — the container builder shared with the shot-structured
+    * fixtures ([[VideoShots]]). `truncate` halves the file (the
+    * corrupt-payload quarantine fixture).
+    */
+  private[operators] def buildAvi(
+      id: Long,
+      frames: Seq[Array[Byte]],
+      w: Int,
+      h: Int,
+      truncate: Boolean
+  ): Array[Byte] = {
+    val nf = frames.length
     val avih = chunk(
       "avih",
       le32(33333L) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, maxbps, padding, flags
         le32(nf.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++ // totalframes, initial, streams, bufsize
-        le32(FrameW.toLong) ++ le32(FrameH.toLong) ++
+        le32(w.toLong) ++ le32(h.toLong) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0) // reserved
     )
     val strh = chunk(
@@ -81,24 +98,21 @@ object Mjpeg {
         le16(0) ++ le16(0) ++ le32(0) ++ // priority, language, initialframes
         le32(1) ++ le32(30) ++ le32(0) ++ le32(nf.toLong) ++ // scale, rate, start, length
         le32(0) ++ le32(0) ++ le32(0) ++ // bufsize, quality, samplesize
-        le16(0) ++ le16(0) ++ le16(FrameW) ++ le16(FrameH) // rcFrame
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h) // rcFrame
     )
     val strf = chunk(
       "strf",
-      le32(40) ++ le32(FrameW.toLong) ++ le32(FrameH.toLong) ++ le16(1) ++ le16(24) ++
-        fourcc("MJPG") ++ le32(FrameW.toLong * FrameH * 3) ++
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        fourcc("MJPG") ++ le32(w.toLong * h * 3) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     )
     val hdrl = list("hdrl", avih, list("strl", strh, strf))
-    val frames = (0 until nf).map(f =>
-      chunk("00dc", JpegCodec.encodeJpeg(frameFixtureId(id, f), FrameW, FrameH))
-    )
-    val movi = list("movi", frames: _*)
+    val movi = list("movi", frames.map(fr => chunk("00dc", fr)): _*)
     // a JUNK chunk the walk must step over (real muxers pad with these)
     val junk = chunk("JUNK", Array.fill(4 + (id % 6).toInt)(0.toByte))
     val body = fourcc("AVI ") ++ hdrl ++ junk ++ movi
     val full = fourcc("RIFF") ++ le32(body.length.toLong) ++ body
-    if (id % 53 == 0 && id > 0) full.take(full.length / 2) else full
+    if (truncate) full.take(full.length / 2) else full
   }
 
   // ---------------------------------------------------------------
