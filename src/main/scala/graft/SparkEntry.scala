@@ -123,7 +123,8 @@ object SparkEntry {
       operators.Mjpeg.all ++
       operators.ImageFeatures.all ++
       operators.AudioFeatures.all ++
-      operators.VideoShots.all
+      operators.VideoShots.all ++
+      operators.AudioFingerprint.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks

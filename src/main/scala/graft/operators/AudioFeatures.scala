@@ -34,9 +34,9 @@ object AudioFeatures {
   private val Bins = N / 2 // 0..16 inclusive
 
   /** Quantized twiddles, micro-units — identical literals both engines. */
-  private val CosQ: IndexedSeq[Long] =
+  private[operators] val CosQ: IndexedSeq[Long] =
     (0 until N).map(j => math.round(math.cos(2 * math.Pi * j / N) * 1e6))
-  private val SinQ: IndexedSeq[Long] =
+  private[operators] val SinQ: IndexedSeq[Long] =
     (0 until N).map(j => math.round(math.sin(2 * math.Pi * j / N) * 1e6))
 
   def spectrumOf(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

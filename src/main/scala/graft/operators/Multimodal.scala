@@ -196,14 +196,14 @@ object Multimodal {
   private[operators] def h2(c: Column): Column =
     lower(lpad(hex(pmod(c, lit(256L)).cast("int")), 2, "0"))
 
-  private def le16h(c: Column): Column =
+  private[operators] def le16h(c: Column): Column =
     concat(h2(c), h2(expr2(c, 256L)))
 
-  private def le32h(c: Column): Column =
+  private[operators] def le32h(c: Column): Column =
     concat(h2(c), h2(expr2(c, 256L)), h2(expr2(c, 65536L)), h2(expr2(c, 16777216L)))
 
   /** c div k without the Column API's double division. */
-  private def expr2(c: Column, k: Long): Column = ((c - pmod(c, lit(k))) / k).cast("long")
+  private[operators] def expr2(c: Column, k: Long): Column = ((c - pmod(c, lit(k))) / k).cast("long")
 
   /** A COMPLETE 24-bpp uncompressed BMP as a hex string: 54-byte
     * header + bottom-up padded pixel rows. Channel bytes follow the
@@ -511,7 +511,7 @@ object Multimodal {
     * ((u>>4)&7); sample = ±(t − 0x84). Shifts spelled as multiplies by
     * a power-of-two CASE so the expression is engine-portable.
     */
-  private def mulawExpandSql(c: String): String = {
+  private[operators] def mulawExpandSql(c: String): String = {
     val u = s"(255 - ($c))" // ~c & 0xff for a byte
     val exp = s"(($u div 16) % 8)"
     val t = s"((((($u % 16) * 8) + 132)) * (CASE $exp WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END))"
@@ -572,7 +572,7 @@ object Multimodal {
   }
 
   /** LE16 read at 0-based byte offset `p` from the bounded header hex. */
-  private def hdrLe16Sql(p: Int): String =
+  private[operators] def hdrLe16Sql(p: Int): String =
     (0 to 1)
       .map(b => s"conv(substring(hdr, ${(p + b) * 2 + 1}, 2), 16, 10) * ${1L << (8 * b)}L")
       .mkString("cast(", " + ", " as long)")

@@ -6,16 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for specs. */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession
-    .builder()
-    .withExtensions(new graft.plans.GraftExtensions)
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    // WARN, as Verify/Bench: planner INFO lines print whole expression
+    // trees — a fixture-synthesis column turns each into a MB-scale line.
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   override def afterAll(): Unit = {
     // session is shared across suites in one JVM; don't stop it here
