@@ -51,7 +51,19 @@ object MetadataQueries {
     // decomposition, double-consonant leads, cluster tails
     "한국어 문법",
     "훈민정음 해례본",
-    "아리랑 연가 1926"
+    "아리랑 연가 1926",
+    // Chinese classics (bounded pinyin table; r13) — simplified AND
+    // traditional forms of the same title must fold to the same key
+    "红楼梦",
+    "紅樓夢",
+    "三国演义",
+    "三國演義",
+    "西游记",
+    "水浒传 Water Margin",
+    "论语",
+    "道德经",
+    "孙子兵法",
+    "史记 1959"
   )
 
   def nkSql(x: String): String =
@@ -255,7 +267,7 @@ object MetadataQueries {
           .filter(c => c >= 0xac00 && c <= 0xd7a3)
           .distinct
           .map(c => c.toString -> KF.hangulRoman(c))
-        val charPairs = (KF.CyrillicLatin ++ KF.GreekLatin ++ KF.ArabicLatin)
+        val charPairs = (KF.CyrillicLatin ++ KF.GreekLatin ++ KF.ArabicLatin ++ KF.HanLatin)
           .map { case (c, v) => c.toString -> v }
         val kanaPairs = KF.KanaLatin.map { case (c, v) => c.toString -> v }
         val chunks = (hangul ++ KF.KanaDigraphs ++ charPairs ++ kanaPairs ++

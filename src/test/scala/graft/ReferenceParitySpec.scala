@@ -88,6 +88,20 @@ class ReferenceParitySpec extends SparkSuite {
         "훈민정음 해례본" -> "hunminjeongeumhaeryebon",
         "아리랑 연가 1926" -> "arirangyeonga1926",
         "닭갈비" -> "dalggalbi",
+        // Han pinyin rows (r13): bounded top-frequency table, one
+        // reading per character, tone-stripped post-fold image;
+        // simplified and traditional forms of the same title MUST
+        // fold to the same dedup key (the property the stage exists
+        // for), and untabled characters pass through unchanged
+        "红楼梦" -> "hongloumeng",
+        "紅樓夢" -> "hongloumeng",
+        "三国演义" -> "sanguoyanyi",
+        "三國演義" -> "sanguoyanyi",
+        "道德经" -> "daodejing",
+        "孙子兵法 1972" -> "sunzibingfa1972",
+        "水浒传 Water Margin" -> "shuihuzhuanwatermargin",
+        // 罽 (a rare character) is outside the bounded table: passthrough
+        "论语罽" -> "lunyu罽",
         // Latin input is untouched by the flag (same key as romanize=off)
         "Tähtien Sota!" -> "tahtiensota"
       ),
