@@ -84,13 +84,24 @@ object VideoShots {
     (2 + (id + j + (if (retimed) 1 else 0)) % 2).toInt
   private[graft] def shotFixtureId(id: Long, j: Int): Long = id * 8 + j
 
-  private[graft] def encodeShotAvi(id: Long, retimed: Boolean): Array[Byte] = {
-    val frames = (0 until lawShots(id)).flatMap { j =>
-      val jpeg = (dri: Int) => JpegCodec.encodeJpeg(shotFixtureId(id, j), 8, 8, dri)
+  /** `fidOff` shifts every shot's JPEG fixture id (unseen content for
+    * the incremental batch's NOVEL clips — shot ids stay < 8 per
+    * clip); `skipFirst` drops shot 0's frames entirely (the trimmed /
+    * partial-copy plant the segment-overlap query must still find).
+    */
+  private[graft] def encodeShotAvi(
+      id: Long,
+      retimed: Boolean,
+      fidOff: Int = 0,
+      skipFirst: Boolean = false
+  ): Array[Byte] = {
+    val j0 = if (skipFirst) 1 else 0
+    val frames = (j0 until lawShots(id)).flatMap { j =>
+      val jpeg = (dri: Int) => JpegCodec.encodeJpeg(shotFixtureId(id, j) + fidOff, 8, 8, dri)
       // pixel-identical, byte-distinct in-shot frames (alternating DRI)
       (0 until lawLen(id, j, retimed)).map(f => jpeg(if (f % 2 == 1) 2 else 0))
     }
-    Mjpeg.buildAvi(id, frames, 8, 8, truncate = !retimed && id % 53 == 0 && id > 0)
+    Mjpeg.buildAvi(id, frames, 8, 8, truncate = !retimed && !skipFirst && id % 53 == 0 && id > 0)
   }
 
   def clipTable(s: SparkSession, d: String): Dataset[DeflateMedia.MediaRow] = {
@@ -101,10 +112,58 @@ object VideoShots {
       .as[Long]
       .mapPartitions(_.flatMap { id =>
         val base = DeflateMedia.MediaRow(id, encodeShotAvi(id, retimed = false))
-        if (id % 7 == 2)
-          Iterator(base, DeflateMedia.MediaRow(id + DupBase, encodeShotAvi(id, retimed = true)))
-        else Iterator(base)
+        val dup =
+          if (id % 7 == 2)
+            Seq(DeflateMedia.MediaRow(id + DupBase, encodeShotAvi(id, retimed = true)))
+          else Nil
+        // trimmed partial copy: shots 1..n-1 of a multi-shot clip — a
+        // SEGMENT duplicate full-clip near-dup must NOT pair (unequal
+        // shot counts) and shot-overlap must find
+        val trim =
+          if (id % 9 == 5 && id % 3 != 0)
+            Seq(DeflateMedia.MediaRow(id + TrimBase, encodeShotAvi(id, retimed = false, skipFirst = true)))
+          else Nil
+        Iterator(base) ++ dup ++ trim
       })
+  }
+
+  /** media_id offsets of the trimmed plants and the incremental
+    * batch's novel clips.
+    */
+  private val TrimBase = 20000000L
+  private val NovelBase = 30000000L
+
+  /** Incremental-batch fixture: the re-timed copies (must adopt their
+    * source clip) plus NOVEL clips with unseen shot content (fixture
+    * ids offset by 4 — must start their own identity).
+    */
+  def batchClipTable(s: SparkSession, d: String): Dataset[DeflateMedia.MediaRow] = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val dup =
+          if (id % 7 == 2)
+            Seq(DeflateMedia.MediaRow(id + DupBase, encodeShotAvi(id, retimed = true)))
+          else Nil
+        val novel =
+          if (id % 13 == 6)
+            Seq(DeflateMedia.MediaRow(id + NovelBase, encodeShotAvi(id, retimed = false, fidOff = 4)))
+          else Nil
+        (dup ++ novel).iterator
+      })
+  }
+
+  /** Corpus side of the incremental fixture: base clips only. */
+  def corpusClipTable(s: SparkSession, d: String): Dataset[DeflateMedia.MediaRow] = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => DeflateMedia.MediaRow(id, encodeShotAvi(id, retimed = false))))
   }
 
   // ---------------------------------------------------------------
@@ -339,6 +398,113 @@ object VideoShots {
       .select(col("media_a"), col("media_b"), col("ns_a").as("n_shots"), col("total_hamming"))
   }
 
+  /** SEGMENT-copy detection — the containment complement of
+    * [[nearDupOf]] (the docs_containment_pairs idea on the time axis):
+    * clips sharing individual shot HASHES pair regardless of shot
+    * counts, so a trimmed / spliced partial copy is found where the
+    * full-clip fingerprint (equal-count check) correctly refuses to
+    * pair. Heavy shot hashes (degenerate flat content) are capped out
+    * of pair generation, the banding discipline.
+    */
+  def shotOverlapOf(shots: DataFrame): DataFrame = {
+    val st = graft.Lineage.hold(shots.localCheckpoint(), "VideoShots.shotOverlapOf")
+    val hs = st.select(col("media_id"), col("n_shots"), col("shot_hash")).distinct()
+    val heavy = hs
+      .groupBy("shot_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxBucketSize)
+      .select("shot_hash")
+    val light = hs.join(broadcast(heavy), Seq("shot_hash"), "left_anti")
+    light
+      .select(col("shot_hash"), col("media_id").as("media_a"), col("n_shots").as("n_shots_a"))
+      .join(
+        light.select(col("shot_hash"), col("media_id").as("media_b"), col("n_shots").as("n_shots_b")),
+        Seq("shot_hash")
+      )
+      .filter(col("media_a") < col("media_b"))
+      .groupBy("media_a", "media_b", "n_shots_a", "n_shots_b")
+      .agg(countDistinct(col("shot_hash")).as("n_shared"))
+  }
+
+  /** Incremental assignment — the daily-delta production shape for the
+    * video family (the [[LlmQueries8.neardupIncremental]] contract):
+    * the corpus's shot table is STORED state (history is never
+    * re-decoded); each batch clip decodes once, its bands equi-join
+    * the corpus fingerprints (corpus-side heavy-band cap), aligned
+    * Hamming verifies, and a matching clip adopts the EARLIEST (min)
+    * matching corpus id; novel clips keep their own identity.
+    * Returns (media_id, matched_media, is_new) per batch clip.
+    */
+  def nearDupIncrementalOf(batchShots: DataFrame, corpusShots: DataFrame): DataFrame = {
+    val bs = graft.Lineage.hold(batchShots.localCheckpoint(), "VideoShots.nearDupIncremental")
+    val cs = graft.Lineage.hold(corpusShots.localCheckpoint(), "VideoShots.nearDupIncremental")
+    def bandsOf(st: DataFrame): DataFrame = st
+      .groupBy(col("media_id"), col("n_shots"))
+      .agg(
+        max(when(col("shot_idx") === 0, col("shot_hash"))).as("h0"),
+        max(when(col("shot_idx") === col("n_shots") - 1, col("shot_hash"))).as("h1"),
+        max(when(col("shot_idx") === expr("n_shots div 2"), col("shot_hash"))).as("h2")
+      )
+      .select(
+        col("media_id"),
+        explode(
+          array(
+            struct(lit(0L).as("b"), col("h0").as("v")),
+            struct(lit(1L).as("b"), col("h1").as("v")),
+            struct(lit(2L).as("b"), col("h2").as("v"))
+          )
+        ).as("band")
+      )
+      .select(col("media_id"), col("band.b").as("b"), col("band.v").as("v"))
+    val corpusBands = bandsOf(cs)
+    val heavy = corpusBands
+      .groupBy("b", "v")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxBucketSize)
+      .select("b", "v")
+    val cand = bandsOf(bs)
+      .select(col("b"), col("v"), col("media_id").as("b_media"))
+      .join(
+        corpusBands
+          .join(broadcast(heavy), Seq("b", "v"), "left_anti")
+          .select(col("b"), col("v"), col("media_id").as("c_media")),
+        Seq("b", "v")
+      )
+      .select("b_media", "c_media")
+      .distinct()
+    val sa = bs.select(
+      col("media_id").as("b_media"),
+      col("n_shots").as("ns_b"),
+      col("shot_idx"),
+      col("shot_hash").as("hb")
+    )
+    val sc = cs.select(
+      col("media_id").as("c_media"),
+      col("n_shots").as("ns_c"),
+      col("shot_idx"),
+      col("shot_hash").as("hc")
+    )
+    val matched = cand
+      .join(sa, Seq("b_media"))
+      .join(sc, Seq("c_media", "shot_idx"))
+      .groupBy(col("b_media"), col("c_media"), col("ns_b"), col("ns_c"))
+      .agg(
+        count(lit(1)).as("n_aligned"),
+        sum(expr("cast(bit_count(hb ^ hc) as long)")).as("th")
+      )
+      .filter(col("ns_b") === col("ns_c") && col("n_aligned") === col("ns_b") && col("th") <= VerifyHamming)
+      .groupBy(col("b_media").as("media_id"))
+      .agg(min(col("c_media")).as("matched_media"))
+    bs.select("media_id")
+      .distinct()
+      .join(matched, Seq("media_id"), "left")
+      .select(
+        col("media_id"),
+        coalesce(col("matched_media"), col("media_id")).as("matched_media"),
+        col("matched_media").isNull.as("is_new")
+      )
+  }
+
   // ---------------------------------------------------------------
   // Oracles: the JPEG coefficient law replayed per DISTINCT fixture
   // shot (in-shot frames are pixel-identical by construction, so one
@@ -346,29 +512,64 @@ object VideoShots {
   // banding and alignment rules mirrored exactly.
   // ---------------------------------------------------------------
 
+  /** The shared media universe of the three registered content
+    * queries: base clips, re-timed duplicates, trimmed partial copies.
+    * Columns: (media_id, src, off — re-timing flag for the length
+    * law, nshots, fidoff — fixture-id offset, jmin — first included
+    * shot).
+    */
+  private def baseMSql: String =
+    s"""m AS (
+       |  SELECT doc_id AS media_id, doc_id AS src, 0 AS off, 1 + doc_id % 3 AS nshots,
+       |    0 AS fidoff, 0 AS jmin
+       |  FROM documents WHERE doc_id % 53 != 0 OR doc_id = 0
+       |  UNION ALL
+       |  SELECT doc_id + $DupBase, doc_id, 1, 1 + doc_id % 3, 0, 0
+       |  FROM documents WHERE doc_id % 7 = 2
+       |  UNION ALL
+       |  SELECT doc_id + $TrimBase, doc_id, 0, 1 + doc_id % 3, 0, 1
+       |  FROM documents WHERE doc_id % 9 = 5 AND doc_id % 3 != 0)""".stripMargin
+
+  /** The incremental fixture's universe: corpus = base clips,
+    * batch = re-timed duplicates + NOVEL clips (fixture ids offset 4,
+    * content the corpus never saw); batch/corpus split by media range
+    * downstream. Novel clips keep the base truncation rule, so the
+    * %53 ∩ %13 ids quarantine on both engines.
+    */
+  private def incrMSql: String =
+    s"""m AS (
+       |  SELECT doc_id AS media_id, doc_id AS src, 0 AS off, 1 + doc_id % 3 AS nshots,
+       |    0 AS fidoff, 0 AS jmin
+       |  FROM documents WHERE doc_id % 53 != 0 OR doc_id = 0
+       |  UNION ALL
+       |  SELECT doc_id + $DupBase, doc_id, 1, 1 + doc_id % 3, 0, 0
+       |  FROM documents WHERE doc_id % 7 = 2
+       |  UNION ALL
+       |  SELECT doc_id + $NovelBase, doc_id, 0, 1 + doc_id % 3, 4, 0
+       |  FROM documents WHERE doc_id % 13 = 6 AND (doc_id % 53 != 0 OR doc_id = 0))""".stripMargin
+
   /** CTE chain ending in `shots(media_id, shot_idx, start_frame,
     * n_frames, shot_hash, ssr, ssg, ssb)` — detected shots with
-    * channel sums, from the coefficient law.
+    * channel sums, from the coefficient law over the given media
+    * universe. Pixel replay is keyed by the fixture id alone (one
+    * replay per DISTINCT shot content, however many media reference
+    * it).
     */
-  private def shotsCtes: String = {
+  private def shotsCtes(mSql: String): String = {
     val zzRows = (0 until 64)
       .map(k => s"($k,${JpegCodec.Zig(k) & 7},${JpegCodec.Zig(k) >> 3},${JpegCodec.QLumZig(k)},${JpegCodec.QChrZig(k)})")
       .mkString(",")
     val bmRows =
       (for { u <- 0 until 8; x <- 0 until 8 } yield s"($u,$x,${JpegCodec.BM(u)(x)})").mkString(",")
-    s"""m AS (
-       |  SELECT doc_id AS media_id, doc_id AS src, 0 AS off, 1 + doc_id % 3 AS nshots
-       |  FROM documents WHERE doc_id % 53 != 0 OR doc_id = 0
-       |  UNION ALL
-       |  SELECT doc_id + $DupBase, doc_id, 1, 1 + doc_id % 3
-       |  FROM documents WHERE doc_id % 7 = 2),
+    s"""$mSql,
        |fids AS (
-       |  SELECT DISTINCT src, j.i AS j, src * 8 + j.i AS fid
-       |  FROM m, (SELECT unnest(range(3)) AS i) j WHERE j.i < nshots),
+       |  SELECT DISTINCT src * 8 + j.i + fidoff AS fid
+       |  FROM m, (SELECT unnest(range(3)) AS i) j
+       |  WHERE j.i >= jmin AND j.i < nshots),
        |zz(k, u, v, ql, qc) AS (VALUES $zzRows),
        |bm(u, x, val) AS (VALUES $bmRows),
        |coef AS (
-       |  SELECT f.src, f.j, cs.c, zz.u, zz.v,
+       |  SELECT f.fid, cs.c, zz.u, zz.v,
        |    (CASE WHEN zz.k = 0 THEN ((f.fid * 5 + cs.c * 17) % 21) - 10
        |          WHEN (f.fid + cs.c + zz.k * 7) % (3 + f.fid % 29) = 0
        |            THEN ((f.fid * 13 + cs.c * 7 + zz.k * 19) % 61) - 30
@@ -378,44 +579,45 @@ object VideoShots {
        |  FROM fids f, (SELECT unnest(range(3)) AS c) cs, zz),
        |nz AS (SELECT * FROM coef WHERE dq <> 0 OR k = 0),
        |samp AS (
-       |  SELECT nz.src, nz.j, nz.c, bx.x AS px, byy.x AS py,
+       |  SELECT nz.fid, nz.c, bx.x AS px, byy.x AS py,
        |    least(255, greatest(0,
        |      CAST((SUM(nz.dq * bx.val * byy.val) + 134217728 + 35184372088832) // 268435456 AS BIGINT)
        |        - 131072 + 128)) AS s
        |  FROM nz
        |  JOIN bm bx ON bx.u = nz.u
        |  JOIN bm byy ON byy.u = nz.v
-       |  GROUP BY 1, 2, 3, 4, 5),
+       |  GROUP BY 1, 2, 3, 4),
        |pix AS (
-       |  SELECT sy.src, sy.j, sy.px, sy.py, sy.s AS yv, scb.s AS cbv, scr.s AS crv
+       |  SELECT sy.fid, sy.px, sy.py, sy.s AS yv, scb.s AS cbv, scr.s AS crv
        |  FROM samp sy
-       |  JOIN samp scb ON scb.src = sy.src AND scb.j = sy.j AND scb.px = sy.px AND scb.py = sy.py AND scb.c = 1
-       |  JOIN samp scr ON scr.src = sy.src AND scr.j = sy.j AND scr.px = sy.px AND scr.py = sy.py AND scr.c = 2
+       |  JOIN samp scb ON scb.fid = sy.fid AND scb.px = sy.px AND scb.py = sy.py AND scb.c = 1
+       |  JOIN samp scr ON scr.fid = sy.fid AND scr.px = sy.px AND scr.py = sy.py AND scr.c = 2
        |  WHERE sy.c = 0),
        |rgb AS (
-       |  SELECT src, j, px, py,
+       |  SELECT fid, px, py,
        |    least(255, greatest(0, yv + ((91881 * (crv - 128) + 32768 + 16777216) // 65536) - 256)) AS r,
        |    least(255, greatest(0,
        |      yv - (((22554 * (cbv - 128) + 46802 * (crv - 128) + 32768 + 33554432) // 65536) - 512))) AS g,
        |    least(255, greatest(0, yv + ((116130 * (cbv - 128) + 32768 + 33554432) // 65536) - 512)) AS b
        |  FROM pix),
-       |gray AS (SELECT src, j, px, py, r + g + b AS g3, r, g, b FROM rgb),
+       |gray AS (SELECT fid, px, py, r + g + b AS g3, r, g, b FROM rgb),
        |bits AS (
-       |  SELECT l.src, l.j, l.py * 7 + l.px AS k,
+       |  SELECT l.fid, l.py * 7 + l.px AS k,
        |    CASE WHEN l.g3 < r.g3 THEN 1 ELSE 0 END AS bit
        |  FROM gray l JOIN gray r
-       |    ON r.src = l.src AND r.j = l.j AND r.py = l.py AND r.px = l.px + 1
+       |    ON r.fid = l.fid AND r.py = l.py AND r.px = l.px + 1
        |  WHERE l.px < 7),
        |fhash AS (
-       |  SELECT src, j, CAST(sum(bit * (1::BIGINT << CAST(k AS INT))) AS BIGINT) AS h
-       |  FROM bits GROUP BY 1, 2),
-       |fsum AS (SELECT src, j, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb FROM gray GROUP BY 1, 2),
+       |  SELECT fid, CAST(sum(bit * (1::BIGINT << CAST(k AS INT))) AS BIGINT) AS h
+       |  FROM bits GROUP BY 1),
+       |fsum AS (SELECT fid, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb FROM gray GROUP BY 1),
        |sh AS (
-       |  SELECT m.media_id, f.j, 2 + (m.src + f.j + m.off) % 2 AS len, fh.h, fs.sr, fs.sg, fs.sb
-       |  FROM m
-       |  JOIN fids f ON f.src = m.src AND f.j < m.nshots
-       |  JOIN fhash fh ON fh.src = m.src AND fh.j = f.j
-       |  JOIN fsum fs ON fs.src = m.src AND fs.j = f.j),
+       |  SELECT m.media_id, j.i AS j, 2 + (m.src + j.i + m.off) % 2 AS len,
+       |    fh.h, fs.sr, fs.sg, fs.sb
+       |  FROM m, (SELECT unnest(range(3)) AS i) j, fhash fh, fsum fs
+       |  WHERE j.i >= m.jmin AND j.i < m.nshots
+       |    AND fh.fid = m.src * 8 + j.i + m.fidoff
+       |    AND fs.fid = fh.fid),
        |det AS (
        |  SELECT *,
        |    CASE WHEN lag(h) OVER w IS NULL
@@ -434,14 +636,14 @@ object VideoShots {
   }
 
   private def boundsOracle: String =
-    s"""WITH $shotsCtes
+    s"""WITH ${shotsCtes(baseMSql)}
        |SELECT media_id, CAST(shot_idx AS BIGINT) AS shot_idx,
        |  CAST(start_frame AS BIGINT) AS start_frame,
        |  CAST(n_frames AS BIGINT) AS n_frames, shot_hash
        |FROM shots""".stripMargin
 
   private def featuresOracle: String =
-    s"""WITH $shotsCtes
+    s"""WITH ${shotsCtes(baseMSql)}
        |SELECT media_id, CAST(shot_idx AS BIGINT) AS shot_idx,
        |  CAST(n_frames AS BIGINT) AS n_frames,
        |  CAST((ssr * 100) // (64 * n_frames) AS BIGINT) AS mean_r_c,
@@ -450,7 +652,7 @@ object VideoShots {
        |FROM shots""".stripMargin
 
   private def nearDupOracle: String =
-    s"""WITH $shotsCtes,
+    s"""WITH ${shotsCtes(baseMSql)},
        |nsh AS (SELECT media_id, count(*) AS n_shots FROM shots GROUP BY 1),
        |fp AS (
        |  SELECT s.media_id, n.n_shots,
@@ -506,5 +708,78 @@ object VideoShots {
     Some(nearDupOracle)
   )
 
-  val all: Seq[Q] = Seq(boundsQ, featuresQ, nearDupQ)
+  private def overlapOracle: String =
+    s"""WITH ${shotsCtes(baseMSql)},
+       |nsh AS (SELECT media_id, count(*) AS n_shots FROM shots GROUP BY 1),
+       |hs AS (
+       |  SELECT DISTINCT s.media_id, n.n_shots, s.shot_hash
+       |  FROM shots s JOIN nsh n USING (media_id)),
+       |heavy AS (SELECT shot_hash FROM hs GROUP BY 1 HAVING count(*) > $MaxBucketSize),
+       |light AS (SELECT * FROM hs WHERE shot_hash NOT IN (SELECT shot_hash FROM heavy))
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  CAST(a.n_shots AS BIGINT) AS n_shots_a, CAST(b.n_shots AS BIGINT) AS n_shots_b,
+       |  CAST(count(DISTINCT a.shot_hash) AS BIGINT) AS n_shared
+       |FROM light a JOIN light b ON a.shot_hash = b.shot_hash AND a.media_id < b.media_id
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  private def incrementalOracle: String =
+    s"""WITH ${shotsCtes(incrMSql)},
+       |nsh AS (SELECT media_id, count(*) AS n_shots FROM shots GROUP BY 1),
+       |fp AS (
+       |  SELECT s.media_id, n.n_shots,
+       |    max(CASE WHEN s.shot_idx = 0 THEN s.shot_hash END) AS h0,
+       |    max(CASE WHEN s.shot_idx = n.n_shots - 1 THEN s.shot_hash END) AS h1,
+       |    max(CASE WHEN s.shot_idx = n.n_shots // 2 THEN s.shot_hash END) AS h2
+       |  FROM shots s JOIN nsh n USING (media_id) GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT media_id, b.i AS b,
+       |    CASE b.i WHEN 0 THEN h0 WHEN 1 THEN h1 ELSE h2 END AS v
+       |  FROM fp, (SELECT unnest(range(3)) AS i) b),
+       |cb AS (SELECT * FROM bands WHERE media_id < $DupBase),
+       |bb AS (SELECT * FROM bands WHERE media_id >= $DupBase),
+       |heavy AS (SELECT b, v FROM cb GROUP BY b, v HAVING count(*) > $MaxBucketSize),
+       |cand AS (
+       |  SELECT DISTINCT bb.media_id AS b_media, cb.media_id AS c_media
+       |  FROM bb
+       |  JOIN cb ON cb.b = bb.b AND cb.v = bb.v
+       |  LEFT JOIN heavy h ON h.b = cb.b AND h.v = cb.v
+       |  WHERE h.b IS NULL),
+       |al AS (
+       |  SELECT c.b_media, c.c_media, count(*) AS n_aligned,
+       |    sum(bit_count(xor(sa.shot_hash, sc.shot_hash))) AS th
+       |  FROM cand c
+       |  JOIN shots sa ON sa.media_id = c.b_media
+       |  JOIN shots sc ON sc.media_id = c.c_media AND sc.shot_idx = sa.shot_idx
+       |  GROUP BY 1, 2),
+       |mt AS (
+       |  SELECT al.b_media AS media_id, min(al.c_media) AS matched_media
+       |  FROM al
+       |  JOIN nsh nb ON nb.media_id = al.b_media
+       |  JOIN nsh nc ON nc.media_id = al.c_media
+       |  WHERE nb.n_shots = nc.n_shots AND al.n_aligned = nb.n_shots
+       |    AND al.th <= $VerifyHamming
+       |  GROUP BY 1)
+       |SELECT b.media_id,
+       |  coalesce(mt.matched_media, b.media_id) AS matched_media,
+       |  mt.matched_media IS NULL AS is_new
+       |FROM (SELECT DISTINCT media_id FROM shots WHERE media_id >= $DupBase) b
+       |LEFT JOIN mt USING (media_id)""".stripMargin
+
+  private val overlapQ = Q(
+    "dedup_video_shot_overlap",
+    (s, d) => shotOverlapOf(shotTable(clipTable(s, d)).toDF()),
+    Some(overlapOracle)
+  )
+
+  private val incrementalQ = Q(
+    "dedup_video_neardup_incremental",
+    (s, d) =>
+      nearDupIncrementalOf(
+        shotTable(batchClipTable(s, d)).toDF(),
+        shotTable(corpusClipTable(s, d)).toDF()
+      ),
+    Some(incrementalOracle)
+  )
+
+  val all: Seq[Q] = Seq(boundsQ, featuresQ, nearDupQ, overlapQ, incrementalQ)
 }

@@ -67,6 +67,62 @@ class VideoShotsSpec extends SparkSuite {
     assert(VideoShots.decodeShots(1L, Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("segment overlap finds the trimmed partial copies the full-clip fingerprint refuses") {
+    val shots = VideoShots.shotTable(VideoShots.clipTable(spark, sf)).toDF().persist()
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+      val trims = docs.filter(id => id % 9 == 5 && id % 3 != 0).toSet
+      // full-clip near-dup must NOT pair trimmed with base (unequal
+      // shot counts) ...
+      val nd = VideoShots.nearDupOf(shots).collect()
+      assert(!nd.exists(r => r.getAs[Long]("media_b") - r.getAs[Long]("media_a") == 20000000L))
+      // ... while shot-overlap must find every trimmed plant sharing
+      // ALL of its shot hashes with its source (minus capped hashes).
+      val ov = VideoShots.shotOverlapOf(shots).collect()
+      val found = ov
+        .filter(r => r.getAs[Long]("media_b") - r.getAs[Long]("media_a") == 20000000L)
+        .map(_.getAs[Long]("media_a"))
+        .toSet
+      val missed = trims -- found
+      assert(
+        missed.size <= trims.size / 10,
+        s"trimmed plants missed beyond the cap allowance: ${missed.take(10).mkString(",")}"
+      )
+    } finally {
+      shots.unpersist()
+      graft.Lineage.releaseHeld()
+    }
+  }
+
+  test("incremental assignment: re-timed batch adopts corpus identity, novel starts its own") {
+    val out = VideoShots
+      .nearDupIncrementalOf(
+        VideoShots.shotTable(VideoShots.batchClipTable(spark, sf)).toDF(),
+        VideoShots.shotTable(VideoShots.corpusClipTable(spark, sf)).toDF()
+      )
+      .collect()
+    try {
+      val retimed = out.filter(_.getAs[Long]("media_id") < 20000000L)
+      val novel = out.filter(_.getAs[Long]("media_id") >= 30000000L)
+      assert(retimed.nonEmpty && novel.nonEmpty)
+      // every re-timed clip whose SOURCE survived quarantine matches
+      // some corpus clip (its source, or an earlier
+      // identical-fingerprint clip — the earliest-wins contract); a
+      // copy of a truncation-quarantined base has nothing to match
+      assert(
+        retimed
+          .filter { r =>
+            val src = r.getAs[Long]("media_id") - 10000000L
+            src % 53 != 0 || src == 0
+          }
+          .forall(!_.getAs[Boolean]("is_new"))
+      )
+      // novel clips overwhelmingly start their own identity (an
+      // accidental fingerprint twin in the corpus is allowed)
+      assert(novel.count(_.getAs[Boolean]("is_new")) >= novel.length * 9 / 10)
+    } finally graft.Lineage.releaseHeld()
+  }
+
   test("planted re-timed copies are recovered by the banded near-dup join") {
     val shots = VideoShots.shotTable(VideoShots.clipTable(spark, sf)).toDF().persist()
     try {
