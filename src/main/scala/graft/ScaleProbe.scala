@@ -715,6 +715,90 @@ object ScaleProbe {
             f"gen=$tGen%.1f s hash=${(t1 - t0) / 1e9}%.1f s pairs=$np planted=$planted " +
             f"neardup=${(t2 - t1) / 1e9}%.1f s"
         )
+      case "avfeat" =>
+        // Audio/video content-identity pipelines at REAL clip sizes
+        // (the registry fixtures are miniature): 500·mult video clips
+        // of 2..5 shots × 3..6 frames at 16×16 (4 JPEG blocks/frame,
+        // ~10-30 entropy-decoded frames/clip) and 500·mult audio clips
+        // of 64 windows (2048 PCM16 samples). Every 7th video clip
+        // also appears re-timed. Expect linear time in clip count,
+        // zero spill, flat task memory (per-clip state is O(grid) /
+        // one bounded sample array).
+        import spark.implicits._
+        val n = 500L * mult
+        def clip(id: Long, retimed: Boolean): Array[Byte] = {
+          val shots = 2 + (id % 4).toInt
+          val frames = (0 until shots).flatMap { j =>
+            val len = 3 + ((id + j + (if (retimed) 1 else 0)) % 4).toInt
+            (0 until len).map(f =>
+              operators.JpegCodec.encodeJpeg(id * 8 + j, 16, 16, if (f % 2 == 1) 2 else 0)
+            )
+          }
+          operators.Mjpeg.buildAvi(id, frames, 16, 16, truncate = false)
+        }
+        val video = spark
+          .range(n)
+          .as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val base = operators.DeflateMedia.MediaRow(id, clip(id, retimed = false))
+            if (id % 7 == 3)
+              Iterator(base, operators.DeflateMedia.MediaRow(id + 10000000L, clip(id, retimed = true)))
+            else Iterator(base)
+          })
+          .persist()
+        val tg0 = System.nanoTime()
+        val nClips = video.count()
+        val tGen = (System.nanoTime() - tg0) / 1e9
+        val t0 = System.nanoTime()
+        val shots = operators.VideoShots.shotTable(video).toDF().persist()
+        val nShots = shots.count()
+        val t1 = System.nanoTime()
+        val vp = operators.VideoShots.nearDupOf(shots).persist()
+        val nvp = vp.count()
+        val planted = vp.filter(col("media_b") - col("media_a") === 10000000L).count()
+        val t2 = System.nanoTime()
+        val aBase = spark
+          .range(n)
+          .select(
+            col("id").as("media_id"),
+            unhex(
+              operators.AudioFingerprint.pcm16WavHex(
+                lit(2048L),
+                operators.AudioFingerprint.sampleLaw(col("id"), 0L)
+              )
+            ).as("payload")
+          )
+        // hop-shifted plants: the 64-window clip minus its first window
+        val aDups = spark
+          .range(n)
+          .filter(col("id") % 7 === 3)
+          .select(
+            (col("id") + 10000000L).as("media_id"),
+            unhex(
+              operators.AudioFingerprint.pcm16WavHex(
+                lit(2016L),
+                operators.AudioFingerprint.sampleLaw(col("id"), 32L)
+              )
+            ).as("payload")
+          )
+        val audio = aBase.unionByName(aDups).persist()
+        val nAudio = audio.count()
+        val t3 = System.nanoTime()
+        val lm = operators.AudioFingerprint
+          .landmarkTable(operators.AudioFingerprint.windowTable(audio))
+        val ap = operators.AudioFingerprint.nearDupOf(lm).persist()
+        val nap = ap.count()
+        val aPlanted = ap
+          .filter(col("media_b") - col("media_a") === 10000000L && col("dt") === 1)
+          .count()
+        val t4 = System.nanoTime()
+        println(
+          f"SCALE mode=avfeat mult=$mult clips=$nClips shots=$nShots " +
+            f"vdecode=${(t1 - t0) / 1e9}%.1f s vpairs=$nvp planted=$planted vneardup=${(t2 - t1) / 1e9}%.1f s " +
+            f"gen=$tGen%.1f s audio=$nAudio apairs=$nap aplanted=$aPlanted afingerprint=${(t4 - t3) / 1e9}%.1f s"
+        )
+        graft.Lineage.releaseHeld()
+
       case "stridedskew" =>
         // Boilerplate MEGA-GRAM probe (r12): ≥90% of docs get ONE shared
         // 64-char block (think license header / scraper chrome), so a

@@ -89,11 +89,11 @@ object AudioFingerprint {
     pmod(src * 31 + w * 97 + i * st, lit(256L))
   }
 
-  private def sampleLaw(src: Column, off: Long)(k: Column): Column =
+  private[graft] def sampleLaw(src: Column, off: Long)(k: Column): Column =
     mulawExpandCol(codeLaw(src, off)(k))
 
   /** Canonical-44 PCM16 mono 8 kHz WAV around an arbitrary sample law. */
-  private def pcm16WavHex(n: Column, sample: Column => Column): Column = {
+  private[graft] def pcm16WavHex(n: Column, sample: Column => Column): Column = {
     val header = concat(
       lit("52494646"), Multimodal.le32h(lit(36L) + n * 2), lit("57415645"),
       lit("666d7420"), Multimodal.le32h(lit(16L)),
@@ -174,7 +174,7 @@ object AudioFingerprint {
     val im =
       s"aggregate(sequence(0L, ${N - 1}L), 0L, (a, k) -> a + element_at(samples, cast($N * t + k as int) + 1) " +
         s"* element_at($sqLit, cast((m * k) % $N as int) + 1))"
-    media
+    val perBin = media
       .withColumn("hdr", lower(hex(substring(col("payload"), 1, 44))))
       .withColumn("fmt", expr(Multimodal.hdrLe16Sql(20)))
       .withColumn("dlen", expr(Multimodal.hdrLe32Sql(40)))
@@ -200,6 +200,16 @@ object AudioFingerprint {
       )
       .withColumn("xre", expr(s"($re) div 16000"))
       .withColumn("xim", expr(s"($im) div 16000"))
+      .select("media_id", "nw", "t", "m", "xre", "xim")
+    // Checkpoint the bounded per-bin frame (≤ 9·16 rows/clip): the
+    // energy square references xre/xim twice each, and Catalyst's
+    // project collapsing would inline the 32-term DFT aggregates (and
+    // behind them the whole sample-extraction expression) FOUR times —
+    // the plan blows PlanSpec's expression-node cap and the decode
+    // would genuinely run once per reference. The checkpoint runs the
+    // decode exactly once; blocks release via Lineage.releaseHeld.
+    val pb = graft.Lineage.hold(perBin.localCheckpoint(), "AudioFingerprint.windowTable")
+    pb
       .withColumn("e", expr("xre * xre + xim * xim"))
       .groupBy("media_id", "nw", "t")
       .agg(
@@ -229,21 +239,28 @@ object AudioFingerprint {
   def landmarkTable(windows: DataFrame): DataFrame = {
     val w = Window.partitionBy("media_id").orderBy("t")
     windows
-      .select(col("media_id"), col("t"), col("peak_bin"), col("peak_permille"))
+      .select(col("media_id"), col("n_windows"), col("t"), col("peak_bin"), col("peak_permille"))
       .withColumn("pb1", lead("peak_bin", 1).over(w))
       .withColumn("pb2", lead("peak_bin", 2).over(w))
       .filter(col("pb2").isNotNull)
       .select(
         col("media_id"),
+        col("n_windows"),
         col("t"),
         (((col("peak_bin") * 32 + col("pb1")) * 32 + col("pb2")) * 16 +
           least(expr("peak_permille div 125"), lit(15L))).as("v")
       )
   }
 
-  /** Pairs sharing ≥ [[MinMatch]] landmarks at one aligned offset:
-    * (media_a, media_b, dt, n_matched) — dt = t_a − t_b, so the
-    * hop-shifted plant reads dt = 1 and the re-companded plant dt = 0.
+  /** Pairs whose aligned-landmark count clears a LENGTH-SCALED bar at
+    * one offset: (media_a, media_b, dt, n_matched) — dt = t_a − t_b,
+    * so the hop-shifted plant reads dt = 1 and the re-companded plant
+    * dt = 0. The bar is max([[MinMatch]], min(windows)/4): an absolute
+    * count alone stops discriminating as clips grow (at 64-window
+    * clips the `avfeat` probe measured ~84k accidental 3-match pairs
+    * from structural step-law aliasing; the scaled bar keeps the
+    * near-WHOLE-clip identity contract at any clip length, and leaves
+    * the registry fixture's 7..9-window outputs unchanged).
     */
   def nearDupOf(landmarks: DataFrame): DataFrame = {
     // The landmark table feeds the census plus both join sides —
@@ -258,19 +275,22 @@ object AudioFingerprint {
       .select("v")
     val light = lm.join(broadcast(heavy), Seq("v"), "left_anti")
     light
-      .select(col("v"), col("media_id").as("media_a"), col("t").as("t_a"))
+      .select(col("v"), col("media_id").as("media_a"), col("n_windows").as("nw_a"), col("t").as("t_a"))
       .join(
-        light.select(col("v"), col("media_id").as("media_b"), col("t").as("t_b")),
+        light.select(col("v"), col("media_id").as("media_b"), col("n_windows").as("nw_b"), col("t").as("t_b")),
         Seq("v")
       )
       .filter(col("media_a") < col("media_b"))
       .groupBy(
         col("media_a"),
         col("media_b"),
+        col("nw_a"),
+        col("nw_b"),
         (col("t_a") - col("t_b")).as("dt")
       )
       .agg(count(lit(1)).as("n_matched"))
-      .filter(col("n_matched") >= MinMatch)
+      .filter(col("n_matched") >= greatest(lit(MinMatch), expr("least(nw_a, nw_b) div 4")))
+      .select("media_a", "media_b", "dt", "n_matched")
   }
 
   // ---------------------------------------------------------------
@@ -352,13 +372,13 @@ object AudioFingerprint {
   private def nearDupOracle: String =
     s"""WITH $windowCtes,
        |lm0 AS (
-       |  SELECT media_id, t, peak_bin AS pb0,
+       |  SELECT media_id, nw, t, peak_bin AS pb0,
        |    lead(peak_bin, 1) OVER win AS pb1,
        |    lead(peak_bin, 2) OVER win AS pb2,
        |    ppm AS ppm0
        |  FROM wout WINDOW win AS (PARTITION BY media_id ORDER BY t)),
        |lm AS (
-       |  SELECT media_id, t,
+       |  SELECT media_id, nw, t,
        |    ((pb0 * 32 + pb1) * 32 + pb2) * 16 + least(ppm0 // 125, 15) AS v
        |  FROM lm0 WHERE pb2 IS NOT NULL),
        |light AS (
@@ -367,8 +387,8 @@ object AudioFingerprint {
        |SELECT a.media_id AS media_a, b.media_id AS media_b,
        |  CAST(a.t - b.t AS BIGINT) AS dt, count(*) AS n_matched
        |FROM light a JOIN light b ON a.v = b.v AND a.media_id < b.media_id
-       |GROUP BY 1, 2, 3
-       |HAVING count(*) >= $MinMatch""".stripMargin
+       |GROUP BY a.media_id, b.media_id, a.nw, b.nw, a.t - b.t
+       |HAVING count(*) >= greatest($MinMatch, least(a.nw, b.nw) // 4)""".stripMargin
 
   private val windowsQ = Q(
     "multimodal_audio_windows",

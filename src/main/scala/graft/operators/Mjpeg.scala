@@ -77,7 +77,7 @@ object Mjpeg {
     * fixtures ([[VideoShots]]). `truncate` halves the file (the
     * corrupt-payload quarantine fixture).
     */
-  private[operators] def buildAvi(
+  private[graft] def buildAvi(
       id: Long,
       frames: Seq[Array[Byte]],
       w: Int,
