@@ -79,32 +79,54 @@ object ImageFeatures {
       lit(3L) * src + (lit(1L) + src % 9) * x + (lit(11L) + src % 3) * y + delta
     )
 
+  /** media_id offset / content-source offset of the incremental
+    * batch's NOVEL images (content the corpus never saw).
+    */
+  private val NovelBase = 30000000L
+  private val NovelSrcOff = 1000000L
+
+  /** One fixture image row: payload from the channel law of `src`
+    * (+ brightness `delta`) under media id `mediaId`.
+    */
+  private def imageRows(
+      docs: DataFrame,
+      mediaId: org.apache.spark.sql.Column,
+      src: org.apache.spark.sql.Column,
+      delta: Long
+  ): DataFrame =
+    docs.select(
+      mediaId.as("media_id"),
+      unhex(Multimodal.bmpFullHexWith(lawW(src), lawH(src), chanLaw(src, lit(delta)))).as("payload")
+    )
+
   /** Base images + planted brightness-shifted near-duplicates. */
   def imageTable(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val base = docs.select(
-      col("doc_id").as("media_id"),
-      unhex(
-        Multimodal.bmpFullHexWith(
-          lawW(col("doc_id")),
-          lawH(col("doc_id")),
-          chanLaw(col("doc_id"), lit(0L))
-        )
-      ).as("payload")
-    )
-    val dups = docs
-      .filter(col("doc_id") % 7 === 3)
-      .select(
-        (col("doc_id") + DupBase).as("media_id"),
-        unhex(
-          Multimodal.bmpFullHexWith(
-            lawW(col("doc_id")),
-            lawH(col("doc_id")),
-            chanLaw(col("doc_id"), lit(DupDelta))
-          )
-        ).as("payload")
+    imageRows(docs, col("doc_id"), col("doc_id"), 0L)
+      .unionByName(
+        imageRows(docs.filter(col("doc_id") % 7 === 3), col("doc_id") + DupBase, col("doc_id"), DupDelta)
       )
-    base.unionByName(dups)
+  }
+
+  /** Corpus side of the incremental fixture: base images only. */
+  def corpusImageTable(s: SparkSession, d: String): DataFrame =
+    imageRows(Tables.documents(s, d), col("doc_id"), col("doc_id"), 0L)
+
+  /** Incremental batch: the brightness-shifted copies (must adopt
+    * their source image) plus NOVEL images whose content law reads a
+    * source id no corpus image uses (must start their own identity).
+    */
+  def batchImageTable(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    imageRows(docs.filter(col("doc_id") % 7 === 3), col("doc_id") + DupBase, col("doc_id"), DupDelta)
+      .unionByName(
+        imageRows(
+          docs.filter(col("doc_id") % 11 === 4),
+          col("doc_id") + NovelBase,
+          col("doc_id") + NovelSrcOff,
+          0L
+        )
+      )
   }
 
   /** Per-cell gray sums of a `gw`×`gh` box-filter grid, straight off
@@ -257,27 +279,7 @@ object ImageFeatures {
     // via Lineage.releaseHeld() after its action (Verify/Bench do).
     val hs = graft.Lineage.hold(hashes.localCheckpoint(), "ImageFeatures.nearDupOf")
     release.foreach(_.unpersist())
-    val banded = hs
-      .select(
-        col("media_id"),
-        col("hash_hi"),
-        col("hash_lo"),
-        explode(
-          array(
-            struct(lit(0L).as("b"), pmod(col("hash_lo"), lit(65536L)).as("v")),
-            struct(lit(1L).as("b"), expr("hash_lo div 65536").as("v")),
-            struct(lit(2L).as("b"), pmod(col("hash_hi"), lit(65536L)).as("v")),
-            struct(lit(3L).as("b"), expr("hash_hi div 65536").as("v"))
-          )
-        ).as("band")
-      )
-      .select(
-        col("media_id"),
-        col("hash_hi"),
-        col("hash_lo"),
-        col("band.b").as("b"),
-        col("band.v").as("v")
-      )
+    val banded = hashBands(hs)
     // Heavy-bucket cap through the minhashPairsOf idiom (bounded census
     // + broadcast anti-join — never a bucket-keyed window).
     val heavy = banded
@@ -310,6 +312,70 @@ object ImageFeatures {
       )
       .filter(col("hamming") <= HammingMax)
       .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
+  /** The 4×16-bit band explosion of a hash table. */
+  private def hashBands(hs: DataFrame): DataFrame = hs
+    .select(
+      col("media_id"),
+      col("hash_hi"),
+      col("hash_lo"),
+      explode(
+        array(
+          struct(lit(0L).as("b"), pmod(col("hash_lo"), lit(65536L)).as("v")),
+          struct(lit(1L).as("b"), expr("hash_lo div 65536").as("v")),
+          struct(lit(2L).as("b"), pmod(col("hash_hi"), lit(65536L)).as("v")),
+          struct(lit(3L).as("b"), expr("hash_hi div 65536").as("v"))
+        )
+      ).as("band")
+    )
+    .select(
+      col("media_id"),
+      col("hash_hi"),
+      col("hash_lo"),
+      col("band.b").as("b"),
+      col("band.v").as("v")
+    )
+
+  /** Incremental assignment — the daily-delta shape for the image
+    * family ([[VideoShots.nearDupIncrementalOf]]'s contract on the
+    * single-hash fingerprint): the corpus hash table is STORED state
+    * (16 B/image, history never re-decodes); each batch image hashes
+    * once, its bands equi-join the corpus bands (corpus-side heavy
+    * cap), exact Hamming ≤ [[HammingMax]] verifies, and a match adopts
+    * the EARLIEST (min) matching corpus id; novel images keep their
+    * own identity. Returns (media_id, matched_media, is_new).
+    */
+  def nearDupIncrementalOf(batchHashes: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val bh = graft.Lineage.hold(batchHashes.localCheckpoint(), "ImageFeatures.nearDupIncremental")
+    val ch = graft.Lineage.hold(corpusHashes.localCheckpoint(), "ImageFeatures.nearDupIncremental")
+    val corpusBands = hashBands(ch)
+    val heavy = corpusBands
+      .groupBy("b", "v")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxBucketSize)
+      .select("b", "v")
+    val matched = hashBands(bh)
+      .select(col("b"), col("v"), col("media_id").as("media_id"), col("hash_hi").as("bhi"), col("hash_lo").as("blo"))
+      .join(
+        corpusBands
+          .join(broadcast(heavy), Seq("b", "v"), "left_anti")
+          .select(col("b"), col("v"), col("media_id").as("c_media"), col("hash_hi").as("chi"), col("hash_lo").as("clo")),
+        Seq("b", "v")
+      )
+      .select("media_id", "c_media", "bhi", "blo", "chi", "clo")
+      .distinct()
+      .filter(expr("bit_count(bhi ^ chi) + bit_count(blo ^ clo)") <= HammingMax)
+      .groupBy("media_id")
+      .agg(min(col("c_media")).as("matched_media"))
+    bh.select("media_id")
+      .distinct()
+      .join(matched, Seq("media_id"), "left")
+      .select(
+        col("media_id"),
+        coalesce(col("matched_media"), col("media_id")).as("matched_media"),
+        col("matched_media").isNull.as("is_new")
+      )
   }
 
   // ---------------------------------------------------------------
@@ -415,5 +481,66 @@ object ImageFeatures {
     )
   )
 
-  val all: Seq[Q] = Seq(resizeQ, dhashQ, nearDupQ)
+  /** The incremental fixture's universe: corpus = base images,
+    * batch = brightness-shifted copies + novel-content images.
+    */
+  private def incrMediaSql: String =
+    s"""m AS (
+       |  SELECT doc_id AS media_id, doc_id AS src, 0 AS delta,
+       |    doc_id % 17 + 16 AS w, doc_id % 13 + 12 AS h
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DupBase, doc_id, $DupDelta,
+       |    doc_id % 17 + 16, doc_id % 13 + 12
+       |  FROM documents WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + $NovelBase, doc_id + $NovelSrcOff, 0,
+       |    (doc_id + $NovelSrcOff) % 17 + 16, (doc_id + $NovelSrcOff) % 13 + 12
+       |  FROM documents WHERE doc_id % 11 = 4)""".stripMargin
+
+  private val nearDupIncrQ = Q(
+    "dedup_image_neardup_incremental",
+    (s, d) => {
+      val (bh, bGrid) = dhashWithGrid(batchImageTable(s, d))
+      val (ch, cGrid) = dhashWithGrid(corpusImageTable(s, d))
+      // nearDupIncrementalOf checkpoints both hash tables eagerly, so
+      // the byte-fold grids are releasable as soon as it returns
+      val out = nearDupIncrementalOf(bh, ch)
+      bGrid.unpersist()
+      cGrid.unpersist()
+      out
+    },
+    Some(
+      s"""WITH $incrMediaSql,
+         |$dhashSql,
+         |bands AS (
+         |  SELECT media_id, hash_hi, hash_lo, b.i AS b,
+         |    CASE b.i WHEN 0 THEN hash_lo % 65536
+         |             WHEN 1 THEN hash_lo // 65536
+         |             WHEN 2 THEN hash_hi % 65536
+         |             ELSE hash_hi // 65536 END AS v
+         |  FROM hs, (SELECT unnest(range(4)) AS i) b),
+         |cb AS (SELECT * FROM bands WHERE media_id < $DupBase),
+         |bb AS (SELECT * FROM bands WHERE media_id >= $DupBase),
+         |heavy AS (SELECT b, v FROM cb GROUP BY 1, 2 HAVING count(*) > $MaxBucketSize),
+         |cand AS (
+         |  SELECT DISTINCT bb.media_id AS media_id, cb.media_id AS c_media,
+         |    bb.hash_hi AS bhi, bb.hash_lo AS blo, cb.hash_hi AS chi, cb.hash_lo AS clo
+         |  FROM bb
+         |  JOIN cb ON cb.b = bb.b AND cb.v = bb.v
+         |  LEFT JOIN heavy h ON h.b = cb.b AND h.v = cb.v
+         |  WHERE h.b IS NULL),
+         |mt AS (
+         |  SELECT media_id, min(c_media) AS matched_media FROM cand
+         |  WHERE bit_count(xor(bhi, chi)) + bit_count(xor(blo, clo)) <= $HammingMax
+         |  GROUP BY 1)
+         |SELECT b.media_id,
+         |  coalesce(mt.matched_media, b.media_id) AS matched_media,
+         |  mt.matched_media IS NULL AS is_new
+         |FROM (SELECT DISTINCT media_id FROM hs WHERE media_id >= $DupBase) b
+         |LEFT JOIN mt USING (media_id)""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(resizeQ, dhashQ, nearDupQ, nearDupIncrQ)
 }

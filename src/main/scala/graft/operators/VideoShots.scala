@@ -435,41 +435,65 @@ object VideoShots {
     * matching corpus id; novel clips keep their own identity.
     * Returns (media_id, matched_media, is_new) per batch clip.
     */
-  def nearDupIncrementalOf(batchShots: DataFrame, corpusShots: DataFrame): DataFrame = {
-    val bs = graft.Lineage.hold(batchShots.localCheckpoint(), "VideoShots.nearDupIncremental")
-    val cs = graft.Lineage.hold(corpusShots.localCheckpoint(), "VideoShots.nearDupIncremental")
-    def bandsOf(st: DataFrame): DataFrame = st
-      .groupBy(col("media_id"), col("n_shots"))
-      .agg(
-        max(when(col("shot_idx") === 0, col("shot_hash"))).as("h0"),
-        max(when(col("shot_idx") === col("n_shots") - 1, col("shot_hash"))).as("h1"),
-        max(when(col("shot_idx") === expr("n_shots div 2"), col("shot_hash"))).as("h2")
-      )
-      .select(
-        col("media_id"),
-        explode(
-          array(
-            struct(lit(0L).as("b"), col("h0").as("v")),
-            struct(lit(1L).as("b"), col("h1").as("v")),
-            struct(lit(2L).as("b"), col("h2").as("v"))
-          )
-        ).as("band")
-      )
-      .select(col("media_id"), col("band.b").as("b"), col("band.v").as("v"))
+  def nearDupIncrementalOf(batchShots: DataFrame, corpusShots: DataFrame): DataFrame =
+    nearDupIncrementalIndexed(batchShots, neardupIndexOf(corpusShots))
+
+  /** Per-clip fingerprint bands (first / middle / last detected shot
+    * hash) from a shot table.
+    */
+  private def bandsOf(st: DataFrame): DataFrame = st
+    .groupBy(col("media_id"), col("n_shots"))
+    .agg(
+      max(when(col("shot_idx") === 0, col("shot_hash"))).as("h0"),
+      max(when(col("shot_idx") === col("n_shots") - 1, col("shot_hash"))).as("h1"),
+      max(when(col("shot_idx") === expr("n_shots div 2"), col("shot_hash"))).as("h2")
+    )
+    .select(
+      col("media_id"),
+      explode(
+        array(
+          struct(lit(0L).as("b"), col("h0").as("v")),
+          struct(lit(1L).as("b"), col("h1").as("v")),
+          struct(lit(2L).as("b"), col("h2").as("v"))
+        )
+      ).as("band")
+    )
+    .select(col("media_id"), col("band.b").as("b"), col("band.v").as("v"))
+
+  /** Prebuilt, persisted corpus-side index for incremental matching —
+    * the [[LlmQueries8.NeardupIndex]] discipline: a long-running
+    * stream builds this ONCE (corpus shots checkpointed, capped band
+    * table persisted) and matches every micro-batch against it;
+    * rebuilding per delta would re-decode the corpus each batch.
+    */
+  final case class VideoNeardupIndex(corpusShots: DataFrame, cappedBands: DataFrame) {
+    def unpersist(): Unit = { cappedBands.unpersist(); () }
+  }
+
+  def neardupIndexOf(corpusShots: DataFrame): VideoNeardupIndex = {
+    val cs = graft.Lineage.hold(corpusShots.localCheckpoint(), "VideoShots.neardupIndexOf")
     val corpusBands = bandsOf(cs)
     val heavy = corpusBands
       .groupBy("b", "v")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > MaxBucketSize)
       .select("b", "v")
+    val capped = corpusBands
+      .join(broadcast(heavy), Seq("b", "v"), "left_anti")
+      .select(col("b"), col("v"), col("media_id").as("c_media"))
+      .persist()
+    VideoNeardupIndex(cs, capped)
+  }
+
+  /** Match one delta's shot table against a prebuilt corpus index (see
+    * [[nearDupIncrementalOf]] for semantics).
+    */
+  def nearDupIncrementalIndexed(batchShots: DataFrame, index: VideoNeardupIndex): DataFrame = {
+    val bs = graft.Lineage.hold(batchShots.localCheckpoint(), "VideoShots.nearDupIncremental")
+    val cs = index.corpusShots
     val cand = bandsOf(bs)
       .select(col("b"), col("v"), col("media_id").as("b_media"))
-      .join(
-        corpusBands
-          .join(broadcast(heavy), Seq("b", "v"), "left_anti")
-          .select(col("b"), col("v"), col("media_id").as("c_media")),
-        Seq("b", "v")
-      )
+      .join(index.cappedBands, Seq("b", "v"))
       .select("b_media", "c_media")
       .distinct()
     val sa = bs.select(
@@ -781,5 +805,23 @@ object VideoShots {
     Some(incrementalOracle)
   )
 
-  val all: Seq[Q] = Seq(boundsQ, featuresQ, nearDupQ, overlapQ, incrementalQ)
+  private val replayQ = Q(
+    // The VideoStream foreachBatch contract: per-micro-batch decode +
+    // incremental assignment against a STATIC prebuilt corpus index,
+    // results unioned across batches == the one-shot batch assignment
+    // (batch clips are independent by contract). Same oracle as
+    // dedup_video_neardup_incremental certifies it.
+    "stream_video_neardup_replay",
+    (s, d) => {
+      val index = neardupIndexOf(shotTable(corpusClipTable(s, d)).toDF())
+      val batchShots = shotTable(batchClipTable(s, d)).toDF()
+      val b1 = batchShots.filter(pmod(col("media_id"), lit(2)) === 0)
+      val b2 = batchShots.filter(pmod(col("media_id"), lit(2)) === 1)
+      nearDupIncrementalIndexed(b1, index)
+        .unionByName(nearDupIncrementalIndexed(b2, index))
+    },
+    Some(incrementalOracle)
+  )
+
+  val all: Seq[Q] = Seq(boundsQ, featuresQ, nearDupQ, overlapQ, incrementalQ, replayQ)
 }

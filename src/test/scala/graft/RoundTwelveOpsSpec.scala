@@ -249,6 +249,33 @@ class RoundTwelveOpsSpec extends SparkSuite {
     assert(meanPlanted <= 6.0, s"planted mean hamming $meanPlanted")
   }
 
+  test("image incremental assignment inherits the pairwise banding recall (r13)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry
+      .queries("dedup_image_neardup_incremental")(spark, "/root/testdata/sf0.001")
+      .collect()
+    try {
+      val dups = out.filter(_.getAs[Long]("media_id") < 20000000L)
+      val novel = out.filter(_.getAs[Long]("media_id") >= 30000000L)
+      assert(dups.nonEmpty && novel.nonEmpty)
+      // brightness-shifted copies: matched at (at least) the pairwise
+      // query's ~60% banding-recall characteristic — a shifted copy is
+      // found iff at least one 16-bit band survives the bit flips
+      val matchedDups = dups.count(!_.getAs[Boolean]("is_new"))
+      assert(
+        matchedDups * 10 >= dups.length * 6,
+        s"incremental dup recall too low: $matchedDups of ${dups.length}"
+      )
+      // of the matched, the dominant assignment is the true source
+      val toSource = dups.count(r =>
+        r.getAs[Long]("matched_media") == r.getAs[Long]("media_id") - 10000000L)
+      assert(toSource * 2 >= matchedDups, s"$toSource of $matchedDups matched their source")
+      // novel-content images mostly start their own identity (the
+      // sparse 64-bit hash space allows accidental fingerprint twins)
+      assert(novel.count(_.getAs[Boolean]("is_new")) * 2 >= novel.length)
+    } finally graft.Lineage.releaseHeld()
+  }
+
   test("audio spectrum: a pure tone peaks at its own bin") {
     import spark.implicits._
     // hand-built canonical-44 WAV around 32 samples of a bin-5 cosine
