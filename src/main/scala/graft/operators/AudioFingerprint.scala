@@ -293,6 +293,111 @@ object AudioFingerprint {
       .select("media_a", "media_b", "dt", "n_matched")
   }
 
+  /** media_id / content-source offsets of the incremental batch's
+    * NOVEL clips.
+    */
+  private val NovelBase = 30000000L
+  private val NovelSrcOff = 1000000L
+
+  /** Incremental batch: the hop-shifted and re-companded plants plus
+    * NOVEL clips whose sample law reads a source id no corpus clip
+    * uses.
+    */
+  def batchClipTable(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    val novelSrc = id + NovelSrcOff
+    val shifted = docs
+      .filter(id % 5 === 1)
+      .select(
+        (id + ShiftBase).as("media_id"),
+        unhex(pcm16WavHex(lawN(id) - N, sampleLaw(id, N.toLong))).as("payload")
+      )
+    val companded = docs
+      .filter(id % 5 === 3)
+      .select(
+        (id + CompandBase).as("media_id"),
+        unhex(mulawWavHex(lawN(id), codeLaw(id, 0))).as("payload")
+      )
+    val novel = docs
+      .filter(id % 9 === 2)
+      .select(
+        (id + NovelBase).as("media_id"),
+        unhex(pcm16WavHex(lawN(novelSrc), sampleLaw(novelSrc, 0))).as("payload")
+      )
+    shifted.unionByName(companded).unionByName(novel)
+  }
+
+  /** Corpus side of the incremental fixture: base clips only. */
+  def corpusClipTable(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val id = col("doc_id")
+    docs.select(
+      id.as("media_id"),
+      unhex(pcm16WavHex(lawN(id), sampleLaw(id, 0))).as("payload")
+    )
+  }
+
+  /** Prebuilt, persisted corpus-side landmark index for incremental
+    * matching ([[VideoShots.neardupIndexOf]]'s discipline): built
+    * once, matched against every delta; the heavy-landmark cap is
+    * computed on the CORPUS side, as in every incremental family.
+    */
+  final case class AudioNeardupIndex(cappedLm: DataFrame) {
+    def unpersist(): Unit = { cappedLm.unpersist(); () }
+  }
+
+  def neardupIndexOf(corpusLandmarks: DataFrame): AudioNeardupIndex = {
+    val lm = graft.Lineage.hold(corpusLandmarks.localCheckpoint(), "AudioFingerprint.neardupIndexOf")
+    val heavy = lm
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxBucketSize)
+      .select("v")
+    AudioNeardupIndex(lm.join(broadcast(heavy), Seq("v"), "left_anti").persist())
+  }
+
+  /** Incremental assignment — the daily-delta shape for the audio
+    * family: each batch clip fingerprints once, its landmarks
+    * equi-join the corpus index, and a pair MATCHES when some time
+    * offset aligns ≥ max([[MinMatch]], min(windows)/4) landmarks (the
+    * [[nearDupOf]] rule); a matching clip adopts the EARLIEST (min)
+    * matching corpus id, novel clips keep their own identity.
+    * Returns (media_id, matched_media, is_new) per batch clip.
+    */
+  def nearDupIncrementalIndexed(batchLandmarks: DataFrame, index: AudioNeardupIndex): DataFrame = {
+    val bl = graft.Lineage.hold(batchLandmarks.localCheckpoint(), "AudioFingerprint.nearDupIncremental")
+    val matched = bl
+      .select(col("v"), col("media_id"), col("n_windows").as("nw_b"), col("t").as("t_b"))
+      .join(
+        index.cappedLm
+          .select(col("v"), col("media_id").as("c_media"), col("n_windows").as("nw_c"), col("t").as("t_c")),
+        Seq("v")
+      )
+      .groupBy(
+        col("media_id"),
+        col("c_media"),
+        col("nw_b"),
+        col("nw_c"),
+        (col("t_b") - col("t_c")).as("dt")
+      )
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= greatest(lit(MinMatch), expr("least(nw_b, nw_c) div 4")))
+      .groupBy("media_id")
+      .agg(min(col("c_media")).as("matched_media"))
+    bl.select("media_id")
+      .distinct()
+      .join(matched, Seq("media_id"), "left")
+      .select(
+        col("media_id"),
+        coalesce(col("matched_media"), col("media_id")).as("matched_media"),
+        col("matched_media").isNull.as("is_new")
+      )
+  }
+
+  def nearDupIncrementalOf(batchLandmarks: DataFrame, corpusLandmarks: DataFrame): DataFrame =
+    nearDupIncrementalIndexed(batchLandmarks, neardupIndexOf(corpusLandmarks))
+
   // ---------------------------------------------------------------
   // Oracles.
   // ---------------------------------------------------------------
@@ -302,7 +407,35 @@ object AudioFingerprint {
     * law (µ-law expansion + quantized-twiddle DFT + trunc-div
     * prescale, the `multimodal_audio_spectrum` arithmetic windowed).
     */
-  private def windowCtes: String = {
+  /** The pairwise queries' media universe: base + shifted + companded. */
+  private def baseAudioMSql: String =
+    s"""m AS (
+       |  SELECT doc_id AS media_id, doc_id AS src, 0 AS off, 32 * (7 + doc_id % 3) AS n
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ShiftBase, doc_id, 32, 32 * (7 + doc_id % 3) - 32
+       |  FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $CompandBase, doc_id, 0, 32 * (7 + doc_id % 3)
+       |  FROM documents WHERE doc_id % 5 = 3)""".stripMargin
+
+  /** The incremental fixture's universe: + novel-content clips. */
+  private def incrAudioMSql: String =
+    s"""m AS (
+       |  SELECT doc_id AS media_id, doc_id AS src, 0 AS off, 32 * (7 + doc_id % 3) AS n
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ShiftBase, doc_id, 32, 32 * (7 + doc_id % 3) - 32
+       |  FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $CompandBase, doc_id, 0, 32 * (7 + doc_id % 3)
+       |  FROM documents WHERE doc_id % 5 = 3
+       |  UNION ALL
+       |  SELECT doc_id + $NovelBase, doc_id + $NovelSrcOff, 0,
+       |    32 * (7 + (doc_id + $NovelSrcOff) % 3)
+       |  FROM documents WHERE doc_id % 9 = 2)""".stripMargin
+
+  private def windowCtes(mSql: String): String = {
     val twRows = (0 until N).map(j => s"($j,${AudioFeatures.CosQ(j)},${AudioFeatures.SinQ(j)})").mkString(",")
     // window index of sample (32t + k + off): off is 0 or 32, k < 32,
     // so it is exactly t + off/32; the Lehmer-mixed per-window step
@@ -317,15 +450,7 @@ object AudioFingerprint {
     val ex = s"(($u // 16) % 8)"
     val tt = s"(((($u % 16) * 8) + 132) * (CASE $ex WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END))"
     val smp = s"(CASE WHEN $u >= 128 THEN (132 - $tt) ELSE ($tt - 132) END)"
-    s"""m AS (
-       |  SELECT doc_id AS media_id, doc_id AS src, 0 AS off, 32 * (7 + doc_id % 3) AS n
-       |  FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + $ShiftBase, doc_id, 32, 32 * (7 + doc_id % 3) - 32
-       |  FROM documents WHERE doc_id % 5 = 1
-       |  UNION ALL
-       |  SELECT doc_id + $CompandBase, doc_id, 0, 32 * (7 + doc_id % 3)
-       |  FROM documents WHERE doc_id % 5 = 3),
+    s"""$mSql,
        |w AS (
        |  SELECT media_id, src, off, n // 32 AS nw, t.i AS t
        |  FROM m, (SELECT unnest(range(9)) AS i) t WHERE t.i < n // 32),
@@ -363,14 +488,14 @@ object AudioFingerprint {
   }
 
   private def windowsOracle: String =
-    s"""WITH $windowCtes
+    s"""WITH ${windowCtes(baseAudioMSql)}
        |SELECT media_id, CAST(nw AS BIGINT) AS n_windows, CAST(t AS BIGINT) AS t,
        |  CAST(peak_bin AS BIGINT) AS peak_bin, CAST(peak_e AS BIGINT) AS peak_e,
        |  CAST(total_e AS BIGINT) AS total_e, CAST(ppm AS BIGINT) AS peak_permille
        |FROM wout""".stripMargin
 
   private def nearDupOracle: String =
-    s"""WITH $windowCtes,
+    s"""WITH ${windowCtes(baseAudioMSql)},
        |lm0 AS (
        |  SELECT media_id, nw, t, peak_bin AS pb0,
        |    lead(peak_bin, 1) OVER win AS pb1,
@@ -402,5 +527,60 @@ object AudioFingerprint {
     Some(nearDupOracle)
   )
 
-  val all: Seq[Q] = Seq(windowsQ, nearDupQ)
+  private def incrementalOracle: String =
+    s"""WITH ${windowCtes(incrAudioMSql)},
+       |lm0 AS (
+       |  SELECT media_id, nw, t, peak_bin AS pb0,
+       |    lead(peak_bin, 1) OVER win AS pb1,
+       |    lead(peak_bin, 2) OVER win AS pb2,
+       |    ppm AS ppm0
+       |  FROM wout WINDOW win AS (PARTITION BY media_id ORDER BY t)),
+       |lm AS (
+       |  SELECT media_id, nw, t,
+       |    ((pb0 * 32 + pb1) * 32 + pb2) * 16 + least(ppm0 // 125, 15) AS v
+       |  FROM lm0 WHERE pb2 IS NOT NULL),
+       |cl AS (SELECT * FROM lm WHERE media_id < $ShiftBase),
+       |blm AS (SELECT * FROM lm WHERE media_id >= $ShiftBase),
+       |heavy AS (SELECT v FROM cl GROUP BY v HAVING count(*) > $MaxBucketSize),
+       |ccap AS (SELECT * FROM cl WHERE v NOT IN (SELECT v FROM heavy)),
+       |hist AS (
+       |  SELECT b.media_id, c.media_id AS c_media, b.t - c.t AS dt, count(*) AS nm
+       |  FROM blm b JOIN ccap c ON c.v = b.v
+       |  GROUP BY b.media_id, c.media_id, b.nw, c.nw, b.t - c.t
+       |  HAVING count(*) >= greatest($MinMatch, least(b.nw, c.nw) // 4)),
+       |mt AS (SELECT media_id, min(c_media) AS matched_media FROM hist GROUP BY 1)
+       |SELECT b.media_id,
+       |  coalesce(mt.matched_media, b.media_id) AS matched_media,
+       |  mt.matched_media IS NULL AS is_new
+       |FROM (SELECT DISTINCT media_id FROM lm WHERE media_id >= $ShiftBase) b
+       |LEFT JOIN mt USING (media_id)""".stripMargin
+
+  private val incrementalQ = Q(
+    "dedup_audio_neardup_incremental",
+    (s, d) =>
+      nearDupIncrementalOf(
+        landmarkTable(windowTable(batchClipTable(s, d))),
+        landmarkTable(windowTable(corpusClipTable(s, d)))
+      ),
+    Some(incrementalOracle)
+  )
+
+  private val replayQ = Q(
+    // The AudioStream foreachBatch contract: per-micro-batch
+    // fingerprint + assignment against a STATIC prebuilt corpus
+    // landmark index, unioned across batches == one-shot (batch clips
+    // are independent by contract). Same oracle certifies it.
+    "stream_audio_neardup_replay",
+    (s, d) => {
+      val index = neardupIndexOf(landmarkTable(windowTable(corpusClipTable(s, d))))
+      val batchLm = landmarkTable(windowTable(batchClipTable(s, d)))
+      val b1 = batchLm.filter(pmod(col("media_id"), lit(2)) === 0)
+      val b2 = batchLm.filter(pmod(col("media_id"), lit(2)) === 1)
+      nearDupIncrementalIndexed(b1, index)
+        .unionByName(nearDupIncrementalIndexed(b2, index))
+    },
+    Some(incrementalOracle)
+  )
+
+  val all: Seq[Q] = Seq(windowsQ, nearDupQ, incrementalQ, replayQ)
 }

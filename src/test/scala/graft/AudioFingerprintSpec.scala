@@ -44,6 +44,78 @@ class AudioFingerprintSpec extends SparkSuite {
     }
   }
 
+  test("incremental assignment: plants adopt corpus identity, novel starts its own") {
+    val out = AudioFingerprint
+      .nearDupIncrementalOf(
+        AudioFingerprint.landmarkTable(
+          AudioFingerprint.windowTable(AudioFingerprint.batchClipTable(spark, sf))),
+        AudioFingerprint.landmarkTable(
+          AudioFingerprint.windowTable(AudioFingerprint.corpusClipTable(spark, sf)))
+      )
+      .collect()
+    try {
+      val plants = out.filter(_.getAs[Long]("media_id") < 30000000L)
+      val novel = out.filter(_.getAs[Long]("media_id") >= 30000000L)
+      assert(plants.nonEmpty && novel.nonEmpty)
+      // every shifted/companded plant matches SOME corpus clip, and the
+      // dominant assignment is the true source (earliest-wins allows
+      // an identical-fingerprint twin with a smaller id)
+      assert(plants.forall(!_.getAs[Boolean]("is_new")))
+      val toSource = plants.count { r =>
+        val m = r.getAs[Long]("media_id")
+        r.getAs[Long]("matched_media") == m % 10000000L
+      }
+      assert(toSource * 10 >= plants.length * 8, s"$toSource of ${plants.length} matched source")
+      // novel-content clips mostly start their own identity
+      assert(novel.count(_.getAs[Boolean]("is_new")) * 10 >= novel.length * 7)
+    } finally graft.Lineage.releaseHeld()
+  }
+
+  test("streaming micro-batches reproduce the batch audio assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusLm = AudioFingerprint.landmarkTable(
+      AudioFingerprint.windowTable(AudioFingerprint.corpusClipTable(spark, sf)))
+    val batchClips = AudioFingerprint.batchClipTable(spark, sf)
+    val expected = AudioFingerprint
+      .nearDupIncrementalOf(
+        AudioFingerprint.landmarkTable(AudioFingerprint.windowTable(batchClips)),
+        corpusLm
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val index = AudioFingerprint.neardupIndexOf(corpusLm)
+    val all = batchClips
+      .collect()
+      .map(r => AudioStreamClip(r.getAs[Long]("media_id"), r.getAs[Array[Byte]]("payload")))
+    val (first, second) = all.splitAt(all.length / 2)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AudioStreamClip]
+    val got = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    val q = graft.streaming.AudioStream
+      .incremental(
+        input.toDF(),
+        index,
+        (out, _) =>
+          out.collect().foreach(r => got.synchronized {
+            got(r.getLong(0)) = (r.getLong(1), r.getBoolean(2))
+          }),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+      )
+      .start()
+    try {
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == expected.size && got.toMap == expected)
+    assert(expected.values.exists(!_._2) && expected.values.exists(_._2))
+    index.unpersist()
+    graft.Lineage.releaseHeld()
+  }
+
   test("planted copies are recovered at their true offsets") {
     val pairs = AudioFingerprint
       .nearDupOf(AudioFingerprint.landmarkTable(
@@ -67,3 +139,6 @@ class AudioFingerprintSpec extends SparkSuite {
     } finally graft.Lineage.releaseHeld()
   }
 }
+
+/** Top-level row for the MemoryStream encoder. */
+case class AudioStreamClip(media_id: Long, payload: Array[Byte])
