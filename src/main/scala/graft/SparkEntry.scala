@@ -124,7 +124,8 @@ object SparkEntry {
       operators.ImageFeatures.all ++
       operators.AudioFeatures.all ++
       operators.VideoShots.all ++
-      operators.AudioFingerprint.all
+      operators.AudioFingerprint.all ++
+      operators.MediaAudit.all
 
   /** Flagship: the full dedup pipeline (blocking, matchRecords predicate,
     * cluster assignment) on /root/testdata/sf0.001; driver smoke-checks
