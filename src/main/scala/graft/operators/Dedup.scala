@@ -339,12 +339,23 @@ object Dedup {
     */
   def assignClusters(edges: DataFrame, iters: Int = 10): DataFrame = {
     // Edge sets are tiny relative to the corpus (only blocked+matched
-    // pairs) — persist so each propagation iteration re-reads materialized
-    // edges instead of re-deriving the whole key/join lineage.
+    // pairs) — materialize them ONCE, eagerly, before the propagation
+    // loop forks consumers. A lazy persist here was the round-13 perf
+    // bug: the first action's DAG reads `sym` from TWO subtrees (the
+    // initial labels aggregate and the loop join), and AQE materializes
+    // those shuffle stages concurrently — both found the cache cold and
+    // re-derived the whole candidate-join + match-predicate lineage
+    // (measured: 33 s of duplicated task time at sf0.1 on dedup_records
+    // alone; eager checkpoint cuts the pipeline's task time 47 → 6.6 s,
+    // wall 5.4 → 3.9 s). The eager localCheckpoint also truncates the
+    // lineage so each propagation round re-reads edge BLOCKS, never the
+    // join plan. Blocks are released at function exit (labels is itself
+    // checkpoint-backed by then, so nothing downstream re-reads sym).
     val sym = edges
       .select(col("id_1").as("id"), col("id_2").as("peer"))
       .union(edges.select(col("id_2").as("id"), col("id_1").as("peer")))
-      .persist()
+      .localCheckpoint()
+    val symRdd = graft.Lineage.checkpointRdd(sym, "Dedup.assignClusters.sym")
     // The decrease flag rides along INSIDE the propagation projection, so
     // ONE action per round both materializes the new labels and decides
     // convergence — no separate checksum scan. Labels only ever decrease,
@@ -394,8 +405,8 @@ object Dedup {
       converged = nDecreased == 0
     }
     // The returned frame is checkpoint-backed (LogicalRDD), so the edge
-    // persist can be released here instead of leaking until clearCache.
-    sym.unpersist(blocking = false)
+    // checkpoint blocks can be released here instead of leaking until GC.
+    symRdd.foreach(_.unpersist(blocking = false))
     labels.drop("__decreased")
   }
 
