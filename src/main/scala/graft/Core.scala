@@ -83,6 +83,45 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Input-parallelism floor for CPU-dense per-row kernels (optimization
+    * guide §2.5 "input skew: one huge unsplittable file ... otherwise
+    * repartition immediately after the read"): the testdata parquet
+    * ships ONE row group per file, so a scan plans at file granularity —
+    * 1-3 tasks regardless of cores — and a heavy per-row kernel placed
+    * directly on the scan (ISO2709 round-trip map, winnowing anchor
+    * selection, brute-force cosine) inherits that ceiling (measured:
+    * the strided-span winnow ran as one 2.3 s task vs a 272 ms median
+    * sibling at sf0.1 local[32]).
+    *
+    * APPLIED SELECTIVELY, not at every table read: a round-13
+    * interleaved A/B (4 bench runs) showed a blanket floor on all scans
+    * LOSES ~4 s on group 1 / ~5 s on group 2 — unioned reads multiply
+    * to 64-96 partitions whose per-stage scheduling overhead, plus the
+    * extra round-robin exchange under queries that immediately
+    * hash-shuffle anyway (aggregates, windows, joins), swamps the
+    * gains — while exactly the per-row-kernel sites win consistently
+    * (ingest_pipeline 0.93→0.43 s, knn_cosine 0.61→0.40 s,
+    * docs_duplicate_spans_strided 4.0→2.5 s).
+    *
+    * Conditional on the input actually planning below the session's
+    * parallelism: a production table (many files / row groups) already
+    * exceeds `defaultParallelism`, so this is a no-op at cluster scale —
+    * it scales with the configured core count, never a constant.
+    * Row-to-partition assignment is deterministic (Spark sorts before
+    * round-robin repartition, SPARK-23207) and the consumers feed
+    * partition-order-independent aggregates; the full oracle sweep
+    * certifies output equality. `SPARK_GRAFT_FANOUT=off` disables it
+    * for A/B measurement.
+    */
+  def fanOutForCpu(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (fanOutEnabled && df.rdd.getNumPartitions * 2 <= par) df.repartition(par)
+    else df
+  }
+
+  private val fanOutEnabled =
+    sys.env.getOrElse("SPARK_GRAFT_FANOUT", "on") != "off"
+
   /** The events table carries nanosecond parquet timestamps, which Spark's
     * vectorized reader rejects by default. We read them as raw nanos
     * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench sessions)

@@ -340,8 +340,17 @@ object CurationQueries {
     // PlanSpec's corpus-window guard pins this shape.
     // Held for deferred release: the blocks outlive clearCache, so the
     // consumer frees them via Lineage.releaseHeld() after its action.
+    // The winnow kernel (an md5 per gram position) is a heavy per-row
+    // kernel directly on the scan, and the corpus union's branches are
+    // size-skewed (the full-docs branch is 10× its siblings) — fan out
+    // to the session's cores before the kernel (measured 4.0 → 2.5 s at
+    // sf0.1 with the dominant branch's 2.3 s single task gone; no-op at
+    // cluster scale, see Tables.fanOutForCpu).
     val anchors =
-      graft.Lineage.hold(anchorsOf(corpus).localCheckpoint(), "CurationQueries.stridedSpansOf")
+      graft.Lineage.hold(
+        anchorsOf(graft.Tables.fanOutForCpu(corpus)).localCheckpoint(),
+        "CurationQueries.stridedSpansOf"
+      )
     val dup = anchors
       .groupBy("g")
       .agg(count(lit(1)).as("c"))

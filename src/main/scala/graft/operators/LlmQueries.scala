@@ -167,7 +167,17 @@ object LlmQueries {
     val bands = sig
       .select(col("doc_id"), posexplode(lshBands(col("sig"), Bands, Rows)))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
-    if (persist) bands.persist() else bands
+    // Eager checkpoint, not lazy persist (round-13 profiling): the heavy
+    // census broadcast AND both self-join map sides each re-ran the full
+    // MinHash signature pass from parquet — three identical ~14 s
+    // 96-task stages at sf0.1 — because the lazily-persisted frame was
+    // consumed by concurrently-materialized query stages before any of
+    // them populated the cache. One eager materialization; consumers
+    // read blocks. Released via Lineage.releaseHeld (Verify/Bench per
+    // query), same contract as the other checkpointing operators.
+    if (persist)
+      graft.Lineage.hold(bands.localCheckpoint(), "LlmQueries.bandTableOf")
+    else bands
   }
 
   /** (band_id, band_hash, n, rep) for buckets with more than `cap`
@@ -208,10 +218,15 @@ object LlmQueries {
         .of(MinHashSigExpr(GraftColumn.exprOf(col("text")), MinhashK, 3))
         .as("sig")
     )
-    val pt = sig
-      .select(col("doc_id"), explode(lshProbeBands(col("sig"), Bands, Rows)).as("e"))
-      .select(col("doc_id"), col("e.band_id"), col("e.drop_pos"), col("e.p_hash"))
-      .persist()
+    // Eager checkpoint for the same reason as [[bandTableOf]]: census +
+    // two join sides would otherwise each replay the signature pass.
+    val pt = graft.Lineage.hold(
+      sig
+        .select(col("doc_id"), explode(lshProbeBands(col("sig"), Bands, Rows)).as("e"))
+        .select(col("doc_id"), col("e.band_id"), col("e.drop_pos"), col("e.p_hash"))
+        .localCheckpoint(),
+      "LlmQueries.minhashProbePairsOf"
+    )
     val heavy = pt
       .groupBy("band_id", "drop_pos", "p_hash")
       .agg(count(lit(1)).as("__n"))
@@ -563,7 +578,10 @@ object LlmQueries {
       "knn_cosine",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val emb = Tables.embeddings(s, d)
+        // Brute-force cosine against every query vector is a per-row
+        // kernel on the scan — fan the single-row-group input out
+        // (measured 0.61 → 0.40 s at sf0.1; no-op at cluster scale).
+        val emb = Tables.fanOutForCpu(Tables.embeddings(s, d))
         val queries = emb
           .filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -40,9 +40,18 @@ object LlmQueries6 {
           )
         }.as("seg_hashes")
       )
-    val segs = docs
-      .select(col("doc_id"), explode(col("seg_hashes")).as("seg_hash"))
-      .persist()
+    // Eager checkpoint, not lazy persist: the census aggregate and the
+    // join-back side are independent shuffle stages that AQE
+    // materializes concurrently — a cold lazy cache runs the
+    // normalize+segment+md5 pass twice (measured as two full-corpus
+    // single-task stages in the round-13 profile). Blocks released by
+    // the consumer via Lineage.releaseHeld.
+    val segs = graft.Lineage.hold(
+      docs
+        .select(col("doc_id"), explode(col("seg_hashes")).as("seg_hash"))
+        .localCheckpoint(),
+      "LlmQueries6.segmentStatsOf.segs"
+    )
     val counts = segs
       .groupBy("seg_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"))

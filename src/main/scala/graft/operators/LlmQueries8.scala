@@ -156,9 +156,18 @@ object LlmQueries8 {
       minJaccard: Double,
       maxBucketSize: Int
   ): DataFrame = {
-    val wordSets = docs
-      .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
-      .persist()
+    // Eager checkpoint, not lazy persist: the two verify-join sides
+    // below are INDEPENDENT shuffle stages, and AQE materializes them
+    // concurrently — with a cold lazy cache both would re-run the
+    // tokenization over the whole corpus (the assignClusters round-13
+    // lesson). Blocks are released by the consumer via Lineage
+    // (Verify/Bench call releaseHeld per query).
+    val wordSets = graft.Lineage.hold(
+      docs
+        .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
+        .localCheckpoint(),
+      "LlmQueries8.edgesFromBandTable.wordSets"
+    )
     bandPairs(bandTable, maxBucketSize)
       .distinct()
       .join(wordSets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))

@@ -22,9 +22,13 @@ object PipelineQueries {
       "ingest_pipeline",
       (s, d) => {
         import s.implicits._
+        // The ISO2709 serialize/parse round trip below is a heavy
+        // per-row kernel sitting directly on the scan — fan the
+        // single-row-group input out to the session's cores first
+        // (measured 0.93 → 0.43 s at sf0.1; no-op at cluster scale, see
+        // Tables.fanOutForCpu).
         val base = Tables
-          .part(s, d)
-          .select("p_partkey", "p_name", "p_type")
+          .fanOutForCpu(Tables.part(s, d).select("p_partkey", "p_name", "p_type"))
           .as[(Long, String, String)]
         // Stage 1-2: serialize to ISO 2709 and parse back (distributed).
         val parsed = base.map { case (k, name, typ) =>

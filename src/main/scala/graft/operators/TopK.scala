@@ -45,7 +45,18 @@ object TopK {
     // Sentinel-coalesced join form of the group key: an equi-join on a
     // null key matches nothing, which would silently drop null groups
     // (the pplBucketsOf review lesson).
-    val keyed = df.withColumn("__gk", coalesce(col(groupCol).cast("string"), lit("\u0000")))
+    // Persisted because BOTH the histogram (via the broadcast cells
+    // subquery) and the row side of the broadcast join read it - without
+    // the persist the caller's upstream (a full-corpus score projection
+    // here, the whole BM25 posting aggregation for docs_bm25_search)
+    // replays once per consumer. The broadcast subquery materializes
+    // first and populates the cache, so a lazy persist is race-free in
+    // this shape (unlike the concurrent-shuffle consumers assignClusters
+    // had); the caller releases it via the per-query clearCache
+    // convention (Bench/Verify).
+    val keyed = df
+      .withColumn("__gk", coalesce(col(groupCol).cast("string"), lit("\u0000")))
+      .persist()
     val hist = keyed.groupBy("__gk", scoreCol).agg(count(lit(1)).as("__c"))
     val byScoreDesc = Window.partitionBy("__gk").orderBy(col(scoreCol).desc)
     val cells = hist
