@@ -576,6 +576,10 @@ object Dedup {
     // join: persist it so the normalization expressions run once per
     // record, not four times. The persisted frame is narrow (no window
     // columns) and its materialization needs no shuffle at all.
+    // (A fan-out of `records` to the session cores was measured here in
+    // round 13 and REVERTED: unlike the ingest/knn/winnow kernels, the
+    // added exchange + wider stages did not pay for themselves —
+    // dedup_records benched 4.3 s without vs 5.2 s with.)
     val keyed = withKeys(records, folding).persist()
     val clusters = assignClusters(matchedEdges(keyed), iters)
     keyed

@@ -140,8 +140,24 @@ object LlmQueries8 {
       docs: DataFrame,
       minJaccard: Double,
       maxBucketSize: Int = LlmQueries.MaxBucketSize
-  ): DataFrame =
-    edgesFromBandTable(docs, LlmQueries.bandTableOf(docs), minJaccard, maxBucketSize)
+  ): DataFrame = {
+    // The band-table and word-set checkpoints are INDEPENDENT eager jobs
+    // over the same input; run them concurrently so the second does not
+    // wait for the first's tail (optimization guide §2.6 "overlap
+    // independent jobs" — Spark's scheduler runs both and back-fills
+    // idle cores). Await both before composing the lazy tail.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val bandsF = Future(LlmQueries.bandTableOf(docs))
+    val wsF = Future(wordSetsOf(docs))
+    edgesFromBandTable(
+      Await.result(bandsF, Duration.Inf),
+      Await.result(wsF, Duration.Inf),
+      minJaccard,
+      maxBucketSize
+    )
+  }
 
   /** The candidate-generation + verification tail over an EXPLICIT band
     * table — shared by the in-memory path ([[verifiedNeardupEdges]],
@@ -150,24 +166,27 @@ object LlmQueries8 {
     * (band_id, band_hash)-bucketed parquet table with zero exchange on
     * the band join).
     */
-  private def edgesFromBandTable(
-      docs: DataFrame,
-      bandTable: DataFrame,
-      minJaccard: Double,
-      maxBucketSize: Int
-  ): DataFrame = {
-    // Eager checkpoint, not lazy persist: the two verify-join sides
-    // below are INDEPENDENT shuffle stages, and AQE materializes them
-    // concurrently — with a cold lazy cache both would re-run the
-    // tokenization over the whole corpus (the assignClusters round-13
-    // lesson). Blocks are released by the consumer via Lineage
-    // (Verify/Bench call releaseHeld per query).
-    val wordSets = graft.Lineage.hold(
+  /** Tokenized word sets, eagerly checkpointed — NOT a lazy persist: the
+    * two verify-join sides reading this are INDEPENDENT shuffle stages,
+    * and AQE materializes them concurrently — with a cold lazy cache
+    * both would re-run the tokenization over the whole corpus (the
+    * assignClusters round-13 lesson). Blocks are released by the
+    * consumer via Lineage (Verify/Bench call releaseHeld per query).
+    */
+  private def wordSetsOf(docs: DataFrame): DataFrame =
+    graft.Lineage.hold(
       docs
         .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
         .localCheckpoint(),
-      "LlmQueries8.edgesFromBandTable.wordSets"
+      "LlmQueries8.wordSetsOf"
     )
+
+  private def edgesFromBandTable(
+      bandTable: DataFrame,
+      wordSets: DataFrame,
+      minJaccard: Double,
+      maxBucketSize: Int
+  ): DataFrame = {
     bandPairs(bandTable, maxBucketSize)
       .distinct()
       .join(wordSets.select(col("doc_id").as("doc_a"), col("wset").as("wa")), Seq("doc_a"))
@@ -285,7 +304,7 @@ object LlmQueries8 {
       )
     }
     val bands = graft.sources.Bucketing.readBucketed(spark, table)
-    val edges = edgesFromBandTable(docs, bands, minJaccard, maxBucketSize)
+    val edges = edgesFromBandTable(bands, wordSetsOf(docs), minJaccard, maxBucketSize)
       .select(col("doc_a").as("id_1"), col("doc_b").as("id_2"))
     val clusters = Dedup.assignClusters(edges)
     labelAllDocs(
