@@ -44,15 +44,27 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stageId -> (query, agg); query attribution via the volatile current name.
+    // stageId -> (query, agg). Attribution rides the JOB DESCRIPTION the
+    // stage was SUBMITTED with (a stage property, set per measured query
+    // below), not a volatile flag read at task end: the listener bus
+    // lags the driver, so tasks completing after a flag flip would be
+    // misattributed to the next query (r13 ADVICE).
     @volatile var current = "warmup"
     val stages = mutable.LinkedHashMap.empty[(String, Int), StageAgg]
     val stageNames = mutable.HashMap.empty[Int, String]
+    val stageQuery = mutable.HashMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stages.synchronized {
+          val desc = Option(ss.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          stageQuery(ss.stageInfo.stageId) = desc.getOrElse(current)
+        }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) stages.synchronized {
-          val agg = stages.getOrElseUpdate((current, t.stageId), StageAgg())
+          val who = stageQuery.getOrElse(t.stageId, current)
+          val agg = stages.getOrElseUpdate((who, t.stageId), StageAgg())
           val ms = m.executorRunTime
           agg.taskTimeMs += ms
           agg.maxTaskMs = math.max(agg.maxTaskMs, ms)
@@ -96,6 +108,9 @@ object Profile {
       spark.sparkContext.setJobDescription(null)
       spark.catalog.clearCache()
       graft.Lineage.releaseHeld()
+      // Drain the async listener bus before reading the aggregates, so
+      // short queries don't print incomplete stage rows (r13 ADVICE).
+      org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
       val mine = stages.synchronized {
         stages.toSeq.filter(_._1._1 == q.name)
       }

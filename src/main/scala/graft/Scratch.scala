@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway measurement experiments for the optimization round (not a
-  * registered query; numbers land in OPTIMIZATION_r13.md).
+  * registered query; numbers land in OPTIMIZATION_r14.md).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -31,67 +31,30 @@ object Scratch {
       val r = f
       val wall = (System.nanoTime() - t0) / 1e9
       val tt = (taskTime.get() - tt0) / 1e3
-      println(f"[scratch] $name%-40s wall=$wall%7.3f s  task=$tt%8.2f s")
+      println(f"[scratch] $name%-44s wall=$wall%7.3f s  task=$tt%8.2f s")
       r
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def reset(): Unit = { spark.catalog.clearCache(); Lineage.releaseHeld() }
 
-    import graft.operators.{Dedup, DedupQueries}
-
-    // Warmup full pipeline once (codegen).
-    time("warmup dedup_records") {
-      noop(Dedup.dedupRecords(DedupQueries.records(spark, sfDir)).select("id", "dedup_id"))
+    // AQE coalescing knob A/B on the CPU-dense reduce stages
+    // (events_sessionize 2-task windows, merge_components 8-task agg).
+    val names = Seq("events_sessionize", "merge_components", "docs_exact_dedup", "q1_agg")
+    val qs = SparkEntry.registry.filter(q => names.contains(q.name))
+    qs.foreach { q => // codegen warmup
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); reset()
     }
-    spark.catalog.clearCache(); Lineage.releaseHeld()
-
-    // E1: key computation alone.
-    time("E1 records+withKeys noop") {
-      noop(Dedup.withKeys(DedupQueries.records(spark, sfDir)))
+    for (rep <- 1 to 3; mps <- Seq("1MB", "64KB", "16KB")) {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", mps)
+      qs.foreach { q =>
+        time(s"A$rep mps=$mps ${q.name}") {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        reset()
+      }
     }
-    spark.catalog.clearCache(); Lineage.releaseHeld()
-
-    // E2: keyed persisted + materialized, then edges.
-    val keyed = Dedup.withKeys(DedupQueries.records(spark, sfDir)).persist()
-    time("E2a keyed materialize (count)") { keyed.count() }
-    val edges = Dedup.matchedEdges(keyed)
-    time("E2b matchedEdges noop (keyed hot)") { noop(edges) }
-    // E3: propagation from hot edges.
-    time("E3 assignClusters (edges recomputed)") { noop(Dedup.assignClusters(edges)) }
-    spark.catalog.clearCache(); Lineage.releaseHeld()
-
-    // E4: full pipeline, current shape.
-    time("E4 dedupRecords full") {
-      noop(Dedup.dedupRecords(DedupQueries.records(spark, sfDir)).select("id", "dedup_id"))
-    }
-    spark.catalog.clearCache(); Lineage.releaseHeld()
-
-    // E5: full pipeline with edges localCheckpointed before propagation
-    // (kills any double computation of the sym cache).
-    time("E5 dedupRecords, edges checkpointed") {
-      val keyed2 = Dedup.withKeys(DedupQueries.records(spark, sfDir)).persist()
-      val e = Dedup.matchedEdges(keyed2).localCheckpoint()
-      val clusters = Dedup.assignClusters(e)
-      noop(keyed2.select("id").join(clusters, Seq("id"), "left"))
-    }
-    spark.catalog.clearCache(); Lineage.releaseHeld()
-
-    // E6: repartitioned source (simulate the scan fan-out).
-    time("E6 dedupRecords, records repartitioned") {
-      val recs = DedupQueries.records(spark, sfDir).repartition(cpus.toInt)
-      noop(Dedup.dedupRecords(recs).select("id", "dedup_id"))
-    }
-    spark.catalog.clearCache(); Lineage.releaseHeld()
-
-    // E7: E5+E6 combined.
-    time("E7 dedupRecords, repart + ckpt edges") {
-      val recs = DedupQueries.records(spark, sfDir).repartition(cpus.toInt)
-      val keyed2 = Dedup.withKeys(recs).persist()
-      val e = Dedup.matchedEdges(keyed2).localCheckpoint()
-      val clusters = Dedup.assignClusters(e)
-      noop(keyed2.select("id").join(clusters, Seq("id"), "left"))
-    }
-    spark.catalog.clearCache(); Lineage.releaseHeld()
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB")
 
     spark.stop()
   }

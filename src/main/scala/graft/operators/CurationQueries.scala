@@ -346,9 +346,22 @@ object CurationQueries {
     // to the session's cores before the kernel (measured 4.0 → 2.5 s at
     // sf0.1 with the dominant branch's 2.3 s single task gone; no-op at
     // cluster scale, see Tables.fanOutForCpu).
+    // Census key = the 16-byte md5 DIGEST of the 40-char gram, not the
+    // gram string (round-14, guide §2.3 "shuffle fewer bytes" / narrower
+    // types): the gram only ever feeds the duplicate census groupBy and
+    // the join back — never the output — so a collision-free hash is an
+    // equivalent key at 40% of the bytes through the checkpoint, both
+    // shuffles and the agg hash table. Collision bound: distinct grams
+    // n ≤ corpus bytes; at n = 10¹² the md5 birthday bound is
+    // n²/2¹²⁹ ≈ 1.5·10⁻¹⁵ — far below any real corpus's bit-flip rate.
+    // RoundTenOpsSpec pins digest-vs-string census equality; the DuckDB
+    // oracle (exact strings) certifies the output every sweep.
     val anchors =
       graft.Lineage.hold(
-        anchorsOf(graft.Tables.fanOutForCpu(corpus)).localCheckpoint(),
+        graft.Checkpoint.of(
+          anchorsOf(graft.Tables.fanOutForCpu(corpus))
+            .select(col("doc_id"), col("pos"), unhex(md5(col("g"))).as("g"))
+        ),
         "CurationQueries.stridedSpansOf"
       )
     val dup = anchors

@@ -351,10 +351,11 @@ object Dedup {
     // lineage so each propagation round re-reads edge BLOCKS, never the
     // join plan. Blocks are released at function exit (labels is itself
     // checkpoint-backed by then, so nothing downstream re-reads sym).
-    val sym = edges
-      .select(col("id_1").as("id"), col("id_2").as("peer"))
-      .union(edges.select(col("id_2").as("id"), col("id_1").as("peer")))
-      .localCheckpoint()
+    val sym = graft.Checkpoint.of(
+      edges
+        .select(col("id_1").as("id"), col("id_2").as("peer"))
+        .union(edges.select(col("id_2").as("id"), col("id_1").as("peer")))
+    )
     val symRdd = graft.Lineage.checkpointRdd(sym, "Dedup.assignClusters.sym")
     // The decrease flag rides along INSIDE the propagation projection, so
     // ONE action per round both materializes the new labels and decides
@@ -370,7 +371,7 @@ object Dedup {
     // while the convergence count stays the single materializing action
     // (the Bpe.train / ConnectedComponents discipline, incl. the
     // executor-loss caveat documented on graft.Lineage).
-    var labels = sym
+    val labels0 = sym
       .groupBy("id")
       .agg(min(col("peer")).as("min_peer"))
       .select(
@@ -378,11 +379,11 @@ object Dedup {
         least(col("min_peer"), col("id")).as("dedup_id"),
         lit(true).as("__decreased")
       )
-      .localCheckpoint(false)
+    var labels = graft.Checkpoint.of(labels0, eager = false)
     var labelsRdd = graft.Lineage.checkpointRdd(labels, "Dedup.assignClusters")
     var converged = false
     for (_ <- 1 to iters if !converged) {
-      val next = sym
+      val next0 = sym
         .join(
           labels
             .select(col("id").as("peer"), col("dedup_id").as("peer_label")),
@@ -396,7 +397,7 @@ object Dedup {
           least(col("peer_min"), col("dedup_id")).as("dedup_id"),
           (col("peer_min") < col("dedup_id")).as("__decreased")
         )
-        .localCheckpoint(false)
+      val next = graft.Checkpoint.of(next0, eager = false)
       val nextRdd = graft.Lineage.checkpointRdd(next, "Dedup.assignClusters")
       val nDecreased = next.filter(col("__decreased")).count()
       labelsRdd.foreach(_.unpersist(blocking = false))

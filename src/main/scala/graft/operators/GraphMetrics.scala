@@ -52,7 +52,7 @@ object GraphMetrics {
     // cleaner once the frame is unreferenced, keeping a full registry
     // sweep's footprint bounded (persist entries would pin blocks in
     // the CacheManager until an explicit clearCache).
-    val edges = canonical(edges0).localCheckpoint()
+    val edges = graft.Checkpoint.of(canonical(edges0))
     val deg = edges
       .select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
@@ -100,7 +100,7 @@ object GraphMetrics {
     * next round materializes past them.
     */
   def kcoreOf(edges0: DataFrame, k: Int = CoreK, rounds: Int = PeelRounds): DataFrame = {
-    val edges = canonical(edges0).localCheckpoint()
+    val edges = graft.Checkpoint.of(canonical(edges0))
     // One-row (vertex count, degree sum) summary, collected DRIVER-side
     // per round (the Bpe.train argmax-collect discipline): peeling is
     // monotone, so summary equality means the degree table is at its
@@ -127,12 +127,19 @@ object GraphMetrics {
       val e2 = edges
         .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
-      val next = e2
-        .select(col("u").as("id"))
-        .unionByName(e2.select(col("v").as("id")))
-        .groupBy("id")
-        .agg(count(lit(1)).as("dg"))
-        .localCheckpoint()
+      // LAZY checkpoint (round-14, guide §1.2 action batching): the
+      // summary collect below is the round's single materializing
+      // action — the old eager localCheckpoint ran a SEPARATE job per
+      // round before the collect, i.e. 2 sequential job turnarounds per
+      // peel round where 1 suffices (the assignClusters discipline).
+      val next = graft.Checkpoint.of(
+        e2
+          .select(col("u").as("id"))
+          .unionByName(e2.select(col("v").as("id")))
+          .groupBy("id")
+          .agg(count(lit(1)).as("dg")),
+        eager = false
+      )
       val sm = summaryOf(next)
       if (sm == prevSummary) stable = r
       prevSummary = sm
@@ -215,7 +222,7 @@ object GraphMetrics {
     * (both engines truncate integer division toward zero — probed).
     */
   def modularityOf(edges0: DataFrame, labels: DataFrame): DataFrame = {
-    val edges = canonical(edges0).localCheckpoint()
+    val edges = graft.Checkpoint.of(canonical(edges0))
     val lab = labels.select(col("doc_id"), col("cluster_id"))
     val tagged = edges
       .join(lab.select(col("doc_id").as("u"), col("cluster_id").as("cu")), Seq("u"))

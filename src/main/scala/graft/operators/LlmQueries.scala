@@ -143,13 +143,19 @@ object LlmQueries {
     */
   val MaxBucketSize = 1000
 
-  /** Exploded (doc_id, band_id, band_hash) LSH band table, persisted by
-    * default — it feeds both self-join sides plus the heavy-bucket
-    * count, so it is computed once. Callers unpersist via
-    * `spark.catalog.clearCache()` (Verify/Bench already do). Pass
-    * `persist = false` for single-use band tables (e.g. the delta side
-    * of incremental matching inside a long-running stream, where a
-    * per-batch persist would leak cache).
+  /** Exploded (doc_id, band_id, band_hash) LSH band table. With
+    * `persist = true` (default) it is EAGERLY checkpointed and held via
+    * [[graft.Lineage.hold]] — it feeds both self-join sides plus the
+    * heavy-bucket count, so it is computed once, and the checkpoint JOB
+    * RUNS INSIDE THIS CALL (not lazily at the caller's first action).
+    * Release contract: `spark.catalog.clearCache()` does NOT free
+    * checkpoint blocks — the consumer must call
+    * `graft.Lineage.releaseHeld()` after its action (Verify/Bench/
+    * Profile do, per query); long-lived callers outside that loop (e.g.
+    * the incremental corpus side) hold blocks until someone releases.
+    * Pass `persist = false` for single-use band tables (e.g. the delta
+    * side of incremental matching inside a long-running stream, where a
+    * per-batch checkpoint would leak blocks).
     */
   def bandTableOf(docs: DataFrame, persist: Boolean = true): DataFrame = {
     // Native single-pass signature kernel (MinHashSigExpr) — semantically
@@ -176,7 +182,7 @@ object LlmQueries {
     // read blocks. Released via Lineage.releaseHeld (Verify/Bench per
     // query), same contract as the other checkpointing operators.
     if (persist)
-      graft.Lineage.hold(bands.localCheckpoint(), "LlmQueries.bandTableOf")
+      graft.Lineage.hold(graft.Checkpoint.of(bands), "LlmQueries.bandTableOf")
     else bands
   }
 
@@ -224,7 +230,7 @@ object LlmQueries {
       sig
         .select(col("doc_id"), explode(lshProbeBands(col("sig"), Bands, Rows)).as("e"))
         .select(col("doc_id"), col("e.band_id"), col("e.drop_pos"), col("e.p_hash"))
-        .localCheckpoint(),
+        .transform(graft.Checkpoint.of(_)),
       "LlmQueries.minhashProbePairsOf"
     )
     val heavy = pt

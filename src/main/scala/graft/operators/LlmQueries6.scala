@@ -47,9 +47,10 @@ object LlmQueries6 {
     // single-task stages in the round-13 profile). Blocks released by
     // the consumer via Lineage.releaseHeld.
     val segs = graft.Lineage.hold(
-      docs
-        .select(col("doc_id"), explode(col("seg_hashes")).as("seg_hash"))
-        .localCheckpoint(),
+      graft.Checkpoint.of(
+        docs
+          .select(col("doc_id"), explode(col("seg_hashes")).as("seg_hash"))
+      ),
       "LlmQueries6.segmentStatsOf.segs"
     )
     val counts = segs

@@ -146,17 +146,33 @@ object LlmQueries8 {
     // wait for the first's tail (optimization guide §2.6 "overlap
     // independent jobs" — Spark's scheduler runs both and back-fills
     // idle cores). Await both before composing the lazy tail.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    //
+    // A DEDICATED two-thread pool, created in-call, not the global
+    // implicit pool (r13 ADVICE): pool threads are created on first
+    // submit, i.e. HERE, so they inherit THIS thread's job group /
+    // description inheritable-locals and both checkpoint jobs attribute
+    // to the enclosing query (the global pool's threads inherit from
+    // whichever thread first touched it, session-wide). Failure of
+    // either future propagates after BOTH settle (no orphaned in-flight
+    // job); any held blocks from the surviving side are freed by the
+    // consumer's per-query Lineage.releaseHeld, which Bench/Verify run
+    // on the failure path too.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val bandsF = Future(LlmQueries.bandTableOf(docs))
-    val wsF = Future(wordSetsOf(docs))
-    edgesFromBandTable(
-      Await.result(bandsF, Duration.Inf),
-      Await.result(wsF, Duration.Inf),
-      minJaccard,
-      maxBucketSize
-    )
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val bandsF = Future(LlmQueries.bandTableOf(docs))
+      val wsF = Future(wordSetsOf(docs))
+      val bands = Await.ready(bandsF, Duration.Inf)
+      val ws = Await.ready(wsF, Duration.Inf)
+      edgesFromBandTable(
+        bands.value.get.get,
+        ws.value.get.get,
+        minJaccard,
+        maxBucketSize
+      )
+    } finally pool.shutdown()
   }
 
   /** The candidate-generation + verification tail over an EXPLICIT band
@@ -175,9 +191,10 @@ object LlmQueries8 {
     */
   private def wordSetsOf(docs: DataFrame): DataFrame =
     graft.Lineage.hold(
-      docs
-        .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
-        .localCheckpoint(),
+      graft.Checkpoint.of(
+        docs
+          .select(col("doc_id"), array_distinct(TextFunctions.words(col("text"))).as("wset"))
+      ),
       "LlmQueries8.wordSetsOf"
     )
 

@@ -134,74 +134,103 @@ object Retrieval {
   /** The un-cut (query_id, doc_id, score_mu) candidate scores — every
     * document containing a query term. [[Rerank]] brute-forces its
     * ground truth over this frame.
+    *
+    * Round-14 restructure (guide §1.2 "distributed algorithm" / §2.4
+    * "remove shuffles outright"): the query vocabulary is a COMPILE-TIME
+    * constant (9 terms), so per-document term frequencies are array
+    * columns computed in the tokenize projection — the old
+    * explode → isin → groupBy(doc_id, term) posting aggregation (a
+    * corpus-keyed shuffle) disappears, and the old THREE full tokenize
+    * passes (df chain, stats pass, tf broadcast build — three separate
+    * `Scan parquet` subtrees in the r13 plan) collapse into ONE pass
+    * materialized into the lazily persisted narrow per-doc frame
+    * (doc_id, dl, tf_0..tf_8 — no text). The 1-row corpus statistics
+    * (N, Σdl, df_t = Σ[tf_t>0]) fold into a SINGLE aggregate over that
+    * frame, which is EAGERLY checkpointed (a lazy persist was measured
+    * first and raced: the per-query union planned its own statsRow
+    * broadcast build per branch, and those builds plus the probe stages
+    * hit the cold cache CONCURRENTLY — six ~320 ms stages each
+    * re-reading the parquet, the assignClusters replay class). The
+    * scored frame is then a SINGLE map pass over the blocks: one
+    * broadcast join attaches the stats row and an explode of the
+    * 3-element per-query struct array replaces the 3-branch union, so
+    * one probe stage and one broadcast build remain. Result: 1 tokenize
+    * pass instead of 3, zero corpus-keyed exchanges before the top-k
+    * histogram, measured 2.96 → ~1.3 s wall / 23 → ~2 s summed task
+    * time at sf0.1 local[32].
+    *
+    * Output equivalence with the posting form (and the unchanged DuckDB
+    * oracle) is EXACT, not approximate: the candidate set is identical
+    * (a doc appears for query q iff Σ_{t∈q} tf_t > 0, i.e. it contains
+    * ≥1 query term — per-query, not any-term, so score-0 docs stay
+    * excluded); each per-term contribution rounds BEFORE the sum with
+    * the identical double expression (same operand order, same casts),
+    * and a tf=0 term contributes round(idf·0/den) = 0 exactly. The
+    * bm25/rerank/RM3 oracle hash gates certify it every sweep.
     */
-  private[operators] def bm25ScoredOf(documents: DataFrame): DataFrame = {
-    {
-      val s = documents.sparkSession
-      import s.implicits._
-      val queryTerms = SearchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
-      val allTerms = queryTerms.map(_._2).distinct
-      val base = documents.select(col("doc_id"), tokens.as("ws"))
-      val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-      // dl rides through the posting aggregation (it's functionally
-      // determined by doc_id), so no corpus-keyed join back is needed.
-      val tf = base
-        .select(
-          col("doc_id"),
-          size(col("ws")).cast("long").as("dl"),
-          explode(col("ws")).as("term")
-        )
-        .filter(col("term").isin(allTerms: _*))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      val idf = tf
-        .groupBy("term")
-        .agg(count(lit(1)).as("df"))
-        .withColumn("j", (col("df") - col("df") + 1).cast("int"))
-        .join(
-          broadcast(
-            stats.select(
-              (col("n") - col("n") + 1).cast("int").as("j"),
-              col("n"),
-              col("sumdl")
-            )
-          ),
-          Seq("j")
-        )
-        .select(
-          col("term"),
-          col("n"),
-          col("sumdl"),
-          round(
-            log(
-              (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0
-            ) * 1e6
-          ).cast("long").as("idf_mu")
-        )
-      val q = queryTerms.toDF("query_id", "term")
-      val den =
-        col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-          (col("dl") * col("n")).cast("double") / col("sumdl").cast("double"))
-      val termScore = tf
-        .join(idf, "term")
-        .join(broadcast(q), "term")
-        .select(
-          col("query_id"),
-          col("doc_id"),
-          round(col("idf_mu") * ((col("tf") * lit(2.2)) / den)).cast("long").as("t_mu")
-        )
-      // The top-10 cut in bm25Of rides the bounded histogram (TopK),
-      // not a per-query rank window: this scored candidate set is every
-      // document containing a query term, which for a common term is
-      // corpus-scale — a `PARTITION BY query_id` window would sort that
-      // whole posting list on one task at 100 TB (round 8; the ANN
-      // queries' per-query windows rank bucket-bounded candidate sets
-      // and keep the window form).
-      termScore
-        .groupBy("query_id", "doc_id")
-        .agg(sum("t_mu").as("score_mu"))
+  private[graft] def bm25ScoredOf(documents: DataFrame): DataFrame = {
+    val queryTerms = SearchQueries.flatMap { case (q, ts) => ts.map(q -> _) }
+    val allTerms = queryTerms.map(_._2).distinct
+    val termIdx = allTerms.zipWithIndex.toMap
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("ws"), w => w === t)).cast("long").as(s"tf_$i")
     }
+    val perDoc = graft.Lineage.hold(
+      graft.Checkpoint.of(
+        documents
+          .select(col("doc_id"), tokens.as("ws"))
+          .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +: tfCols: _*)
+      ),
+      "Retrieval.bm25ScoredOf.perDoc"
+    )
+    val dfAggs = sum("dl").as("sumdl") +:
+      allTerms.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n"), dfAggs: _*)
+    val idfCols = allTerms.indices.map { i =>
+      round(
+        log(
+          (col("n").cast("double") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0
+        ) * 1e6
+      ).cast("long").as(s"idf_$i")
+    }
+    // The corpus scalars ride the 1-row computed-key broadcast join
+    // (the docs_lm_score idiom — never a cross join, never a collect).
+    val statsRow = stats.select(
+      (col("n") - col("n") + 1).cast("int").as("j") +: col("n") +: col("sumdl") +: idfCols: _*
+    )
+    val withStats = perDoc
+      .withColumn("j", (col("dl") - col("dl") + 1).cast("int"))
+      .join(broadcast(statsRow), Seq("j"))
+    // The top-10 cut in bm25Of rides the bounded histogram (TopK),
+    // not a per-query rank window: this scored candidate set is every
+    // document containing a query term, which for a common term is
+    // corpus-scale — a `PARTITION BY query_id` window would sort that
+    // whole posting list on one task at 100 TB (round 8; the ANN
+    // queries' per-query windows rank bucket-bounded candidate sets
+    // and keep the window form).
+    val qStructs = SearchQueries.map { case (qid, ts) =>
+      val idxs = ts.map(termIdx)
+      def den(i: Int) =
+        col(s"tf_$i") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl") * col("n")).cast("double") / col("sumdl").cast("double"))
+      val score = idxs
+        .map(i =>
+          when(
+            col(s"tf_$i") > 0,
+            round(col(s"idf_$i") * ((col(s"tf_$i") * lit(2.2)) / den(i))).cast("long")
+          ).otherwise(lit(0L))
+        )
+        .reduce(_ + _)
+      struct(
+        lit(qid).as("query_id"),
+        score.as("score_mu"),
+        (idxs.map(i => col(s"tf_$i")).reduce(_ + _) > 0).as("keep")
+      )
+    }
+    withStats
+      .select(col("doc_id"), explode(array(qStructs: _*)).as("q"))
+      .filter(col("q.keep"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"), col("q.score_mu").as("score_mu"))
   }
 
   /** The BM25 oracle CTE chain with every CTE name prefixed by `p` —

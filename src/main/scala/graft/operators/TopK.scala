@@ -39,24 +39,40 @@ object TopK {
     * a group. Returns the input columns plus `rk` (1-based dense
     * per-group position under the total (score desc, id asc) order),
     * filtered to `rk <= k`.
+    *
+    * CACHE CONTRACT: with `persistInput = true` (the default) the scored
+    * input is lazily `persist()`ed and NOT unpersisted here — the frame
+    * this returns still reads it. The consumer must drop it after its
+    * action via `spark.catalog.clearCache()` (Bench/Verify/Profile do,
+    * per query); library callers that keep the session alive must do the
+    * same or leak one cache entry per invocation. Pass
+    * `persistInput = false` when the caller's upstream is already
+    * cache/checkpoint-backed and map-only (docs_bm25_search after the
+    * r14 per-doc restructure) — replaying a map-only subtree per
+    * consumer is cheaper than materializing a second cache of it.
     */
-  def topkPerGroup(df: DataFrame, groupCol: String, scoreCol: String, idCol: String, k: Int)
-      : DataFrame = {
+  def topkPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      persistInput: Boolean = true
+  ): DataFrame = {
     // Sentinel-coalesced join form of the group key: an equi-join on a
     // null key matches nothing, which would silently drop null groups
     // (the pplBucketsOf review lesson).
     // Persisted because BOTH the histogram (via the broadcast cells
     // subquery) and the row side of the broadcast join read it - without
     // the persist the caller's upstream (a full-corpus score projection
-    // here, the whole BM25 posting aggregation for docs_bm25_search)
-    // replays once per consumer. The broadcast subquery materializes
-    // first and populates the cache, so a lazy persist is race-free in
-    // this shape (unlike the concurrent-shuffle consumers assignClusters
-    // had); the caller releases it via the per-query clearCache
-    // convention (Bench/Verify).
-    val keyed = df
+    // here) replays once per consumer. The broadcast subquery
+    // materializes first and populates the cache, so a lazy persist is
+    // race-free in this shape (unlike the concurrent-shuffle consumers
+    // assignClusters had); the caller releases it per the scaladoc
+    // cache contract above.
+    val keyed0 = df
       .withColumn("__gk", coalesce(col(groupCol).cast("string"), lit("\u0000")))
-      .persist()
+    val keyed = if (persistInput) keyed0.persist() else keyed0
     val hist = keyed.groupBy("__gk", scoreCol).agg(count(lit(1)).as("__c"))
     val byScoreDesc = Window.partitionBy("__gk").orderBy(col(scoreCol).desc)
     val cells = hist

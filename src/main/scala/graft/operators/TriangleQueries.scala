@@ -33,16 +33,31 @@ object TriangleQueries {
     * (doc_a, doc_b); each triangle credits all three corners once.
     */
   def triangleCounts(edges0: DataFrame): DataFrame = {
+    // Eager checkpoints, not lazy persists (round-14; the assignClusters
+    // r13 lesson applied to the last known instance of the class): every
+    // multi-consumer frame here feeds INDEPENDENT shuffle stages that
+    // AQE materializes concurrently — `edges` the degree aggregate AND
+    // the orientation join side, `oriented` THREE wedge/closing join
+    // sides, `tris` three union branches — and a cold lazy cache made
+    // each consumer replay the whole verified-near-dup-edge derivation
+    // (profiled at sf0.1 local[32]: 33.7 s summed task time for a
+    // 3.7 s-wall query; the three fat stages were 64/64/96 tasks = the
+    // 2×/2×/3× concurrent replays). Blocks are released by the consumer
+    // via Lineage.releaseHeld (Bench/Verify per query).
     // Canonicalize defensively: (least, greatest) + distinct makes the
     // count correct even for callers that emit both directions.
-    val edges = edges0
-      .select(
-        least(col("doc_a"), col("doc_b")).as("u"),
-        greatest(col("doc_a"), col("doc_b")).as("v")
-      )
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .persist()
+    val edges = graft.Lineage.hold(
+      graft.Checkpoint.of(
+        edges0
+          .select(
+            least(col("doc_a"), col("doc_b")).as("u"),
+            greatest(col("doc_a"), col("doc_b")).as("v")
+          )
+          .filter(col("u") =!= col("v"))
+          .distinct()
+      ),
+      "TriangleQueries.edges"
+    )
     val deg = edges
       .select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
@@ -53,15 +68,19 @@ object TriangleQueries {
       .join(deg.select(col("id").as("v"), col("dg").as("dv")), Seq("v"))
     val uFirst =
       col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg
-      .select(
-        when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-        // the dst endpoint's degree, carried so wedge ordering and the
-        // closing edge's orientation agree without another join
-        when(uFirst, col("dv")).otherwise(col("du")).as("ddg")
-      )
-      .persist()
+    val oriented = graft.Lineage.hold(
+      graft.Checkpoint.of(
+        withDeg
+          .select(
+            when(uFirst, col("u")).otherwise(col("v")).as("src"),
+            when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+            // the dst endpoint's degree, carried so wedge ordering and the
+            // closing edge's orientation agree without another join
+            when(uFirst, col("dv")).otherwise(col("du")).as("ddg")
+          )
+      ),
+      "TriangleQueries.oriented"
+    )
     val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddg").as("bdg"))
     val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddg").as("cdg"))
     val wedges = e1
@@ -73,7 +92,10 @@ object TriangleQueries {
     // (bdg, b) < (cdg, c) in the orientation order, so the b—c edge, if
     // present, is oriented exactly b → c: one equi-join closes wedges.
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val tris = wedges.join(closing, Seq("b", "c")).persist()
+    val tris = graft.Lineage.hold(
+      graft.Checkpoint.of(wedges.join(closing, Seq("b", "c"))),
+      "TriangleQueries.tris"
+    )
     tris
       .select(col("a").as("doc_id"))
       .unionByName(tris.select(col("b").as("doc_id")))

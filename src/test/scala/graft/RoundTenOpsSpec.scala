@@ -168,6 +168,63 @@ class RoundTenOpsSpec extends SparkSuite {
     )
   }
 
+  test("strided-span digest census equals the exact-string census") {
+    // Round-14: stridedSpansOf groups/joins the duplicate-gram census on
+    // unhex(md5(g)) instead of the 40-char gram itself (narrower
+    // shuffles). Equality of the FINAL span output against a variant
+    // built on the exact string census pins the key substitution; the
+    // DuckDB oracle (exact strings) certifies it independently per sweep.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = operators.LlmQueries.corpus(spark, "/root/testdata/sf0.001")
+    def spansWithKey(useDigest: Boolean): Set[(Long, Long, Long, Long, Long)] = {
+      val g = 40
+      val raw = operators.CurationQueries.anchorsOf(corpus)
+      val anchors =
+        if (useDigest) raw.select(col("doc_id"), col("pos"), unhex(md5(col("g"))).as("g"))
+        else raw
+      val dup = anchors.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+      val occ = anchors.join(dup, Seq("g")).select(col("doc_id"), col("pos"), (col("pos") + (g - 1)).as("e"))
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val prevMax = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+      occ
+        .withColumn("ni", when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
+        .withColumn("island", sum(col("ni")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min(col("pos")).as("s0"), max(col("e")).as("e0"), count(lit(1)).as("na"))
+        .select(
+          col("doc_id"),
+          col("s0").cast("long"),
+          col("e0").cast("long"),
+          (col("e0") - col("s0") + 1).cast("long"),
+          col("na").cast("long")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    }
+    val withDigest = spansWithKey(useDigest = true)
+    val withString = spansWithKey(useDigest = false)
+    assert(withDigest.nonEmpty)
+    assert(withDigest == withString)
+    // And the production operator (which rides the digest) agrees too.
+    val prod = operators.CurationQueries
+      .stridedSpansOf(corpus)
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"),
+          r.getAs[Long]("span_len"),
+          r.getAs[Long]("n_anchors")
+        )
+      )
+      .toSet
+    graft.Lineage.releaseHeld()
+    assert(prod == withString)
+  }
+
   test("silhouette is exactly 10000 pm for two coincident-member classes") {
     import spark.implicits._
     // Every class-0 vector sits exactly at 0.1, every class-1 vector at
