@@ -573,15 +573,24 @@ object Dedup {
       iters: Int = 10,
       folding: Seq[(Char, String)] = Nil
   ): DataFrame = {
-    // keyed feeds both join sides, the heavy-key count, and the final left
-    // join: persist it so the normalization expressions run once per
-    // record, not four times. The persisted frame is narrow (no window
-    // columns) and its materialization needs no shuffle at all.
+    // keyed feeds both join sides (×2 key kinds), the heavy-key counts,
+    // and the final left join — EAGERLY checkpointed (round 14), not
+    // lazily persisted: all of those consumers are independent shuffle
+    // stages that AQE materializes CONCURRENTLY inside the sym
+    // checkpoint job, and the r14 profile showed the cold lazy cache
+    // being replayed EIGHT times (eight 2-task ~480 ms stages each
+    // re-reading the parquet and re-running the normalization
+    // expressions — the same replay class r13 fixed for sym itself).
+    // One materialization job; consumers read blocks; released per
+    // query via Lineage.releaseHeld.
     // (A fan-out of `records` to the session cores was measured here in
     // round 13 and REVERTED: unlike the ingest/knn/winnow kernels, the
     // added exchange + wider stages did not pay for themselves —
     // dedup_records benched 4.3 s without vs 5.2 s with.)
-    val keyed = withKeys(records, folding).persist()
+    val keyed = graft.Lineage.hold(
+      graft.Checkpoint.of(withKeys(records, folding)),
+      "Dedup.dedupRecords.keyed"
+    )
     val clusters = assignClusters(matchedEdges(keyed), iters)
     keyed
       .select("id")
